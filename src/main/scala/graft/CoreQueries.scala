@@ -1,0 +1,417 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.GraftFunctions._
+import graft.operators.WeatherOps
+
+/** The reference operator surface (SURVEY.md §2) + the relational core, as
+  * oracle-checked queries over the driver fixtures.
+  *
+  * The weather/hotels shape is mapped onto `events` (readings: user_id plays
+  * the geohash-cell role, `value` the temperature, `to_date(ts)` the
+  * wthr_date) and `customer` (dimension with precomputed key) — SURVEY.md
+  * §7.1. The geohash function itself is conformance-tested against the
+  * reference's golden vectors in GeohashSpec and exercised by `q_geohash_cells`
+  * (rows-only check: DuckDB can't express geohash).
+  *
+  * Oracle-parity rules used throughout (driver hash-compares values):
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - deterministic ORDER BY on both sides (NULLS FIRST aligned);
+  *  - money-style sums go through DECIMAL (exact, order-independent) and are
+  *    cast back to DOUBLE;
+  *  - plain averages are `round(_, 4)` — group error ~1e-13 vs 1e-4 step;
+  *  - list aggregates are canonicalized to a sorted joined string (parquet
+  *    array-of-struct vs DuckDB list-of-struct hashing is representation-
+  *    sensitive; strings are not).
+  */
+object CoreQueries {
+
+  // ---- shared shapes ----------------------------------------------------
+
+  /** events with a `day` column (the wthr_date role). */
+  private def eventsWithDay(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+
+  private val eventsWithDaySql =
+    "SELECT *, CAST(ts AS DATE) AS day FROM events"
+
+  /** A1+M3 on events: daily average measurement per (user, day).
+    * Uses the operator's `exact` (decimal-backed) mode so results are
+    * bit-identical to the sequential DuckDB oracle regardless of partial-agg
+    * merge order. */
+  def dailyAvg(s: SparkSession, dir: String): DataFrame =
+    WeatherOps.dailyAverage(
+      eventsWithDay(s, dir).withColumnRenamed("value", "tmp_f")
+        .withColumn("tmp_c", (col("tmp_f") - 32.0d) * 5.0d / 9.0d),
+      keyCols = Seq("user_id"), dateCol = "day", exact = true)
+
+  private val dailyAvgSql =
+    s"""SELECT user_id, day,
+       |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_tmp_f,
+       |CAST(sum(CAST((value - 32.0) * 5.0 / 9.0 AS DECIMAL(18,6))) AS DOUBLE)
+       |  / count(value) AS avg_tmp_c
+       |FROM ($eventsWithDaySql) GROUP BY user_id, day""".stripMargin
+
+  /** A2 on events: canonical per-user history string, date-sorted; the
+    * decimal-free canonical form is `day:round(avg*10000) AS BIGINT`. */
+  def history(s: SparkSession, dir: String): DataFrame =
+    WeatherOps.cellHistory(dailyAvg(s, dir), keyCol = "user_id", dateCol = "day")
+      .select(
+        col("user_id"),
+        size(col("weather_list")).as("n_days"),
+        concat_ws("|", transform(col("weather_list"), w =>
+          concat_ws(":", w("date").cast("string"),
+            round(w("tmp_f") * 10000d).cast("bigint").cast("string")))).as("history"))
+
+  private val historySql =
+    s"""SELECT user_id, CAST(len(hl) AS INT) AS n_days, array_to_string(hl, '|') AS history
+       |FROM (SELECT user_id,
+       |  list(CAST(day AS VARCHAR) || ':' ||
+       |       CAST(CAST(round(avg_tmp_f * 10000) AS BIGINT) AS VARCHAR)
+       |       ORDER BY day) AS hl
+       |  FROM (SELECT user_id, day,
+       |          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+       |            AS avg_tmp_f
+       |        FROM ($eventsWithDaySql) GROUP BY user_id, day)
+       |  GROUP BY user_id)""".stripMargin
+
+  // ---- query catalog ----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/S3 + K2: source scan with pushed filter + projection (column pruning
+    // and predicate pushdown must reach the parquet scan).
+    "q_src_scan" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // M1 + F3: derive the composite shuffle key before grouping (the
+    // reference's hand-done pre-repartition keying, WeatherHotelsApp.java:70-87).
+    "q_m1_rekey" -> ((s, dir) =>
+      eventsWithDay(s, dir)
+        .select(
+          compositeKey(col("user_id"), col("day")).as("key"),
+          col("event_id"), col("value"))
+        .orderBy(col("event_id"))),
+
+    // M2: dimension re-key by precomputed key (WeatherHotelsApp.java:112-132).
+    "q_m2_rekey" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey").cast("string").as("key"),
+          col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("key"))),
+
+    // F1: JSON field extraction from the props column (Jackson readTree role).
+    "q_f1_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(col("value")).as("n"),
+          (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+            count(col("value"))).as("avg_value"))
+        .orderBy(col("k"))),
+
+    // F4: composite key split (MyStream.java:123-128).
+    "q_f4_split_key" -> ((s, dir) =>
+      eventsWithDay(s, dir)
+        .select(compositeKey(col("user_id"), col("day")).as("key"), col("event_id"))
+        .select(
+          keyPart(col("key"), 1).cast("bigint").as("user_id"),
+          keyPart(col("key"), 2).as("day"),
+          col("event_id"))
+        .orderBy(col("event_id"))),
+
+    // A1+M3: daily average per (user, day) — partial+final hash agg.
+    "q_a1_daily_avg" -> ((s, dir) =>
+      dailyAvg(s, dir)
+        .select(col("user_id"), col("day"),
+          col("avg_tmp_f").as("avg_f"), col("avg_tmp_c").as("avg_c"))
+        .orderBy(col("user_id"), col("day"))),
+
+    // A2: per-key history list (canonical string form).
+    "q_a2_history" -> ((s, dir) =>
+      history(s, dir).orderBy(col("user_id"))),
+
+    // C1: latest row per key by arrival ordinal (max_by, no window sort).
+    "q_c1_latest" -> ((s, dir) =>
+      WeatherOps.latestPerKey(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), col("value")),
+        keyCols = Seq("user_id"), ordCol = "event_id")
+        .orderBy(col("user_id"))),
+
+    // J1: inner enrichment join (dim × aggregated history).
+    "q_j1_enrich" -> ((s, dir) => {
+      val hist = history(s, dir).withColumnRenamed("user_id", "key")
+      WeatherOps.enrich(
+        Tables.customer(s, dir).withColumn("key", col("c_custkey")), hist)
+        .select(col("c_custkey"), col("c_name"), col("n_days"), col("history"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: left table-table join, nulls preserved (MyStream.java:168-173).
+    "q_j2_left" -> ((s, dir) => {
+      val counts = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events")).withColumnRenamed("user_id", "key")
+      WeatherOps.enrichLeft(
+        Tables.customer(s, dir).withColumn("key", col("c_custkey")), counts)
+        .select(col("c_custkey"), col("c_name"), col("n_events"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // M4 flagship: full reference topology — parse/rekey → daily avg →
+    // history → inner enrichment join (SURVEY.md §7.3).
+    "q_flagship" -> ((s, dir) => flagship(s, dir)),
+
+    // F2 geohash in a distributed plan (no SQL oracle — rows-only check;
+    // correctness locked by GeohashSpec golden vectors instead).
+    "q_geohash_cells" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lat", (col("user_id") % 170).cast("double") - 85.0 + 0.25)
+        .withColumn("lng", ((col("user_id") * 7) % 350).cast("double") - 175.0 + 0.25)
+        .select(graft.functions.Geohash.geohash(col("lat"), col("lng"), 4).as("cell"),
+          col("value"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("cell"))),
+
+    // ---- relational core (Catalyst showcase over the TPC-H-ish tables) ---
+
+    // Pricing-summary aggregation (decimal-exact sums → double).
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+            count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    // revenue per (region, nation). Tiny dims broadcast explicitly; the
+    // fact-side joins are left to Catalyst/AQE.
+    "q_join_pricing" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Window top-k per group (deterministic tie-break on key).
+    "q_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // Existence joins (left_semi / left_anti — no payload duplication).
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Anti join against a filtered build side (non-empty result: customers
+    // with no high-value order).
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Set operations (filters chosen so both results are non-empty).
+    "q_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error" && col("user_id") % 3 === 0)
+        .select(col("user_id"))
+        .except(ev.filter(col("event_type") === "purchase" && col("user_id") % 7 === 0)
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // Distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Rollup (grouping-sets family).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
+  )
+
+  /** M4: the full reference topology as one batch plan. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val hist = history(s, dir).withColumnRenamed("user_id", "key")
+    val dim = Tables.customer(s, dir).withColumn("key", col("c_custkey"))
+    WeatherOps.enrich(dim, hist)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_days"), col("history"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_src_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_m1_rekey" ->
+      s"""SELECT CAST(user_id AS VARCHAR) || '_' || CAST(day AS VARCHAR) AS key,
+         |event_id, value FROM ($eventsWithDaySql) ORDER BY event_id""".stripMargin,
+
+    "q_m2_rekey" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS name,
+        |c_mktsegment AS segment FROM customer ORDER BY key""".stripMargin,
+
+    "q_f1_json" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        |count(value) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_f4_split_key" ->
+      s"""SELECT CAST(split_part(key, '_', 1) AS BIGINT) AS user_id,
+         |split_part(key, '_', 2) AS day, event_id
+         |FROM (SELECT CAST(user_id AS VARCHAR) || '_' || CAST(day AS VARCHAR) AS key,
+         |      event_id FROM ($eventsWithDaySql))
+         |ORDER BY event_id""".stripMargin,
+
+    "q_a1_daily_avg" ->
+      s"""SELECT user_id, day, avg_tmp_f AS avg_f, avg_tmp_c AS avg_c
+         |FROM ($dailyAvgSql) ORDER BY user_id, day""".stripMargin,
+
+    "q_a2_history" ->
+      s"""SELECT user_id, n_days, history FROM ($historySql) ORDER BY user_id""".stripMargin,
+
+    "q_c1_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_j1_enrich" ->
+      s"""SELECT c_custkey, c_name, n_days, history
+         |FROM customer JOIN ($historySql) h ON c_custkey = h.user_id
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_j2_left" ->
+      """SELECT c_custkey, c_name, n_events
+        |FROM customer LEFT JOIN (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+        |ON c_custkey = e.user_id ORDER BY c_custkey""".stripMargin,
+
+    "q_flagship" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, n_days, history
+         |FROM customer JOIN ($historySql) h ON c_custkey = h.user_id
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_pricing" ->
+      """SELECT r_name, n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS revenue,
+        |count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'error' AND user_id % 3 = 0
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Geohash.geohash
+import graft.functions.GraftFunctions._
+
+/** The reference pipeline's operator surface (SURVEY.md §2), re-expressed as
+  * composable DataFrame transforms.
+  *
+  * Canonical column contract between stages:
+  *  - raw readings:   a JSON string column (Kafka `value` shape)
+  *  - keyed readings: `key STRING, wthr_date STRING, tmp_f DOUBLE, tmp_c DOUBLE`
+  *  - daily averages: `key, wthr_date, avg_tmp_f, avg_tmp_c`
+  *  - cell history:   `key, weather_list ARRAY<STRUCT<tmp_f,tmp_c,date>>`
+  *  - dimension:      `key STRING` + payload columns
+  *
+  * Design stance (SURVEY.md §7.1): semantics, not mechanics. The reference's
+  * intermediate topics become Catalyst-planned shuffles; the KTable subtractor
+  * (WeatherAgg.java:22-25) disappears because Spark recomputes group state
+  * instead of consuming a changelog; manual pre-shuffle projection
+  * (WeatherHotelsApp.java:81) is Catalyst ColumnPruning.
+  *
+  * Scale notes per operator inline. Everything here is built-in-function
+  * only — whole-stage-codegen end to end, shuffles only at the two groupBys
+  * and the join (broadcast when the dimension side is small).
+  */
+object WeatherOps {
+
+  /** Schema of a raw weather reading (FIXTURES.md §A1). */
+  val weatherSchema: StructType = StructType(Seq(
+    StructField("lat", DoubleType),
+    StructField("lng", DoubleType),
+    StructField("wthr_date", StringType),
+    StructField("avg_tmpr_f", DoubleType),
+    StructField("avg_tmpr_c", DoubleType)))
+
+  /** Schema of a raw hotel/address record (FIXTURES.md §A3); extra fields in
+    * the JSON (Latitude/Longitude) are dropped by schema projection — same
+    * unknown-field tolerance as the reference's Jackson config
+    * (PojoDeserializer.java:11). */
+  val addressSchema: StructType = StructType(Seq(
+    StructField("Hash", StringType),
+    StructField("Country", StringType),
+    StructField("City", StringType),
+    StructField("Address", StringType),
+    StructField("Name", StringType),
+    StructField("Id", StringType)))
+
+  // ---- M1: parse + geohash re-key (WeatherHotelsApp.java:68-88) ----------
+
+  /** Parse raw weather JSON and key by `geohash4(lat,lng)` + date.
+    *
+    * `lenient = true` mirrors the reference's Jackson `doubleValue()` → 0.0
+    * coercion for non-numeric lat/lng nodes (SURVEY.md §1.3 gotcha); `false`
+    * uses straight `from_json` typing. Malformed JSON → null fields → row
+    * dropped, matching the reference's catch-and-null mapper
+    * (WeatherHotelsApp.java:83-86).
+    *
+    * Scale: narrow transform, no shuffle; the derived `key` becomes the
+    * shuffle key of the downstream aggregation — same manual key-derivation
+    * the reference does pre-repartition, but the exchange is Catalyst's.
+    */
+  def parseWeather(raw: DataFrame, valueCol: String = "value",
+      lenient: Boolean = false): DataFrame = {
+    val v = col(valueCol)
+    val lat = if (lenient) jsonDoubleLenient(v, "lat") else col("w.lat")
+    val lng = if (lenient) jsonDoubleLenient(v, "lng") else col("w.lng")
+    raw.withColumn("w", from_json(v, weatherSchema))
+      .filter(col("w").isNotNull && col("w.wthr_date").isNotNull)
+      .select(
+        geohash(lat, lng, 4).as("hash"),
+        col("w.wthr_date").as("wthr_date"),
+        col("w.avg_tmpr_f").as("tmp_f"),
+        col("w.avg_tmpr_c").as("tmp_c"))
+      .withColumn("key", compositeKey(col("hash"), col("wthr_date")))
+  }
+
+  // ---- M2: address parse + re-key (WeatherHotelsApp.java:112-132) --------
+
+  /** Parse raw address JSON; key = precomputed `Hash` field. */
+  def parseAddress(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.withColumn("a", from_json(col(valueCol), addressSchema))
+      .filter(col("a").isNotNull && col("a.Hash").isNotNull)
+      .select(
+        col("a.Hash").as("key"),
+        col("a.Country").as("country"),
+        col("a.City").as("city"),
+        col("a.Address").as("address"),
+        col("a.Name").as("name"),
+        col("a.Id").as("id"))
+
+  // ---- A1 + M3: per-(cell, day) average (WeatherHotelsApp.java:91-104) ---
+
+  /** Daily average temperature per (key, date).
+    *
+    * The reference collects every reading into a list and averages lazily
+    * (WeatherAgg.avgTmp()); Spark's partial+final hash aggregation computes
+    * the same mean with O(1) state per group — map-side combine means the
+    * shuffle carries (sum, count) pairs, not readings. At 100 TB this is the
+    * difference between shuffling the dataset and shuffling the group count.
+    */
+  def dailyAverage(readings: DataFrame,
+      keyCols: Seq[String] = Seq("key"), dateCol: String = "wthr_date",
+      exact: Boolean = false): DataFrame = {
+    // `exact = true`: decimal-backed mean — sum is exact (order-independent)
+    // and the single final double division is deterministic, so results are
+    // bit-identical regardless of partitioning/merge order (and across
+    // engines). Worth its ~2× agg cost when reproducibility matters;
+    // default is the native double mean.
+    def mean(c: String): Column =
+      if (exact) sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(col(c))
+      else avg(col(c))
+    readings
+      .groupBy((keyCols :+ dateCol).map(col): _*)
+      .agg(mean("tmp_f").as("avg_tmp_f"), mean("tmp_c").as("avg_tmp_c"))
+  }
+
+  // ---- A2: per-cell history list (WeatherHotelsApp.java:105-109) ---------
+
+  /** Collect the per-day averages of a cell into a date-sorted list.
+    *
+    * `sort_array` makes the list deterministic (the reference's list order is
+    * arrival order — nondeterministic under parallelism, so we pin date
+    * order; divergence documented). No subtractor needed: batch recompute /
+    * streaming state maintenance replace changelog retraction (SURVEY §7.5.1).
+    *
+    * Scale: list size = distinct dates per cell — bounded by the calendar,
+    * not the data volume; safe. For truly unbounded keys use the windowed
+    * variant in streaming.WeatherStreams.
+    */
+  def cellHistory(daily: DataFrame, keyCol: String = "key",
+      dateCol: String = "wthr_date"): DataFrame =
+    daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(dateCol).as("date"),
+        col("avg_tmp_f").as("tmp_f"),
+        col("avg_tmp_c").as("tmp_c")))).as("weather_list"))
+
+  // ---- C1: latest value per key (MyStream.java:166,168) ------------------
+
+  /** Upsert view: latest row per key by an arrival-order ordinal
+    * (`max_by(struct(payload), ord)` — single hash aggregation, no window
+    * sort). The reference's KTable keeps last-write-wins by Kafka offset;
+    * `ordCol` plays the offset role.
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], ordCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains).map(col)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload: _*), col(ordCol)).as("_latest"))
+      .select(keyCols.map(col) ++ df.columns.filterNot(keyCols.contains)
+        .map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  // ---- J1/J2: enrichment joins (WeatherHotelsApp.java:134-142, MyStream.java:168-173)
+
+  /** Inner enrichment join: each dimension row picks up its cell's weather
+    * list (J1). `broadcastDim` broadcasts the *smaller* side; at reference
+    * scale the aggregated weather table is small relative to 100 TB of
+    * events, but the dimension (hotels) is usually smaller still — caller
+    * chooses. Inner semantics drop dimension rows with no weather, exactly
+    * like the reference (the null-check at WeatherHotelsApp.java:137 is dead
+    * code under inner join).
+    */
+  def enrich(dim: DataFrame, history: DataFrame, keyCol: String = "key",
+      broadcastDim: Boolean = false): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    d.join(history, Seq(keyCol), "inner")
+  }
+
+  /** Left-outer table-table join (J2): dimension rows with no weather are
+    * kept with a null list (null-guard semantics of MyStream.java:169-171). */
+  def enrichLeft(dim: DataFrame, history: DataFrame, keyCol: String = "key"): DataFrame =
+    dim.join(history, Seq(keyCol), "left")
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Conformance + property tests for the geohash implementation.
+  *
+  * Golden vectors from the reference tests
+  * (/root/reference/src/test/java/WeatherStreamsTest.java:171-177,214) pin
+  * exact parity with `ch.hsr:geohash`'s
+  * `geoHashStringWithCharacterPrecision`.
+  */
+class GeohashSpec extends SparkSuite {
+
+  /** Run a ScalaCheck property inside a ScalaTest test (the
+    * scalatest-scalacheck bridge artifact isn't in the offline cache). */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  val goldenVectors: Seq[(Double, Double, String)] = Seq(
+    (39.6467, -89.8455, "dp01"),
+    (35.7395, -78.3249, "dq27"),
+    (36.3367, -77.113, "dq3n"),
+    (39.2336, -108.67, "9wfx"),
+    (36.9639, -85.3242, "dne6"),
+    (0.0, 0.0, "s000"),          // the string-coerced "11111" lat/lng case
+    (51.5131074, -0.1778707, "gcpv"))
+
+  test("reference golden vectors (precision 4)") {
+    goldenVectors.foreach { case (lat, lng, expected) =>
+      assert(Geohash.encode(lat, lng, 4) == expected, s"($lat, $lng)")
+    }
+  }
+
+  test("well-known 12-char hash (public vector)") {
+    // Wikipedia's canonical example: (57.64911, 10.40744) → u4pruydqqvj8
+    assert(Geohash.encode(57.64911, 10.40744, 12).startsWith("u4pruydqqvj"))
+  }
+
+  test("prefix monotonicity: precision p is a prefix of precision p+1") {
+    check(Prop.forAll(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0),
+      Gen.chooseNum(1, 11)) { (lat: Double, lng: Double, p: Int) =>
+      Geohash.encode(lat, lng, p + 1).startsWith(Geohash.encode(lat, lng, p))
+    })
+  }
+
+  test("output alphabet is geohash base-32") {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz".toSet
+    check(Prop.forAll(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0)) {
+      (lat: Double, lng: Double) =>
+        Geohash.encode(lat, lng, 8).forall(alphabet.contains)
+    })
+  }
+
+  test("Catalyst expression matches the Scala implementation (codegen path)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = goldenVectors.toDF("lat", "lng", "expected")
+      .withColumn("got", Geohash.geohash(col("lat"), col("lng"), 4))
+    assert(df.filter(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("expression is null-safe") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some(1.0)), (None, Some(1.0)), (Some(1.0), None))
+      .toDF("lat", "lng")
+      .withColumn("h", Geohash.geohash(col("lat"), col("lng"), 4))
+    assert(df.filter(col("h").isNull).count() == 2)
+  }
+
+  test("SQL registration: geohash callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql("SELECT geohash(39.6467D, -89.8455D, 4) AS h").head()
+    assert(row.getString(0) == "dp01")
+  }
+}
