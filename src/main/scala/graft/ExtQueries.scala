@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
+  * text analysis, multimodal — over `documents` / `embeddings`.
+  *
+  * Oracle-parity notes: token/shingle pipelines are mirrored in DuckDB SQL
+  * (string_split_regex + list HOFs); sketch-based ops (minhash, simhash,
+  * LSH) are not SQL-expressible → rows-only check + ScalaTest ground-truth
+  * comparisons instead.
+  */
+object ExtQueries {
+
+  /** Tokens once, as SQL (DuckDB regexp needs the 'g' flag on replace). */
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  private val stopSql = TextAnalysis.stopwords("en").mkString("['", "', '", "']")
+
+  /** Word-3-gram shingles in DuckDB, mirroring TextFunctions.shingles. */
+  private val shinglesSql =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis --------------------------------------------------
+
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_calc"),
+          col("n_punct"), col("avg_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID (stopword/CJK heuristic — not SQL-expressible; rows-only,
+    // semantics locked by TextAnalysisSpec on hand-written sentences)
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    // fingerprints (xxhash64-based — rows-only; determinism in ScalaTest)
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fp_full"), col("fp_min_shingle"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup ----------------------------------------------------------
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), keyCol = "text", idCol = "doc_id")
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), blockCol = col("lang"),
+        threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash+LSH candidates (sketch — rows-only; recall vs exact ground
+    // truth asserted in DedupSpec)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir),
+        bands = 32, rowsPerBand = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
+        threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search ---------------------------------------------
+
+    "q_sim_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hyperplane-LSH ANN (approximate — rows-only; recall asserted in
+    // SimilaritySpec against bruteForceTopK)
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5, dims = 64,
+        planes = 6)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- multimodal -----------------------------------------------------
+
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.attachPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |CAST(length(text) AS INT) AS n_chars_calc,
+         |CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS INT) AS n_punct,
+         |CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
+         |  AS avg_token_len
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, round(
+         |  least(1.0, greatest(0.0,
+         |    0.4 * least(
+         |      (CAST(len(list_filter(toks, t -> list_contains($stopSql, t))) AS DOUBLE)
+         |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5.0, 1.0) +
+         |    0.3 * (CASE WHEN
+         |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+         |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.15 * (1.0 - least(
+         |      (CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) +
+         |    0.15 * (1.0 - least(
+         |      (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0))
+         |  )), 4) AS quality
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang,
+         |         list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+         |      >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |    AS cos
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |      >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+        |      AS cos
+        |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rank, vec_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

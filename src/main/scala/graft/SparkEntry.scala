@@ -15,13 +15,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.10). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (non-SQL-expressible ops) get the
     * driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql
 }

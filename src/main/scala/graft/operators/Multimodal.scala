@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.10): media as opaque `BINARY`
+  * payloads plus typed metadata, with batch-shaped decode/feature-extract.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs, so
+  * [[decodeStub]] produces deterministic fake features from the bytes. The
+  * Spark-side plumbing is the real deliverable and is fully exercised:
+  *  - schema: `media STRUCT<payload BINARY, meta STRUCT<mime, width, height>>`
+  *  - partition-parallel batched execution via `mapPartitions` with an
+  *    explicit batch size (the Scala analog of `mapInPandas`: the decoder
+  *    sees BATCHES, amortizing model/codec init per batch, not per row);
+  *  - feature output lands back in a columnar-friendly flat schema.
+  *
+  * At 100 TB: payloads dominate row size → keep them out of shuffles
+  * (extract features in the same stage as the scan, project payload away
+  * before any wide operation). This operator does exactly that: no shuffle
+  * between attach → decode → features.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Attach a synthetic media payload derived from the text column —
+    * deterministic fake bytes standing in for real image/audio blobs. */
+  def attachPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("media", struct(
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("image/fake").as("mime"),
+        (pmod(xxhash64(col(textCol)), lit(1920L)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)) + 1).cast("int").as("height"))
+        .as("meta")))
+
+  /** ??? in spirit: a real deployment swaps this for an actual codec call
+    * (JNI/ONNX/ffmpeg). Deterministic fake: byte-sum "luma", length, crc. */
+  def decodeStub(payload: Array[Byte]): (Double, Int, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xFF); i += 1 }
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    (if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
+      payload.length, crc.getValue)
+  }
+
+  /** Batched decode/feature-extract. Output: doc_id, mime, width, height,
+    * n_bytes, crc32, avg_luma. Batch size is the codec-amortization knob. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
+    val withMedia = if (docs.columns.contains("media")) docs else attachPayload(docs)
+    val in = withMedia.select(col(idCol), col("media"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("crc32", LongType),
+      StructField("avg_luma", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val out: Dataset[Row] = in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder init would go here (the point of batching)
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val media = r.getStruct(1)
+          val payload = media.getAs[Array[Byte]]("payload")
+          val meta = media.getStruct(media.fieldIndex("meta"))
+          val (luma, n, crc) = decodeStub(payload)
+          Row(id, meta.getString(0), meta.getInt(1), meta.getInt(2), n, crc, luma)
+        }
+      }
+    }
+    out.toDF()
+  }
+}

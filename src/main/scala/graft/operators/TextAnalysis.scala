@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.10):
+  * token statistics, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is built-in-function / HOF based (whole-stage codegen, no
+  * UDFs); per-document work is narrow (no shuffle), so all of these scale
+  * linearly with input splits — the 100 TB cost is one scan.
+  */
+object TextAnalysis {
+
+  /** Minimal per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Tiny on purpose: broadcast as literals into the
+    * plan, no side files. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "nicht", "von", "ist", "mit"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"))
+
+  private def stopArray(lang: String): Column =
+    array(stopwords(lang).map(lit): _*)
+
+  /** Count of tokens present in `langWords` (non-distinct). */
+  private def matches(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(stopArray(lang), t)))
+
+  /** Token/char statistics per document. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.withColumn("n_tokens", size(toks))
+      .withColumn("n_chars_calc", length(col(textCol)))
+      .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("\\p{Punct}"), lit(0))))
+      .withColumn("avg_token_len",
+        (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+          size(toks)))
+  }
+
+  /** Heuristic quality score in [0,1]: stopword hit-rate, token-length
+    * plausibility, punctuation/digit load. The shape (cheap per-row ratios,
+    * weighted sum, filter threshold downstream) is the standard pre-training
+    * quality gate; weights are illustrative. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val stopRatio = matches(toks, "en").cast("double") / greatest(nTok, lit(1.0d))
+    val avgLen = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1.0d))
+    val lenScore = when(avgLen.between(2.0d, 12.0d), 1.0d).otherwise(0.0d)
+    val punctRatio = size(regexp_extract_all(col(textCol), lit("\\p{Punct}"), lit(0)))
+      .cast("double") / greatest(length(col(textCol)).cast("double"), lit(1.0d))
+    val digitRatio = size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+      .cast("double") / greatest(length(col(textCol)).cast("double"), lit(1.0d))
+    docs.withColumn("quality",
+      round(least(lit(1.0d), greatest(lit(0.0d),
+        lit(0.4d) * least(stopRatio * 5.0d, lit(1.0d)) +
+          lit(0.3d) * lenScore +
+          lit(0.15d) * (lit(1.0d) - least(punctRatio * 10.0d, lit(1.0d))) +
+          lit(0.15d) * (lit(1.0d) - least(digitRatio * 10.0d, lit(1.0d))))), 4))
+  }
+
+  /** Stopword-profile language ID with CJK short-circuit; deterministic
+    * alphabetical-descending tie-break via lexicographic struct max. */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = array(stopwords.keys.toSeq.sorted.map(l =>
+      struct(matches(toks, l).as("score"), lit(l).as("lang"))): _*)
+    val best = array_max(scored)
+    val hasCjk = size(regexp_extract_all(col(textCol), lit("[\\x{4E00}-\\x{9FFF}]"), lit(0))) > 0
+    docs.withColumn("lang_pred",
+      when(hasCjk, lit("zh"))
+        .when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")))
+  }
+
+  /** Document fingerprints: full-text hash + min-shingle (winnowing-style)
+    * rolling fingerprint — identical for exact dups, stable under small
+    * whitespace changes (full) / any single-shingle change (min). */
+  def fingerprint(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
+    val sh = hashed(shingles(tokens(col(textCol)), k))
+    docs.withColumn("fp_full", xxhash64(col(textCol)))
+      .withColumn("fp_min_shingle", array_min(sh))
+  }
+}

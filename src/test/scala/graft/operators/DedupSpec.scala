@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Ground-truth tests for the dedup family on hand-constructed corpora with
+  * known duplicate structure (the fixture documents are mostly unique, so
+  * recall has to be proven on synthetic near-dups).
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one-token change
+  private val unrelated =
+    "completely different content about spark catalyst optimizer rules and tungsten memory format " * 3
+
+  private def corpus = Seq(
+    (0L, base, "b1"), (1L, base, "b1"),        // exact dup pair
+    (2L, nearDup, "b1"),                        // near dup of 0/1
+    (3L, unrelated, "b1"), (4L, unrelated + "extra tail words here", "b1")
+  ).toDF("doc_id", "text", "block")
+
+  test("exact dedup keeps deterministic survivor with dup count") {
+    val got = Dedup.exact(corpus, "text", "doc_id")
+      .select($"doc_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashPairs(corpus, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be found (jaccard 1.0)")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "near-dup (one-token edit) must be found")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((0L, 4L)),
+      "unrelated docs must not pair with base")
+  }
+
+  test("minhash jaccard estimate is close to exact jaccard") {
+    import graft.functions.TextFunctions._
+    val sigs = corpus.select($"doc_id",
+      minhashSig(array_distinct(hashed(shingles(tokens($"text"), 3))), 128).as("sig"))
+    val a = sigs.filter($"doc_id" === 0).head().getSeq[Long](1)
+    val c = sigs.filter($"doc_id" === 2).head().getSeq[Long](1)
+    val est = a.zip(c).count { case (x, y) => x == y }.toDouble / 128
+    val exact = Dedup.ngramJaccardPairs(corpus, blockCol = col("block"), threshold = 0.0)
+      .filter($"id_a" === 0 && $"id_b" === 2).head().getDouble(2)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical→hamming 0; near-dup closer than unrelated") {
+    import graft.functions.TextFunctions._
+    val sims = corpus.select($"doc_id", simhash64(hashed(tokens($"text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L), "identical docs → identical simhash")
+    val h02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    val h03 = java.lang.Long.bitCount(sims(0L) ^ sims(3L))
+    assert(h02 < h03, s"near-dup ($h02) must be closer than unrelated ($h03)")
+
+    // candidate generation: 8 chunks pigeonhole-guarantee detection ≤ 7 bits
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 64, chunks = 8, maxBucket = 100)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((0L, 1L)) == 0)
+    if (h02 <= 7) assert(pairs.get((0L, 2L)).contains(h02))
+  }
+
+  test("embedding near-dup pairs find the planted duplicate vector") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val dup = v.clone(); dup(7) = dup(7) * 1.01f     // ~same direction
+    val ortho = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val embs = Seq((0L, v.toSeq, 0), (1L, dup.toSeq, 0), (2L, ortho.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingPairs(embs, blockCol = col("label"), threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("skew guard: oversized buckets are dropped, not exploded") {
+    val many = (0L until 200L).map(i => (i, base, "b")).toDF("doc_id", "text", "block")
+    // 200 identical docs → every bucket has 200 members > maxBucket=50 → no pairs
+    val n = Dedup.minhashPairs(many, bands = 4, rowsPerBand = 2, maxBucket = 50).count()
+    assert(n == 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stats: token/char/punct counts") {
+    val df = Seq((1L, "The quick, brown fox!"), (2L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.stats(df)
+      .select($"doc_id", $"n_tokens", $"n_punct").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4, 2)))
+    assert(got(2L) == ((1, 0)))
+  }
+
+  test("language ID: stopword profiles pick the right language") {
+    val df = Seq(
+      (1L, "the cat is on the roof and the dog is in the garden"),
+      (2L, "el perro y el gato en la casa de los abuelos por la tarde"),
+      (3L, "der hund und die katze sind nicht mit den kindern von haus"),
+      (4L, "le chien et le chat dans les jardins pour une promenade"),
+      (5L, "模型 训练 数据 管道"),
+      (6L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df)
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "de")
+    assert(got(4L) == "fr"); assert(got(5L) == "zh"); assert(got(6L) == "und")
+  }
+
+  test("quality: clean english text scores higher than digit/punct soup") {
+    val df = Seq(
+      (1L, "the system processes data with a pipeline for the training of models"),
+      (2L, "@@@@ 1234 5678 !!!! #### 0000 %%%% 9999")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(df)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.7, s"clean text: ${got(1L)}")
+    assert(got(2L) < 0.4, s"soup: ${got(2L)}")
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint: deterministic, exact-dup-stable, change-sensitive") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f h"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df)
+      .select($"doc_id", $"fp_full", $"fp_min_shingle").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L)._1 != fp(3L)._1)
+    // two runs give identical fingerprints (no RNG in plan)
+    val fp2 = TextAnalysis.fingerprint(df).select($"fp_full").as[Long].collect().toSet
+    assert(fp2 == fp.values.map(_._1).toSet)
+  }
+}
