@@ -141,6 +141,24 @@ object CoreQueries {
     "q_a2_history" -> ((s, dir) =>
       history(s, dir).orderBy(col("user_id"))),
 
+    // A1→A2 as ONE stateful op: the typed CellHistoryAggregator (the
+    // streaming-state design, SURVEY §7.5.1) run on the batch path — same
+    // oracle as q_a2_history.
+    "q_a2_typed_agg" -> ((s, dir) => {
+      val readings = eventsWithDay(s, dir).select(
+        col("user_id").cast("string").as("hash"),
+        col("day").cast("string").as("wthr_date"),
+        col("value").as("tmp_f"),
+        ((col("value") - 32.0d) * 5.0d / 9.0d).as("tmp_c"))
+      graft.streaming.WeatherStreams.cellHistoryStream(readings)
+        .select(col("key").cast("bigint").as("user_id"),
+          size(col("weather_list")).as("n_days"),
+          concat_ws("|", transform(col("weather_list"), w =>
+            concat_ws(":", w("date"),
+              round(w("tmp_f") * 10000d).cast("bigint").cast("string")))).as("history"))
+        .orderBy(col("user_id"))
+    }),
+
     // C1: latest row per key by arrival ordinal (max_by, no window sort).
     "q_c1_latest" -> ((s, dir) =>
       WeatherOps.latestPerKey(
@@ -324,6 +342,9 @@ object CoreQueries {
          |FROM ($dailyAvgSql) ORDER BY user_id, day""".stripMargin,
 
     "q_a2_history" ->
+      s"""SELECT user_id, n_days, history FROM ($historySql) ORDER BY user_id""".stripMargin,
+
+    "q_a2_typed_agg" ->
       s"""SELECT user_id, n_days, history FROM ($historySql) ORDER BY user_id""".stripMargin,
 
     "q_c1_latest" ->

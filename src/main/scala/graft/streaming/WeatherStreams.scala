@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.Weather
+import graft.operators.WeatherOps
+
+/** Structured Streaming build of the reference topology (SURVEY.md §2.9,
+  * §7.2-M5).
+  *
+  * Mapping from Kafka Streams mechanics:
+  *  - KStream            → streaming DataFrame (`readStream`)
+  *  - KTable (changelog) → streaming aggregation in `update` output mode:
+  *    every micro-batch re-emits the groups it touched — the same observable
+  *    behavior as KTable's update stream (emission coalescing differs:
+  *    per-micro-batch, like the reference's record cache; SURVEY §7.5.1)
+  *  - repartition topics → shuffle exchanges (no topic round-trip)
+  *  - Materialized store → state store + checkpointLocation
+  *  - A1→A2 chained aggregation: Spark forbids two stateful aggs in one
+  *    query; instead of a foreachBatch two-query split we fold both levels
+  *    into ONE stateful op — [[CellHistoryAggregator]] keeps per-cell
+  *    (date → (sum, count)) map state, so the daily averages AND the
+  *    per-cell history are maintained by a single shuffle + state store.
+  *    That is *better* than the reference's two repartition hops at scale:
+  *    one exchange on `hash` instead of two (hash_date, then hash).
+  *
+  * State-size note for 100 TB: per-cell state is O(distinct dates) — bounded
+  * by the calendar (the reference's unwindowed semantics, kept). For
+  * unbounded keys use [[dailyAverageStream]] with a watermark + window
+  * instead.
+  */
+object WeatherStreams {
+
+  // ---- sources / sinks (S1/S3, K1/K2) ------------------------------------
+
+  /** Kafka source wrapper (S1/S3): raw (key, value) strings from a topic.
+    * Needs the spark-sql-kafka connector on the classpath (not present in
+    * the offline CI image — exercised there via MemoryStream instead, which
+    * produces the same (key, value) shape). */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** Kafka sink wrapper (K1/K2): writes (key, value) with exactly-once via
+    * checkpointing. */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpointDir: String, mode: OutputMode = OutputMode.Update()): DataStreamWriter[_] =
+    df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(mode)
+
+  // ---- M1 on a stream ----------------------------------------------------
+
+  /** Parse + geohash-rekey raw weather JSON (same batch code — narrow
+    * transforms are streaming-transparent). */
+  def parseWeatherStream(raw: DataFrame, lenient: Boolean = false): DataFrame =
+    WeatherOps.parseWeather(raw, lenient = lenient)
+
+  // ---- A1 streaming: update-mode daily average (≙ KTable changelog) ------
+
+  /** Per-(key, date) running average; run with `outputMode(Update)` to get
+    * KTable-style changelog emission (legal without watermark — unwindowed,
+    * like the reference). */
+  def dailyAverageStream(readings: DataFrame): DataFrame =
+    readings.groupBy(col("key"), col("wthr_date"))
+      .agg(avg(col("tmp_f")).as("avg_tmp_f"), avg(col("tmp_c")).as("avg_tmp_c"))
+
+  // ---- A1→A2 in one stateful op ------------------------------------------
+
+  /** Buffer: per date → (sum_f, sum_c, n). */
+  type CellBuf = Map[String, (Double, Double, Long)]
+
+  /** Two-level aggregation (daily average, then per-cell history) as ONE
+    * typed Aggregator — replaces the reference's A1 + subtractor-A2 chain
+    * (WeatherHotelsApp.java:91-109) and Spark's chained-agg restriction. */
+  class CellHistoryAggregator extends Aggregator[(String, Double, Double), CellBuf, Seq[Weather]] {
+    override def zero: CellBuf = Map.empty
+    override def reduce(b: CellBuf, in: (String, Double, Double)): CellBuf = {
+      val (date, f, c) = in
+      val (sf, sc, n) = b.getOrElse(date, (0.0, 0.0, 0L))
+      b.updated(date, (sf + f, sc + c, n + 1))
+    }
+    override def merge(a: CellBuf, b: CellBuf): CellBuf =
+      b.foldLeft(a) { case (acc, (d, (sf, sc, n))) =>
+        val (af, ac, an) = acc.getOrElse(d, (0.0, 0.0, 0L))
+        acc.updated(d, (af + sf, ac + sc, an + n))
+      }
+    override def finish(b: CellBuf): Seq[Weather] =
+      b.toSeq.sortBy(_._1).map { case (d, (sf, sc, n)) => Weather(sf / n, sc / n, d) }
+    override def bufferEncoder: Encoder[CellBuf] =
+      Encoders.kryo[CellBuf]
+    override def outputEncoder: Encoder[Seq[Weather]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Weather]]()
+  }
+
+  /** Per-cell history stream: one `groupByKey(hash)` + [[CellHistoryAggregator]];
+    * update mode emits the refreshed history whenever a cell changes. Input
+    * columns: key, wthr_date, tmp_f, tmp_c (hash = key without date). */
+  def cellHistoryStream(readings: DataFrame): DataFrame = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    val agg = new CellHistoryAggregator().toColumn
+    readings
+      .select(col("hash"), col("wthr_date"), col("tmp_f"), col("tmp_c"))
+      .as[(String, String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4))
+      .agg(agg.name("weather_list"))
+      .toDF("key", "weather_list")
+  }
+
+  // ---- C1 streaming: latest-per-key via mapGroupsWithState ---------------
+
+  /** Arbitrary-state latest-per-key: keeps the max-ordinal row per key;
+    * emits the current latest on every update (KTable upsert view). Robust
+    * to out-of-order arrival (an older offset never regresses state). */
+  def latestPerKeyStream[K: Encoder, V: Encoder](
+      ds: Dataset[(K, Long, V)]): Dataset[(K, Long, V)] = {
+    implicit val stateEnc: Encoder[(Long, V)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[V]])
+    implicit val tupleEnc: Encoder[(K, Long, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong, implicitly[Encoder[V]])
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, Long, V)], state: GroupState[(Long, V)]) =>
+          val incoming = rows.maxBy(_._2)
+          val best = state.getOption match {
+            case Some((ord, _)) if ord >= incoming._2 => state.get
+            case _ =>
+              val nw = (incoming._2, incoming._3)
+              state.update(nw)
+              nw
+          }
+          (key, best._1, best._2)
+      }
+  }
+
+  // ---- J1 streaming: enrichment against the maintained aggregate ---------
+
+  /** Stream-side enrichment (J1) via foreachBatch: each micro-batch of
+    * addresses joins the *current* weather aggregate (stream-static per
+    * batch — Spark can't reference another query's state directly;
+    * SURVEY §7.5.2). `historySnapshot` is re-evaluated per batch. */
+  def enrichStream(addresses: DataFrame, historySnapshot: () => DataFrame,
+      checkpointDir: String)(sink: DataFrame => Unit): StreamingQuery =
+    addresses.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(WeatherOps.enrich(batch, historySnapshot()))
+      }
+      .start()
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.model.Weather
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-semantics tests replicating the reference's changelog
+  * expectations (testWeatherGrouping, WeatherStreamsTest.java:48-86) with
+  * MemoryStream micro-batches.
+  */
+class WeatherStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("A1 update-mode: each micro-batch re-emits changed groups (KTable changelog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, Double)]
+    val readings = in.toDF().toDF("key", "wthr_date", "tmp_f", "tmp_c")
+    val q = WeatherStreams.dailyAverageStream(readings)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("daily_upd")
+      .option("checkpointLocation", tmpDir("ckpt-a1"))
+      .start()
+    try {
+      // batch 1: first u09t reading → state [1 element], emitted
+      in.addData(("u09t_2016-10-31", "2016-10-31", 23.8, -4.6))
+      q.processAllAvailable()
+      val after1 = spark.table("daily_upd").collect()
+      assert(after1.length == 1)
+      assert(after1.head.getString(0) == "u09t_2016-10-31")
+      assert(after1.head.getDouble(2) == 23.8)
+
+      // batch 2: gcpv + second u09t-cell reading (different date → new group;
+      // same-key update checked below)
+      in.addData(("gcpv_2016-10-01", "2016-10-01", 59.9, 15.5),
+        ("u09t_2016-10-31", "2016-10-31", 30.2, -1.0))
+      q.processAllAvailable()
+      val after2 = spark.table("daily_upd").collect()
+      // update mode re-emitted the changed u09t group with the NEW average —
+      // the changelog trace the reference test pins (intermediate AND final)
+      assert(after2.length == 3)
+      val u09tEmissions = after2.filter(_.getString(0) == "u09t_2016-10-31")
+        .map(_.getDouble(2)).sorted.toSeq
+      assert(u09tEmissions == Seq(23.8, 27.0)) // 23.8 then avg(23.8, 30.2)
+      assert(after2.exists(r => r.getString(0) == "gcpv_2016-10-01" && r.getDouble(2) == 59.9))
+    } finally q.stop()
+  }
+
+  test("A1→A2 single stateful op: per-cell history via CellHistoryAggregator") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, Double)]
+    val readings = in.toDF().toDF("hash", "wthr_date", "tmp_f", "tmp_c")
+    val q = WeatherStreams.cellHistoryStream(readings)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hist_upd")
+      .option("checkpointLocation", tmpDir("ckpt-a2"))
+      .start()
+    try {
+      // replicates testWeatherGrouping's inputs keyed by cell
+      in.addData(("u09t", "2016-10-31", 23.8, -4.6))
+      q.processAllAvailable()
+      in.addData(("gcpv", "2016-10-01", 59.9, 15.5), ("u09t", "2016-10-26", 56.5, 13.6))
+      q.processAllAvailable()
+
+      val rows = spark.table("hist_upd").collect()
+      def hist(r: Row): Seq[(String, Double)] =
+        r.getSeq[Row](1).map(w => (w.getAs[String]("date"), w.getAs[Double]("tmp_f")))
+
+      // changelog: u09t emitted twice — 1-element state, then 2-element state
+      val u09t = rows.filter(_.getString(0) == "u09t").map(hist)
+      assert(u09t.length == 2)
+      assert(u09t.contains(Seq(("2016-10-31", 23.8))))
+      assert(u09t.contains(Seq(("2016-10-26", 56.5), ("2016-10-31", 23.8)))) // date-sorted
+      val gcpv = rows.filter(_.getString(0) == "gcpv").map(hist)
+      assert(gcpv.toSeq == Seq(Seq(("2016-10-01", 59.9))))
+    } finally q.stop()
+  }
+
+  test("aggregator: second-level average math matches the reference golden") {
+    // avg(70,72)=71 @2020-01-01 and 72 @2020-01-02 (WeatherStreamsTest.java:214-217)
+    val agg = new WeatherStreams.CellHistoryAggregator
+    var buf = agg.zero
+    buf = agg.reduce(buf, ("2020-01-01", 70.0, 30.0))
+    buf = agg.reduce(buf, ("2020-01-01", 72.0, 32.0))
+    buf = agg.reduce(buf, ("2020-01-02", 72.0, 32.0))
+    assert(agg.finish(buf) == Seq(Weather(71.0, 31.0, "2020-01-01"), Weather(72.0, 32.0, "2020-01-02")))
+    // merge associativity with a split buffer
+    val b1 = agg.reduce(agg.zero, ("2020-01-01", 70.0, 30.0))
+    val b2 = agg.reduce(agg.reduce(agg.zero, ("2020-01-01", 72.0, 32.0)), ("2020-01-02", 72.0, 32.0))
+    assert(agg.finish(agg.merge(b1, b2)) == agg.finish(buf))
+  }
+
+  test("C1 streaming: latest-per-key keeps max offset across batches, out-of-order safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val q = WeatherStreams.latestPerKeyStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("latest_upd")
+      .option("checkpointLocation", tmpDir("ckpt-c1"))
+      .start()
+    try {
+      in.addData(("a", 2L, "v2"), ("b", 1L, "w1"))
+      q.processAllAvailable()
+      in.addData(("a", 1L, "v1-late")) // out-of-order: must NOT regress
+      q.processAllAvailable()
+      in.addData(("a", 5L, "v5"))
+      q.processAllAvailable()
+      val rows = spark.table("latest_upd").as[(String, Long, String)].collect()
+      // last emission per key wins in the memory sink trace:
+      val finalA = rows.filter(_._1 == "a").last
+      assert(finalA == (("a", 5L, "v5")))
+      // the middle batch emitted the UNREGRESSED state:
+      assert(rows.filter(_._1 == "a").map(_._2).toSeq == Seq(2L, 2L, 5L))
+      assert(rows.filter(_._1 == "b").last == (("b", 1L, "w1")))
+    } finally q.stop()
+  }
+
+  test("E2E streaming: parse → history → foreachBatch enrichment join") {
+    implicit val sqlCtx = spark.sqlContext
+    // static history snapshot (the maintained aggregate), streaming addresses
+    val history = Seq(("s000", Seq(Weather(71.0, 31.0, "2020-01-01"))))
+      .toDF("key", "weather_list")
+    val in = MemoryStream[String]
+    val parsed = graft.operators.WeatherOps.parseAddress(in.toDF().toDF("value"))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = WeatherStreams.enrichStream(parsed, () => history, tmpDir("ckpt-j1")) {
+      enriched =>
+        out ++= enriched.select("key", "country").as[(String, String)].collect()
+    }
+    in.addData(
+      """{"Hash":"s000", "Country": "usa", "City": "1", "Id": "1", "Address": "1", "Name": "1"}""",
+      """{"Hash":"zzzz", "Country": "gb", "City": "2", "Id": "2", "Address": "2", "Name": "2"}""")
+    q.processAllAvailable()
+    q.stop()
+    // inner join: only the matching cell survives
+    assert(out.toSeq == Seq(("s000", "usa")))
+  }
+}
