@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Column-level function library for the graft engine.
   *
@@ -51,19 +55,38 @@ object GraftFunctions {
 
   // ---- vector primitives (similarity-search extensions) -----------------
 
-  /** Dot product of two equal-length array columns (codegen'd HOFs, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product of two equal-length ARRAY<DOUBLE> columns.
+    *
+    * A custom codegen'd expression rather than the
+    * `aggregate(zip_with(a,b,_*_), ...)` HOF composition: the HOF chain
+    * materializes an intermediate array per row-pair and evaluates a lambda
+    * per element — in the quadratic similarity joins that allocation is the
+    * hot path. [[DotProductDouble]] is a single fused multiply-add loop over
+    * the two ArrayDatas (left-to-right, same IEEE order as the HOF form, so
+    * results are unchanged). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProductDouble(Bridge.expression(a), Bridge.expression(b)))
+  }
 
-  /** Euclidean norm of an array column. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  /** Euclidean norm of an ARRAY<DOUBLE> column. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two equal-length array columns; 0.0 when either
     * norm is zero (avoids NaN poisoning downstream top-k ordering). */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0d, lit(0.0d)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Kernel shared by interpreted eval and generated code: left-to-right
+    * multiply-add over the shorter of the two arrays. */
+  def dotKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
   }
 
   // ---- registration ------------------------------------------------------
@@ -78,4 +101,25 @@ object GraftFunctions {
         Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), Cast(exprs(2), IntegerType)),
       "scala_udf")
   }
+}
+
+/** `dot(a, b)` over two ARRAY<DOUBLE> columns: one fused loop, no
+  * intermediate array (see [[GraftFunctions.dot]]). Sums left-to-right —
+  * bit-identical to the sequential HOF formulation it replaces. */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_double"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftFunctions.dotKernel($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
 }

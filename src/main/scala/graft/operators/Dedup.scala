@@ -41,7 +41,7 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sigd = docs.select(
       col(idCol),
-      array_distinct(hashed(shingles(tokens(col(textCol)), k))).as("sh"))
+      sort_array(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh"))
       .withColumn("sig", minhashSig(col("sh"), numHashes))
 
     // band_j = hash of the j-th signature slice → bucket key (bands is a
@@ -66,7 +66,8 @@ object Dedup {
 
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= threshold)
   }
@@ -102,18 +103,61 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs within a blocking key (no sketch — the
-    * SQL-checkable ground truth the sketched variants approximate). */
+    * SQL-checkable ground truth the sketched variants approximate).
+    *
+    * Implemented as an inverted-index similarity join (the scalable exact
+    * formulation) rather than a block-quadratic verify:
+    *  1. explode each doc's distinct shingle hashes into postings
+    *     `(block, shingle, id, len)` — a narrow row, no arrays;
+    *  2. self-join postings on `(block, shingle)`: only pairs sharing at
+    *     least one shingle ever materialize (pairs with J = 0 never exist);
+    *     a size-ratio prefilter (`J ≤ min/max < threshold`) prunes in the
+    *     join condition;
+    *  3. `|A∩B|` = count of joined postings per pair, `|A∪B|` = len_a +
+    *     len_b − |A∩B| — a pure count aggregation, the shingle arrays never
+    *     cross a shuffle.
+    * Result set is identical to the naive all-pairs form.
+    *
+    * 100 TB note: cost is Σ_shingle df² within a block. Boilerplate shingles
+    * (huge df) are the skew hazard — `dfCap` drops postings of shingles seen
+    * in more than that many docs per block. Capping can only lower measured
+    * J (may miss pairs glued together ONLY by boilerplate); default keeps it
+    * off for exactness.
+    */
   def ngramJaccardPairs(docs: DataFrame, blockCol: Column,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, dfCap: Option[Int] = None): DataFrame = {
     val d = docs.select(col(idCol), blockCol.as("block"),
-      array_distinct(shingles(tokens(col(textCol)), k)).as("sh"))
-    val l = d.select(col("block"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = d.select(col("block"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+      array_distinct(shingleHashes(tokens(col(textCol)), k)).as("sh"))
+      .withColumn("len", size(col("sh")))
+    val postings = d.select(col("block"), explode(col("sh")).as("s"),
+      struct(col(idCol).as("id"), col("len")).as("doc"))
+
+    // one groupBy per (block, shingle) gathers its posting list; pairs are
+    // expanded IN-ARRAY (df is small for non-boilerplate shingles), so the
+    // shingle lineage is evaluated once and no self-join recomputation or
+    // array shuffle happens
+    val lists = postings.groupBy(col("block"), col("s"))
+      .agg(collect_list(col("doc")).as("ds"))
+    val pruned = dfCap match {
+      case Some(cap) => lists.filter(size(col("ds")) <= cap)
+      case None => lists
+    }
+    val pairs = pruned.select(explode(flatten(transform(col("ds"), a =>
+      filter(transform(col("ds"), b => struct(a.getField("id").as("id_a"),
+        a.getField("len").as("len_a"), b.getField("id").as("id_b"),
+        b.getField("len").as("len_b"))),
+        p => p.getField("id_a") < p.getField("id_b") &&
+          p.getField("len_a").cast("double") >= p.getField("len_b") * threshold &&
+          p.getField("len_b").cast("double") >= p.getField("len_a") * threshold))))
+      .as("p"))
+
+    pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      col("p.len_a").as("len_a"), col("p.len_b").as("len_b"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("len_a") + col("len_b") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -30,15 +30,22 @@ object TextAnalysis {
   private def matches(toks: Column, lang: String): Column =
     size(filter(toks, t => array_contains(stopArray(lang), t)))
 
-  /** Token/char statistics per document. */
+  /** Token/char statistics per document.
+    *
+    * The token array is materialized ONCE into a projection column —
+    * repeating the `tokens(...)` subtree per consumer re-runs the split per
+    * use (HOF subtrees aren't reliably CSE'd); `regexp_count` avoids
+    * allocating a match array just to take its size. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.withColumn("n_tokens", size(toks))
+    val toks = col("__toks")
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(toks))
       .withColumn("n_chars_calc", length(col(textCol)))
-      .withColumn("n_punct", size(regexp_extract_all(col(textCol), lit("\\p{Punct}"), lit(0))))
+      .withColumn("n_punct", regexp_count(col(textCol), lit("\\p{Punct}")).cast("int"))
       .withColumn("avg_token_len",
         (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
           size(toks)))
+      .drop("__toks")
   }
 
   /** Heuristic quality score in [0,1]: stopword hit-rate, token-length
@@ -46,36 +53,41 @@ object TextAnalysis {
     * weighted sum, filter threshold downstream) is the standard pre-training
     * quality gate; weights are illustrative. */
   def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     val nTok = size(toks).cast("double")
     val stopRatio = matches(toks, "en").cast("double") / greatest(nTok, lit(1.0d))
     val avgLen = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
       greatest(nTok, lit(1.0d))
     val lenScore = when(avgLen.between(2.0d, 12.0d), 1.0d).otherwise(0.0d)
-    val punctRatio = size(regexp_extract_all(col(textCol), lit("\\p{Punct}"), lit(0)))
+    val punctRatio = regexp_count(col(textCol), lit("\\p{Punct}"))
       .cast("double") / greatest(length(col(textCol)).cast("double"), lit(1.0d))
-    val digitRatio = size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+    val digitRatio = regexp_count(col(textCol), lit("[0-9]"))
       .cast("double") / greatest(length(col(textCol)).cast("double"), lit(1.0d))
-    docs.withColumn("quality",
-      round(least(lit(1.0d), greatest(lit(0.0d),
-        lit(0.4d) * least(stopRatio * 5.0d, lit(1.0d)) +
-          lit(0.3d) * lenScore +
-          lit(0.15d) * (lit(1.0d) - least(punctRatio * 10.0d, lit(1.0d))) +
-          lit(0.15d) * (lit(1.0d) - least(digitRatio * 10.0d, lit(1.0d))))), 4))
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("quality",
+        round(least(lit(1.0d), greatest(lit(0.0d),
+          lit(0.4d) * least(stopRatio * 5.0d, lit(1.0d)) +
+            lit(0.3d) * lenScore +
+            lit(0.15d) * (lit(1.0d) - least(punctRatio * 10.0d, lit(1.0d))) +
+            lit(0.15d) * (lit(1.0d) - least(digitRatio * 10.0d, lit(1.0d))))), 4))
+      .drop("__toks")
   }
 
   /** Stopword-profile language ID with CJK short-circuit; deterministic
     * alphabetical-descending tie-break via lexicographic struct max. */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     val scored = array(stopwords.keys.toSeq.sorted.map(l =>
       struct(matches(toks, l).as("score"), lit(l).as("lang"))): _*)
     val best = array_max(scored)
-    val hasCjk = size(regexp_extract_all(col(textCol), lit("[\\x{4E00}-\\x{9FFF}]"), lit(0))) > 0
-    docs.withColumn("lang_pred",
-      when(hasCjk, lit("zh"))
-        .when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(lit("und")))
+    // rlike short-circuits on first CJK char (extract_all would scan + allocate)
+    val hasCjk = col(textCol).rlike("[\\x{4E00}-\\x{9FFF}]")
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("lang_pred",
+        when(hasCjk, lit("zh"))
+          .when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")))
+      .drop("__toks")
   }
 
   /** Document fingerprints: full-text hash + min-shingle (winnowing-style)
