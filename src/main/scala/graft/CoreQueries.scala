@@ -190,6 +190,31 @@ object CoreQueries {
     // history → inner enrichment join (SURVEY.md §7.3).
     "q_flagship" -> ((s, dir) => flagship(s, dir)),
 
+    // The same flagship expressed as SQL text over registered views — the
+    // engine's spark.sql(...) surface (graft functions registered via
+    // GraftFunctions.register / GraftExtensions). Same oracle as q_flagship.
+    "q_flagship_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("g_events")
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      s.sql("""
+        WITH daily AS (
+          SELECT user_id, to_date(ts) AS day,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+                   AS avg_tmp_f
+          FROM g_events GROUP BY user_id, to_date(ts)),
+        hist AS (
+          SELECT user_id, CAST(count(*) AS INT) AS n_days,
+                 concat_ws('|', sort_array(collect_list(
+                   concat_ws(':', CAST(day AS STRING),
+                     CAST(CAST(round(avg_tmp_f * 10000) AS BIGINT) AS STRING)))))
+                   AS history
+          FROM daily GROUP BY user_id)
+        SELECT c_custkey, c_name, c_mktsegment, n_days, history
+        FROM g_customer JOIN hist ON c_custkey = hist.user_id
+        ORDER BY c_custkey""")
+    }),
+
     // F2 geohash in a distributed plan (no SQL oracle — rows-only check;
     // correctness locked by GeohashSpec golden vectors instead).
     "q_geohash_cells" -> ((s, dir) =>
@@ -365,6 +390,11 @@ object CoreQueries {
         |ON c_custkey = e.user_id ORDER BY c_custkey""".stripMargin,
 
     "q_flagship" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, n_days, history
+         |FROM customer JOIN ($historySql) h ON c_custkey = h.user_id
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_flagship_sql" ->
       s"""SELECT c_custkey, c_name, c_mktsegment, n_days, history
          |FROM customer JOIN ($historySql) h ON c_custkey = h.user_id
          |ORDER BY c_custkey""".stripMargin,

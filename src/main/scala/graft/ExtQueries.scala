@@ -102,6 +102,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN: k-means coarse quantizer + nprobe cell rescan (approximate —
+    // rows-only; recall asserted in SimilaritySpec)
+    "q_sim_ivf" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal -----------------------------------------------------
 
     "q_multimodal" -> ((s, dir) =>

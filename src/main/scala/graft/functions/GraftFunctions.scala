@@ -91,16 +91,38 @@ object GraftFunctions {
 
   // ---- registration ------------------------------------------------------
 
-  /** Register graft scalar functions for SQL use (`SELECT geohash(lat,lng,4)`). */
-  def register(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+  /** The graft scalar-function catalog: name → expression builder. Shared by
+    * session-local registration ([[register]]) and the cluster-wide
+    * [[graft.GraftExtensions]] entry point. */
+  def functionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.{DoubleType, IntegerType}
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "geohash",
-      exprs => GeohashEncode(
-        Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), Cast(exprs(2), IntegerType)),
-      "scala_udf")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    Seq(
+      "geohash" -> (exprs => GeohashEncode(
+        Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+        Cast(exprs(2), IntegerType))),
+      "dot_double" -> (exprs => DotProductDouble(exprs(0), exprs(1))),
+      "shingle_hashes" -> (exprs => ShingleHashes(exprs(0),
+        intLit(exprs(1), "shingle_hashes k"))),
+      "minhash_sig" -> (exprs => MinHashSig(exprs(0),
+        intLit(exprs(1), "minhash_sig numHashes"),
+        if (exprs.length > 2) intLit(exprs(2), "minhash_sig seed").toLong else 42L)),
+      "simhash64" -> (exprs => SimHash64(exprs(0))),
+      "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))))
   }
+
+  /** Register graft scalar functions on an existing session
+    * (`SELECT geohash(lat, lng, 4)`, `minhash_sig(...)`, ...). */
+  def register(spark: SparkSession): Unit =
+    functionBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }
 
 /** `dot(a, b)` over two ARRAY<DOUBLE> columns: one fused loop, no

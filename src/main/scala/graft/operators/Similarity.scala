@@ -81,4 +81,71 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query rescans only its
+    * `nprobe` nearest cells.
+    *
+    * The 100 TB shape: centroids are trained on a sample (k-means over the
+    * full corpus is never needed), the corpus is bucketed in one narrow pass
+    * (cell id = argmin centroid distance, a plan-literal dot product), and
+    * the query→cell fan-out is a broadcast join on cell id — per-query work
+    * drops from |corpus| to nprobe·|corpus|/nlist. Deterministic: fixed
+    * k-means seed, fixed sample.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    // train the coarse quantizer on a bounded, deterministic sample
+    val train = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(train)
+    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // cell assignment as a plan expression: argmin over nlist squared
+    // distances, each an unrolled literal dot product (nlist × dims doubles)
+    def cellOf(vec: Column): Column = {
+      val dims = cents(0).length
+      val scored = (0 until nlist).map { ci =>
+        val cent = cents(ci)
+        // ||v - c||² = ||v||² - 2·v·c + ||c||²; ||v||² is rank-invariant →
+        // score by (||c||² - 2·v·c), smaller is nearer
+        val dotVC = (0 until dims).map(d => element_at(vec, d + 1) * lit(cent(d)))
+          .reduce(_ + _)
+        val c2 = lit(cent.map(x => x * x).sum)
+        struct((c2 - dotVC * 2.0d).as("score"), lit(ci).as("cell"))
+      }
+      array_min(array(scored: _*)).getField("cell")
+    }
+
+    val bucketed = c.withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // nprobe nearest cells per query: sort the same scored array, take heads
+    def probeCells(vec: Column): Column = {
+      val dims = cents(0).length
+      val scored = (0 until nlist).map { ci =>
+        val cent = cents(ci)
+        val dotVC = (0 until dims).map(d => element_at(vec, d + 1) * lit(cent(d)))
+          .reduce(_ + _)
+        struct((lit(cent.map(x => x * x).sum) - dotVC * 2.0d).as("score"),
+          lit(ci).as("cell"))
+      }
+      transform(slice(sort_array(array(scored: _*)), 1, nprobe), s => s.getField("cell"))
+    }
+    val probed = q.withColumn("cell", explode(probeCells(col("qv"))))
+
+    val scored = bucketed.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

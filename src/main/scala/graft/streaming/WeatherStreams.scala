@@ -76,6 +76,19 @@ object WeatherStreams {
     readings.groupBy(col("key"), col("wthr_date"))
       .agg(avg(col("tmp_f")).as("avg_tmp_f"), avg(col("tmp_c")).as("avg_tmp_c"))
 
+  /** Watermarked tumbling-window average — the bounded-state alternative to
+    * the reference's unwindowed aggregation for unbounded key spaces
+    * (SURVEY §7.5.5): state for a (key, window) pair is evicted once the
+    * watermark passes the window end, so state size is O(active windows),
+    * not O(all history). Append output mode (finalized windows only). */
+  def windowedAverageStream(readings: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "1 day", windowLength: String = "1 day"): DataFrame =
+    readings.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col("key"), window(col(tsCol), windowLength))
+      .agg(avg(col("tmp_f")).as("avg_tmp_f"), avg(col("tmp_c")).as("avg_tmp_c"))
+      .select(col("key"), col("window.start").as("window_start"),
+        col("avg_tmp_f"), col("avg_tmp_c"))
+
   // ---- A1→A2 in one stateful op ------------------------------------------
 
   /** Buffer: per date → (sum_f, sum_c, n). */

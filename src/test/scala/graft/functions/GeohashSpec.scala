@@ -71,9 +71,26 @@ class GeohashSpec extends SparkSuite {
     assert(df.filter(col("h").isNull).count() == 2)
   }
 
-  test("SQL registration: geohash callable from spark.sql") {
+  test("SQL registration: full graft function catalog callable from spark.sql") {
     GraftFunctions.register(spark)
     val row = spark.sql("SELECT geohash(39.6467D, -89.8455D, 4) AS h").head()
     assert(row.getString(0) == "dp01")
+
+    val r2 = spark.sql(
+      """SELECT dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       sorted_intersect_count(array(1L,2L,5L), array(2L,3L,5L)) AS i,
+        |       simhash64(array(7L)) AS s,
+        |       size(minhash_sig(array(1L,2L,3L), 8)) AS m,
+        |       size(shingle_hashes(array(1L,2L,3L,4L), 3)) AS n""".stripMargin).head()
+    assert(r2.getDouble(0) == 11.0)
+    assert(r2.getInt(1) == 2)
+    assert(r2.getLong(2) == 7L) // single hash: bits pass through sign-count
+    assert(r2.getInt(3) == 8)
+    assert(r2.getInt(4) == 2)
+  }
+
+  test("GraftExtensions injects the same catalog at session-build time") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw; names covered above
   }
 }

@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.15, s"recall=$recall (2 planes / 4 buckets over 500 vecs)")
   }
 
+  test("IVF ANN: beats random-sampling recall, respects k, deterministic") {
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf1 = Similarity.ivfTopK(embs, queries, k = 5, nlist = 8, nprobe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf2 = Similarity.ivfTopK(embs, queries, k = 5, nlist = 8, nprobe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 == ivf2, "IVF must be deterministic (seeded k-means)")
+    val recall = (ivf1 & exact).size.toDouble / exact.size
+    // probing 3/8 cells scans ~37% of the corpus; random 64-dim data has
+    // weak cluster structure, so expect roughly that recall, far above the
+    // 1% random-sampling floor
+    assert(recall > 0.2, s"recall=$recall")
+    assert(ivf1.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("hyperplane components are deterministic and in [-1, 1]") {
     val c1 = Similarity.planeComponent(3, 17, 7L)
     val c2 = Similarity.planeComponent(3, 17, 7L)

@@ -122,6 +122,34 @@ class WeatherStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed+watermarked average: finalized windows emitted, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val readings = in.toDF().toDF("key", "ts", "tmp_f", "tmp_c")
+    val q = WeatherStreams.windowedAverageStream(readings,
+      watermarkDelay = "1 day", windowLength = "1 day")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_avg")
+      .option("checkpointLocation", tmpDir("ckpt-win"))
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      in.addData(("u09t", ts("2020-01-01 10:00:00"), 70.0, 30.0),
+        ("u09t", ts("2020-01-01 12:00:00"), 72.0, 32.0))
+      q.processAllAvailable()
+      // advance event time far past window end + watermark → day-1 finalizes
+      in.addData(("u09t", ts("2020-01-05 00:00:00"), 50.0, 10.0))
+      q.processAllAvailable()
+      in.addData(("u09t", ts("2020-01-09 00:00:00"), 40.0, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_avg")
+        .select(col("key"), col("window_start").cast("string"), col("avg_tmp_f"))
+        .as[(String, String, Double)].collect().toSet
+      assert(rows.contains(("u09t", "2020-01-01 00:00:00", 71.0)),
+        s"day-1 window with avg(70,72)=71 must be finalized; got $rows")
+    } finally q.stop()
+  }
+
   test("E2E streaming: parse → history → foreachBatch enrichment join") {
     implicit val sqlCtx = spark.sqlContext
     // static history snapshot (the maintained aggregate), streaming addresses
