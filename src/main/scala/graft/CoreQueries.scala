@@ -317,13 +317,56 @@ object CoreQueries {
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
-    // Rollup (grouping-sets family).
+    // Rollup / cube (grouping-sets family).
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
-        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Running-window aggregation (cumulative sum + lag), exact decimal
+    // cumulative so the frame-by-frame values are engine-portable.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("running_qty"), col("prev_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Bag-union then distinct (UNION semantics).
+    "q_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "error").select(col("user_id"))
+        .union(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
+
+    // HLL sketch aggregation (approx_count_distinct) — engine-specific
+    // estimates, so rows-only check; the exact variant q_distinct_agg is the
+    // oracle-checked ground truth.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")))
   )
 
   /** M4: the full reference topology as one batch plan. */
@@ -463,6 +506,32 @@ object CoreQueries {
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |     OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running_qty,
+        |lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |                         ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |  AS prev_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin
   )
 }

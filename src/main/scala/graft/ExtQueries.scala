@@ -54,6 +54,21 @@ object ExtQueries {
         .select(col("doc_id"), col("fp_full"), col("fp_min_shingle"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF: top-3 terms per document (doc_id < 10), deterministic
+    // (rounded-score, term) ranking.
+    "q_text_tfidf" -> ((s, dir) => {
+      val scored = TextAnalysis.tfidf(
+        Tables.documents(s, dir).filter(col("doc_id") < 10))
+        .withColumn("tfidf_r", round(col("tfidf"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf_r").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("tfidf_r").as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---- dedup ----------------------------------------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -77,6 +92,13 @@ object ExtQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // end-to-end corpus dedup (exact + near-dup survivors; sketch-based →
+    // rows-only, semantics locked in DedupSpec)
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
 
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
@@ -153,6 +175,25 @@ object ExtQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 10)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 10),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(CAST(tf.tf AS DOUBLE) *
+         |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0),
+         |      6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tf, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (

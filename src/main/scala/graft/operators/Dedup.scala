@@ -29,6 +29,24 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
+    * text) then near-duplicates found by MinHash+LSH, keeping each pair's
+    * lower id. Pair-wise survivor selection is a single-pass approximation
+    * of connected components (a → b → c keeps a, drops b and c when both
+    * pairs are found; a full CC pass would need iterative joins — the
+    * one-pass form is the standard production trade-off and never drops a
+    * doc without a surviving near-neighbor). */
+  def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val exactSurvivors = docs.join(
+      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+    val nearDupLosers = minhashPairs(exactSurvivors, idCol, textCol,
+      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with exact
     * Jaccard over distinct shingle-hash sets.
     *

@@ -90,6 +90,29 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Token-level TF-IDF via two aggregations (SURVEY §2.10).
+    *
+    * tf = term count within a doc; df = docs containing the term;
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed). The corpus size N joins in as a
+    * broadcast 1-row aggregate — no driver-side action, the whole thing is
+    * one declarative plan: explode → two groupBys → broadcast joins.
+    */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0d) / (col("df").cast("double") + 1.0d))
+            + 1.0d))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Document fingerprints: full-text hash + min-shingle (winnowing-style)
     * rolling fingerprint — identical for exact dups, stable under small
     * whitespace changes (full) / any single-shingle change (min). */

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source readers (the S-rows of SURVEY.md §2.1 beyond Kafka, plus the
+  * file formats a warehouse deployment needs).
+  *
+  * All readers take explicit schemas where the format is schemaless — schema
+  * inference costs a full extra pass at 100 TB and silently drifts; a
+  * declared `StructType` keeps reads single-pass and stable.
+  */
+object Sources {
+
+  /** Parquet — the columnar default; pruning/pushdown reach the footer. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines with an explicit schema; PERMISSIVE mode keeps the
+    * reference's drop-on-error semantics (malformed → null row). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Raw lines as a single `value` string column — the Kafka-value shape the
+    * reference's parsers consume (WeatherOps.parseWeather/parseAddress). */
+  def rawLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "value")
+
+  /** CSV with an explicit schema and header control. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Batch Kafka read (bounded: startingOffsets..endingOffsets) — same
+    * (key, value) contract as the streaming source; needs the
+    * spark-sql-kafka connector on the classpath. */
+  def kafkaBatch(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      endingOffsets: String = "latest"): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("endingOffsets", endingOffsets)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+}

@@ -77,6 +77,15 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("dedupCorpus: exact dup collapsed, near dup dropped, unrelated kept") {
+    val survivors = Dedup.dedupCorpus(corpus.drop("block"), threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors.contains(0L), "min-id exact survivor kept")
+    assert(!survivors.contains(1L), "exact duplicate dropped")
+    assert(!survivors.contains(2L), "near duplicate dropped")
+    assert(survivors.contains(3L), "unrelated doc kept")
+  }
+
   test("skew guard: oversized buckets are dropped, not exploded") {
     val many = (0L until 200L).map(i => (i, base, "b")).toDF("doc_id", "text", "block")
     // 200 identical docs → every bucket has 200 members > maxBucket=50 → no pairs

@@ -40,6 +40,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("tfidf: rare terms outrank ubiquitous ones; tf scales the score") {
+    val df = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "flink common"),
+      (3L, "duck common")).toDF("doc_id", "text")
+    val scored = TextAnalysis.tfidf(df)
+      .select($"doc_id", $"term", $"tf", $"tfidf").as[(Long, String, Long, Double)]
+      .collect()
+    val byKey = scored.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // "common" is in every doc → smallest idf; unique terms rank above it
+    assert(byKey((2L, "flink"))._2 > byKey((2L, "common"))._2)
+    // tf multiplies: 3×"spark" in doc 1 scores 3× a single occurrence's idf
+    assert(math.abs(byKey((1L, "spark"))._2 / 3.0 -
+      byKey((2L, "flink"))._2) < 1e-9)
+    // every (doc, term) pair appears exactly once
+    assert(scored.length == scored.map(r => (r._1, r._2)).distinct.length)
+  }
+
   test("fingerprint: deterministic, exact-dup-stable, change-sensitive") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f h"))
       .toDF("doc_id", "text")
