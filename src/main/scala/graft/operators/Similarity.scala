@@ -104,41 +104,22 @@ object Similarity {
     // train the coarse quantizer on a bounded, deterministic sample
     val train = c.orderBy(col("vec_id")).limit(trainSample)
       .select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").fit(train)
+    // coarse quantization only needs rough cells: random init + few
+    // iterations (kmeans|| init alone costs more RDD jobs than the training)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
     val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
-    // cell assignment as a plan expression: argmin over nlist squared
-    // distances, each an unrolled literal dot product (nlist × dims doubles)
-    def cellOf(vec: Column): Column = {
-      val dims = cents(0).length
-      val scored = (0 until nlist).map { ci =>
-        val cent = cents(ci)
-        // ||v - c||² = ||v||² - 2·v·c + ||c||²; ||v||² is rank-invariant →
-        // score by (||c||² - 2·v·c), smaller is nearer
-        val dotVC = (0 until dims).map(d => element_at(vec, d + 1) * lit(cent(d)))
-          .reduce(_ + _)
-        val c2 = lit(cent.map(x => x * x).sum)
-        struct((c2 - dotVC * 2.0d).as("score"), lit(ci).as("cell"))
-      }
-      array_min(array(scored: _*)).getField("cell")
-    }
-
-    val bucketed = c.withColumn("cell", cellOf(col("v")))
+    // Cell assignment via the NearestCells kernel expression — an unrolled
+    // literal formulation (nlist × dims plan literals) grows the expression
+    // tree past codegen limits and falls back to interpreted eval; the
+    // kernel keeps the centroid matrix as expression state and scores in
+    // one tight loop. Score = ||c||² − 2·v·c (rank-equal to distance).
+    val bucketed = c.withColumn("cell",
+      element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    // nprobe nearest cells per query: sort the same scored array, take heads
-    def probeCells(vec: Column): Column = {
-      val dims = cents(0).length
-      val scored = (0 until nlist).map { ci =>
-        val cent = cents(ci)
-        val dotVC = (0 until dims).map(d => element_at(vec, d + 1) * lit(cent(d)))
-          .reduce(_ + _)
-        struct((lit(cent.map(x => x * x).sum) - dotVC * 2.0d).as("score"),
-          lit(ci).as("cell"))
-      }
-      transform(slice(sort_array(array(scored: _*)), 1, nprobe), s => s.getField("cell"))
-    }
-    val probed = q.withColumn("cell", explode(probeCells(col("qv"))))
+    val probed = q.withColumn("cell",
+      explode(Similarity.nearestCells(col("qv"), cents, nprobe)))
 
     val scored = bucketed.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -148,4 +129,79 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** `nprobe` nearest centroid ids (ascending score, ties → lower id) for an
+    * ARRAY<DOUBLE> vector column. */
+  def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NearestCells(Bridge.expression(vec), cents, nprobe))
+  }
+
+  /** Kernel: score every centroid, selection-pick the nprobe smallest. */
+  def nearestCellsKernel(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: Array[Array[Double]], c2: Array[Double], nprobe: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nlist = cents.length
+    val dims = math.min(v.numElements(), cents(0).length)
+    val scores = new Array[Double](nlist)
+    var ci = 0
+    while (ci < nlist) {
+      val cent = cents(ci)
+      var dot = 0.0d; var d = 0
+      while (d < dims) { dot += v.getDouble(d) * cent(d); d += 1 }
+      scores(ci) = c2(ci) - 2.0d * dot
+      ci += 1
+    }
+    val m = math.min(nprobe, nlist)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var ci2 = 0
+      while (ci2 < nlist) {
+        if (!taken(ci2) && (best < 0 || scores(ci2) < scores(best))) best = ci2
+        ci2 += 1
+      }
+      taken(best) = true; out(r) = best; r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Expression form of the IVF cell probe: centroids ride along as expression
+  * state (nlist × dims doubles — serialized once with the plan, not per
+  * row). Interpreted eval only (`CodegenFallback` semantics via eval): the
+  * kernel itself is one tight JIT'd loop, so codegen would only inline the
+  * same static call.
+  */
+case class NearestCells(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cents: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  private val c2: Array[Double] = cents.map(c => c.map(x => x * x).sum)
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Similarity.nearestCellsKernel(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, c2, nprobe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the arrays into the generated class once via reference objects
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Similarity.nearestCellsKernel($c, $centsRef, $c2Ref, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCells =
+    copy(child = newChild)
 }
