@@ -277,6 +277,37 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // As-of (point-in-time) join: for each event, the customer's most
+    // recent order at that instant — union + running last() composition
+    // (one shuffle, no inequality-join explosion); see operators.AsOf.
+    "q_asof_join" -> ((s, dir) =>
+      graft.operators.AsOf.join(
+        Tables.events(s, dir), Tables.orders(s, dir),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightOrd = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))),
+
+    // Range (interval) self-join: per error event, the user's activity in
+    // the following hour. Equi-prefix on user_id keeps it a hash join with
+    // a range residual; at scale, time-bucketing both sides turns the
+    // residual into part of the key.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+          col("ts").as("err_ts"))
+      err.join(ev,
+        col("err_user") === col("user_id") &&
+          col("ts") > col("err_ts") &&
+          col("ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("err_id"))
+    }),
+
     // Existence joins (left_semi / left_anti — no payload duplication).
     "q_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -473,6 +504,23 @@ object CoreQueries {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_follow
+        |FROM events e JOIN events f
+        |  ON e.user_id = f.user_id
+        | AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 1 HOUR
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the most recent right row
+  * with `rightTime <= leftTime` on the same key. Spark has no built-in; the
+  * composition here is the union + running-`last(ignoreNulls)` window trick:
+  *
+  *  1. tag and union both sides on (key, time);
+  *  2. one window per key ordered by (time, side) carries the latest right
+  *     payload forward (`last(_, ignoreNulls = true)` over an unbounded-
+  *     preceding frame — right rows sort BEFORE left rows at equal time, so
+  *     `<=` is inclusive);
+  *  3. keep the left rows.
+  *
+  * Scale shape: ONE shuffle on the key (both sides together) + one in-
+  * partition sort — strictly cheaper than the naive inequality join
+  * (which explodes to all time-pairs before filtering) and equivalent to
+  * the sort-merge as-of algorithms in time-series stores. Ties between
+  * right rows at the same instant resolve deterministically by `rightOrd`
+  * (highest wins).
+  *
+  * `inner = false` keeps left rows with no matching right row (null
+  * payload).
+  */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], rightOrd: Column,
+      inner: Boolean = true): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(
+      leftKey.as("__k"), leftTime.as("__t"),
+      lit(1).as("__side"), lit(null).cast("long").as("__ord"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))).as("__r"))
+    val r = right.select(
+      rightKey.as("__k"), rightTime.as("__t"),
+      lit(0).as("__side"), rightOrd.cast("long").as("__ord"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      struct(rightPayload.map(col): _*).as("__r"))
+
+    // right rows first at equal time (side 0 < 1); among same-time right
+    // rows the highest ordinal lands last → it is what `last` carries
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__ord").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val matched = if (inner) carried.filter(col("__asof").isNotNull) else carried
+    matched.select(
+      (lCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
+  }
+}

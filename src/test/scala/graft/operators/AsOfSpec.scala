@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val trades = Seq(
+    (1L, "A", ts("2020-01-01 10:00:05")),
+    (2L, "A", ts("2020-01-01 10:00:10")),
+    (3L, "B", ts("2020-01-01 10:00:03")),
+    (4L, "C", ts("2020-01-01 10:00:03"))   // no quotes for C
+  ).toDF("trade_id", "sym", "t")
+
+  private val quotes = Seq(
+    (100L, "A", ts("2020-01-01 10:00:01"), 1.0),
+    (101L, "A", ts("2020-01-01 10:00:07"), 2.0),
+    (102L, "A", ts("2020-01-01 10:00:11"), 3.0), // after both trades
+    (103L, "B", ts("2020-01-01 10:00:03"), 9.0)  // exactly at trade time
+  ).toDF("qid", "sym", "qt", "px")
+
+  private def run(inner: Boolean) = AsOf.join(
+    trades, quotes,
+    leftKey = col("sym"), rightKey = col("sym"),
+    leftTime = col("t"), rightTime = col("qt"),
+    rightPayload = Seq("qid", "px"), rightOrd = col("qid"), inner = inner)
+
+  test("as-of picks the latest right row at-or-before each left time") {
+    val got = run(inner = true)
+      .select($"trade_id", $"qid", $"px").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((100L, 1.0)))  // 10:00:05 → quote at :01
+    assert(got(2L) == ((101L, 2.0)))  // 10:00:10 → quote at :07 (not :11)
+    assert(got(3L) == ((103L, 9.0)))  // equal timestamps are inclusive
+    assert(!got.contains(4L))         // inner: no quote for C
+  }
+
+  test("left variant keeps unmatched rows with null payload") {
+    val left = run(inner = false)
+    assert(left.count() == 4)
+    assert(left.filter($"trade_id" === 4 && $"qid".isNull).count() == 1)
+  }
+
+  test("ties between right rows at the same instant: highest ordinal wins") {
+    val dupQuotes = quotes.union(Seq(
+      (104L, "B", ts("2020-01-01 10:00:03"), 8.0)).toDF("qid", "sym", "qt", "px"))
+    val got = AsOf.join(trades.filter($"sym" === "B"), dupQuotes,
+      col("sym"), col("sym"), col("t"), col("qt"),
+      Seq("qid", "px"), col("qid"))
+      .select($"qid").as[Long].head()
+    assert(got == 104L)
+  }
+
+  test("matches the naive inequality-join formulation on fixture data") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val ord = graft.Tables.orders(spark, sf0001)
+    val fast = AsOf.join(ev, ord, col("user_id"), col("o_custkey"),
+      col("ts"), col("o_orderdate"), Seq("o_orderkey"), col("o_orderkey"))
+      .select($"event_id", $"o_orderkey").as[(Long, Long)].collect().toSet
+    val naive = ev.join(ord,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"o_orderkey").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+  }
+}
