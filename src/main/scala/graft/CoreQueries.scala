@@ -308,6 +308,18 @@ object CoreQueries {
         .orderBy(col("err_id"))
     }),
 
+    // Gap-based sessionization (batch session_window): per-user session
+    // count and largest session, 30-minute gap.
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        Tables.events(s, dir), keyCol = "user_id", tsCol = "ts",
+        ordCol = "event_id", gap = lit(1800L * 1000000L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events_total"))
+        .orderBy(col("user_id"))),
+
     // Existence joins (left_semi / left_anti — no payload duplication).
     "q_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -521,6 +533,26 @@ object CoreQueries {
         | AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 1 HOUR
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
