@@ -353,6 +353,17 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Exact percentile aggregation (sort-based; for sketch-level scale use
+    // approx_percentile — same shape as q_approx_distinct's HLL trade).
+    "q_percentile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          count(col("value")).as("n"))
+        .orderBy(col("event_type"))),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -579,6 +590,13 @@ object CoreQueries {
 
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS p50,
+        |round(quantile_cont(value, 0.9), 6) AS p90,
+        |count(value) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_rollup" ->

@@ -78,6 +78,25 @@ object WeatherOps {
       .withColumn("key", compositeKey(col("hash"), col("wthr_date")))
   }
 
+  /** Parse with a dead-letter channel: returns rows tagged `ok` with parsed
+    * fields, or `ok = false` with the raw line preserved in `raw`. The
+    * reference silently swallows malformed records (catch → null,
+    * WeatherHotelsApp.java:83-86); at pipeline scale you want the rejects
+    * observable and re-playable — split the result on `ok` and route the
+    * false side to a quarantine sink. One pass, no shuffle. */
+  def parseWeatherWithRejects(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    raw.withColumn("w", from_json(v, weatherSchema))
+      .withColumn("ok", col("w").isNotNull && col("w.wthr_date").isNotNull)
+      .select(
+        col("ok"),
+        v.as("raw"),
+        when(col("ok"), geohash(col("w.lat"), col("w.lng"), 4)).as("hash"),
+        col("w.wthr_date").as("wthr_date"),
+        col("w.avg_tmpr_f").as("tmp_f"),
+        col("w.avg_tmpr_c").as("tmp_c"))
+  }
+
   // ---- M2: address parse + re-key (WeatherHotelsApp.java:112-132) --------
 
   /** Parse raw address JSON; key = precomputed `Hash` field. */

@@ -44,6 +44,21 @@ class WeatherOpsSpec extends SparkSuite {
     assert(WeatherOps.parseWeather(raw).count() == 1)
   }
 
+  test("M1 dead-letter channel: rejects preserved with raw payload") {
+    val raw = Seq(
+      """{"avg_tmpr_c":19.8,"avg_tmpr_f":67.7,"lat":39.6467,"lng":-89.8455,"wthr_date":"2017-08-29"}""",
+      """garbage {{{""",
+      """{"lat": 1.0, "lng": 2.0}""" // parses but no date → reject
+    ).toDF("value")
+    val parsed = WeatherOps.parseWeatherWithRejects(raw)
+    val good = parsed.filter($"ok")
+    val bad = parsed.filter(!$"ok")
+    assert(good.count() == 1 && good.head().getAs[String]("hash") == "dp01")
+    assert(bad.count() == 2)
+    assert(bad.select("raw").as[String].collect().toSet ==
+      Set("""garbage {{{""", """{"lat": 1.0, "lng": 2.0}"""))
+  }
+
   // ---- testHashAddresses (M2) — WeatherStreamsTest.java:88-140 -----------
 
   test("M2: address parse + re-key by Hash; unknown fields dropped") {

@@ -150,6 +150,31 @@ class WeatherStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream windowed join: readings enrich alerts within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val readings = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val alerts = MemoryStream[(String, java.sql.Timestamp, String)]
+    val r = readings.toDF().toDF("key", "r_ts", "tmp_f").withWatermark("r_ts", "1 hour")
+    val a = alerts.toDF().toDF("key", "a_ts", "alert").withWatermark("a_ts", "1 hour")
+    // inner stream-stream join: reading within 1h before the alert
+    val q = a.as("a").join(r.as("r"),
+      expr("a.key = r.key AND r_ts BETWEEN a_ts - INTERVAL 1 HOUR AND a_ts"))
+      .select(col("a.key"), col("alert"), col("tmp_f"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join")
+      .option("checkpointLocation", tmpDir("ckpt-ss"))
+      .start()
+    try {
+      readings.addData(("u09t", ts("2020-01-01 09:30:00"), 70.0),
+        ("u09t", ts("2020-01-01 07:00:00"), 50.0)) // outside the 1h bound
+      alerts.addData(("u09t", ts("2020-01-01 10:00:00"), "heat"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").as[(String, String, Double)].collect().toSet
+      assert(rows == Set(("u09t", "heat", 70.0)))
+    } finally q.stop()
+  }
+
   test("E2E streaming: parse → history → foreachBatch enrichment join") {
     implicit val sqlCtx = spark.sqlContext
     // static history snapshot (the maintained aggregate), streaming addresses
