@@ -54,6 +54,67 @@ object Geohash {
   def encodeUtf8(lat: Double, lng: Double, precision: Int): UTF8String =
     UTF8String.fromString(encode(lat, lng, precision))
 
+  /** Decode a geohash to its bounding box: (latMin, latMax, lngMin, lngMax). */
+  def decodeBBox(gh: String): (Double, Double, Double, Double) = {
+    var latMin = -90.0; var latMax = 90.0
+    var lngMin = -180.0; var lngMax = 180.0
+    var even = true
+    var i = 0
+    while (i < gh.length) {
+      val cd = Base32Index(gh.charAt(i))
+      require(cd >= 0, s"invalid geohash char '${gh.charAt(i)}'")
+      var b = 4
+      while (b >= 0) {
+        val bit = (cd >> b) & 1
+        if (even) {
+          val mid = (lngMin + lngMax) / 2
+          if (bit == 1) lngMin = mid else lngMax = mid
+        } else {
+          val mid = (latMin + latMax) / 2
+          if (bit == 1) latMin = mid else latMax = mid
+        }
+        even = !even
+        b -= 1
+      }
+      i += 1
+    }
+    (latMin, latMax, lngMin, lngMax)
+  }
+
+  /** Cell-center point of a geohash. */
+  def decodeCenter(gh: String): (Double, Double) = {
+    val (la, lb, na, nb) = decodeBBox(gh)
+    ((la + lb) / 2, (na + nb) / 2)
+  }
+
+  /** Neighboring cell `(dLat, dLng)` steps away (wraps longitude, clamps
+    * latitude at the poles — matching standard geohash neighbor behavior). */
+  def neighbor(gh: String, dLat: Int, dLng: Int): String = {
+    val (la, lb, na, nb) = decodeBBox(gh)
+    val latStep = lb - la
+    val lngStep = nb - na
+    val lat = math.max(-90.0 + latStep / 2,
+      math.min(90.0 - latStep / 2, (la + lb) / 2 + dLat * latStep))
+    var lng = (na + nb) / 2 + dLng * lngStep
+    if (lng > 180.0) lng -= 360.0
+    if (lng < -180.0) lng += 360.0
+    encode(lat, lng, gh.length)
+  }
+
+  /** The 8 surrounding cells (N, NE, E, SE, S, SW, W, NW order). */
+  def neighbors(gh: String): Seq[String] = Seq(
+    neighbor(gh, 1, 0), neighbor(gh, 1, 1), neighbor(gh, 0, 1),
+    neighbor(gh, -1, 1), neighbor(gh, -1, 0), neighbor(gh, -1, -1),
+    neighbor(gh, 0, -1), neighbor(gh, 1, -1))
+
+  private val Base32Index: Array[Int] = {
+    val idx = Array.fill(128)(-1)
+    "0123456789bcdefghjkmnpqrstuvwxyz".zipWithIndex.foreach {
+      case (c, i) => idx(c.toInt) = i
+    }
+    idx
+  }
+
   /** Column API: `geohash($"lat", $"lng", 4)`. Inputs are cast to double at
     * the boundary (the expression itself expects exact types). */
   def geohash(lat: Column, lng: Column, precision: Int): Column =

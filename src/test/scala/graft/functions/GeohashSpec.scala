@@ -89,6 +89,34 @@ class GeohashSpec extends SparkSuite {
     assert(r2.getInt(4) == 2)
   }
 
+  test("decode: bbox of encode(p) contains p; center re-encodes to same hash") {
+    check(Prop.forAll(Gen.chooseNum(-89.9, 89.9), Gen.chooseNum(-179.9, 179.9)) {
+      (lat: Double, lng: Double) =>
+        val gh = Geohash.encode(lat, lng, 6)
+        val (la, lb, na, nb) = Geohash.decodeBBox(gh)
+        val (cLat, cLng) = Geohash.decodeCenter(gh)
+        la <= lat && lat <= lb && na <= lng && lng <= nb &&
+          Geohash.encode(cLat, cLng, 6) == gh
+    })
+  }
+
+  test("neighbors: 8 distinct cells, symmetric steps, same precision") {
+    val gh = "u09t"
+    val ns = Geohash.neighbors(gh)
+    assert(ns.size == 8 && ns.distinct.size == 8)
+    assert(ns.forall(_.length == 4) && !ns.contains(gh))
+    // east of west is self (away from poles/antimeridian)
+    assert(Geohash.neighbor(Geohash.neighbor(gh, 0, -1), 0, 1) == gh)
+    assert(Geohash.neighbor(Geohash.neighbor(gh, 1, 0), -1, 0) == gh)
+  }
+
+  test("neighbors wrap the antimeridian") {
+    val east = Geohash.encode(10.0, 179.99, 4)
+    val wrapped = Geohash.neighbor(east, 0, 1)
+    val (_, _, na, nb) = Geohash.decodeBBox(wrapped)
+    assert(na >= -180.0 && nb <= -179.0, s"expected west-side cell, got ($na, $nb)")
+  }
+
   test("GraftExtensions injects the same catalog at session-build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw; names covered above
