@@ -32,7 +32,7 @@ object ExtQueries {
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_calc"),
-          col("n_punct"), col("avg_token_len"))
+          col("n_punct"), col("n_bpeish"), col("avg_token_len"))
         .orderBy(col("doc_id"))),
 
     "q_text_quality" -> ((s, dir) =>
@@ -147,6 +147,9 @@ object ExtQueries {
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          |CAST(length(text) AS INT) AS n_chars_calc,
          |CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS INT) AS n_punct,
+         |CAST(len(regexp_extract_all(text,
+         |  '${graft.functions.TextFunctions.BpeishPattern.replace("'", "''")}'))
+         |  AS INT) AS n_bpeish,
          |CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
          |  AS avg_token_len
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)

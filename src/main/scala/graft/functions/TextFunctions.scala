@@ -26,6 +26,23 @@ object TextFunctions {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** GPT-2-style ("BPE-ish") pre-tokenization pattern: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+    * This is the *pre-tokenizer* stage of a BPE pipeline — what you count
+    * for "roughly how many BPE tokens is this corpus" without shipping a
+    * merges table. Public pattern (OpenAI GPT-2 tokenizer), Java-regex
+    * adapted. */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token pieces of a text column. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** BPE-ish token count — one regexp pass, no array materialized. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
   /** Word n-gram shingles (strings), e.g. k=3 → "a b c" windows. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))

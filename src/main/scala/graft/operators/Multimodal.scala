@@ -54,6 +54,39 @@ object Multimodal {
       payload.length, crc.getValue)
   }
 
+  /** Resize: metadata-accurate, payload-stubbed. The meta struct carries the
+    * new dimensions (what downstream schema consumers see); the payload
+    * transform is a deterministic fake (length scaled by the area ratio) —
+    * a real deployment swaps the lambda for the codec call. Narrow op, no
+    * shuffle; payload never leaves the stage. */
+  def resizeStub(df: DataFrame, newWidth: Int, newHeight: Int): DataFrame =
+    df.withColumn("media", struct(
+      expr(s"substring(media.payload, 1, " +
+        s"greatest(1, cast(length(media.payload) * $newWidth * $newHeight / " +
+        s"greatest(media.meta.width * media.meta.height, 1) as int)))").as("payload"),
+      struct(
+        col("media.meta.mime").as("mime"),
+        lit(newWidth).as("width"),
+        lit(newHeight).as("height")).as("meta")))
+
+  /** Frame sampling for video-shaped payloads: emit `n` evenly-spaced frames
+    * per document as (doc_id, frame_idx, frame) rows. Frame extraction is
+    * stubbed as payload slices; the row-explosion shape (×n growth of id
+    * rows, payloads sliced not duplicated wholesale) is the real contract.
+    */
+  def frameSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    // n is a plan-time constant → statically unrolled frame array
+    val frames = array((0 until n).map(i =>
+      // stub "frame decode": the i-th of n equal payload slices
+      expr(s"substring(media.payload, " +
+        s"1 + cast(length(media.payload) * $i / $n as int), " +
+        s"greatest(1, cast(length(media.payload) / $n as int)))")): _*)
+    df.select(col(idCol), col("media"),
+      posexplode(frames).as(Seq("frame_idx", "frame")))
+      .drop("media")
+  }
+
   /** Batched decode/feature-extract. Output: doc_id, mime, width, height,
     * n_bytes, crc32, avg_luma. Batch size is the codec-amortization knob. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,

@@ -42,6 +42,7 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks))
       .withColumn("n_chars_calc", length(col(textCol)))
       .withColumn("n_punct", regexp_count(col(textCol), lit("\\p{Punct}")).cast("int"))
+      .withColumn("n_bpeish", bpeishCount(col(textCol)).cast("int"))
       .withColumn("avg_token_len",
         (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
           size(toks)))

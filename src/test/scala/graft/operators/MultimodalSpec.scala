@@ -32,6 +32,29 @@ class MultimodalSpec extends SparkSuite {
       col("height") < 1 || col("height") > 1080).count() == 0)
   }
 
+  test("resize: metadata updated, payload scaled by area ratio") {
+    val df = Multimodal.attachPayload(Seq((1L, "x" * 100)).toDF("doc_id", "text"))
+    val resized = Multimodal.resizeStub(df, 64, 64)
+    val m = resized.select($"media.meta.width", $"media.meta.height",
+      length($"media.payload")).head()
+    assert(m.getInt(0) == 64 && m.getInt(1) == 64)
+    assert(m.getInt(2) >= 1 && m.getInt(2) <= 100)
+  }
+
+  test("frameSample: n frames per doc, indexed, non-empty slices") {
+    val df = Multimodal.attachPayload(
+      Seq((1L, "a" * 90), (2L, "b" * 33)).toDF("doc_id", "text"))
+    val frames = Multimodal.frameSample(df, "doc_id", 4)
+    assert(frames.count() == 8)
+    assert(frames.groupBy($"doc_id").count().filter($"count" =!= 4).count() == 0)
+    assert(frames.filter(length($"frame") < 1).count() == 0)
+    assert(frames.select($"frame_idx").distinct().count() == 4)
+    // frames of doc 1 tile the payload: 4 × 22-byte slices of 90 bytes
+    val lens = frames.filter($"doc_id" === 1).select(length($"frame"))
+      .as[Int].collect().toSeq
+    assert(lens.forall(_ == 90 / 4))
+  }
+
   test("decode stub: known bytes") {
     val (luma, n, crc) = Multimodal.decodeStub("abc".getBytes("UTF-8"))
     assert(n == 3)

@@ -15,6 +15,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(2L) == ((1, 0)))
   }
 
+  test("BPE-ish token counting: contractions and punct split like GPT-2 pre-tok") {
+    import graft.functions.TextFunctions._
+    val df = Seq((1L, "don't stop"), (2L, "hello, world 42")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", bpeishTokens($"text").as("t"),
+      bpeishCount($"text").as("n"))
+      .as[(Long, Seq[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == Seq("don", "'t", " stop"))
+    assert(got(2L)._1 == Seq("hello", ",", " world", " 42"))
+    assert(got.forall { case (_, (toks, n)) => toks.size == n })
+  }
+
   test("language ID: stopword profiles pick the right language") {
     val df = Seq(
       (1L, "the cat is on the roof and the dog is in the garden"),
