@@ -364,6 +364,26 @@ object CoreQueries {
           count(col("value")).as("n"))
         .orderBy(col("event_type"))),
 
+    // Pivot (wide aggregation): per-user event counts by type. Pivot values
+    // pinned explicitly — at scale an unpinned pivot needs a pre-pass to
+    // collect the value set.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    // Generator (explode/UDTF row): tokens from a string column, aggregated.
+    "q_explode_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+        .orderBy(col("lang"), col("term"))),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -591,6 +611,22 @@ object CoreQueries {
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT lang, term, count(*) AS n FROM (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents) t
+        |GROUP BY lang, term HAVING count(*) >= 100
+        |ORDER BY lang, term""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,

@@ -91,8 +91,18 @@ object WeatherStreams {
 
   // ---- A1→A2 in one stateful op ------------------------------------------
 
-  /** Buffer: per date → (sum_f, sum_c, n). */
-  type CellBuf = Map[String, (Double, Double, Long)]
+  /** Buffer: per date → (sum_f_micro, sum_c_micro, n). Sums are exact
+    * integer micro-units (inputs rounded to 6 decimals on entry, mirroring
+    * a DECIMAL(18,6) cast): the mean is then bit-identical regardless of
+    * partial-merge order — a real requirement, not pedantry: with
+    * cent-aligned sensor values, group means routinely land exactly on
+    * round()-boundaries where double-sum results flip by merge order
+    * (observed: 5/1500 groups diverged at sf0.1). Long sums also shrink the
+    * state vs doubles/BigDecimal. Overflow bound: |value| ≤ ~9e12·1e-6 per
+    * group-row budget of 2^63 — far beyond any daily group. */
+  type CellBuf = Map[String, (Long, Long, Long)]
+
+  private def micro(x: Double): Long = math.round(x * 1e6)
 
   /** Two-level aggregation (daily average, then per-cell history) as ONE
     * typed Aggregator — replaces the reference's A1 + subtractor-A2 chain
@@ -101,16 +111,18 @@ object WeatherStreams {
     override def zero: CellBuf = Map.empty
     override def reduce(b: CellBuf, in: (String, Double, Double)): CellBuf = {
       val (date, f, c) = in
-      val (sf, sc, n) = b.getOrElse(date, (0.0, 0.0, 0L))
-      b.updated(date, (sf + f, sc + c, n + 1))
+      val (sf, sc, n) = b.getOrElse(date, (0L, 0L, 0L))
+      b.updated(date, (sf + micro(f), sc + micro(c), n + 1))
     }
     override def merge(a: CellBuf, b: CellBuf): CellBuf =
       b.foldLeft(a) { case (acc, (d, (sf, sc, n))) =>
-        val (af, ac, an) = acc.getOrElse(d, (0.0, 0.0, 0L))
+        val (af, ac, an) = acc.getOrElse(d, (0L, 0L, 0L))
         acc.updated(d, (af + sf, ac + sc, an + n))
       }
     override def finish(b: CellBuf): Seq[Weather] =
-      b.toSeq.sortBy(_._1).map { case (d, (sf, sc, n)) => Weather(sf / n, sc / n, d) }
+      b.toSeq.sortBy(_._1).map { case (d, (sf, sc, n)) =>
+        Weather((sf.toDouble / 1e6) / n, (sc.toDouble / 1e6) / n, d)
+      }
     override def bufferEncoder: Encoder[CellBuf] =
       Encoders.kryo[CellBuf]
     override def outputEncoder: Encoder[Seq[Weather]] =
