@@ -36,7 +36,7 @@ object AsOf {
     val l = left.select(
       leftKey.as("__k"), leftTime.as("__t"),
       lit(1).as("__side"), lit(null).cast("long").as("__ord"),
-      struct(lCols.map(col): _*).as("__l"),
+      struct(lCols.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(
         org.apache.spark.sql.types.StructType(
           rightPayload.map(c => org.apache.spark.sql.types.StructField(
@@ -59,7 +59,7 @@ object AsOf {
 
     val matched = if (inner) carried.filter(col("__asof").isNotNull) else carried
     matched.select(
-      (lCols.map(c => col(s"__l.$c").as(c)) ++
+      (lCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
   }
 }

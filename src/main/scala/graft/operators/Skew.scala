@@ -31,7 +31,7 @@ object Skew {
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor.toLong))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(saltFactor.toLong))
         .cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -166,7 +166,7 @@ object WeatherOps {
     * `ordCol` plays the offset role.
     */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], ordCol: String): DataFrame = {
-    val payload = df.columns.filterNot(keyCols.contains).map(col)
+    val payload = df.columns.filterNot(keyCols.contains).toIndexedSeq.map(col)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload: _*), col(ordCol)).as("_latest"))
       .select(keyCols.map(col) ++ df.columns.filterNot(keyCols.contains)
