@@ -14,10 +14,16 @@ object Bench {
     // Identical plan shape → janino's generated-code cache hits, so the
     // timed runs below measure execution, not whole-stage-codegen
     // compilation (~0.5-2 s per distinct plan, dominant at small SFs).
-    val warmDir = "/root/testdata/sf0.001"
+    // Falls back to the benched dir if the small fixture isn't present;
+    // failures are counted, not silently discarded.
+    val smallDir = "/root/testdata/sf0.001"
+    val warmDir = if (new java.io.File(smallDir).isDirectory) smallDir else sfDir
+    var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] warm-up: $warmFailures queries failed on $warmDir")
     System.gc() // drain warm-up garbage so no timed query absorbs the pause
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -90,7 +90,9 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
+      // chunks > maxHamming keeps the pigeonhole guarantee (8 × 8-bit
+      // chunks: any pair within hamming 7 shares at least one equal chunk)
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, chunks = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // end-to-end corpus dedup (exact + near-dup survivors; sketch-based →

@@ -61,8 +61,9 @@ object Geohash {
     var even = true
     var i = 0
     while (i < gh.length) {
-      val cd = Base32Index(gh.charAt(i))
-      require(cd >= 0, s"invalid geohash char '${gh.charAt(i)}'")
+      val ch = gh.charAt(i)
+      val cd = if (ch < 128) Base32Index(ch) else -1
+      require(cd >= 0, s"invalid geohash char '$ch'")
       var b = 4
       while (b >= 0) {
         val bit = (cd >> b) & 1

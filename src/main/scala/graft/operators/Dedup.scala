@@ -64,11 +64,14 @@ object Dedup {
 
     // band_j = hash of the j-th signature slice → bucket key (bands is a
     // plan-time constant, so the band array is statically unrolled — better
-    // codegen than a sequence+transform HOF)
+    // codegen than a sequence+transform HOF). Only (id, band) rows enter the
+    // banding shuffles — the shingle arrays stay behind and are joined back
+    // exactly once per verified pair, so the ×bands explode and the skew
+    // window shuffle carry narrow rows (the whole point of LSH at scale).
     val bandArray = array((0 until bands).map(b =>
       xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)
     val banded = sigd.select(
-      col(idCol), col("sh"),
+      col(idCol),
       posexplode(bandArray).as(Seq("band_idx", "band_hash")))
 
     // skew guard: deterministically drop over-sized buckets
@@ -77,16 +80,18 @@ object Dedup {
         .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
 
-    val l = bucketed.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = bucketed.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"))
-
-    l.join(r, Seq("band_idx", "band_hash"))
+    val l = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // dedupe pairs sharing several bands BEFORE the verify
+
+    candidates
+      .join(sigd.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigd.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

@@ -93,20 +93,21 @@ object Multimodal {
       idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
     val withMedia = if (docs.columns.contains("media")) docs else attachPayload(docs)
     val in = withMedia.select(col(idCol), col("media"))
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("mime", StringType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("n_bytes", IntegerType),
-      StructField("crc32", LongType),
-      StructField("avg_luma", DoubleType)))
+    // id column keeps its caller-declared name AND type
+    val outSchema = StructType(
+      StructField(idCol, in.schema(idCol).dataType) +: Seq(
+        StructField("mime", StringType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_bytes", IntegerType),
+        StructField("crc32", LongType),
+        StructField("avg_luma", DoubleType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     val out: Dataset[Row] = in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch decoder init would go here (the point of batching)
         batch.iterator.map { r =>
-          val id = r.getLong(0)
+          val id = r.get(0)
           val media = r.getStruct(1)
           val payload = media.getAs[Array[Byte]]("payload")
           val meta = media.getStruct(media.fieldIndex("meta"))

@@ -24,7 +24,7 @@ object Sources {
   /** Raw lines as a single `value` string column — the Kafka-value shape the
     * reference's parsers consume (WeatherOps.parseWeather/parseAddress). */
   def rawLines(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path).withColumnRenamed("value", "value")
+    spark.read.text(path) // single column, already named `value`
 
   /** CSV with an explicit schema and header control. */
   def csv(spark: SparkSession, path: String, schema: StructType,
