@@ -136,6 +136,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // deterministic stratified sampling (xxhash64-keyed — rows-only check;
+    // determinism/rate/nesting locked in SamplingSpec)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))),
+
     // ---- multimodal -----------------------------------------------------
 
     "q_multimodal" -> ((s, dir) =>
