@@ -108,11 +108,23 @@ object Multimodal {
         // per-batch decoder init would go here (the point of batching)
         batch.iterator.map { r =>
           val id = r.get(0)
-          val media = r.getStruct(1)
-          val payload = media.getAs[Array[Byte]]("payload")
-          val meta = media.getStruct(media.fieldIndex("meta"))
-          val (luma, n, crc) = decodeStub(payload)
-          Row(id, meta.getString(0), meta.getInt(1), meta.getInt(2), n, crc, luma)
+          // null-tolerant like the rest of the engine: a null media/payload
+          // row yields null features, it does not fail the task
+          if (r.isNullAt(1)) Row(id, null, null, null, null, null, null)
+          else {
+            val media = r.getStruct(1)
+            val payload = media.getAs[Array[Byte]]("payload")
+            val metaIdx = media.fieldIndex("meta")
+            val meta = if (media.isNullAt(metaIdx)) null else media.getStruct(metaIdx)
+            def metaField[T](i: Int): Any =
+              if (meta == null || meta.isNullAt(i)) null else meta.get(i)
+            if (payload == null)
+              Row(id, metaField(0), metaField(1), metaField(2), null, null, null)
+            else {
+              val (luma, n, crc) = decodeStub(payload)
+              Row(id, metaField(0), metaField(1), metaField(2), n, crc, luma)
+            }
+          }
         }
       }
     }

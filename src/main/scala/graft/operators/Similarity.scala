@@ -50,15 +50,29 @@ object Similarity {
   }
 
   /** Approximate top-k via random-hyperplane LSH buckets + exact rescoring
-    * within the probed bucket. */
+    * within the probed buckets.
+    *
+    * `probes` is the multi-probe recall dial: each query searches its own
+    * bucket plus the buckets reachable by flipping one sign bit
+    * (`probes = 1` → own bucket only; max `planes + 1`). Flipped buckets
+    * are the likeliest homes of near neighbours that landed just across a
+    * hyperplane. Corpus rows stay in exactly one bucket, so probing only
+    * fans out the (small, broadcast) query side. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
-      planes: Int = 8, seed: Long = 7L,
+      planes: Int = 8, probes: Int = 1, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1)
     val sigOf = (v: Column) => signatureCol(v, dims, planes, seed)
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", sigOf(col("v")))
+    val probeBuckets = (0 until probes).map {
+      case 0 => col("bucket0")
+      case p => flipBit(col("bucket0"), p - 1)
+    }
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", sigOf(col("qv")))
+      .withColumn("bucket0", sigOf(col("qv")))
+      .withColumn("bucket", explode(array(probeBuckets: _*)))
+      .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -67,6 +81,10 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Flip sign-bit `p` of a packed bucket id (XOR with 2^p). */
+  private def flipBit(bucket: Column, p: Int): Column =
+    bucket.bitwiseXOR(lit(1L << p))
 
   /** Pack the `planes` sign bits of deterministic hyperplane projections
     * into one LONG bucket id. Plane components come from [[planeComponent]]

@@ -23,16 +23,20 @@ object Skew {
     * rows across `saltFactor` partitions. Output multiset is identical to
     * `large.join(small, key)`.
     *
-    * The salt is a hash of the large side's whole row (deterministic —
-    * reruns and retries produce identical partitioning; no RNG state on
-    * executors).
+    * Salt source (`saltOn`): pass a per-row ordinal/identity column (offset,
+    * event id) when you have one — it spreads even fully-duplicate rows.
+    * The default hashes the whole row, which is deterministic (reruns and
+    * retries partition identically; no executor RNG) but cannot split a hot
+    * key whose rows are byte-identical — exactly-duplicated rows land in one
+    * salt bucket; give `saltOn` an ordinal in that case.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keyCol: String,
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int, saltOn: Option[Column] = None): DataFrame = {
     require(saltFactor > 0)
+    val saltSource = saltOn.getOrElse(
+      struct(large.columns.toIndexedSeq.map(col): _*))
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(saltFactor.toLong))
-        .cast("int"))
+      pmod(xxhash64(saltSource), lit(saltFactor.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLarge.join(replicatedSmall, Seq(keyCol, "__salt")).drop("__salt")

@@ -105,7 +105,11 @@ object TextAnalysis {
     val df = terms.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), Seq("term"))
+    // df has one row per DISTINCT TERM — unbounded at corpus scale, so it
+    // joins by shuffle on term (both sides are already term-keyed; AQE may
+    // still broadcast it when it happens to be small). Only the 1-row corpus
+    // count broadcasts unconditionally.
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") *

@@ -54,6 +54,14 @@ class SimilaritySpec extends SparkSuite {
     // ~0.45 — recall just needs to beat random sampling (5/500 = 1%) clearly
     val recall = (ann1 & exact).size.toDouble / exact.size
     assert(recall > 0.15, s"recall=$recall (2 planes / 4 buckets over 500 vecs)")
+
+    // multi-probe: probing the one-bit-flipped buckets can only widen the
+    // candidate set → recall is monotone in probes
+    val annMp = Similarity.lshTopK(embs, queries, k = 5, dims = 64,
+      planes = 2, probes = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recallMp = (annMp & exact).size.toDouble / exact.size
+    assert(recallMp >= recall, s"multi-probe recall $recallMp < single $recall")
   }
 
   test("IVF ANN: beats random-sampling recall, respects k, deterministic") {
