@@ -28,7 +28,7 @@ class SkewSpec extends SparkSuite {
   test("salt splits the hot key across buckets") {
     val large = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
     val salts = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(8L)).cast("int"))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(8L)).cast("int"))
       .select(countDistinct(col("__salt"))).head().getLong(0)
     assert(salts == 8, s"expected all 8 salt buckets used, got $salts")
   }
