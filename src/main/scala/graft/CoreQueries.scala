@@ -130,6 +130,25 @@ object CoreQueries {
           col("event_id"))
         .orderBy(col("event_id"))),
 
+    // SER1→SER2→S2 roundtrip: serialize readings to the reference's
+    // intermediate-topic shape (to_json keyed by "{hash}_{date}"), parse
+    // back with parseKeyedWeather, aggregate — proves the serde pair is
+    // lossless (doubles survive shortest-repr JSON roundtrip).
+    "q_s2_roundtrip" -> ((s, dir) => {
+      val keyed = eventsWithDay(s, dir).select(
+        compositeKey(col("user_id"), col("day")).as("key"),
+        to_json(struct(
+          col("value").as("tmp_f"),
+          ((col("value") - 32.0d) * 5.0d / 9.0d).as("tmp_c"),
+          col("day").cast("string").as("date"))).as("value"))
+      graft.operators.WeatherOps.parseKeyedWeather(keyed)
+        .groupBy(col("hash"))
+        .agg(count(col("tmp_f")).as("n"),
+          (sum(col("tmp_f").cast(DecimalType(18, 6))).cast("double") /
+            count(col("tmp_f"))).as("avg_f"))
+        .orderBy(col("hash"))
+    }),
+
     // A1+M3: daily average per (user, day) — partial+final hash agg.
     "q_a1_daily_avg" -> ((s, dir) =>
       dailyAvg(s, dir)
@@ -482,6 +501,11 @@ object CoreQueries {
     "q_a1_daily_avg" ->
       s"""SELECT user_id, day, avg_tmp_f AS avg_f, avg_tmp_c AS avg_c
          |FROM ($dailyAvgSql) ORDER BY user_id, day""".stripMargin,
+
+    "q_s2_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS hash, count(value) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_f
+        |FROM events GROUP BY user_id ORDER BY hash""".stripMargin,
 
     "q_a2_history" ->
       s"""SELECT user_id, n_days, history FROM ($historySql) ORDER BY user_id""".stripMargin,

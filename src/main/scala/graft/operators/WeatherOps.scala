@@ -97,6 +97,29 @@ object WeatherOps {
         col("w.avg_tmpr_c").as("tmp_c"))
   }
 
+  /** Parse the intermediate-topic shape (S2): key `"{hash}_{date}"`, value a
+    * typed Weather JSON `{"tmp_f":…,"tmp_c":…,"date":…}` — the format the
+    * reference re-reads from its own repartition topic
+    * (WeatherHotelsApp.java:55-56; input shape pinned by
+    * WeatherStreamsTest.java:71-75). In graft the repartition hop is a
+    * shuffle, so this parser exists for API/interop parity: consuming a
+    * topic some *other* producer keyed this way. */
+  def parseKeyedWeather(raw: DataFrame, keyCol: String = "key",
+      valueCol: String = "value"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("tmp_f", DoubleType),
+      StructField("tmp_c", DoubleType),
+      StructField("date", StringType)))
+    raw.withColumn("w", from_json(col(valueCol), schema))
+      .filter(col("w").isNotNull)
+      .select(
+        col(keyCol).as("key"),
+        keyPart(col(keyCol), 1).as("hash"),
+        coalesce(col("w.date"), keyPart(col(keyCol), 2)).as("wthr_date"),
+        col("w.tmp_f").as("tmp_f"),
+        col("w.tmp_c").as("tmp_c"))
+  }
+
   // ---- M2: address parse + re-key (WeatherHotelsApp.java:112-132) --------
 
   /** Parse raw address JSON; key = precomputed `Hash` field. */

@@ -73,6 +73,27 @@ class WeatherOpsSpec extends SparkSuite {
     assert(!WeatherOps.parseAddress(raw).columns.exists(_.toLowerCase.contains("lat")))
   }
 
+  // ---- S2: intermediate-topic shape — WeatherStreamsTest.java:71-75 ------
+
+  test("S2: keyed-weather parse of the reference's intermediate format") {
+    val raw = Seq( // exact testWeatherGrouping inputs
+      ("u09t_2016-10-31", """{"tmp_f":23.8,"tmp_c":-4.6,"date":"2016-10-31"}"""),
+      ("gcpv_2016-10-01", """{"tmp_f":59.9,"tmp_c":15.5,"date":"2016-10-01"}"""),
+      ("u09t_2016-10-26", """{"tmp_f":56.5,"tmp_c":13.6,"date":"2016-10-26"}""")
+    ).toDF("key", "value")
+    val got = WeatherOps.parseKeyedWeather(raw)
+      .select("hash", "wthr_date", "tmp_f").as[(String, String, Double)]
+      .collect().toSet
+    assert(got == Set(
+      ("u09t", "2016-10-31", 23.8), ("gcpv", "2016-10-01", 59.9),
+      ("u09t", "2016-10-26", 56.5)))
+    // date falls back to the key's date part when absent from the value
+    val noDate = Seq(("u09t_2016-10-31", """{"tmp_f":1.0,"tmp_c":2.0}"""))
+      .toDF("key", "value")
+    assert(WeatherOps.parseKeyedWeather(noDate).head().getAs[String]("wthr_date")
+      == "2016-10-31")
+  }
+
   // ---- testWeatherGrouping (A1+A2 final state) — WeatherStreamsTest.java:48-86
 
   test("A1+A2: per-cell history (batch = final changelog state)") {

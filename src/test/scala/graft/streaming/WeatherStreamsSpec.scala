@@ -150,6 +150,41 @@ class WeatherStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store backend: cellHistoryStream runs and matches") {
+    // the at-scale state backend (HDFS-backed in-memory maps OOM on large
+    // state); provider is a per-query conf, restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, String, Double, Double)]
+      val readings = in.toDF().toDF("hash", "wthr_date", "tmp_f", "tmp_c")
+      val q = WeatherStreams.cellHistoryStream(readings)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("hist_rocks")
+        .option("checkpointLocation", tmpDir("ckpt-rocks"))
+        .start()
+      try {
+        in.addData(("u09t", "2016-10-31", 23.8, -4.6))
+        q.processAllAvailable()
+        in.addData(("u09t", "2016-10-26", 56.5, 13.6))
+        q.processAllAvailable()
+        val last = spark.table("hist_rocks").collect()
+          .filter(_.getString(0) == "u09t").last
+        val dates = last.getSeq[Row](1).map(_.getAs[String]("date"))
+        assert(dates == Seq("2016-10-26", "2016-10-31"),
+          "state carried across batches under RocksDB")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream windowed join: readings enrich alerts within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
