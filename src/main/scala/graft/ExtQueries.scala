@@ -150,7 +150,18 @@ object ExtQueries {
 
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.attachPayload(Tables.documents(s, dir)))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // frame-sampling + resize plumbing in the verified path (rows-only;
+    // slice-length invariants asserted in MultimodalSpec)
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.resizeStub(
+          Multimodal.attachPayload(Tables.documents(s, dir)), 256, 256),
+        "doc_id", n = 4)
+        .groupBy(col("frame_idx"))
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
+        .orderBy(col("frame_idx")))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -75,6 +75,45 @@ class PropertiesSpec extends SparkSuite {
     }, n = 20)
   }
 
+  test("minhash estimate tracks exact jaccard within sketch error") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    val pairGen = for {
+      common <- Gen.chooseNum(5, 30)
+      onlyA <- Gen.chooseNum(0, 15)
+      onlyB <- Gen.chooseNum(0, 15)
+    } yield (common, onlyA, onlyB)
+    check(Prop.forAll(pairGen) { case (common, onlyA, onlyB) =>
+      val shared = (0 until common).map(i => s"w$i c$i x$i")
+      val ta = (shared ++ (0 until onlyA).map(i => s"a$i a$i a$i")).mkString(" ")
+      val tb = (shared ++ (0 until onlyB).map(i => s"b$i b$i b$i")).mkString(" ")
+      val sigs = Seq((0L, ta), (1L, tb)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          array_distinct(shingleHashes(tokens(col("text")), 3)).as("sh"))
+        .withColumn("sig", minhashSig(col("sh"), 256))
+      val rows = sigs.select("doc_id", "sh", "sig").collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getSeq[Long](2)))).toMap
+      val (shA, sigA) = rows(0L); val (shB, sigB) = rows(1L)
+      val exact = (shA & shB).size.toDouble / (shA | shB).size
+      val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 256
+      math.abs(est - exact) < 0.2 // ~3σ for 256 hashes
+    }, n = 15)
+  }
+
+  test("geohash neighbors share an edge with the origin cell") {
+    check(Prop.forAll(Gen.chooseNum(-80.0, 80.0), Gen.chooseNum(-170.0, 170.0)) {
+      (lat: Double, lng: Double) =>
+        import graft.functions.Geohash
+        val gh = Geohash.encode(lat, lng, 5)
+        val (la, lb, na, nb) = Geohash.decodeBBox(gh)
+        val eps = 1e-9
+        val east = Geohash.decodeBBox(Geohash.neighbor(gh, 0, 1))
+        val north = Geohash.decodeBBox(Geohash.neighbor(gh, 1, 0))
+        math.abs(east._3 - nb) < eps &&   // east cell starts where this ends
+          math.abs(north._1 - lb) < eps   // north cell starts at our top
+    }, n = 50)
+  }
+
   test("latest-per-key: idempotent and order-insensitive") {
     val rowsGen = for {
       n <- Gen.chooseNum(1, 30)
