@@ -150,6 +150,40 @@ class WeatherStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: state survives a stop/restart (exactly-once resume)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, Double)]
+    val readings = in.toDF().toDF("key", "wthr_date", "tmp_f", "tmp_c")
+    val ckpt = tmpDir("ckpt-restart")
+    val emissions = new scala.collection.concurrent.TrieMap[(Long, String), Double]()
+    def start() = WeatherStreams.dailyAverageStream(readings)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.collect().foreach(r =>
+          emissions.put((id, r.getString(0)), r.getDouble(2)))
+      }
+      .start()
+
+    val q1 = start()
+    in.addData(("k_d1", "d1", 10.0, 1.0), ("k_d1", "d1", 20.0, 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emissions.values.toSet.contains(15.0)) // avg(10,20) before stop
+
+    // data arriving while the query is down…
+    in.addData(("k_d1", "d1", 60.0, 6.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // …must merge into the CHECKPOINTED state: avg(10,20,60)=30, not 60
+      assert(emissions.values.toSet.contains(30.0),
+        s"restarted query must resume from checkpointed state; got $emissions")
+      assert(!emissions.values.toSet.contains(60.0),
+        "state was lost: batch after restart averaged only the new data")
+    } finally q2.stop()
+  }
+
   test("RocksDB state store backend: cellHistoryStream runs and matches") {
     // the at-scale state backend (HDFS-backed in-memory maps OOM on large
     // state); provider is a per-query conf, restored after
