@@ -61,9 +61,11 @@ object Multimodal {
     * shuffle; payload never leaves the stage. */
   def resizeStub(df: DataFrame, newWidth: Int, newHeight: Int): DataFrame =
     df.withColumn("media", struct(
+      // arithmetic in BIGINT: len × w × h overflows 32-bit int for any
+      // payload ≥ 32 KB (wraps negative → 1-byte "resize")
       expr(s"substring(media.payload, 1, " +
-        s"greatest(1, cast(length(media.payload) * $newWidth * $newHeight / " +
-        s"greatest(media.meta.width * media.meta.height, 1) as int)))").as("payload"),
+        s"greatest(1, cast(cast(length(media.payload) AS BIGINT) * ${newWidth}L * ${newHeight}L / " +
+        s"greatest(cast(media.meta.width AS BIGINT) * media.meta.height, 1L) as int)))").as("payload"),
       struct(
         col("media.meta.mime").as("mime"),
         lit(newWidth).as("width"),
@@ -79,8 +81,9 @@ object Multimodal {
     // n is a plan-time constant → statically unrolled frame array
     val frames = array((0 until n).map(i =>
       // stub "frame decode": the i-th of n equal payload slices
+      // (offsets in BIGINT — len × i overflows int for GB-scale payloads)
       expr(s"substring(media.payload, " +
-        s"1 + cast(length(media.payload) * $i / $n as int), " +
+        s"1 + cast(cast(length(media.payload) AS BIGINT) * ${i}L / $n as int), " +
         s"greatest(1, cast(length(media.payload) / $n as int)))")): _*)
     df.select(col(idCol), col("media"),
       posexplode(frames).as(Seq("frame_idx", "frame")))

@@ -94,9 +94,10 @@ object TextAnalysis {
   /** Token-level TF-IDF via two aggregations (SURVEY §2.10).
     *
     * tf = term count within a doc; df = docs containing the term;
-    * idf = ln((N+1)/(df+1)) + 1 (smoothed). The corpus size N joins in as a
-    * broadcast 1-row aggregate — no driver-side action, the whole thing is
-    * one declarative plan: explode → two groupBys → broadcast joins.
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed). One declarative plan — explode →
+    * two groupBys → a shuffle join on term (df is one row per distinct term,
+    * unbounded at corpus scale) plus a broadcast of the 1-row corpus count.
+    * No driver-side action anywhere.
     */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
