@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout BARE (no sbt "[info] " prefix):
+// the bench driver parses the JSON metric line from stdout, and sbt's
+// default LoggedOutput strategy prefixes every line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,12 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up: run every catalog query once at the smallest SF.
     // Identical plan shape → janino's generated-code cache hits, so the
     // timed runs below measure execution, not whole-stage-codegen
@@ -25,15 +26,31 @@ object Bench {
     if (warmFailures > 0)
       System.err.println(s"[bench] warm-up: $warmFailures queries failed on $warmDir")
     System.gc() // drain warm-up garbage so no timed query absorbs the pause
+    // Timed: min of `iters` runs per query. One run of 50+ queries has no
+    // variance control (observed same-code round-to-round drift up to 3×);
+    // min-of-N separates plan cost from machine/JIT noise at the price of
+    // one extra pass.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (0 until math.max(1, iters)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Two channels: bare stdout (build.sbt routes forked-run output through
+    // StdoutOutput, so no sbt log prefix) AND a file next to the build, in
+    // case the caller only captures decorated logs.
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_metric.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

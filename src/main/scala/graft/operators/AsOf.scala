@@ -41,11 +41,18 @@ object AsOf {
         org.apache.spark.sql.types.StructType(
           rightPayload.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType)))).as("__r"))
+    // Null-key right rows can never match under equi-join semantics, but the
+    // window partition would happily group them WITH null-key left rows and
+    // hand those a payload — filter them out before the union. Null-key left
+    // rows then see no right row in their partition: `__asof` stays null, so
+    // inner drops them and left-outer keeps them null — exactly a SQL
+    // equi-join's null treatment.
     val r = right.select(
       rightKey.as("__k"), rightTime.as("__t"),
       lit(0).as("__side"), rightOrd.cast("long").as("__ord"),
       lit(null).cast(l.schema("__l").dataType).as("__l"),
       struct(rightPayload.map(col): _*).as("__r"))
+      .filter(col("__k").isNotNull)
 
     // right rows first at equal time (side 0 < 1); among same-time right
     // rows the highest ordinal lands last → it is what `last` carries

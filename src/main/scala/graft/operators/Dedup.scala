@@ -24,9 +24,18 @@ import graft.functions.GraftFunctions.cosine
   */
 object Dedup {
 
-  /** Exact dedup: deterministic survivor (min id) per distinct key. */
+  /** Exact dedup: deterministic survivor (min id) per distinct key.
+    *
+    * Groups on `xxhash64(key)`, not the key itself: with a whole-document
+    * key, partial aggregation would otherwise carry the full text across the
+    * shuffle as the group key — at 100 TB that is re-shuffling the corpus.
+    * The 8-byte hash keeps shuffle rows narrow; a 64-bit collision merging
+    * two distinct documents needs ~2³² documents *per false merge* (birthday
+    * bound ≈ n²/2⁶⁵) and only ever costs one extra dropped doc, the standard
+    * production trade.
+    */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.groupBy(xxhash64(col(keyCol)).as("key_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
@@ -74,11 +83,17 @@ object Dedup {
       col(idCol),
       posexplode(bandArray).as(Seq("band_idx", "band_hash")))
 
-    // skew guard: deterministically drop over-sized buckets
-    val bucketed = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // skew guard: deterministically drop over-sized buckets. Partial-agg
+    // count + anti-join — NOT count().over(Window.partitionBy(bucket)),
+    // which would shuffle the entire hot bucket into one task just to
+    // measure it, recreating the straggler the guard exists to prevent.
+    // groupBy's map-side combine counts hot buckets without ever
+    // assembling them.
+    val oversized = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    val bucketed = banded.join(oversized, Seq("band_idx", "band_hash"), "left_anti")
 
     val l = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val r = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
@@ -106,12 +121,15 @@ object Dedup {
       simhash64(hashed(tokens(col(textCol)))).as("sim"))
     val chunkArray = array((0 until chunks).map(c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit(mask))): _*)
-    val chunked = sigs.select(col(idCol), col("sim"),
+    val exploded = sigs.select(col(idCol), col("sim"),
       posexplode(chunkArray).as(Seq("chunk_idx", "chunk_val")))
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("chunk_idx"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // same partial-agg + anti-join skew guard as minhashPairs (never
+    // assemble a hot bucket in one task just to count it)
+    val oversized = exploded.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("chunk_idx"), col("chunk_val"))
+    val chunked = exploded.join(oversized, Seq("chunk_idx", "chunk_val"), "left_anti")
 
     val l = chunked.select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
@@ -141,15 +159,19 @@ object Dedup {
     *     cross a shuffle.
     * Result set is identical to the naive all-pairs form.
     *
-    * 100 TB note: cost is Σ_shingle df² within a block. Boilerplate shingles
-    * (huge df) are the skew hazard — `dfCap` drops postings of shingles seen
-    * in more than that many docs per block. Capping can only lower measured
-    * J (may miss pairs glued together ONLY by boilerplate); default keeps it
-    * off for exactness.
+    * 100 TB note: cost is Σ_shingle df² within a block, and the per-shingle
+    * pair expansion happens IN-ARRAY in one row — df = 10⁶ boilerplate
+    * shingles would build 10¹² structs in a single task. `dfCap` drops
+    * postings of shingles seen in more than that many docs per block, which
+    * bounds any one row to cap² pairs. Capping can only lower measured J
+    * (may miss pairs glued together ONLY by boilerplate, which is almost
+    * always the desired reading anyway); the guard is ON by default — pass
+    * `dfCap = None` explicitly to accept unbounded expansion.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCol: Column,
       idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 3, threshold: Double = 0.5, dfCap: Option[Int] = None): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5,
+      dfCap: Option[Int] = Some(1000)): DataFrame = {
     val d = docs.select(col(idCol), blockCol.as("block"),
       array_distinct(shingleHashes(tokens(col(textCol)), k)).as("sh"))
       .withColumn("len", size(col("sh")))

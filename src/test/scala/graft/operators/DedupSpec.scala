@@ -86,6 +86,30 @@ class DedupSpec extends SparkSuite {
     assert(survivors.contains(3L), "unrelated doc kept")
   }
 
+  test("ngram dfCap: planted boilerplate shingle is pruned, honest pairs survive") {
+    // every doc shares one boilerplate sentence; two docs are real near-dups
+    val boiler = "click here to subscribe to our newsletter today "
+    val docs = ((0L until 20L).map(i =>
+      (i, boiler + s"unique content number $i with extra words ${i * 7}", "b")) ++
+      Seq((100L, boiler + base, "b"), (101L, boiler + nearDup, "b")))
+      .toDF("doc_id", "text", "block")
+    // cap = 5 kills the df=22 boilerplate shingles. Capping lowers measured
+    // J for everyone (intersection loses the capped shingles, union keeps
+    // full lens): the honest near-dup pair drops from ~0.75 to ~0.4 — still
+    // well over 0.3 — while boilerplate-only pairs drop to ~0.
+    val got = Dedup.ngramJaccardPairs(docs, blockCol = col("block"),
+      threshold = 0.3, dfCap = Some(5))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 101L)), "near-dup pair must survive the cap")
+    // pairs glued ONLY by boilerplate never reach the threshold
+    assert(!got.exists { case (a, b) => a < 20L && b < 20L })
+    // sanity: uncapped, the honest pair is found at the strict threshold too
+    val uncapped = Dedup.ngramJaccardPairs(docs, blockCol = col("block"),
+      threshold = 0.5, dfCap = None)
+      .filter($"id_a" === 100L && $"id_b" === 101L).count()
+    assert(uncapped == 1)
+  }
+
   test("skew guard: oversized buckets are dropped, not exploded") {
     val many = (0L until 200L).map(i => (i, base, "b")).toDF("doc_id", "text", "block")
     // 200 identical docs → every bucket has 200 members > maxBucket=50 → no pairs

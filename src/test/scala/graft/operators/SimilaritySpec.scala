@@ -81,6 +81,43 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf1.groupBy(_._1).values.forall(_.size <= 5))
   }
 
+  test("LSH signature kernel: matches naive projection, compact plan at dims=1024") {
+    // kernel vs naive per-component math — same bits, any width
+    val dims = 1024; val planes = 16; val seed = 7L
+    val vec = Array.tabulate(dims)(d => math.sin(d * 0.37 + 1.0))
+    var expected = 0L
+    (0 until planes).foreach { p =>
+      val dot = (0 until dims)
+        .map(d => vec(d) * Similarity.planeComponent(p, d, seed)).sum
+      if (dot >= 0.0) expected |= (1L << p)
+    }
+    val sig = Similarity.signatureCol(col("v"), dims, planes, seed)
+    val got = Seq(Tuple1(vec.toSeq)).toDF("v").select(sig.as("sig"))
+      .as[Long].head()
+    assert(got == expected, s"kernel bits $got != naive $expected")
+
+    // structural: the signature is ONE kernel node, not planes×dims unrolled
+    // literal terms (the shape that fell out of codegen and caused the
+    // measured 9.5× regression)
+    val nodeCount = org.apache.spark.sql.graftbridge.Bridge.expression(sig)
+      .collect { case e => e }.size
+    assert(nodeCount <= 5, s"signature expression has $nodeCount nodes — unrolled?")
+
+    // end-to-end at real embedding width: deterministic, respects k
+    val data = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        (graft.functions.TextFunctions.mix64(i.toLong * 1024 + d).toDouble /
+          Long.MaxValue.toDouble).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 4)
+    val r1 = Similarity.lshTopK(data, queries, k = 3, dims = dims, planes = 8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.lshTopK(data, queries, k = 3, dims = dims, planes = 8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(r1 == r2, "high-dims LSH must be deterministic")
+    assert(r1.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("hyperplane components are deterministic and in [-1, 1]") {
     val c1 = Similarity.planeComponent(3, 17, 7L)
     val c2 = Similarity.planeComponent(3, 17, 7L)
