@@ -234,8 +234,10 @@ object CoreQueries {
         ORDER BY c_custkey""")
     }),
 
-    // F2 geohash in a distributed plan (no SQL oracle — rows-only check;
-    // correctness locked by GeohashSpec golden vectors instead).
+    // F2 geohash in a distributed plan — oracle-checked: 4-char base-32
+    // geohash is 20 bits of lat/lng interleave, closed-form expressible in
+    // portable SQL (see geohash4Sql); GeohashSpec golden vectors lock the
+    // function itself.
     "q_geohash_cells" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("lat", (col("user_id") % 170).cast("double") - 85.0 + 0.25)
@@ -472,7 +474,38 @@ object CoreQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** 4-char geohash as portable SQL: the 20-step midpoint bisection equals
+    * closed-form quantization to 10-bit lng/lat indices (cell boundaries are
+    * exact dyadic doubles, so floor() and the bisection agree), followed by
+    * bit interleave (lng first) and base-32 digit lookup. Generated
+    * programmatically — 20 shift/mask terms. */
+  private def geohash4Sql(latExpr: String, lngExpr: String, valCols: String): String = {
+    val interleave = (0 until 10).map { k =>
+      s"(((lox >> ${9 - k}) & 1) << ${19 - 2 * k}) | " +
+        s"(((lax >> ${9 - k}) & 1) << ${18 - 2 * k})"
+    }.mkString(" | ")
+    val chars = (0 until 4).map { c =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST((g >> ${15 - 5 * c}) & 31 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""SELECT $chars AS cell, $valCols FROM (
+       |  SELECT $valCols,
+       |    CAST(least(floor(($lngExpr + 180.0) / 360.0 * 1024.0), 1023.0) AS BIGINT) AS lox,
+       |    CAST(least(floor(($latExpr + 90.0) / 180.0 * 1024.0), 1023.0) AS BIGINT) AS lax
+       |  FROM events)
+       |  , LATERAL (SELECT ($interleave) AS g) _g""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_geohash_cells" ->
+      s"""WITH gh AS (
+         |${geohash4Sql(
+            "CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25",
+            "CAST((user_id * 7) % 350 AS DOUBLE) - 175.0 + 0.25",
+            "value")})
+         |SELECT cell, count(*) AS n, round(avg(value), 4) AS avg_value
+         |FROM gh GROUP BY cell ORDER BY cell""".stripMargin,
+
     "q_src_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,

@@ -54,10 +54,14 @@ object WeatherOps {
   /** Parse raw weather JSON and key by `geohash4(lat,lng)` + date.
     *
     * `lenient = true` mirrors the reference's Jackson `doubleValue()` → 0.0
-    * coercion for non-numeric lat/lng nodes (SURVEY.md §1.3 gotcha); `false`
-    * uses straight `from_json` typing. Malformed JSON → null fields → row
-    * dropped, matching the reference's catch-and-null mapper
-    * (WeatherHotelsApp.java:83-86).
+    * coercion for non-numeric nodes on EVERY double field the reference
+    * reads that way — lat, lng, avg_tmpr_f, avg_tmpr_c all flow through
+    * `node.get(..).doubleValue()` (WeatherHotelsApp.java:75-81), so a
+    * string-typed `"avg_tmpr_f": "72"` becomes 0.0, not 72.0, exactly like
+    * a string-typed lat becomes geohash "s000"
+    * (WeatherStreamsTest.java:206-214). `false` uses straight `from_json`
+    * typing. Malformed JSON → null fields → row dropped, matching the
+    * reference's catch-and-null mapper (WeatherHotelsApp.java:83-86).
     *
     * Scale: narrow transform, no shuffle; the derived `key` becomes the
     * shuffle key of the downstream aggregation — same manual key-derivation
@@ -66,15 +70,15 @@ object WeatherOps {
   def parseWeather(raw: DataFrame, valueCol: String = "value",
       lenient: Boolean = false): DataFrame = {
     val v = col(valueCol)
-    val lat = if (lenient) jsonDoubleLenient(v, "lat") else col("w.lat")
-    val lng = if (lenient) jsonDoubleLenient(v, "lng") else col("w.lng")
+    def fld(name: String, typed: Column): Column =
+      if (lenient) jsonDoubleLenient(v, name) else typed
     raw.withColumn("w", from_json(v, weatherSchema))
       .filter(col("w").isNotNull && col("w.wthr_date").isNotNull)
       .select(
-        geohash(lat, lng, 4).as("hash"),
+        geohash(fld("lat", col("w.lat")), fld("lng", col("w.lng")), 4).as("hash"),
         col("w.wthr_date").as("wthr_date"),
-        col("w.avg_tmpr_f").as("tmp_f"),
-        col("w.avg_tmpr_c").as("tmp_c"))
+        fld("avg_tmpr_f", col("w.avg_tmpr_f")).as("tmp_f"),
+        fld("avg_tmpr_c", col("w.avg_tmpr_c")).as("tmp_c"))
       .withColumn("key", compositeKey(col("hash"), col("wthr_date")))
   }
 

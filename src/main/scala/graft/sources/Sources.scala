@@ -35,17 +35,25 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** Exact option map for the bounded Kafka read (testable without a
+    * broker — see KafkaContractSpec). */
+  def kafkaBatchOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      endingOffsets: String = "latest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "endingOffsets" -> endingOffsets)
+
   /** Batch Kafka read (bounded: startingOffsets..endingOffsets) — same
     * (key, value) contract as the streaming source; needs the
     * spark-sql-kafka connector on the classpath. */
   def kafkaBatch(spark: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest",
       endingOffsets: String = "latest"): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("endingOffsets", endingOffsets)
-      .load()
-      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    graft.streaming.WeatherStreams.fromKafkaWire(
+      spark.read.format("kafka")
+        .options(kafkaBatchOptions(
+          bootstrapServers, topic, startingOffsets, endingOffsets))
+        .load())
 }

@@ -36,18 +36,38 @@ object WeatherStreams {
 
   // ---- sources / sinks (S1/S3, K1/K2) ------------------------------------
 
+  /** Exact option map handed to the Kafka source provider. Factored out so
+    * the wiring is assertable without a broker (the offline CI image ships
+    * neither spark-sql-kafka nor kafka-clients — see KafkaContractSpec). */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** Exact option map handed to the Kafka sink provider. */
+  def kafkaSinkOptions(bootstrapServers: String, topic: String,
+      checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpointDir)
+
+  /** Kafka wire schema → graft contract: key/value arrive as BINARY
+    * (byte-array serdes, WeatherHotelsApp.java:49-64); the contract is
+    * nullable UTF-8 strings. Shared by streaming source and batch read. */
+  def fromKafkaWire(df: DataFrame): DataFrame =
+    df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
   /** Kafka source wrapper (S1/S3): raw (key, value) strings from a topic.
     * Needs the spark-sql-kafka connector on the classpath (not present in
     * the offline CI image — exercised there via MemoryStream instead, which
     * produces the same (key, value) shape). */
   def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    fromKafkaWire(
+      spark.readStream.format("kafka")
+        .options(kafkaSourceOptions(bootstrapServers, topic, startingOffsets))
+        .load())
 
   /** Kafka sink wrapper (K1/K2): writes (key, value) with exactly-once via
     * checkpointing. */
@@ -55,9 +75,7 @@ object WeatherStreams {
       checkpointDir: String, mode: OutputMode = OutputMode.Update()): DataStreamWriter[_] =
     df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
       .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(bootstrapServers, topic, checkpointDir))
       .outputMode(mode)
 
   // ---- M1 on a stream ----------------------------------------------------
@@ -123,8 +141,12 @@ object WeatherStreams {
       b.toSeq.sortBy(_._1).map { case (d, (sf, sc, n)) =>
         Weather((sf.toDouble / 1e6) / n, (sc.toDouble / 1e6) / n, d)
       }
+    // ExpressionEncoder (UnsafeMapData), NOT Encoders.kryo: the buffer is
+    // serialized at every partial-agg output and deserialized at every
+    // merge; kryo pays object-graph walking + buffer allocation per trip,
+    // the Tungsten map format is a flat binary copy. Same Map semantics.
     override def bufferEncoder: Encoder[CellBuf] =
-      Encoders.kryo[CellBuf]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CellBuf]()
     override def outputEncoder: Encoder[Seq[Weather]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Weather]]()
   }

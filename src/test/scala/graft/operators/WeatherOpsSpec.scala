@@ -44,6 +44,21 @@ class WeatherOpsSpec extends SparkSuite {
     assert(WeatherOps.parseWeather(raw).count() == 1)
   }
 
+  test("M1 lenient: string-typed temperatures coerce to 0.0 (Jackson doubleValue)") {
+    // the reference reads avg_tmpr_f/c through node.get(..).doubleValue()
+    // exactly like lat/lng (WeatherHotelsApp.java:75-81): a string-typed
+    // numeric node coerces to 0.0, it is NOT parsed
+    val raw = Seq(
+      """{"lat":39.0,"lng":-89.0,"wthr_date":"2020-01-01","avg_tmpr_f":"72","avg_tmpr_c":"22"}""",
+      """{"lat":39.0,"lng":-89.0,"wthr_date":"2020-01-02","avg_tmpr_f":70.5,"avg_tmpr_c":21.4}"""
+    ).toDF("value")
+    val got = WeatherOps.parseWeather(raw, lenient = true)
+      .select($"wthr_date", $"tmp_f", $"tmp_c").as[(String, Double, Double)]
+      .collect().map { case (d, f, c) => d -> ((f, c)) }.toMap
+    assert(got("2020-01-01") == ((0.0, 0.0)), "string-typed temps must coerce to 0.0")
+    assert(got("2020-01-02") == ((70.5, 21.4)), "numeric temps pass through")
+  }
+
   test("M1 dead-letter channel: rejects preserved with raw payload") {
     val raw = Seq(
       """{"avg_tmpr_c":19.8,"avg_tmpr_f":67.7,"lat":39.6467,"lng":-89.8455,"wthr_date":"2017-08-29"}""",

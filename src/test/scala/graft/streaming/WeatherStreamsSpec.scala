@@ -219,6 +219,53 @@ class WeatherStreamsSpec extends SparkSuite {
     }
   }
 
+  test("RocksDB at width: 1e5 cell keys aggregate and update within bound") {
+    // the state-path stress the fixtures can't provide: 100k distinct cells
+    // in one batch (100k state entries), then an incremental batch touching
+    // 1k of them. The wall-clock bound is deliberately loose — it exists to
+    // catch accidental O(state)² behavior (e.g. whole-store rewrites per
+    // batch), not to benchmark.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, String, Double, Double)]
+      val readings = in.toDF().toDF("hash", "wthr_date", "tmp_f", "tmp_c")
+      val q = WeatherStreams.cellHistoryStream(readings)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("hist_wide")
+        .option("checkpointLocation", tmpDir("ckpt-wide"))
+        .start()
+      try {
+        val t0 = System.nanoTime()
+        in.addData((0 until 100000).map(i =>
+          (s"cell_$i", "2020-01-01", i.toDouble % 90, i.toDouble % 30)))
+        q.processAllAvailable()
+        in.addData((0 until 1000).map(i =>
+          (s"cell_$i", "2020-01-02", 1.0, 1.0)))
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        assert(secs < 120.0, s"1e5-key state path took ${secs}s")
+        val rows = spark.table("hist_wide").collect()
+        assert(rows.map(_.getString(0)).distinct.length == 100000)
+        // updated cells carry both dates, untouched cells keep one
+        val updated = rows.filter(_.getString(0) == "cell_42")
+          .map(_.getSeq[Row](1).map(_.getAs[String]("date")).toSeq).last
+        assert(updated == Seq("2020-01-01", "2020-01-02"))
+        val untouched = rows.filter(_.getString(0) == "cell_99999")
+          .map(_.getSeq[Row](1).length).last
+        assert(untouched == 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream windowed join: readings enrich alerts within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
