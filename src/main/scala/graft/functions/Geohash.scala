@@ -89,7 +89,9 @@ object Geohash {
   }
 
   /** Neighboring cell `(dLat, dLng)` steps away (wraps longitude, clamps
-    * latitude at the poles — matching standard geohash neighbor behavior). */
+    * latitude at the poles — matching standard geohash neighbor behavior).
+    * The polar clamp means a step past a pole returns a cell already in the
+    * grid — possibly the origin itself; [[neighbors]] dedupes. */
   def neighbor(gh: String, dLat: Int, dLng: Int): String = {
     val (la, lb, na, nb) = decodeBBox(gh)
     val latStep = lb - la
@@ -102,11 +104,16 @@ object Geohash {
     encode(lat, lng, gh.length)
   }
 
-  /** The 8 surrounding cells (N, NE, E, SE, S, SW, W, NW order). */
+  /** The surrounding cells (N, NE, E, SE, S, SW, W, NW order) — 8 away from
+    * the poles. For polar cells the lat-clamped candidates collapse onto
+    * already-listed cells (or the origin itself); those are removed rather
+    * than returned as duplicates, matching the geometry: a cell touching a
+    * pole genuinely has fewer than 8 distinct neighbors. */
   def neighbors(gh: String): Seq[String] = Seq(
     neighbor(gh, 1, 0), neighbor(gh, 1, 1), neighbor(gh, 0, 1),
     neighbor(gh, -1, 1), neighbor(gh, -1, 0), neighbor(gh, -1, -1),
     neighbor(gh, 0, -1), neighbor(gh, 1, -1))
+    .distinct.filterNot(_ == gh)
 
   private val Base32Index: Array[Int] = {
     val idx = Array.fill(128)(-1)

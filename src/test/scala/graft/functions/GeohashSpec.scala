@@ -110,6 +110,18 @@ class GeohashSpec extends SparkSuite {
     assert(Geohash.neighbor(Geohash.neighbor(gh, 1, 0), -1, 0) == gh)
   }
 
+  test("polar cells return fewer, distinct, non-self neighbors") {
+    // a cell touching the north pole: stepping north clamps back into the
+    // grid — the collapsed candidates must be deduped, not returned as
+    // duplicates or the origin itself
+    val polar = Geohash.encode(89.9, 10.0, 4)
+    val ns = Geohash.neighbors(polar)
+    assert(ns.distinct.size == ns.size, "no duplicate neighbors")
+    assert(!ns.contains(polar), "origin must not be its own neighbor")
+    assert(ns.size < 8, s"polar cell has < 8 distinct neighbors, got ${ns.size}")
+    assert(ns.nonEmpty)
+  }
+
   test("neighbors wrap the antimeridian") {
     val east = Geohash.encode(10.0, 179.99, 4)
     val wrapped = Geohash.neighbor(east, 0, 1)
