@@ -66,10 +66,23 @@ object Dedup {
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // The shingle + minhash projection is the expensive kernel (one pass
+    // over every token × numHashes). Three consumers need it: banding, the
+    // id_a verify join and the id_b verify join — without a materialization
+    // point Catalyst recomputes the projection per consumer (4 full corpus
+    // passes, seen in the audited plan). Exchange reuse can't help: column
+    // pruning hands each consumer a different projection, so the canonical
+    // subtrees never match. An explicit persist is the Spark-native shared
+    // materialization (the Spark ML handlePersistence pattern) — the
+    // signature-staging step every production dedup pipeline runs; at
+    // 100 TB it spills executor-local (MEMORY_AND_DISK) or is replaced by
+    // an explicit parquet staging table. Released by the ContextCleaner
+    // once the result plan is unreachable, or spark.catalog.clearCache().
     val sigd = docs.select(
       col(idCol),
       sort_array(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh"))
       .withColumn("sig", minhashSig(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band_j = hash of the j-th signature slice → bucket key (bands is a
     // plan-time constant, so the band array is statically unrolled — better
@@ -79,9 +92,16 @@ object Dedup {
     // window shuffle carry narrow rows (the whole point of LSH at scale).
     val bandArray = array((0 until bands).map(b =>
       xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)
+    // repartition on the bucket key: both sides of the candidate self-join
+    // need exactly this partitioning, and since they read identical
+    // projections the exchange is canonically shared — one narrow (id,
+    // band) shuffle instead of two at scale. Hot buckets do concentrate in
+    // one partition here, but exchanges stream — rows are anti-joined away
+    // on read, never assembled (unlike a window/sort which buffers them).
     val banded = sigd.select(
       col(idCol),
       posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+      .repartition(col("band_idx"), col("band_hash"))
 
     // skew guard: deterministically drop over-sized buckets. Partial-agg
     // count + anti-join — NOT count().over(Window.partitionBy(bucket)),
@@ -117,12 +137,19 @@ object Dedup {
       maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1L
+    // persist for the same diamond reason as minhashPairs' sigd (three
+    // consumers, pruning-divergent projections); (id, sim) is 16 bytes/doc
     val sigs = docs.select(col(idCol),
       simhash64(hashed(tokens(col(textCol)))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkArray = array((0 until chunks).map(c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit(mask))): _*)
+    // same exchange-reuse shape as minhashPairs: one narrow shuffle on the
+    // bucket key, consumed by the guard count and both self-join sides, so
+    // the simhash kernel runs once per doc instead of three times
     val exploded = sigs.select(col(idCol), col("sim"),
       posexplode(chunkArray).as(Seq("chunk_idx", "chunk_val")))
+      .repartition(col("chunk_idx"), col("chunk_val"))
     // same partial-agg + anti-join skew guard as minhashPairs (never
     // assemble a hot bucket in one task just to count it)
     val oversized = exploded.groupBy(col("chunk_idx"), col("chunk_val"))
