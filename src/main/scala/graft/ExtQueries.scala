@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -146,6 +146,28 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
 
+    // ---- document prep (chunk / pack / redact) --------------------------
+
+    "q_text_chunks" -> ((s, dir) =>
+      TextPrep.chunkTokens(Tables.documents(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q_pack_budget" -> ((s, dir) =>
+      TextPrep.packByBudget(Tables.documents(s, dir), col("lang"), budget = 1000)
+        .orderBy(col("doc_id"))),
+
+    // synthesize deterministic PII into each doc so the redaction path is
+    // exercised (the fixture corpus itself is clean)
+    "q_pii_redact" -> ((s, dir) =>
+      TextPrep.redactPii(
+        Tables.documents(s, dir).withColumn("text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 tel 555-123-4567"))))
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          col("text_clean"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal -----------------------------------------------------
 
     "q_multimodal" -> ((s, dir) =>
@@ -164,7 +186,55 @@ object ExtQueries {
         .orderBy(col("frame_idx")))
   )
 
+  /** PII redaction mirrored in DuckDB, built from [[TextPrep.PiiPatterns]]
+    * so the SQL can never drift from the Spark patterns (both engines'
+    * regex dialects accept them unchanged; DuckDB needs the 'g' flag for
+    * replace-all, Spark replaces all by default). */
+  private val piiCleanSql: String =
+    TextPrep.PiiPatterns.foldLeft("text") { case (acc, (_, pat)) =>
+      s"regexp_replace($acc, '$pat', '[PII]', 'g')"
+    }
+  private val piiCountSql: String =
+    TextPrep.PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_$name"
+    }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_toks FROM t),
+         |c AS (SELECT doc_id, n_toks, toks,
+         |        CAST(unnest(range(0, greatest(1,
+         |          CAST(ceil((n_toks - 32) / 24.0) AS INT) + 1))) AS INT) AS chunk_idx
+         |      FROM n)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+         |  CAST(least(32, n_toks - chunk_idx*24) AS INT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang AS "group",
+         |             CAST(len($toksSql) AS INT) AS n_tokens
+         |           FROM documents)
+         |SELECT doc_id, "group",
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY "group"
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) / 1000.0) AS BIGINT) AS pack_id,
+         |  n_tokens
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.7 tel 555-123-4567' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |$piiCountSql,
+         |$piiCleanSql AS text_clean
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Document preparation operators for a training-data pipeline
+  * (SURVEY.md §2.10 extensions): token-window chunking, token-budget
+  * packing, PII redaction. All three are pure built-in-function
+  * compositions — whole-stage codegen, no UDFs.
+  */
+object TextPrep {
+
+  /** Split each document into overlapping token-window chunks.
+    *
+    * Chunk `i` covers tokens `[i·stride, i·stride + chunkSize)` with
+    * `stride = chunkSize − overlap`; the last chunk may be shorter. A doc
+    * with ≤ chunkSize tokens yields exactly one chunk. Output:
+    * `(id, chunk_idx, chunk_text, n_chunk_tokens)`.
+    *
+    * Scale: narrow map-side transform — tokenization, the chunk-count
+    * arithmetic and the explode all happen in one codegen stage, no
+    * shuffle; row growth is len/stride (bounded by the corpus token count,
+    * the same budget the training job itself pays). */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int = 128, overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val nChunks = greatest(lit(1),
+      ceil((col("n_toks") - lit(chunkSize)).cast("double") / lit(stride))
+        .cast("int") + lit(1))
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col(idCol), col("toks"), col("n_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("n_toks") - col("start")).as("n_chunk_tokens"))
+  }
+
+  /** Deterministic token-budget packing: within each group, documents are
+    * laid head-to-tail in ascending `idCol` order and cut into packs of
+    * `budget` tokens — `pack_id = floor(exclusive_running_tokens / budget)`.
+    *
+    * A document whose tokens straddle a budget boundary stays whole in the
+    * pack it starts in, so a pack can overrun by at most one document —
+    * the standard bounded-overflow trade that keeps packing a single
+    * window function instead of a sequential first-fit scan (whose
+    * reset-on-decision state no window can express).
+    *
+    * Scale: one shuffle on the group key; packing within a group is
+    * inherently ordered, so parallelism = number of groups — pick a group
+    * key with enough cardinality (shard hash, date, source). */
+  def packByBudget(docs: DataFrame, groupCol: Column, budget: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol), groupCol.as("group"),
+      size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
+      .select(col(idCol), col("group"), col("pack_id"), col("n_tokens"))
+  }
+
+  /** PII patterns, in redaction order. Kept engine-portable (work unchanged
+    * in Java regex and RE2): email, IPv4, US-style dashed/spaced phone. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b")
+
+  /** Redact PII spans with `replacement`; also reports per-pattern match
+    * counts (counted on the ORIGINAL text, so counts are independent of
+    * redaction order). Narrow transform, no shuffle. */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      replacement: String = "[PII]"): DataFrame = {
+    val cleaned = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat)) =>
+      regexp_replace(c, pat, replacement)
+    }
+    val counted = PiiPatterns.foldLeft(docs) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)))
+    }
+    counted.withColumn("text_clean", cleaned)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chunkTokens: stride windows cover every token, last chunk short") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextPrep.chunkTokens(doc, chunkSize = 4, overlap = 1)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_text", $"n_chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    // stride 3 → starts 0, 3, 6; ceil((10-4)/3)+1 = 3 chunks
+    assert(got == Seq(
+      (0, "t1 t2 t3 t4", 4),
+      (1, "t4 t5 t6 t7", 4),
+      (2, "t7 t8 t9 t10", 4)))
+    // overlap: each consecutive pair shares exactly `overlap` tokens
+    assert(got.sliding(2).forall { case Seq(a, b) =>
+      a._2.split(" ").last == b._2.split(" ").head
+    case _ => true })
+  }
+
+  test("chunkTokens: short doc yields exactly one chunk") {
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = TextPrep.chunkTokens(doc, chunkSize = 8, overlap = 2)
+      .select($"chunk_idx", $"chunk_text", $"n_chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((0, "a b c", 3)))
+  }
+
+  test("chunkTokens: boundary — doc one token over chunkSize gets a second chunk") {
+    val doc = Seq((1L, (1 to 9).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = TextPrep.chunkTokens(doc, chunkSize = 8, overlap = 4)
+      .orderBy($"chunk_idx").select($"n_chunk_tokens").as[Int].collect().toSeq
+    assert(got == Seq(8, 5)) // starts 0 and 4: tokens 1-8, then 5-9
+  }
+
+  test("packByBudget: exclusive cumsum cuts packs; straddler stays whole") {
+    // token counts per doc (group g): 4, 4, 4 with budget 10:
+    // exclusive cumsums 0, 4, 8 → packs 0, 0, 0 (8 < 10: third doc
+    // straddles and stays in pack 0); fourth doc cumsum 12 → pack 1
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b b b"), (3L, "c c c c"), (4L, "d d d d"))
+      .toDF("doc_id", "text")
+    val got = TextPrep.packByBudget(docs, lit("g"), budget = 10)
+      .orderBy($"doc_id").select($"doc_id", $"pack_id", $"n_tokens")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0L, 4), (2L, 0L, 4), (3L, 0L, 4), (4L, 1L, 4)))
+  }
+
+  test("packByBudget: groups pack independently") {
+    val docs = Seq(
+      (1L, "x", "a a a"), (2L, "x", "b b b"), (3L, "y", "c c c"))
+      .toDF("doc_id", "grp", "text")
+    val got = TextPrep.packByBudget(docs, col("grp"), budget = 4)
+      .orderBy($"doc_id").select($"doc_id", $"group", $"pack_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // x: cumsums 0, 3 → packs 0, 0; y restarts at cumsum 0 → pack 0
+    assert(got == Seq((1L, "x", 0L), (2L, "x", 0L), (3L, "y", 0L)))
+  }
+
+  test("redactPii: plants are found, counted, and replaced") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org from 192.168.0.17 or 555-123-4567"),
+      (2L, "no pii here, just a version 1.2 string and the number 42"))
+      .toDF("doc_id", "text")
+    val got = TextPrep.redactPii(docs)
+      .select($"doc_id", $"n_email", $"n_ipv4", $"n_phone", $"text_clean")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, e1, i1, p1, t1) = got(1L)
+    assert((e1, i1, p1) == ((1, 1, 1)))
+    assert(t1 == "reach me at [PII] from [PII] or [PII]")
+    val (_, e2, i2, p2, t2) = got(2L)
+    assert((e2, i2, p2) == ((0, 0, 0)))
+    assert(t2 == "no pii here, just a version 1.2 string and the number 42")
+  }
+}
