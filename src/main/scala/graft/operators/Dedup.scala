@@ -41,10 +41,13 @@ object Dedup {
   /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
     * text) then near-duplicates found by MinHash+LSH, keeping each pair's
     * lower id. Pair-wise survivor selection is a single-pass approximation
-    * of connected components (a → b → c keeps a, drops b and c when both
-    * pairs are found; a full CC pass would need iterative joins — the
-    * one-pass form is the standard production trade-off and never drops a
-    * doc without a surviving near-neighbor). */
+    * of connected components: every dropped doc was near-duplicate of SOME
+    * doc with a lower id, but along a chain a → b → c both b and c are
+    * dropped even though c's only direct neighbor b did not survive —
+    * i.e. survivors are not a maximal independent set. The exact
+    * alternative is iterative connected components (log-rounds of joins);
+    * the one-pass form is the standard production trade and errs only
+    * toward dropping more near-duplicates, never toward keeping one. */
   def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {

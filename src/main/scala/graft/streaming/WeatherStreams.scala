@@ -167,6 +167,20 @@ object WeatherStreams {
       .toDF("key", "weather_list")
   }
 
+  // ---- streaming exact dedup ---------------------------------------------
+
+  /** Streaming face of Dedup.exact: emit the first arrival per key, drop
+    * later duplicates. `dropDuplicatesWithinWatermark` bounds the dedup
+    * state by the watermark delay — keys older than the watermark are
+    * evicted, so state is O(keys per watermark window), not O(all history);
+    * the contract is exact within the window, best-effort across it (a
+    * duplicate arriving after eviction is re-emitted). For content dedup
+    * pass `xxhash64(text)` as the key column, same as the batch operator. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // ---- C1 streaming: latest-per-key via mapGroupsWithState ---------------
 
   /** Arbitrary-state latest-per-key: keeps the max-ordinal row per key;

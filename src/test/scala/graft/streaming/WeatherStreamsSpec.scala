@@ -266,6 +266,30 @@ class WeatherStreamsSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup: duplicates within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("key", "ts", "value")
+    val q = WeatherStreams.dedupStream(df, Seq("key"), "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmpDir("ckpt-dedup"))
+      .start()
+    try {
+      in.addData(("a", ts("2020-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // same key again, within the watermark → duplicate, dropped
+      in.addData(("a", ts("2020-01-01 10:10:00"), 2.0),
+        ("b", ts("2020-01-01 10:10:00"), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSet
+      assert(got == Set(("a", 1.0), ("b", 3.0)),
+        "first arrival per key kept, later duplicate dropped")
+    } finally q.stop()
+  }
+
   test("stream-stream windowed join: readings enrich alerts within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
