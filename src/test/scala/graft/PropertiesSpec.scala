@@ -32,6 +32,61 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("chunking: windows cover every token exactly; reconstruction at zero overlap") {
+    import graft.operators.TextPrep
+    check(Prop.forAll(docGen, Gen.chooseNum(2, 8)) { (docs, chunkSize) =>
+      val df = docs.toDF("doc_id", "text")
+      // zero overlap: concatenating the chunks reconstructs the token stream
+      val rebuilt = TextPrep.chunkTokens(df, chunkSize = chunkSize, overlap = 0)
+        .orderBy($"doc_id", $"chunk_idx")
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ", collect_list($"chunk_text")).as("joined"))
+        .as[(Long, String)].collect().toMap
+      docs.forall { case (id, text) =>
+        rebuilt(id) == text.toLowerCase.split("\\s+").mkString(" ")
+      }
+    }, n = 15)
+  }
+
+  test("chunking: every chunk within size; token count conserved at zero overlap") {
+    import graft.operators.TextPrep
+    check(Prop.forAll(docGen, Gen.chooseNum(2, 8)) { (docs, chunkSize) =>
+      val df = docs.toDF("doc_id", "text")
+      val chunks = TextPrep.chunkTokens(df, chunkSize = chunkSize, overlap = 0)
+        .select($"doc_id", $"n_chunk_tokens").as[(Long, Int)].collect()
+      val perDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      chunks.forall { case (_, n) => n >= 1 && n <= chunkSize } &&
+        docs.forall { case (id, text) =>
+          perDoc(id) == text.split("\\s+").length
+        }
+    }, n = 15)
+  }
+
+  test("packing: totals conserved; pack ids monotone and defined by the cumsum") {
+    import graft.operators.TextPrep
+    check(Prop.forAll(docGen, Gen.chooseNum(3, 20)) { (docs, budget) =>
+      val df = docs.toDF("doc_id", "text")
+      val packed = TextPrep.packByBudget(df, lit("g"), budget = budget)
+        .select($"doc_id", $"pack_id", $"n_tokens")
+        .as[(Long, Long, Int)].collect().sortBy(_._1)
+      val totalTokens = docs.map(_._2.split("\\s+").length).sum
+      packed.map(_._3).sum == totalTokens &&
+        packed.length == docs.length &&
+        packed.head._2 == 0L &&
+        // monotone in doc order (a later doc never lands in an earlier pack);
+        // ids may skip when one doc spans several budgets — that is the
+        // bounded-overflow contract, not contiguity
+        packed.sliding(2).forall {
+          case Array(a, b) => a._2 <= b._2
+          case _ => true } &&
+        // the defining equation: pack = exclusive running tokens / budget
+        packed.forall { case (id, pid, _) =>
+          val cumBefore = packed.filter(_._1 < id).map(_._3).sum
+          cumBefore / budget == pid
+        }
+    }, n = 15)
+  }
+
   test("exact dedup: survivor count == distinct keys; dup counts sum to input") {
     check(Prop.forAll(docGen) { docs =>
       val df = docs.toDF("doc_id", "text")
