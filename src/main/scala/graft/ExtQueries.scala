@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Dedup, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -168,6 +168,14 @@ object ExtQueries {
           col("text_clean"))
         .orderBy(col("doc_id"))),
 
+    // ---- profiling ------------------------------------------------------
+
+    // one-pass column profile (pipeline observability): exact distincts so
+    // the DuckDB oracle hash-matches
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(Tables.events(s, dir), Seq("user_id", "value", "event_type"))
+        .orderBy(col("column"))),
+
     // ---- multimodal -----------------------------------------------------
 
     "q_multimodal" -> ((s, dir) =>
@@ -223,6 +231,21 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_profile" -> {
+      def colSql(c: String, isNum: Boolean, isStr: Boolean) =
+        s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+           |count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |${if (isNum) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |${if (isNum) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS max_num,
+           |${if (isStr) s"min($c)" else "CAST(NULL AS VARCHAR)"} AS min_str,
+           |${if (isStr) s"max($c)" else "CAST(NULL AS VARCHAR)"} AS max_str
+           |FROM events""".stripMargin
+      Seq(colSql("user_id", isNum = true, isStr = false),
+        colSql("value", isNum = true, isStr = false),
+        colSql("event_type", isNum = false, isStr = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,

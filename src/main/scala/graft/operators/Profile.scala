@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Column profiling for pipeline observability: one aggregation pass over
+  * the table produces per-column row/null/distinct counts and min/max.
+  *
+  * Scale shape: ALL columns' statistics come from a single `agg(...)` — one
+  * scan, one (single-row) aggregation, then a driver-free unpivot of that
+  * row into (column, stats) rows via an `explode` of a literal-built array.
+  * With `exactDistinct = true` Spark plans multiple count-distincts via an
+  * Expand (rows × profiled columns) — exact and oracle-checkable, the right
+  * default for audits; flip to false for the one-pass HLL sketch
+  * (`approx_count_distinct`) when profiling hundreds of columns at 100 TB.
+  *
+  * min/max are emitted twice, typed: `min_num`/`max_num` (DOUBLE, null for
+  * non-numeric columns) and `min_str`/`max_str` (binary-collation string
+  * order) — a single stringly-typed pair would hash-diverge across engines
+  * on float formatting.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    def statCols(c: String): Seq[Column] = {
+      val isNum = schema(c).dataType.isInstanceOf[NumericType]
+      val isStr = schema(c).dataType == StringType
+      val nd =
+        if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        count(lit(1)).as(s"__rows_$c"),
+        nd.as(s"__nd_$c"),
+        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__minn_$c"),
+        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__maxn_$c"),
+        (if (isStr) min(col(c)) else lit(null).cast("string")).as(s"__mins_$c"),
+        (if (isStr) max(col(c)) else lit(null).cast("string")).as(s"__maxs_$c"))
+    }
+    val aggregated = df.agg(
+      statCols(cols.head).head,
+      (statCols(cols.head).tail ++ cols.tail.flatMap(statCols)): _*)
+    val rows = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__n_$c").as("n_nonnull"),
+      (col(s"__rows_$c") - col(s"__n_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__minn_$c").as("min_num"),
+      col(s"__maxn_$c").as("max_num"),
+      col(s"__mins_$c").as("min_str"),
+      col(s"__maxs_$c").as("max_str"))): _*)
+    aggregated.select(explode(rows).as("p")).select(col("p.*"))
+  }
+}

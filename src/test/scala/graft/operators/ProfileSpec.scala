@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some(10.5), Some("b")),
+    (2L, Some(-2.0), Some("a")),
+    (3L, None, Some("a")),
+    (4L, Some(10.5), None)
+  ).toDF("id", "score", "tag")
+
+  test("profile: counts, nulls, distinct, typed min/max per column") {
+    val got = Profile.profile(df, Seq("id", "score", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val id = got("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 4)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 4.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+
+    val score = got("score")
+    assert(score.getLong(1) == 3 && score.getLong(2) == 1)
+    assert(score.getLong(3) == 2) // 10.5 appears twice
+    assert(score.getDouble(4) == -2.0 && score.getDouble(5) == 10.5)
+
+    val tag = got("tag")
+    assert(tag.getLong(1) == 3 && tag.getLong(2) == 1 && tag.getLong(3) == 2)
+    assert(tag.isNullAt(4) && tag.isNullAt(5))
+    assert(tag.getString(6) == "a" && tag.getString(7) == "b")
+  }
+
+  test("profile: approx mode returns plausible distinct counts in one pass") {
+    val got = Profile.profile(df, Seq("id", "tag"), exactDistinct = false)
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    // HLL at this cardinality is exact in practice; allow slack anyway
+    assert(math.abs(got("id") - 4L) <= 1)
+    assert(math.abs(got("tag") - 2L) <= 1)
+  }
+
+  test("profile: single aggregation output is one row per profiled column") {
+    val got = Profile.profile(df, Seq("id", "score"))
+    assert(got.count() == 2)
+    assert(got.columns.toSeq == Seq("column", "n_nonnull", "n_null",
+      "n_distinct", "min_num", "max_num", "min_str", "max_str"))
+  }
+}
