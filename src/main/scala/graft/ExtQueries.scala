@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Dedup, EmbeddingPrep, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -168,6 +168,19 @@ object ExtQueries {
           col("text_clean"))
         .orderBy(col("doc_id"))),
 
+    // ---- embedding prep -------------------------------------------------
+
+    "q_embed_normalize" -> ((s, dir) =>
+      EmbeddingPrep.l2Normalize(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          transform(col("nvec"), x => round(x, 6)).as("nvec"))
+        .orderBy(col("vec_id"))),
+
+    "q_embed_quantize" -> ((s, dir) =>
+      EmbeddingPrep.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("qvec"), round(col("scale"), 6).as("scale"))
+        .orderBy(col("vec_id"))),
+
     // ---- profiling ------------------------------------------------------
 
     // one-pass column profile (pipeline observability): exact distincts so
@@ -231,6 +244,24 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_embed_normalize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
+        |SELECT vec_id,
+        |  CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
+        |       ELSE list_transform(v, x -> round(x / nrm, 6)) END AS nvec
+        |FROM n ORDER BY vec_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v)
+        |SELECT vec_id,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |       ELSE list_transform(v, x -> CAST(round(x * 127.0 / scale) AS TINYINT))
+        |  END AS qvec,
+        |  round(scale, 6) AS scale
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_profile" -> {
       def colSql(c: String, isNum: Boolean, isStr: Boolean) =

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.dot
+
+/** Embedding storage/retrieval prep (SURVEY.md §2.10 similarity family):
+  * unit normalization and per-vector symmetric int8 quantization — the two
+  * transforms a pipeline applies before writing embeddings at scale
+  * (cosine becomes dot product; storage drops 4×).
+  *
+  * Both are narrow, codegen'd transforms. The per-row scalar (norm, scale)
+  * is materialized into its own projection column BEFORE the per-element
+  * lambda references it — an outer-scope subexpression inside a HOF lambda
+  * is not guaranteed to be eliminated and can re-evaluate per element (the
+  * `element_at(transform(...))` trap, SCALE.md).
+  */
+object EmbeddingPrep {
+
+  private def asDouble(vecCol: Column): Column =
+    transform(vecCol, x => x.cast("double"))
+
+  /** Unit-L2 vectors as ARRAY<DOUBLE>; zero vectors pass through as zeros
+    * (no NaN poisoning). Output column: `nvec`. */
+  def l2Normalize(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    embs.withColumn("__v", v)
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("nvec",
+        when(col("__norm") === 0.0d, col("__v"))
+          .otherwise(transform(col("__v"), x => x / col("__norm"))))
+      .drop("__v", "__norm")
+  }
+
+  /** Symmetric per-vector int8 quantization: `scale = max |x|`,
+    * `q = round(x · 127 / scale)` as ARRAY<TINYINT> plus the `scale`
+    * needed to dequantize (`q · scale / 127`). Zero vectors quantize to
+    * zeros with scale 0. Output columns: `qvec`, `scale`. */
+  def quantizeInt8(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    embs.withColumn("__v", v)
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("qvec",
+        when(col("scale") === 0.0d,
+          transform(col("__v"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("__v"),
+            x => round(x * 127.0d / col("scale")).cast("byte"))))
+      .drop("__v")
+  }
+
+  /** Inverse of [[quantizeInt8]] (lossy): ARRAY<DOUBLE> `dvec`. */
+  def dequantizeInt8(df: DataFrame, qvecCol: String = "qvec",
+      scaleCol: String = "scale"): DataFrame =
+    df.withColumn("dvec",
+      transform(col(qvecCol), q => q.cast("double") * col(scaleCol) / 127.0d))
+}

@@ -34,4 +34,23 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
+
+  /** Streaming sessionization: Spark-native `session_window` (dynamic-gap
+    * state merged by the engine) + watermark. Append mode — a session is
+    * emitted once the watermark passes its close (start-of-gap + gap), so
+    * output rows are final, never updated. State per open session, evicted
+    * at emission: O(active sessions), not O(history).
+    *
+    * Semantics match [[sessions]] on the same data: a session = maximal run
+    * of events with inter-event gap ≤ `gap` (session_window extends the
+    * window per event and merges overlaps). */
+  def stream(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class EmbeddingPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val embs = Seq(
+    (0L, Seq(3.0f, 4.0f)),
+    (1L, Seq(0.0f, 0.0f)),
+    (2L, Seq(-1.0f, 1.0f, 2.0f, -2.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("l2Normalize: unit norm, direction preserved, zero vector safe") {
+    val got = EmbeddingPrep.l2Normalize(embs)
+      .select($"vec_id", $"nvec").as[(Long, Seq[Double])].collect().toMap
+    assert(got(0L).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(got(1L) == Seq(0.0, 0.0), "zero vector stays zero, no NaN")
+    val n2 = math.sqrt(got(2L).map(x => x * x).sum)
+    assert(math.abs(n2 - 1.0) < 1e-12)
+  }
+
+  test("quantizeInt8: max component hits ±127, dequantize round-trips within step") {
+    val q = EmbeddingPrep.quantizeInt8(embs)
+    val rows = q.select($"vec_id", $"qvec", $"scale")
+      .as[(Long, Seq[Byte], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(0L)._1 == Seq[Byte]((3.0 / 4.0 * 127).round.toByte, 127.toByte))
+    assert(rows(0L)._2 == 4.0)
+    assert(rows(1L)._1 == Seq[Byte](0, 0) && rows(1L)._2 == 0.0)
+    assert(rows(2L)._1.max == 127 && rows(2L)._1.min == -127)
+
+    val deq = EmbeddingPrep.dequantizeInt8(q)
+      .select($"vec_id", $"dvec").as[(Long, Seq[Double])].collect().toMap
+    // quantization error bounded by half a step = scale/254
+    val orig = Map(0L -> Seq(3.0, 4.0), 2L -> Seq(-1.0, 1.0, 2.0, -2.0))
+    orig.foreach { case (id, v) =>
+      val step = rows(id)._2 / 127.0
+      v.zip(deq(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= step / 2 + 1e-12, s"id=$id: $a vs $b")
+      }
+    }
+  }
+
+  test("quantized cosine approximates full-precision cosine on fixture data") {
+    val real = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val deq = EmbeddingPrep.dequantizeInt8(EmbeddingPrep.quantizeInt8(real))
+    val both = real.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .join(deq.select($"vec_id", $"dvec"), "vec_id")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = both.select($"v", $"dvec").as[(Seq[Double], Seq[Double])].collect()
+    pairs.foreach { case (v, d) =>
+      assert(cos(v, d) > 0.999, "int8 quantization must preserve direction")
+    }
+  }
+}

@@ -266,6 +266,37 @@ class WeatherStreamsSpec extends SparkSuite {
     }
   }
 
+  test("streaming sessionization: session_window merges events, finalizes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val df = in.toDF().toDF("user", "ts")
+    val q = graft.operators.Sessionize.stream(df, "user", "ts",
+      gap = "10 minutes", watermarkDelay = "1 minute")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_stream")
+      .option("checkpointLocation", tmpDir("ckpt-sess"))
+      .start()
+    try {
+      // two events 5 min apart (one session), one 30 min later (second
+      // session opens)
+      in.addData(("a", ts("2020-01-01 10:00:00")), ("a", ts("2020-01-01 10:05:00")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2020-01-01 10:40:00")))
+      q.processAllAvailable()
+      // advance the watermark far past the first session's close
+      in.addData(("b", ts("2020-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3)))
+      // first session: 10:00–10:05, 2 events, finalized; the 10:40 session
+      // is also past watermark 11:59
+      assert(got.contains(("a", "2020-01-01 10:00:00.0", 2L)),
+        s"expected the merged 2-event session, got ${got.mkString("; ")}")
+      assert(got.contains(("a", "2020-01-01 10:40:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
