@@ -51,8 +51,12 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
+    // persisted: the survivor relation is read twice (near-dup mining input
+    // AND the final anti-join base) and each read would otherwise redo the
+    // exact-dedup scan+agg — same diamond rule as minhashPairs' signatures
     val exactSurvivors = docs.join(
       exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearDupLosers = minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
