@@ -40,8 +40,9 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))),
 
-    // language-ID (stopword/CJK heuristic — not SQL-expressible; rows-only,
-    // semantics locked by TextAnalysisSpec on hand-written sentences)
+    // language-ID (stopword/CJK heuristic — oracle-checked: the scoring is
+    // deterministic SQL (stopword counts + argmax + CJK regex); semantics
+    // additionally locked by TextAnalysisSpec on hand-written sentences)
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir))
         .groupBy(col("lang_pred"))
@@ -244,6 +245,29 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      // one score row per (doc, lang), built from the SAME stopword map the
+      // operator uses; argmax tie-break mirrors Spark's array_max over
+      // (score, lang) structs: score DESC then lang DESC
+      val unions = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val list = ws.mkString("['", "', '", "']")
+        s"SELECT doc_id, '$l' AS lang, " +
+          s"CAST(len(list_filter(toks, t -> list_contains($list, t))) AS INT) " +
+          s"AS score FROM toks"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS ($unions),
+         |best AS (SELECT doc_id, lang, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, lang DESC) AS rn FROM s),
+         |pred AS (SELECT t.doc_id,
+         |    CASE WHEN regexp_matches(t.text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+         |         WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+         |  FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1)
+         |SELECT lang_pred, count(*) AS n FROM pred
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+    },
 
     "q_embed_normalize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
