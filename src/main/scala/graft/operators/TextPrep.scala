@@ -68,6 +68,18 @@ object TextPrep {
       .select(col(idCol), col("group"), col("pack_id"), col("n_tokens"))
   }
 
+  /** [[packByBudget]] with a deterministic hash shard as the group key —
+    * the scale path when no natural group exists: parallelism = `shards`
+    * (each shard packs independently in one window partition). Pack
+    * identity is (group, pack_id); determinism carries over because the
+    * shard of a doc is a pure function of its id. */
+  def packByBudgetSharded(docs: DataFrame, shards: Int, budget: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shards > 0)
+    packByBudget(docs, pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int"),
+      budget, idCol, textCol)
+  }
+
   /** PII patterns, in redaction order. Kept engine-portable (work unchanged
     * in Java regex and RE2): email, IPv4, US-style dashed/spaced phone. */
   val PiiPatterns: Seq[(String, String)] = Seq(

@@ -129,6 +129,28 @@ class GeohashSpec extends SparkSuite {
     assert(na >= -180.0 && nb <= -179.0, s"expected west-side cell, got ($na, $nb)")
   }
 
+  test("GraftExtensions end-to-end: a session built with the extensions runs SQL") {
+    import org.apache.spark.sql.SparkSession
+    // force a NEW SparkSession over the shared context so withExtensions
+    // actually applies (getOrCreate would return the suite session)
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val gh = s2.sql("SELECT geohash(39.6467, -89.8455, 4) AS g").head().getString(0)
+      assert(gh == "dp01") // reference golden vector
+      val d = s2.sql("SELECT dot_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("GraftExtensions injects the same catalog at session-build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw; names covered above

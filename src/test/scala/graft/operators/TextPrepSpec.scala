@@ -62,6 +62,20 @@ class TextPrepSpec extends SparkSuite {
     assert(got == Seq((1L, "x", 0L), (2L, "x", 0L), (3L, "y", 0L)))
   }
 
+  test("packByBudgetSharded: every doc packed once, deterministic, n shards") {
+    val docs = (0L until 200L).map(i => (i, s"w$i " * ((i % 7 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val a = TextPrep.packByBudgetSharded(docs, shards = 8, budget = 10)
+      .select($"doc_id", $"group", $"pack_id").as[(Long, Int, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = TextPrep.packByBudgetSharded(docs, shards = 8, budget = 10)
+      .select($"doc_id", $"group", $"pack_id").as[(Long, Int, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, "shard assignment and packing must be deterministic")
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.map(_._2).distinct.length == 8, "docs spread over all shards")
+  }
+
   test("redactPii: plants are found, counted, and replaced") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@corp.example.org from 192.168.0.17 or 555-123-4567"),
