@@ -245,7 +245,12 @@ object CoreQueries {
         .select(graft.functions.Geohash.geohash(col("lat"), col("lng"), 4).as("cell"),
           col("value"))
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        // decimal-sum mean, not round(avg(),4): the double-avg form is the
+        // documented half-boundary parity trap (merge-order ULPs flip the
+        // rounding) — same canonical form as q_f1_json
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+            count(col("value"))).as("avg_value"))
         .orderBy(col("cell"))),
 
     // ---- relational core (Catalyst showcase over the TPC-H-ish tables) ---
@@ -503,7 +508,9 @@ object CoreQueries {
             "CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25",
             "CAST((user_id * 7) % 350 AS DOUBLE) - 175.0 + 0.25",
             "value")})
-         |SELECT cell, count(*) AS n, round(avg(value), 4) AS avg_value
+         |SELECT cell, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+         |    AS avg_value
          |FROM gh GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q_src_scan" ->

@@ -77,9 +77,12 @@ object ExtQueries {
         .select(col("doc_id"), col("n_dups"))
         .orderBy(col("doc_id"))),
 
+    // dfCap = None explicitly: this query IS the exact uncapped ground
+    // truth the DuckDB oracle computes — the operator's default cap would
+    // silently diverge from it on corpora with >cap-df shingles
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), blockCol = col("lang"),
-        threshold = 0.5)
+        threshold = 0.5, dfCap = None)
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash+LSH candidates (sketch — rows-only; recall vs exact ground

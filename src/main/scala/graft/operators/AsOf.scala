@@ -46,13 +46,17 @@ object AsOf {
     // hand those a payload — filter them out before the union. Null-key left
     // rows then see no right row in their partition: `__asof` stays null, so
     // inner drops them and left-outer keeps them null — exactly a SQL
-    // equi-join's null treatment.
+    // equi-join's null treatment. Null-TIME right rows are dropped for the
+    // same reason: the ascending sort puts nulls FIRST, so an unfiltered
+    // null-time row would become the carried match for every left row that
+    // precedes the first real right row — but `NULL <= t` is never true in
+    // the SQL formulation this operator mirrors.
     val r = right.select(
       rightKey.as("__k"), rightTime.as("__t"),
       lit(0).as("__side"), rightOrd.cast("long").as("__ord"),
       lit(null).cast(l.schema("__l").dataType).as("__l"),
       struct(rightPayload.map(col): _*).as("__r"))
-      .filter(col("__k").isNotNull)
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
 
     // right rows first at equal time (side 0 < 1); among same-time right
     // rows the highest ordinal lands last → it is what `last` carries

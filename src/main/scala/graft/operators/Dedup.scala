@@ -80,11 +80,15 @@ object Dedup {
     // passes, seen in the audited plan). Exchange reuse can't help: column
     // pruning hands each consumer a different projection, so the canonical
     // subtrees never match. An explicit persist is the Spark-native shared
-    // materialization (the Spark ML handlePersistence pattern) — the
-    // signature-staging step every production dedup pipeline runs; at
-    // 100 TB it spills executor-local (MEMORY_AND_DISK) or is replaced by
-    // an explicit parquet staging table. Released by the ContextCleaner
-    // once the result plan is unreachable, or spark.catalog.clearCache().
+    // materialization — the signature-staging step every production dedup
+    // pipeline runs; at 100 TB it spills executor-local (MEMORY_AND_DISK)
+    // or is replaced by an explicit parquet staging table. NOTE the cache
+    // is pinned by the SQL CacheManager for the session lifetime (the
+    // ContextCleaner does NOT collect CacheManager entries): callers
+    // running many dedup jobs in one session should
+    // `spark.catalog.clearCache()` between them (Spark ML's
+    // handlePersistence unpersists after its action for the same reason —
+    // a lazy-DataFrame API has no post-action hook to do it for you).
     val sigd = docs.select(
       col(idCol),
       sort_array(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh"))
@@ -191,7 +195,8 @@ object Dedup {
     *  3. `|A∩B|` = count of joined postings per pair, `|A∪B|` = len_a +
     *     len_b − |A∩B| — a pure count aggregation, the shingle arrays never
     *     cross a shuffle.
-    * Result set is identical to the naive all-pairs form.
+    * With `dfCap = None` the result set is identical to the naive all-pairs
+    * form; with the (default) cap it is a subset — see the 100 TB note.
     *
     * 100 TB note: cost is Σ_shingle df² within a block, and the per-shingle
     * pair expansion happens IN-ARRAY in one row — df = 10⁶ boilerplate

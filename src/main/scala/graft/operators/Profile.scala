@@ -34,7 +34,6 @@ object Profile {
         else approx_count_distinct(col(c))
       Seq(
         count(col(c)).as(s"__n_$c"),
-        count(lit(1)).as(s"__rows_$c"),
         nd.as(s"__nd_$c"),
         (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
           .as(s"__minn_$c"),
@@ -43,13 +42,15 @@ object Profile {
         (if (isStr) min(col(c)) else lit(null).cast("string")).as(s"__mins_$c"),
         (if (isStr) max(col(c)) else lit(null).cast("string")).as(s"__maxs_$c"))
     }
+    // one shared total-rows aggregate, referenced by every column's struct
+    // (a per-column count(1) would widen the agg by N identical fields)
     val aggregated = df.agg(
-      statCols(cols.head).head,
-      (statCols(cols.head).tail ++ cols.tail.flatMap(statCols)): _*)
+      count(lit(1)).as("__rows"),
+      cols.flatMap(statCols): _*)
     val rows = array(cols.map(c => struct(
       lit(c).as("column"),
       col(s"__n_$c").as("n_nonnull"),
-      (col(s"__rows_$c") - col(s"__n_$c")).as("n_null"),
+      (col("__rows") - col(s"__n_$c")).as("n_null"),
       col(s"__nd_$c").as("n_distinct"),
       col(s"__minn_$c").as("min_num"),
       col(s"__maxn_$c").as("max_num"),

@@ -48,9 +48,12 @@ object Sessionize {
       gap: String, watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
-      .agg(count(lit(1)).as("n_events"))
+      // session_end = max event time, matching the batch operator —
+      // session_window.end is last-event + gap (the close boundary), which
+      // would disagree with sessions() by exactly `gap` on every session
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("session_end"))
       .select(col(keyCol),
         col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
+        col("session_end"),
         col("n_events"))
 }

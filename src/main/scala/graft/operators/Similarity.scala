@@ -101,7 +101,11 @@ object Similarity {
     val matrix: Array[Array[Double]] =
       Array.tabulate(planes, dims)((p, d) => planeComponent(p, d, seed))
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(HyperplaneSig(Bridge.expression(vec), matrix))
+    // cast guards ARRAY<FLOAT> callers: the kernel reads 8-byte doubles, so
+    // an un-cast float array would be reinterpreted, not converted (garbage
+    // buckets with no error); Catalyst elides the cast when already double
+    Bridge.column(HyperplaneSig(
+      Bridge.expression(vec.cast("array<double>")), matrix))
   }
 
   /** Kernel: sign-bit of each hyperplane projection, packed little-endian
@@ -175,7 +179,9 @@ object Similarity {
     * ARRAY<DOUBLE> vector column. */
   def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(NearestCells(Bridge.expression(vec), cents, nprobe))
+    // same float-input guard as signatureCol (kernel reads doubles)
+    Bridge.column(NearestCells(
+      Bridge.expression(vec.cast("array<double>")), cents, nprobe))
   }
 
   /** Kernel: score every centroid, selection-pick the nprobe smallest. */

@@ -74,6 +74,20 @@ class AsOfSpec extends SparkSuite {
     assert(outer.filter($"trade_id" === 5 && $"qid".isNull).count() == 1)
   }
 
+  test("null right timestamps never match (NULL <= t is never true)") {
+    // a null-time quote sorts nulls-first in the window; unfiltered it
+    // would become the carried match for trades preceding all real quotes
+    val quotesN = quotes.union(Seq(
+      (200L, "C", null.asInstanceOf[java.sql.Timestamp], 9.9))
+      .toDF("qid", "sym", "qt", "px"))
+    val inner = AsOf.join(trades, quotesN,
+      col("sym"), col("sym"), col("t"), col("qt"),
+      Seq("qid", "px"), col("qid"), inner = true)
+    // trade 4 (sym C) must still have no match — its only quote has NULL time
+    assert(inner.filter($"trade_id" === 4).count() == 0)
+    assert(inner.count() == 3)
+  }
+
   test("matches the naive inequality-join formulation on fixture data") {
     val ev = graft.Tables.events(spark, sf0001)
     val ord = graft.Tables.orders(spark, sf0001)

@@ -118,6 +118,19 @@ class SimilaritySpec extends SparkSuite {
     assert(r1.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("signatureCol: ARRAY<FLOAT> input produces the same buckets as DOUBLE") {
+    // the kernel reads doubles; the wrapper must cast float arrays, not let
+    // them be reinterpreted byte-wise
+    val vals = Seq(0.5, -1.25, 2.75, -0.125)
+    val asF = Seq(Tuple1(vals.map(_.toFloat))).toDF("v")
+      .select(Similarity.signatureCol(col("v"), 4, 8, 7L).as("sig"))
+      .as[Long].head()
+    val asD = Seq(Tuple1(vals)).toDF("v")
+      .select(Similarity.signatureCol(col("v"), 4, 8, 7L).as("sig"))
+      .as[Long].head()
+    assert(asF == asD, s"float-input bucket $asF != double-input bucket $asD")
+  }
+
   test("hyperplane components are deterministic and in [-1, 1]") {
     val c1 = Similarity.planeComponent(3, 17, 7L)
     val c2 = Similarity.planeComponent(3, 17, 7L)

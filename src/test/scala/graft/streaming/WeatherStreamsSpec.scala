@@ -288,12 +288,16 @@ class WeatherStreamsSpec extends SparkSuite {
       in.addData(("b", ts("2020-01-01 12:00:00")))
       q.processAllAvailable()
       val got = spark.table("sess_stream").collect()
-        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3)))
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
       // first session: 10:00–10:05, 2 events, finalized; the 10:40 session
-      // is also past watermark 11:59
-      assert(got.contains(("a", "2020-01-01 10:00:00.0", 2L)),
+      // is also past watermark 11:59. session_end = max event time,
+      // matching the batch operator (NOT the window close = last + gap)
+      assert(got.contains(("a", "2020-01-01 10:00:00.0",
+        "2020-01-01 10:05:00.0", 2L)),
         s"expected the merged 2-event session, got ${got.mkString("; ")}")
-      assert(got.contains(("a", "2020-01-01 10:40:00.0", 1L)))
+      assert(got.contains(("a", "2020-01-01 10:40:00.0",
+        "2020-01-01 10:40:00.0", 1L)))
     } finally q.stop()
   }
 
