@@ -303,6 +303,19 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // Top-k per group as a k-bounded AGGREGATE (functions.TopK): map-side
+    // partial top-k ships at most k entries per (partition, group) instead
+    // of window-sorting every row — same result as q_topk_window by
+    // construction (ORDER BY o_totalprice DESC, o_orderkey ASC).
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopK.topKByOrd(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"),
+          concat_ws("|", transform(col("top"), x => x.cast("string")))
+            .as("top_orders"))
+        .orderBy(col("o_orderpriority"))),
+
     // As-of (point-in-time) join: for each event, the customer's most
     // recent order at that instant — union + running last() composition
     // (one shuffle, no inequality-join explosion); see operators.AsOf.
@@ -611,6 +624,15 @@ object CoreQueries {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(
+        |    (list(CAST(o_orderkey AS VARCHAR)
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3], '|')
+        |    AS top_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (

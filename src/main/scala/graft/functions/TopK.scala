@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bounded top-k as a real aggregate (SURVEY §2.10 relational extension).
+  *
+  * The `row_number().over(Window.partitionBy(g).orderBy(o))` formulation
+  * shuffles and SORTS every row of every group just to keep k of them; this
+  * aggregate keeps a k-bounded heap per group, so the map side ships at
+  * most k entries per (partition, group) and nothing is ever globally
+  * sorted — at 100 TB the difference between shuffling the dataset and
+  * shuffling k·|groups| rows.
+  *
+  * Determinism contract: "better" = higher `ord`, ties broken by LOWER
+  * `tie` — exactly `ORDER BY ord DESC, tie ASC` — so results are
+  * reproducible and engine-portable when (ord, tie) is unique per row
+  * (make `tie` a row id). Null `ord`/`tie`/`payload` rows are ignored,
+  * like every SQL aggregate.
+  */
+object TopK {
+
+  /** `ARRAY<payloadType>` of the top-k payload values per group, best
+    * first. */
+  def topKByOrd(payload: Column, ord: Column, tie: Column, k: Int): Column =
+    Bridge.column(TopKByOrd(
+      Bridge.expression(payload),
+      Bridge.expression(ord.cast("double")),
+      Bridge.expression(tie.cast("long")), k).toAggregateExpression())
+}
+
+/** One retained entry: goodness key + an already-copied payload value. */
+private[functions] final case class TopKEntry(ord: Double, tie: Long, payload: Any)
+
+/** k-bounded buffer. `worstFirst` puts the weakest entry at the heap head
+  * so a better candidate can displace it in O(log k). */
+private[functions] final class TopKBuffer(val k: Int) {
+  // worse = lower ord, then larger tie
+  private val worstFirst: Ordering[TopKEntry] = (a: TopKEntry, b: TopKEntry) => {
+    val c = java.lang.Double.compare(b.ord, a.ord)
+    if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
+  }
+  val heap = new scala.collection.mutable.PriorityQueue[TopKEntry]()(worstFirst)
+
+  def insert(e: TopKEntry): Unit =
+    if (heap.size < k) heap.enqueue(e)
+    else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+
+  /** Entries best-first (ord desc, tie asc): ascending by `worstFirst`
+    * puts the LEAST-worse (= best) entry first. */
+  def sorted: Array[TopKEntry] = heap.toArray.sorted(worstFirst)
+}
+
+case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(payload, ord, tie)
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_by_ord"
+
+  @transient private lazy val payloadProj =
+    UnsafeProjection.create(Array(payload.dataType))
+  @transient private lazy val payloadHolder =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, row: InternalRow): TopKBuffer = {
+    val o = ord.eval(row)
+    val t = tie.eval(row)
+    val p = payload.eval(row)
+    if (o != null && t != null && p != null) {
+      buf.insert(TopKEntry(o.asInstanceOf[Double], t.asInstanceOf[Long],
+        InternalRow.copyValue(p)))
+    }
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    b.heap.foreach(a.insert)
+    a
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.sorted.map(_.payload))
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val entries = buf.heap.toArray
+    out.writeInt(entries.length)
+    entries.foreach { e =>
+      out.writeDouble(e.ord)
+      out.writeLong(e.tie)
+      payloadHolder.update(0, e.payload)
+      val rowBytes = payloadProj(payloadHolder).getBytes
+      out.writeInt(rowBytes.length)
+      out.write(rowBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val buf = new TopKBuffer(k)
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    var i = 0
+    while (i < n) {
+      val o = in.getDouble
+      val t = in.getLong
+      val len = in.getInt
+      val rowBytes = new Array[Byte](len)
+      in.get(rowBytes)
+      val ur = new UnsafeRow(1)
+      ur.pointTo(rowBytes, len)
+      buf.insert(TopKEntry(o, t, InternalRow.copyValue(ur.get(0, payload.dataType))))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByOrd =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByOrd =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByOrd =
+    copy(payload = newChildren(0), ord = newChildren(1), tie = newChildren(2))
+}

@@ -35,6 +35,23 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** Write a bucketed + sorted table: the co-located-join scale path. Both
+    * sides of a recurring join bucketed on the join key plan with NO
+    * exchange (BucketingSpec asserts the plan) — at 100 TB this converts
+    * every repeated fact⋈dim join from a full network shuffle into local
+    * merges. Bucket count is a layout decision: pick so one bucket ≈
+    * 128–256 MB. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], sortKeys: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty)
+    val sk = if (sortKeys.nonEmpty) sortKeys else keys
+    df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sk.head, sk.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Exact option map for the bounded Kafka read (testable without a
     * broker — see KafkaContractSpec). */
   def kafkaBatchOptions(bootstrapServers: String, topic: String,

@@ -16,8 +16,8 @@ class BucketingSpec extends SparkSuite {
 
     spark.sql("DROP TABLE IF EXISTS b_left")
     spark.sql("DROP TABLE IF EXISTS b_right")
-    left.write.mode("overwrite").bucketBy(8, "key").sortBy("key").saveAsTable("b_left")
-    right.write.mode("overwrite").bucketBy(8, "key").sortBy("key").saveAsTable("b_right")
+    graft.sources.Sources.writeBucketed(left, "b_left", 8, Seq("key"))
+    graft.sources.Sources.writeBucketed(right, "b_right", 8, Seq("key"))
 
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
