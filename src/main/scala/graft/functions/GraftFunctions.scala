@@ -113,7 +113,13 @@ object GraftFunctions {
         intLit(exprs(1), "minhash_sig numHashes"),
         if (exprs.length > 2) intLit(exprs(2), "minhash_sig seed").toLong else 42L)),
       "simhash64" -> (exprs => SimHash64(exprs(0))),
-      "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))))
+      "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+      // aggregate: the analyzer wraps a bare AggregateFunction into an
+      // AggregateExpression during resolution, same as built-in max/min
+      "topk_by_ord" -> (exprs => TopKByOrd(exprs(0),
+        Cast(exprs(1), DoubleType),
+        Cast(exprs(2), org.apache.spark.sql.types.LongType),
+        intLit(exprs(3), "topk_by_ord k"))))
   }
 
   /** Register graft scalar functions on an existing session

@@ -44,6 +44,16 @@ class TopKSpec extends SparkSuite {
     assert(got("h") == Seq(9L), "k larger than the group returns the whole group")
   }
 
+  test("SQL surface: topk_by_ord resolves as an aggregate in plain SQL") {
+    GraftFunctions.register(spark)
+    Seq(("g", 5.0, 1L), ("g", 9.0, 2L), ("g", 7.0, 3L))
+      .toDF("grp", "score", "id").createOrReplaceTempView("topk_in")
+    val got = spark.sql(
+      "SELECT grp, topk_by_ord(id, score, id, 2) AS top FROM topk_in GROUP BY grp")
+      .as[(String, Seq[Long])].head()
+    assert(got == (("g", Seq(2L, 3L))))
+  }
+
   test("string payloads survive the serialize/merge path") {
     // 200 groups × 50 rows across partitions forces partial buffers to
     // serialize, shuffle, and merge
