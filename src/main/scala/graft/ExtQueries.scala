@@ -106,9 +106,11 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // maxBlock = None explicitly: this IS the exact ground truth the
+    // uncapped oracle computes (same contract as q_dedup_ngram_jaccard)
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
-        threshold = 0.35)
+        threshold = 0.35, maxBlock = None)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search ---------------------------------------------

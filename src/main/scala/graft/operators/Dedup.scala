@@ -246,12 +246,29 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label / IVF
-    * cell): the per-block quadratic verify that backs ANN dedup. */
+    * cell): the per-block quadratic verify that backs ANN dedup.
+    *
+    * `maxBlock` is the quadratic-blowup guard (default ON): a block of n
+    * vectors materializes n² candidate pairs, so one degenerate block
+    * (every doc mapped to one label) turns the verify into an all-pairs
+    * join. Over-sized blocks are counted by a partial aggregate and
+    * anti-joined away — same guard shape as `maxBucket`/`dfCap`. Pass
+    * `None` to verify everything regardless of block size.
+    */
   def embeddingPairs(embs: DataFrame, blockCol: Column,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95): DataFrame = {
-    val d = embs.select(col(idCol), blockCol.as("block"),
+      threshold: Double = 0.95, maxBlock: Option[Int] = Some(10000)): DataFrame = {
+    val all = embs.select(col(idCol), blockCol.as("block"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+    val d = maxBlock match {
+      case Some(cap) =>
+        val oversized = all.groupBy(col("block"))
+          .agg(count(lit(1)).as("block_n"))
+          .filter(col("block_n") > cap)
+          .select(col("block"))
+        all.join(oversized, Seq("block"), "left_anti")
+      case None => all
+    }
     val l = d.select(col("block"), col(idCol).as("id_a"), col("v").as("v_a"))
     val r = d.select(col("block"), col(idCol).as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("block"))

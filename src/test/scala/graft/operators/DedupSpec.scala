@@ -77,6 +77,22 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("embedding maxBlock guard: degenerate block skipped, small blocks verified") {
+    val v = Array.tabulate(4)(i => (i + 1).toFloat).toSeq
+    // 20 vectors in one degenerate block + a small honest block with a dup
+    val embs = ((0L until 20L).map(i => (i, v, "hot")) ++
+      Seq((100L, v, "ok"), (101L, v, "ok")))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingPairs(embs, blockCol = col("label"),
+      threshold = 0.9, maxBlock = Some(10))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)),
+      "hot block dropped by the guard, honest block still verified")
+    val uncapped = Dedup.embeddingPairs(embs, blockCol = col("label"),
+      threshold = 0.9, maxBlock = None).count()
+    assert(uncapped == 20L * 19 / 2 + 1)
+  }
+
   test("dedupCorpus: exact dup collapsed, near dup dropped, unrelated kept") {
     val survivors = Dedup.dedupCorpus(corpus.drop("block"), threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
