@@ -25,6 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * reproducible and engine-portable when (ord, tie) is unique per row
   * (make `tie` a row id). Null `ord`/`tie`/`payload` rows are ignored,
   * like every SQL aggregate.
+  *
+  * Precision contract: `ord` is compared in DOUBLE precision (the wrapper
+  * casts). Integer ords beyond 2⁵³ or decimals past 15 significant digits
+  * can collide after the cast and then resolve by `tie` — which a native
+  * `ORDER BY` on the original type would distinguish. Pre-scale such ords
+  * or fold the low-order information into `tie`.
   */
 object TopK {
 
@@ -49,6 +55,12 @@ private[functions] final class TopKBuffer(val k: Int) {
     if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
   }
   val heap = new scala.collection.mutable.PriorityQueue[TopKEntry]()(worstFirst)
+
+  /** Admission test on the key alone — lets the caller skip payload
+    * eval/copy for the (overwhelmingly common, once warm) rejected rows. */
+  def wouldAdmit(ord: Double, tie: Long): Boolean =
+    heap.size < k ||
+      worstFirst.compare(TopKEntry(ord, tie, null), heap.head) < 0
 
   def insert(e: TopKEntry): Unit =
     if (heap.size < k) heap.enqueue(e)
@@ -81,10 +93,16 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   override def update(buf: TopKBuffer, row: InternalRow): TopKBuffer = {
     val o = ord.eval(row)
     val t = tie.eval(row)
-    val p = payload.eval(row)
-    if (o != null && t != null && p != null) {
-      buf.insert(TopKEntry(o.asInstanceOf[Double], t.asInstanceOf[Long],
-        InternalRow.copyValue(p)))
+    if (o != null && t != null) {
+      val od = o.asInstanceOf[Double]
+      val tl = t.asInstanceOf[Long]
+      // admission-test on the key BEFORE touching the payload: once a
+      // group's heap is warm almost every row is rejected, and the payload
+      // eval + deep copy (UTF8String clone etc.) is the per-row hot cost
+      if (buf.wouldAdmit(od, tl)) {
+        val p = payload.eval(row)
+        if (p != null) buf.insert(TopKEntry(od, tl, InternalRow.copyValue(p)))
+      }
     }
     buf
   }

@@ -24,6 +24,20 @@ import graft.functions.GraftFunctions.cosine
   */
 object Dedup {
 
+  /** Shared skew guard: deterministically drop rows whose bucket (the
+    * `keys` combination) holds more than `cap` rows. Partial-agg count +
+    * anti-join — NOT count().over(Window.partitionBy(keys)), which would
+    * shuffle the entire hot bucket into one task just to measure it,
+    * recreating the straggler the guard exists to prevent; groupBy's
+    * map-side combine counts hot buckets without ever assembling them. */
+  private def dropOversized(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(keys.map(col): _*)
+    df.join(oversized, keys, "left_anti")
+  }
+
   /** Exact dedup: deterministic survivor (min id) per distinct key.
     *
     * Groups on `xxhash64(key)`, not the key itself: with a whole-document
@@ -114,17 +128,7 @@ object Dedup {
       posexplode(bandArray).as(Seq("band_idx", "band_hash")))
       .repartition(col("band_idx"), col("band_hash"))
 
-    // skew guard: deterministically drop over-sized buckets. Partial-agg
-    // count + anti-join — NOT count().over(Window.partitionBy(bucket)),
-    // which would shuffle the entire hot bucket into one task just to
-    // measure it, recreating the straggler the guard exists to prevent.
-    // groupBy's map-side combine counts hot buckets without ever
-    // assembling them.
-    val oversized = banded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select(col("band_idx"), col("band_hash"))
-    val bucketed = banded.join(oversized, Seq("band_idx", "band_hash"), "left_anti")
+    val bucketed = dropOversized(banded, Seq("band_idx", "band_hash"), maxBucket)
 
     val l = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val r = bucketed.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
@@ -161,13 +165,7 @@ object Dedup {
     val exploded = sigs.select(col(idCol), col("sim"),
       posexplode(chunkArray).as(Seq("chunk_idx", "chunk_val")))
       .repartition(col("chunk_idx"), col("chunk_val"))
-    // same partial-agg + anti-join skew guard as minhashPairs (never
-    // assemble a hot bucket in one task just to count it)
-    val oversized = exploded.groupBy(col("chunk_idx"), col("chunk_val"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select(col("chunk_idx"), col("chunk_val"))
-    val chunked = exploded.join(oversized, Seq("chunk_idx", "chunk_val"), "left_anti")
+    val chunked = dropOversized(exploded, Seq("chunk_idx", "chunk_val"), maxBucket)
 
     val l = chunked.select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
@@ -261,12 +259,7 @@ object Dedup {
     val all = embs.select(col(idCol), blockCol.as("block"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val d = maxBlock match {
-      case Some(cap) =>
-        val oversized = all.groupBy(col("block"))
-          .agg(count(lit(1)).as("block_n"))
-          .filter(col("block_n") > cap)
-          .select(col("block"))
-        all.join(oversized, Seq("block"), "left_anti")
+      case Some(cap) => dropOversized(all, Seq("block"), cap)
       case None => all
     }
     val l = d.select(col("block"), col(idCol).as("id_a"), col("v").as("v_a"))
