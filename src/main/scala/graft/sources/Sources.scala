@@ -52,6 +52,33 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Write hive-partitioned parquet: the partition-PRUNING layout. A read
+    * filtered on a partition column never opens the other directories —
+    * the scan's `PartitionFilters` (asserted in LayoutSpec) turn a full
+    * corpus scan into a directory listing. Choose low-cardinality columns
+    * (date, source, lang); every distinct combination becomes a directory. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Write range-clustered + sorted parquet: the row-group-PRUNING layout
+    * for high-cardinality filter columns where directories don't work.
+    * `repartitionByRange` gives each output file a disjoint key range and
+    * the in-file sort tightens per-row-group min/max, so predicate
+    * pushdown (`PushedFilters`) skips whole row groups at scan time. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    require(sortCols.nonEmpty)
+    val cols = sortCols.map(df.col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Exact option map for the bounded Kafka read (testable without a
     * broker — see KafkaContractSpec). */
   def kafkaBatchOptions(bootstrapServers: String, topic: String,
