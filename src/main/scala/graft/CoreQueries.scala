@@ -303,6 +303,20 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // Time-series resample: per-user daily grid, forward-filled by the
+    // as-of composition (operators.TimeSeries over operators.AsOf). Ticks
+    // exported as epoch micros (timestamp hashing is representation-safe
+    // as integers).
+    "q_ts_resample" -> ((s, dir) =>
+      graft.operators.TimeSeries.resample(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"),
+          col("event_id")),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        ordCol = "event_id", step = expr("interval 1 day"))
+        .select(col("user_id"), unix_micros(col("tick")).as("tick_us"),
+          col("value"))
+        .orderBy(col("user_id"), col("tick_us"))),
+
     // Top-k per group as a k-bounded AGGREGATE (functions.TopK): map-side
     // partial top-k ships at most k entries per (partition, group) instead
     // of window-sorting every row — same result as q_topk_window by
@@ -624,6 +638,20 @@ object CoreQueries {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_ts_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id, ts),
+        |bounds AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi
+        |           FROM events GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS tick
+        |         FROM bounds)
+        |SELECT g.user_id, epoch_us(g.tick) AS tick_us, o.value
+        |FROM grid g ASOF LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND o.ts <= g.tick
+        |ORDER BY g.user_id, tick_us""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_orderpriority,
