@@ -642,7 +642,7 @@ object CoreQueries {
     "q_ts_resample" ->
       """WITH obs AS (
         |  SELECT user_id, ts, arg_max(value, event_id) AS value
-        |  FROM events GROUP BY user_id, ts),
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id, ts),
         |bounds AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi
         |           FROM events GROUP BY user_id),
         |grid AS (SELECT user_id,

@@ -27,8 +27,14 @@ object TimeSeries {
   def resample(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, ordCol: String, step: Column): DataFrame = {
     // collapse to one observation per (key, instant) FIRST: as-of ties at
-    // an instant are otherwise nondeterministic under parallelism
-    val obs = df.groupBy(col(keyCol), col(tsCol))
+    // an instant are otherwise nondeterministic under parallelism. Null
+    // values are dropped BEFORE the collapse — a fill operator carries the
+    // latest real observation past a null reading, it does not propagate
+    // the null (also keeps max_by, which returns null payloads, in
+    // lock-step with the oracle's null-skipping arg_max). Bounds still
+    // come from the full input, so null-value rows extend the grid.
+    val obs = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol))
       .agg(max_by(col(valueCol), col(ordCol)).as(valueCol))
     val grid = df.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))

@@ -36,6 +36,23 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got == Seq(7.0))
   }
 
+  test("resample: null observations are skipped, not forward-filled") {
+    val obs = Seq(
+      ("a", ts("2020-01-01 10:00:00"), Some(1.0), 1L),
+      ("a", ts("2020-01-01 11:00:00"), None, 2L),       // null reading
+      ("a", ts("2020-01-01 12:00:00"), Some(3.0), 3L))
+      .toDF("k", "t", "v", "ord")
+    val got = TimeSeries.resample(obs, "k", "t", "v", "ord",
+      expr("interval 1 hour"))
+      .orderBy($"tick")
+      .select(date_format($"tick", "HH:mm").as("hm"), $"v")
+      .as[(String, Option[Double])].collect().toSeq
+    // the 11:00 tick carries the 10:00 value — a null reading never
+    // overwrites the last real observation (but it still extends the grid)
+    assert(got == Seq(
+      ("10:00", Some(1.0)), ("11:00", Some(1.0)), ("12:00", Some(3.0))))
+  }
+
   test("resample: keys are independent, every tick filled") {
     val obs = Seq(
       ("a", ts("2020-01-01 00:00:00"), 1.0, 1L),

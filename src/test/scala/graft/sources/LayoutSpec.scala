@@ -26,8 +26,11 @@ class LayoutSpec extends SparkSuite {
 
     val q = spark.read.parquet(dir).filter($"kind" === "t2")
     val scan = q.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("kind"),
-      s"partition filter must reach the scan:\n$scan")
+    // the filter must appear INSIDE the PartitionFilters bracket — a bare
+    // contains() check passes vacuously on 'PartitionFilters: []' plus a
+    // post-scan Filter node mentioning the column
+    assert("PartitionFilters: \\[[^\\]]*kind".r.findFirstIn(scan).isDefined,
+      s"kind filter must be inside PartitionFilters:\n$scan")
     assert(q.count() == 250)
     // and the pruned read touches only the matching directory's files
     val files = q.select(input_file_name()).distinct().as[String].collect()
