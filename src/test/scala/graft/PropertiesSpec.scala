@@ -87,6 +87,30 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("topk aggregate == window row_number formulation for any data") {
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen: Gen[Seq[(String, Int, Long)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        s <- Gen.chooseNum(0, 5) // small range forces score ties
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    check(Prop.forAll(rowsGen, Gen.chooseNum(1, 5)) { (rows, k) =>
+      val df = rows.toDF("g", "s", "id")
+      val agg = df.groupBy($"g")
+        .agg(graft.functions.TopK.topKByOrd($"id", $"s", $"id", k).as("top"))
+        .as[(String, Seq[Long])].collect().toMap
+      val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"s".desc, $"id")))
+        .filter($"rn" <= k)
+        .orderBy($"rn")
+        .select($"g", $"id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      agg.keySet == win.keySet && agg.keySet.forall(g => agg(g) == win(g))
+    }, n = 15)
+  }
+
   test("exact dedup: survivor count == distinct keys; dup counts sum to input") {
     check(Prop.forAll(docGen) { docs =>
       val df = docs.toDF("doc_id", "text")
