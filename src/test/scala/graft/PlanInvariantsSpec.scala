@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-quality regression guards: the scale properties this engine was
+  * tuned for, asserted on the physical plan so a future refactor cannot
+  * silently lose them. Each invariant maps to a measured incident or a
+  * SCALE.md commitment:
+  *  - LSH signature as ONE kernel call (an unrolled-literal form measured a
+  *    9.5× same-code swing);
+  *  - dedup skew guards via partial agg, never a window over the bucket;
+  *  - minhash signatures persisted once (4 corpus passes otherwise);
+  *  - exact dedup grouping on the 8-byte hash, not the document;
+  *  - filters reaching the parquet scan as PushedFilters.
+  */
+class PlanInvariantsSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.optimizedPlan.toString
+  }
+
+  test("q_src_scan: predicate is pushed to the parquet scan") {
+    val p = plan("q_src_scan")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"filter must reach the scan:\n${p.take(2000)}")
+  }
+
+  test("q_dedup_exact: groups on xxhash64, not the document text") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("xxhash64"), "group key must be the 8-byte hash")
+  }
+
+  test("q_dedup_minhash: no window in the skew guard, signatures persisted once") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("Window"),
+      "skew guard must be partial-agg + anti-join, never a window over the bucket")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      "minhash signatures must be materialized once (diamond persist)")
+  }
+
+  test("q_sim_ann_lsh: signature is a kernel call, not unrolled literals") {
+    val p = plan("q_sim_ann_lsh")
+    assert(p.contains("hyperplane_sig"), "kernel expression must be in the plan")
+    assert(!p.contains("element_at"),
+      "no per-component element_at chain (the unrolled form that fell out of codegen)")
+  }
+
+  test("q_a1_daily_avg: partial + final aggregation (map-side combine)") {
+    val p = plan("q_a1_daily_avg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "aggregation must be two-phase so the shuffle carries partials, not rows")
+  }
+
+  test("q_flagship: small dimension side is broadcast") {
+    val p = plan("q_flagship")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"dimension join must broadcast at this scale:\n${p.take(2000)}")
+  }
+}
