@@ -301,6 +301,28 @@ class WeatherStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k: topk_by_ord maintains a running leaderboard per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double, Long)]
+    val df = in.toDF().toDF("k", "score", "id")
+    val q = df.groupBy($"k")
+      .agg(graft.functions.TopK.topKByOrd($"id", $"score", $"id", 2).as("top"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("topk_stream")
+      .option("checkpointLocation", tmpDir("ckpt-topk"))
+      .start()
+    try {
+      in.addData(("a", 1.0, 1L), ("a", 5.0, 2L))
+      q.processAllAvailable()
+      in.addData(("a", 3.0, 3L)) // displaces id 1 (score 1.0)
+      q.processAllAvailable()
+      val last = spark.table("topk_stream").collect()
+        .filter(_.getString(0) == "a").last.getSeq[Long](1)
+      assert(last == Seq(2L, 3L),
+        s"running top-2 must merge state across batches, got $last")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
