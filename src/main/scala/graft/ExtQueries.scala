@@ -187,6 +187,36 @@ object ExtQueries {
         .select(col("vec_id"), col("qvec"), round(col("scale"), 6).as("scale"))
         .orderBy(col("vec_id"))),
 
+    // ---- end-to-end corpus prep -----------------------------------------
+
+    // the whole prep pipeline as ONE declarative plan: exact dedup →
+    // quality gate → token-window chunking → token-budget packing —
+    // Catalyst sees every stage, so pruning/pushdown/AQE apply across
+    // stage boundaries (the composability argument for building prep on a
+    // query engine instead of chained batch jobs). All stages are
+    // deterministic, so the whole pipeline is oracle-checked.
+    "q_prep_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val survivors = docs.join(
+        Dedup.exact(docs, "text", "doc_id").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val qualityGated = TextAnalysis.qualityScore(survivors)
+        .filter(col("quality") >= 0.5)
+      val chunks = TextPrep.chunkTokens(
+        qualityGated.select(col("doc_id"), col("text")),
+        chunkSize = 32, overlap = 0)
+        .join(qualityGated.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+      TextPrep.packByBudget(
+        chunks.select(col("chunk_id"), col("lang"),
+          col("chunk_text").as("text")),
+        col("lang"), budget = 256, idCol = "chunk_id")
+        .groupBy(col("group"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("group"), col("pack_id"))
+    }),
+
     // ---- profiling ------------------------------------------------------
 
     // one-pass column profile (pipeline observability): exact distincts so
@@ -225,6 +255,26 @@ object ExtQueries {
     TextPrep.PiiPatterns.map { case (name, pat) =>
       s"CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_$name"
     }.mkString(",\n")
+
+  /** `round(quality, 4)` over columns (text, toks) — one definition shared
+    * by q_text_quality and the end-to-end prep pipeline. */
+  private val qualitySql: String =
+    s"""round(
+       |  least(1.0, greatest(0.0,
+       |    0.4 * least(
+       |      (CAST(len(list_filter(toks, t -> list_contains($stopSql, t))) AS DOUBLE)
+       |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5.0, 1.0) +
+       |    0.3 * (CASE WHEN
+       |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+       |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       |    0.15 * (1.0 - least(
+       |      (CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+       |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) +
+       |    0.15 * (1.0 - least(
+       |      (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+       |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0))
+       |  )), 4)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -292,6 +342,40 @@ object ExtQueries {
         |  round(scale, 6) AS scale
         |FROM s ORDER BY vec_id""".stripMargin,
 
+    "q_prep_pipeline" ->
+      s"""WITH surv AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) s
+         |    USING (doc_id)),
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, $qualitySql AS quality
+         |    FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM surv))
+         |  WHERE quality >= 0.5),
+         |t AS (SELECT doc_id, lang, $toksSql AS toks FROM gated),
+         |n AS (SELECT doc_id, lang, toks, CAST(len(toks) AS INT) AS n_toks FROM t),
+         |c AS (SELECT doc_id, lang, n_toks, toks,
+         |        CAST(unnest(range(0, greatest(1,
+         |          CAST(ceil((n_toks - 32) / 32.0) AS INT) + 1))) AS INT) AS chunk_idx
+         |      FROM n),
+         |chunks AS (
+         |  SELECT doc_id * 1000 + chunk_idx AS chunk_id, lang,
+         |    array_to_string(toks[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ') AS text
+         |  FROM c),
+         |ct AS (SELECT chunk_id, lang,
+         |         CAST(len(string_split_regex(lower(text), '\\s+')) AS INT) AS n_tokens
+         |       FROM chunks),
+         |packed AS (
+         |  SELECT lang AS "group", chunk_id, n_tokens,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY chunk_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) / 256.0) AS BIGINT) AS pack_id
+         |  FROM ct)
+         |SELECT "group", pack_id, count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM packed GROUP BY "group", pack_id
+         |ORDER BY "group", pack_id""".stripMargin,
+
     "q_profile" -> {
       def colSql(c: String, isNum: Boolean, isStr: Boolean) =
         s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
@@ -332,22 +416,7 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
-      s"""SELECT doc_id, round(
-         |  least(1.0, greatest(0.0,
-         |    0.4 * least(
-         |      (CAST(len(list_filter(toks, t -> list_contains($stopSql, t))) AS DOUBLE)
-         |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5.0, 1.0) +
-         |    0.3 * (CASE WHEN
-         |      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |        / greatest(CAST(len(toks) AS DOUBLE), 1.0)
-         |      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.15 * (1.0 - least(
-         |      (CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
-         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) +
-         |    0.15 * (1.0 - least(
-         |      (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0))
-         |  )), 4) AS quality
+      s"""SELECT doc_id, $qualitySql AS quality
          |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
