@@ -176,15 +176,23 @@ object ExtQueries {
 
     // ---- embedding prep -------------------------------------------------
 
+    // array outputs canonicalized to joined fixed-point strings (the repo
+    // rule at CoreQueries: list aggregates never cross the driver comparator
+    // as raw arrays) — `round(x·1e6) AS BIGINT` sidesteps double→string
+    // formatting divergence between engines entirely
     "q_embed_normalize" -> ((s, dir) =>
       EmbeddingPrep.l2Normalize(Tables.embeddings(s, dir))
         .select(col("vec_id"),
-          transform(col("nvec"), x => round(x, 6)).as("nvec"))
+          concat_ws("|", transform(col("nvec"),
+            x => round(x * 1000000d).cast("bigint").cast("string"))).as("nvec"))
         .orderBy(col("vec_id"))),
 
     "q_embed_quantize" -> ((s, dir) =>
       EmbeddingPrep.quantizeInt8(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("qvec"), round(col("scale"), 6).as("scale"))
+        .select(col("vec_id"),
+          concat_ws("|", transform(col("qvec"),
+            q => q.cast("string"))).as("qvec"),
+          round(col("scale"), 6).as("scale"))
         .orderBy(col("vec_id"))),
 
     // ---- end-to-end corpus prep -----------------------------------------
@@ -328,17 +336,19 @@ object ExtQueries {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
         |SELECT vec_id,
-        |  CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
-        |       ELSE list_transform(v, x -> round(x / nrm, 6)) END AS nvec
+        |  array_to_string(list_transform(v, x -> CAST(round(
+        |    (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 1000000) AS BIGINT)), '|')
+        |    AS nvec
         |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v)
         |SELECT vec_id,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
-        |       ELSE list_transform(v, x -> CAST(round(x * 127.0 / scale) AS TINYINT))
-        |  END AS qvec,
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |         ELSE list_transform(v, x -> CAST(round(x * 127.0 / scale) AS TINYINT))
+        |    END, '|') AS qvec,
         |  round(scale, 6) AS scale
         |FROM s ORDER BY vec_id""".stripMargin,
 

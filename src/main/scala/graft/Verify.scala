@@ -16,9 +16,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // comparator-safety gate: the driver's pandas compare sorts every
+        // column; a top-level array/map column crashes it (unhashable
+        // ndarray). Fail THIS query with a self-explaining message instead.
+        val bad = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType => true
+          case _ => false
+        })
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"top-level array/map column(s) ${bad.map(_.name).mkString(", ")} — " +
+            "canonicalize to a joined string (CoreQueries oracle-parity rules)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

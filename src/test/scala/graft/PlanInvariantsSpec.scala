@@ -51,6 +51,25 @@ class PlanInvariantsSpec extends SparkSuite {
       "aggregation must be two-phase so the shuffle carries partials, not rows")
   }
 
+  test("catalog: no query exports a top-level array/map column") {
+    // the driver's pandas comparator sorts every column and crashes on
+    // unhashable ndarray values — the two r3 `err` rows. Every catalog
+    // query must canonicalize list outputs to joined strings (the
+    // CoreQueries parity rule), enforced here and in Verify.main.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf0001).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"array/map-typed catalog outputs (canonicalize to joined strings):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("q_flagship: small dimension side is broadcast") {
     val p = plan("q_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
