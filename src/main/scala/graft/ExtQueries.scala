@@ -85,6 +85,20 @@ object ExtQueries {
         threshold = 0.5, dfCap = None)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the GUARD path of ngramJaccardPairs under driver oracle check: a
+    // boilerplate footer is planted on every doc so its shingles exceed the
+    // cap in every block at every driver SF (the operator DEFAULT cap of
+    // 1000 cannot trigger below ~sf0.2; cap = 10 drives the same
+    // `case Some(cap)` branch). Capping is deterministic — postings of
+    // over-df shingles are dropped before pair expansion — so the capped
+    // result is oracle-checkable too, not just the uncapped ground truth
+    "q_dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).withColumn("text", concat(col("text"),
+          lit(" standard footer disclaimer boilerplate notice applies"))),
+        blockCol = col("lang"), threshold = 0.5, dfCap = Some(10))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash+LSH candidates (sketch — rows-only; recall vs exact ground
     // truth asserted in DedupSpec)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -140,6 +154,27 @@ object ExtQueries {
         nlist = 16, nprobe = 4)
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // sketch-recall audits: exact-vs-approx overlap per query, computed
+    // in-engine on the SAME configs as the q_sim_ann_lsh / q_sim_ivf
+    // catalog entries — a broken sketch collapses `recall` here even when
+    // the sketch query itself still returns rows (rows-only; the recall
+    // floor is asserted in SimilaritySpec)
+    "q_sim_lsh_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(embs, qs, k = 5),
+        Similarity.lshTopK(embs, qs, k = 5, dims = 64, planes = 6))
+    }),
+
+    "q_sim_ivf_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(embs, qs, k = 5),
+        Similarity.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4))
     }),
 
     // deterministic stratified sampling (xxhash64-keyed — rows-only check;
@@ -466,6 +501,35 @@ object ExtQueries {
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
          |      >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors the operator's capped inverted index: df per (block, shingle),
+    // drop shingles over the cap, count intersections over SURVIVING
+    // shingles only, union = len_a + len_b − inter with len still the FULL
+    // distinct-shingle count (capping shrinks the numerator only)
+    "q_dedup_ngram_capped" ->
+      s"""WITH aug AS (SELECT doc_id, lang,
+         |    text || ' standard footer disclaimer boilerplate notice applies' AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM aug)),
+         |d AS (SELECT doc_id, lang, sh, CAST(len(sh) AS BIGINT) AS len FROM sh),
+         |post AS (SELECT lang, unnest(sh) AS s, doc_id, len FROM d),
+         |kept AS (
+         |  SELECT p.lang, p.s, p.doc_id, p.len FROM post p
+         |  JOIN (SELECT lang, s FROM post GROUP BY lang, s HAVING count(*) <= 10) ok
+         |    ON p.lang = ok.lang AND p.s = ok.s),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.len AS len_a,
+         |    b.len AS len_b, count(*) AS inter
+         |  FROM kept a JOIN kept b
+         |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (len_a + len_b - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / (len_a + len_b - inter), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embedding" ->

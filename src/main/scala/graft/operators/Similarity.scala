@@ -175,6 +175,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Recall audit: per-query overlap of an approximate top-k result with
+    * the exact top-k on the same (corpus, queries, k) — the in-engine
+    * health number for a sketch. If someone breaks LSH bucketing or IVF
+    * cell assignment, `recall` collapses while the sketch query itself may
+    * still "run fine"; auditing inside Spark keeps the check cheap (both
+    * inputs are top-k outputs, |queries|·k rows — the joins never touch
+    * the corpus again).
+    *
+    * Output: (query_id, n_exact, n_hit, recall), ordered by query_id. */
+  def recallAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val nExact = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val nHit = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nExact.join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("query_id"))
+  }
+
   /** `nprobe` nearest centroid ids (ascending score, ties → lower id) for an
     * ARRAY<DOUBLE> vector column. */
   def nearestCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {

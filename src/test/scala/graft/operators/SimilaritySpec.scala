@@ -81,6 +81,35 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf1.groupBy(_._1).values.forall(_.size <= 5))
   }
 
+  test("recallAudit: exact self-audit is 1.0, LSH audit beats the random floor") {
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+
+    // self-consistency: auditing the exact result against itself is 100%
+    val self = Similarity.recallAudit(exact, exact)
+      .select($"query_id", $"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.length == 8, "one audit row per query")
+    assert(self.forall { case (_, ne, nh, r) => ne == 5 && nh == 5 && r == 1.0 })
+
+    // audit numerator matches the set-overlap computed locally
+    val ann = Similarity.lshTopK(embs, queries, k = 5, dims = 64, planes = 2)
+    val audit = Similarity.recallAudit(exact, ann)
+      .select($"query_id", $"n_hit").as[(Long, Long)].collect().toMap
+    val exactSet = exact.select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val annSet = ann.select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val localHits = (exactSet & annSet).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(audit.keySet.forall(q =>
+      audit(q) == localHits.getOrElse(q, 0).toLong), s"audit $audit vs $localHits")
+
+    // the recall floor the sketch must hold (same bound as the LSH spec:
+    // far above the 5/500 = 1% random-sampling baseline)
+    val avgRecall = audit.values.sum.toDouble / (8 * 5)
+    assert(avgRecall > 0.15, s"avg LSH recall $avgRecall under the floor")
+  }
+
   test("LSH signature kernel: matches naive projection, compact plan at dims=1024") {
     // kernel vs naive per-component math — same bits, any width
     val dims = 1024; val planes = 16; val seed = 7L
