@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Measured scaling curve for the guarded dedup family (SCALE.md §
+  * "Measured scaling"): runs minhash / simhash / n-gram dedup at
+  * sf0.001 → sf0.01 → sf0.1 (10× corpus per step) and fails if wall time
+  * grows quadratically. The plan-shape invariants (PlanInvariantsSpec)
+  * prove the guards exist; this proves them by behavior — an accidental
+  * all-pairs regression shows up as a ~100× step, far above the bound.
+  *
+  * Usage: `sbt "runMain graft.ScaleSmoke"`. Prints one line per (op, sf)
+  * plus the 0.01→0.1 growth ratio per op; exits 1 when a ratio exceeds
+  * the coarse sub-quadratic bound.
+  *
+  * Bound: 10× rows quadratic ⇒ ~100× time; linearithmic ⇒ ~10–15×. The
+  * gate is 50× on the big step (sf0.01 → sf0.1) — loose enough for the
+  * observed 2–3× machine variance (min-of-N per Bench), tight enough
+  * that a quadratic blowup cannot pass. The small step (sf0.001 → 0.01)
+  * is reported but not gated: sub-second runs are fixed-overhead
+  * dominated and say nothing about asymptotics.
+  */
+object ScaleSmoke {
+
+  private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // catalog configs; ngram runs the DEFAULT dfCap — this is the guard
+    // path the smoke exists to measure
+    "minhash" -> ((d: DataFrame) =>
+      Dedup.minhashPairs(d, bands = 32, rowsPerBand = 2, threshold = 0.5)),
+    "simhash" -> ((d: DataFrame) =>
+      Dedup.simhashPairs(d, maxHamming = 6, chunks = 8)),
+    "ngram" -> ((d: DataFrame) =>
+      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)))
+
+  def main(args: Array[String]): Unit = {
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(op: DataFrame => DataFrame, dir: String): Double =
+      (0 until math.max(1, iters)).map { _ =>
+        // the minhash/simhash persist() is pinned by the CacheManager —
+        // clear between runs so no run reads another's cached signatures
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        op(Tables.documents(spark, s"/root/testdata/$dir")).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // warm-up at the smallest SF so timed runs hit the codegen cache
+    ops.foreach { case (_, op) =>
+      spark.catalog.clearCache()
+      op(Tables.documents(spark, "/root/testdata/sf0.001")).count()
+    }
+
+    var violations = 0
+    val lines = ops.map { case (name, op) =>
+      val ts = sfs.map(sf => sf -> time(op, sf))
+      val bysf = ts.toMap
+      val smallStep = bysf("sf0.01") / bysf("sf0.001")
+      val bigStep = bysf("sf0.1") / bysf("sf0.01")
+      val ok = bigStep < 50.0
+      if (!ok) violations += 1
+      val cells = ts.map { case (sf, t) => f"$sf=$t%.2fs" }.mkString(" ")
+      f"$name%-8s $cells  x(0.001→0.01)=$smallStep%.1f x(0.01→0.1)=$bigStep%.1f " +
+        (if (ok) "OK" else "QUADRATIC?")
+    }
+    lines.foreach(println)
+    spark.stop()
+    if (violations > 0) {
+      System.err.println(s"[scale-smoke] $violations op(s) exceeded the bound")
+      sys.exit(1)
+    }
+  }
+}

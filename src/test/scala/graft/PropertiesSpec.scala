@@ -179,6 +179,68 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("sessionize: streaming session_window == batch sessions for any events") {
+    // the parity the end-boundary alignment (Sessionize.stream's
+    // max(ts)-as-session_end) exists to guarantee. Minute-granular
+    // timestamps against a 10-minute gap deliberately generate exact-gap
+    // boundaries: session_window merges at start == end (verified
+    // empirically), matching the batch strict-> split rule, and ties on
+    // (key, ts) exercise the ord-independence of the summary.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    val eventsGen: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        m <- Gen.chooseNum(0, 90) // minute offset; exact 10-min gaps common
+      } yield (k, m.toLong))
+    } yield rows
+    var iter = 0
+    check(Prop.forAll(eventsGen) { rows =>
+      iter += 1
+      val data = rows.zipWithIndex.map { case ((k, m), i) =>
+        (k, new java.sql.Timestamp(base + m * 60000L), i.toLong)
+      }
+      val batch = graft.operators.Sessionize.sessions(
+        data.toDF("user", "ts", "ord"), "user", "ts", "ord",
+        gap = lit(10L * 60L * 1000000L))
+        .select($"user", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events")
+        .as[(String, String, String, Long)].collect().toSet
+
+      val in = MemoryStream[(String, java.sql.Timestamp)]
+      val name = s"sess_parity_$iter"
+      val q = graft.operators.Sessionize.stream(
+        in.toDF().toDF("user", "ts"), "user", "ts",
+        gap = "10 minutes", watermarkDelay = "1 minute")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt-$name").toString)
+        .start()
+      val streamed =
+        try {
+          in.addData(data.map { case (k, t, _) => (k, t) })
+          q.processAllAvailable()
+          // sentinel far in the future pushes the watermark past every real
+          // session's close so append mode finalizes them all
+          in.addData(("zz", new java.sql.Timestamp(base + 86400000L)))
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .filter(_.getString(0) != "zz")
+            .map(r => (r.getString(0), r.getTimestamp(1).toString,
+              r.getTimestamp(2).toString, r.getLong(3))).toSet
+        } finally q.stop()
+      // timestamp cast("string") renders "yyyy-MM-dd HH:mm:ss";
+      // Timestamp.toString renders "...HH:mm:ss.0" — strip the subsecond
+      val canon = streamed.map { case (k, s, e, n) =>
+        (k, s.stripSuffix(".0"), e.stripSuffix(".0"), n) }
+      canon == batch
+    }, n = 8)
+  }
+
   test("geohash neighbors share an edge with the origin cell") {
     check(Prop.forAll(Gen.chooseNum(-80.0, 80.0), Gen.chooseNum(-170.0, 170.0)) {
       (lat: Double, lng: Double) =>
