@@ -113,6 +113,20 @@ object ExtQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, chunks = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // dedup-sketch recall audit: fraction of the exact (per-lang, uncapped)
+    // n-gram Jaccard pairs that MinHash+LSH banding surfaces. minhash
+    // verifies candidates with the same exact Jaccard over the same shingle
+    // hashes, so misses are purely banding misses — at bands=32 r=2 the
+    // J ≥ 0.5 detection probability is ~0.9999, making recall a stable 1.0
+    // that collapses if signatures/banding break (rows-only; one row)
+    "q_dedup_minhash_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.pairRecallAudit(
+        Dedup.ngramJaccardPairs(docs, blockCol = col("lang"),
+          threshold = 0.5, dfCap = None),
+        Dedup.minhashPairs(docs, bands = 32, rowsPerBand = 2, threshold = 0.5))
+    }),
+
     // end-to-end corpus dedup (exact + near-dup survivors; sketch-based →
     // rows-only, semantics locked in DedupSpec)
     "q_dedup_corpus" -> ((s, dir) =>

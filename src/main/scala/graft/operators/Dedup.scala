@@ -243,6 +243,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Recall audit for a sketched pair-mining operator: what fraction of the
+    * exact ground-truth pairs did the sketch surface? One row
+    * (n_exact, n_hit, recall) — the in-engine health number for a dedup
+    * sketch (same pattern as `Similarity.recallAudit`): a broken banding or
+    * signature collapses `recall` while the sketch query itself still
+    * returns rows. Both inputs are pair sets ((id_a, id_b) with id_a <
+    * id_b), tiny relative to the corpus, so the audit joins never rescan
+    * documents. */
+  def pairRecallAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b"))
+    val a = approx.select(col("id_a"), col("id_b"))
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(e.join(a, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall",
+        when(col("n_exact") === 0L, lit(1.0d))
+          .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 4)))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (label / IVF
     * cell): the per-block quadratic verify that backs ANN dedup.
     *

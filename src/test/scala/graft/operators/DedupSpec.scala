@@ -102,6 +102,33 @@ class DedupSpec extends SparkSuite {
     assert(survivors.contains(3L), "unrelated doc kept")
   }
 
+  test("pairRecallAudit: self-audit is 1.0; minhash holds the recall floor on the fixture") {
+    // self-audit: exact vs itself
+    val exact = Dedup.ngramJaccardPairs(corpus, blockCol = $"block",
+      threshold = 0.5, dfCap = None)
+    val self = Dedup.pairRecallAudit(exact, exact)
+      .select($"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Double)].head()
+    assert(self._1 > 0 && self._1 == self._2 && self._3 == 1.0, s"self-audit $self")
+
+    // empty exact side: recall defined as 1.0 (nothing to find), not null
+    val empty = Dedup.pairRecallAudit(exact.filter(lit(false)), exact)
+      .select($"recall").as[Double].head()
+    assert(empty == 1.0)
+
+    // the real audit on the fixture corpus: the banding miss probability at
+    // J >= 0.5 with bands=32 r=2 is ~1e-4, so recall must stay at the floor
+    val audit = Dedup.pairRecallAudit(
+      Dedup.ngramJaccardPairs(graft.Tables.documents(spark, sf0001),
+        blockCol = $"lang", threshold = 0.5, dfCap = None),
+      Dedup.minhashPairs(graft.Tables.documents(spark, sf0001),
+        bands = 32, rowsPerBand = 2, threshold = 0.5))
+      .select($"n_exact", $"n_hit", $"recall")
+      .as[(Long, Long, Double)].head()
+    assert(audit._1 > 0, "fixture must contain qualifying pairs")
+    assert(audit._3 >= 0.9, s"minhash recall under the floor: $audit")
+  }
+
   test("ngram dfCap: planted boilerplate shingle is pruned, honest pairs survive") {
     // every doc shares one boilerplate sentence; two docs are real near-dups
     val boiler = "click here to subscribe to our newsletter today "
