@@ -70,6 +70,35 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // within-doc repetition score (degenerate-text quality signal)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_ngrams"), col("n_distinct_ngrams"),
+          col("repetition"))
+        .orderBy(col("doc_id"))),
+
+    // benchmark-contamination: docs with doc_id < 20 play the eval set, so
+    // they flag themselves (contamination 1.0) plus any true leaks — the
+    // decontamination sweep a training pipeline runs before every job
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 20), k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML → plain text over a synthesized markup wrapper (the fixture
+    // corpus is clean); &amp;amp; proves the decode-&amp;-last ordering
+    "q_html_strip" -> ((s, dir) =>
+      TextPrep.stripHtml(
+        Tables.documents(s, dir).withColumn("text", concat(
+          lit("<html><head><script>var x = 1 &lt; 2;</script>" +
+            "<style>p{color:red}</style></head><body><!-- note -->" +
+            "<p class=\"main\">"),
+          col("text"),
+          lit("</p>&nbsp;&amp;amp; <b>tail</b></body></html>"))))
+        .select(col("doc_id"), col("text_plain"))
+        .orderBy(col("doc_id"))),
+
     // ---- dedup ----------------------------------------------------------
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -333,7 +362,54 @@ object ExtQueries {
        |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0))
        |  )), 4)""".stripMargin
 
+  /** HTML strip + entity decode mirrored in DuckDB, built from the SAME
+    * pattern lists the Spark operator uses (`(?s)` rides inline — both
+    * regex dialects accept it; DuckDB needs the 'g' flag for replace-all). */
+  private val htmlCleanSql: String = {
+    val stripped = TextPrep.HtmlStripPatterns.foldLeft("text") { (acc, pat) =>
+      s"regexp_replace($acc, '${pat.replace("'", "''")}', ' ', 'g')"
+    }
+    val decoded = TextPrep.HtmlEntities.foldLeft(stripped) { case (acc, (e, r)) =>
+      s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_repetition" ->
+      s"""SELECT doc_id, CAST(len(sh) AS INT) AS n_ngrams,
+         |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct_ngrams,
+         |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) /
+         |        greatest(CAST(len(sh) AS DOUBLE), 1.0), 6) AS repetition
+         |FROM (SELECT doc_id, $shinglesSql AS sh
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS s
+         |  FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 20)),
+         |d AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |post AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |hits AS (SELECT doc_id, count(*) AS n_contaminated
+         |         FROM post JOIN bench USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.sh) AS INT) AS n_shingles,
+         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) /
+         |        greatest(CAST(len(d.sh) AS DOUBLE), 1.0), 6) AS contamination
+         |FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_html_strip" ->
+      s"""SELECT doc_id, $htmlCleanSql AS text_plain
+         |FROM (SELECT doc_id,
+         |    '<html><head><script>var x = 1 &lt; 2;</script>' ||
+         |    '<style>p{color:red}</style></head><body><!-- note -->' ||
+         |    '<p class="main">' || text ||
+         |    '</p>&nbsp;&amp;amp; <b>tail</b></body></html>' AS text
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -119,6 +119,49 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Benchmark-contamination check (decontamination): per document, how
+    * many of its distinct k-gram hashes appear anywhere in `benchmark` —
+    * the standard eval-set leak detector run before training.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the corpus
+    * (eval sets are thousands of docs), so it is distinct-collapsed and
+    * BROADCAST; the corpus side is a narrow explode → broadcast semi-join →
+    * count — one aggregation keyed by doc id, the corpus text never
+    * shuffles. Output: (id, n_shingles, n_contaminated, contamination). */
+  def contamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    val benchSh = benchmark.select(explode(array_distinct(
+      shingleHashes(tokens(col(benchTextCol)), k))).as("s")).distinct()
+    val d = docs.select(col(idCol),
+      array_distinct(shingleHashes(tokens(col(textCol)), k)).as("sh"))
+      .withColumn("n_shingles", size(col("sh")))
+    val hits = d.select(col(idCol), explode(col("sh")).as("s"))
+      .join(broadcast(benchSh), Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    d.select(col(idCol), col("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") /
+          greatest(col("n_shingles").cast("double"), lit(1.0d)), 6))
+  }
+
+  /** Within-document repetition score: `1 − distinct k-grams / total
+    * k-grams` — the cheap degenerate-text signal (boilerplate loops,
+    * keyword stuffing, decoding failures) every pre-training quality gate
+    * carries. Narrow, one pass, no shuffle. */
+  def repetition(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val sh = col("__sh")
+    docs.withColumn("__sh", shingleHashes(tokens(col(textCol)), k))
+      .withColumn("n_ngrams", size(sh))
+      .withColumn("n_distinct_ngrams", size(array_distinct(sh)))
+      .withColumn("repetition",
+        round(lit(1.0d) - col("n_distinct_ngrams").cast("double") /
+          greatest(col("n_ngrams").cast("double"), lit(1.0d)), 6))
+      .drop("__sh")
+  }
+
   /** Document fingerprints: full-text hash + min-shingle (winnowing-style)
     * rolling fingerprint — identical for exact dups, stable under small
     * whitespace changes (full) / any single-shingle change (min). */

@@ -80,6 +80,38 @@ object TextPrep {
       budget, idCol, textCol)
   }
 
+  /** HTML-strip patterns, in strip order; engine-portable (Java regex ∩
+    * RE2, `(?s)` inline where a block spans lines). Script/style go first —
+    * the generic tag strip would remove their tags but leave their code as
+    * "text"; comments before generic tags for the same reason. */
+  val HtmlStripPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]+>")
+
+  /** Entity decodes, in order — `&amp;` LAST so double-encoded entities
+    * (`&amp;lt;`) decode one level per pass, not two. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML/boilerplate markup → plain text: drop script/style/comment
+    * blocks, strip tags, decode the common entities, collapse whitespace.
+    * The web-corpus ingestion step before any quality/dedup stage. Output
+    * column: `text_plain`. Narrow regexp/replace chain, no shuffle; the
+    * pattern lists are shared with the DuckDB oracle by construction
+    * (same contract as [[PiiPatterns]]). */
+  def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stripped = HtmlStripPatterns.foldLeft(col(textCol)) { (c, pat) =>
+      regexp_replace(c, pat, " ")
+    }
+    val decoded = HtmlEntities.foldLeft(stripped) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    docs.withColumn("text_plain", trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** PII patterns, in redaction order. Kept engine-portable (work unchanged
     * in Java regex and RE2): email, IPv4, US-style dashed/spaced phone. */
   val PiiPatterns: Seq[(String, String)] = Seq(

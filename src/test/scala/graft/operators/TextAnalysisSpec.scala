@@ -69,6 +69,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(scored.length == scored.map(r => (r._1, r._2)).distinct.length)
   }
 
+  test("contamination: leaked doc flagged fully, partial overlap counted, clean doc zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // full leak
+      (2L, "alpha beta gamma zeta eta theta iota"),    // shares 1 of 5 3-grams
+      (3L, "totally unrelated words only here now")    // clean
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(docs, bench, k = 3)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3, 3L, 1.0)), s"full leak: ${got(1L)}")
+    assert(got(2L) == ((2L, 5, 1L, 0.2)), s"partial: ${got(2L)}")
+    assert(got(3L) == ((3L, 4, 0L, 0.0)), s"clean: ${got(3L)}")
+  }
+
+  test("repetition: looped text near 1, unique text 0, short doc defined") {
+    val docs = Seq(
+      (1L, ("spam ham " * 20).trim),                  // 2-token loop
+      (2L, "every single word appears exactly once"),
+      (3L, "hi")                                      // < k tokens → 1 shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, k = 3)
+      .select($"doc_id", $"n_ngrams", $"n_distinct_ngrams", $"repetition")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    // 40 tokens → 38 3-grams but only 2 distinct ("spam ham spam"/"ham spam ham")
+    assert(got(1L)._2 == 38 && got(1L)._3 == 2 && got(1L)._4 > 0.9, s"${got(1L)}")
+    assert(got(2L)._4 == 0.0, s"unique text must score 0: ${got(2L)}")
+    assert(got(3L) == ((3L, 1, 1, 0.0)), s"short doc: ${got(3L)}")
+  }
+
   test("fingerprint: deterministic, exact-dup-stable, change-sensitive") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f h"))
       .toDF("doc_id", "text")

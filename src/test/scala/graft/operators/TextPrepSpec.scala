@@ -76,6 +76,20 @@ class TextPrepSpec extends SparkSuite {
     assert(a.map(_._2).distinct.length == 8, "docs spread over all shards")
   }
 
+  test("stripHtml: blocks dropped, tags stripped, entities decoded once, ws collapsed") {
+    val docs = Seq(
+      (1L, "<html><head><script>var x = 1 &lt; 2;</script><style>p{c}</style>" +
+        "</head><body><!-- c --><p class=\"m\">Hello   <b>world</b></p>" +
+        "&nbsp;&amp;amp; A &lt; B &#39;q&#39;</body></html>"),
+      (2L, "plain text, no markup at all")).toDF("doc_id", "text")
+    val got = TextPrep.stripHtml(docs)
+      .select($"doc_id", $"text_plain").as[(Long, String)].collect().toMap
+    // script/style/comment content gone; &amp;amp; decodes ONE level to
+    // "&amp;" (never double-decoded to "&"); whitespace collapsed
+    assert(got(1L) == "Hello world &amp; A < B 'q'", s"got '${got(1L)}'")
+    assert(got(2L) == "plain text, no markup at all")
+  }
+
   test("redactPii: plants are found, counted, and replaced") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@corp.example.org from 192.168.0.17 or 555-123-4567"),
