@@ -70,6 +70,26 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // corpus n-gram statistics: top-5 most frequent 3-grams per language
+    // via the k-bounded topk aggregate with a STRING tie (cnt DESC, ngram
+    // ASC byte-wise == DuckDB binary collation, so this is oracle-exact).
+    // The scale path: the heap ships ≤ k (ngram, cnt) entries per
+    // (partition, lang) — a window row_number would sort every distinct
+    // ngram of every language
+    "q_ngram_topk" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(shingles(tokens(col("text")), 3)).as("ngram"))
+        .groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(graft.functions.TopK.topKByOrdStrTie(
+          struct(col("ngram"), col("cnt")), col("cnt"), col("ngram"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("rank0", "e")))
+        .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
+          col("e.ngram").as("ngram"), col("e.cnt").as("cnt"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // within-doc repetition score (degenerate-text quality signal)
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))
@@ -376,6 +396,18 @@ object ExtQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_ngram_topk" ->
+      s"""WITH grams AS (
+         |  SELECT lang, unnest($shinglesSql) AS ngram
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents)),
+         |c AS (SELECT lang, ngram, count(*) AS cnt FROM grams GROUP BY lang, ngram)
+         |SELECT lang, rank, ngram, cnt FROM (
+         |  SELECT lang, ngram, cnt,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY cnt DESC, ngram) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q_repetition" ->
       s"""SELECT doc_id, CAST(len(sh) AS INT) AS n_ngrams,

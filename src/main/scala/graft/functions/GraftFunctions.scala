@@ -119,7 +119,11 @@ object GraftFunctions {
       "topk_by_ord" -> (exprs => TopKByOrd(exprs(0),
         Cast(exprs(1), DoubleType),
         Cast(exprs(2), org.apache.spark.sql.types.LongType),
-        intLit(exprs(3), "topk_by_ord k"))))
+        intLit(exprs(3), "topk_by_ord k"))),
+      "topk_by_ord_str" -> (exprs => TopKByOrd(exprs(0),
+        Cast(exprs(1), DoubleType),
+        Cast(exprs(2), org.apache.spark.sql.types.StringType),
+        intLit(exprs(3), "topk_by_ord_str k"))))
   }
 
   /** Register graft scalar functions on an existing session

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k as a real aggregate (SURVEY §2.10 relational extension).
   *
@@ -23,8 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * Determinism contract: "better" = higher `ord`, ties broken by LOWER
   * `tie` — exactly `ORDER BY ord DESC, tie ASC` — so results are
   * reproducible and engine-portable when (ord, tie) is unique per row
-  * (make `tie` a row id). Null `ord`/`tie`/`payload` rows are ignored,
-  * like every SQL aggregate.
+  * (make `tie` a row id). The tie may be a LONG or a STRING: string ties
+  * compare byte-wise (UTF8String.compareTo), identical to DuckDB's default
+  * binary collation, so `ORDER BY cnt DESC, term ASC` oracles mirror
+  * exactly. Null `ord`/`tie`/`payload` rows are ignored, like every SQL
+  * aggregate.
   *
   * Precision contract: `ord` is compared in DOUBLE precision (the wrapper
   * casts). Integer ords beyond 2⁵³ or decimals past 15 significant digits
@@ -35,30 +39,40 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 object TopK {
 
   /** `ARRAY<payloadType>` of the top-k payload values per group, best
-    * first. */
+    * first; LONG tie-break. */
   def topKByOrd(payload: Column, ord: Column, tie: Column, k: Int): Column =
     Bridge.column(TopKByOrd(
       Bridge.expression(payload),
       Bridge.expression(ord.cast("double")),
       Bridge.expression(tie.cast("long")), k).toAggregateExpression())
+
+  /** [[topKByOrd]] with a STRING tie-break (byte-wise ascending) — for
+    * groups keyed by terms/n-grams where the deterministic order is
+    * `ord DESC, term ASC`. */
+  def topKByOrdStrTie(payload: Column, ord: Column, tie: Column, k: Int): Column =
+    Bridge.column(TopKByOrd(
+      Bridge.expression(payload),
+      Bridge.expression(ord.cast("double")),
+      Bridge.expression(tie.cast("string")), k).toAggregateExpression())
 }
 
 /** One retained entry: goodness key + an already-copied payload value. */
-private[functions] final case class TopKEntry(ord: Double, tie: Long, payload: Any)
+private[functions] final case class TopKEntry(ord: Double, tie: Any, payload: Any)
 
 /** k-bounded buffer. `worstFirst` puts the weakest entry at the heap head
-  * so a better candidate can displace it in O(log k). */
-private[functions] final class TopKBuffer(val k: Int) {
+  * so a better candidate can displace it in O(log k). `tieCompare` is the
+  * ascending comparator for the tie type (long or UTF8String). */
+private[functions] final class TopKBuffer(val k: Int, tieCompare: (Any, Any) => Int) {
   // worse = lower ord, then larger tie
   private val worstFirst: Ordering[TopKEntry] = (a: TopKEntry, b: TopKEntry) => {
     val c = java.lang.Double.compare(b.ord, a.ord)
-    if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
+    if (c != 0) c else tieCompare(a.tie, b.tie)
   }
   val heap = new scala.collection.mutable.PriorityQueue[TopKEntry]()(worstFirst)
 
   /** Admission test on the key alone — lets the caller skip payload
     * eval/copy for the (overwhelmingly common, once warm) rejected rows. */
-  def wouldAdmit(ord: Double, tie: Long): Boolean =
+  def wouldAdmit(ord: Double, tie: Any): Boolean =
     heap.size < k ||
       worstFirst.compare(TopKEntry(ord, tie, null), heap.head) < 0
 
@@ -83,25 +97,40 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "topk_by_ord"
 
+  private def tieIsString: Boolean = tie.dataType match {
+    case StringType => true
+    case LongType => false
+    case other => throw new IllegalArgumentException(
+      s"topk_by_ord tie must be LONG or STRING, got $other")
+  }
+
+  @transient private lazy val tieCompare: (Any, Any) => Int =
+    if (tieIsString)
+      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    else
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
   @transient private lazy val payloadProj =
     UnsafeProjection.create(Array(payload.dataType))
   @transient private lazy val payloadHolder =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, tieCompare)
 
   override def update(buf: TopKBuffer, row: InternalRow): TopKBuffer = {
     val o = ord.eval(row)
     val t = tie.eval(row)
     if (o != null && t != null) {
       val od = o.asInstanceOf[Double]
-      val tl = t.asInstanceOf[Long]
       // admission-test on the key BEFORE touching the payload: once a
       // group's heap is warm almost every row is rejected, and the payload
       // eval + deep copy (UTF8String clone etc.) is the per-row hot cost
-      if (buf.wouldAdmit(od, tl)) {
+      if (buf.wouldAdmit(od, t)) {
         val p = payload.eval(row)
-        if (p != null) buf.insert(TopKEntry(od, tl, InternalRow.copyValue(p)))
+        // the tie is stored in the heap too — copy it (an UTF8String from
+        // eval may point into a reused row buffer)
+        if (p != null) buf.insert(TopKEntry(od, InternalRow.copyValue(t),
+          InternalRow.copyValue(p)))
       }
     }
     buf
@@ -122,7 +151,11 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
     out.writeInt(entries.length)
     entries.foreach { e =>
       out.writeDouble(e.ord)
-      out.writeLong(e.tie)
+      if (tieIsString) {
+        val tb = e.tie.asInstanceOf[UTF8String].getBytes
+        out.writeInt(tb.length)
+        out.write(tb)
+      } else out.writeLong(e.tie.asInstanceOf[Long])
       payloadHolder.update(0, e.payload)
       val rowBytes = payloadProj(payloadHolder).getBytes
       out.writeInt(rowBytes.length)
@@ -133,13 +166,19 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, tieCompare)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0
     while (i < n) {
       val o = in.getDouble
-      val t = in.getLong
+      val t: Any =
+        if (tieIsString) {
+          val len = in.getInt
+          val tb = new Array[Byte](len)
+          in.get(tb)
+          UTF8String.fromBytes(tb)
+        } else in.getLong
       val len = in.getInt
       val rowBytes = new Array[Byte](len)
       in.get(rowBytes)

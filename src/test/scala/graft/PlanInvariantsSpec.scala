@@ -70,6 +70,28 @@ class PlanInvariantsSpec extends SparkSuite {
         offenders.mkString("\n"))
   }
 
+  test("contamination: benchmark side is broadcast; corpus text never shuffles") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val df = graft.operators.TextAnalysis.contamination(
+      docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "eval-set shingle side must broadcast — a shuffle join here re-shuffles " +
+        s"the exploded corpus at scale:\n${p.take(2000)}")
+  }
+
+  test("narrow text ops: stripHtml and repetition plan no exchange") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    Seq(
+      "stripHtml" -> graft.operators.TextPrep.stripHtml(docs),
+      "repetition" -> graft.operators.TextAnalysis.repetition(docs)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must stay a narrow per-row transform:\n${p.take(2000)}")
+    }
+  }
+
   test("q_flagship: small dimension side is broadcast") {
     val p = plan("q_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),

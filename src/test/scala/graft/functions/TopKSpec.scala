@@ -54,6 +54,35 @@ class TopKSpec extends SparkSuite {
     assert(got == (("g", Seq(2L, 3L))))
   }
 
+  test("string tie: byte-wise ascending, survives serialize/merge, matches window") {
+    import org.apache.spark.sql.expressions.Window
+    // many equal-ord rows force the string tie to decide everything;
+    // repartition forces the serialize → shuffle → merge path
+    val df = (0 until 3000).map { i =>
+      (i % 3, f"term${i % 40}%03d", (i % 5).toDouble) // heavy ord ties
+    }.toDF("grp", "term", "score")
+      .groupBy($"grp", $"term").agg(sum($"score").as("s"))
+      .repartition(8)
+    val agg = df.groupBy($"grp")
+      .agg(TopK.topKByOrdStrTie($"term", $"s", $"term", 7).as("top"))
+      .as[(Int, Seq[String])].collect().toMap
+    val win = df.withColumn("rn", row_number().over(
+      Window.partitionBy($"grp").orderBy($"s".desc, $"term")))
+      .filter($"rn" <= 7).orderBy($"rn")
+      .select($"grp", $"term").as[(Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(agg.keySet == win.keySet)
+    agg.keySet.foreach(g => assert(agg(g) == win(g), s"group $g: ${agg(g)} vs ${win(g)}"))
+
+    // SQL surface
+    df.createOrReplaceTempView("topk_str_in")
+    graft.functions.GraftFunctions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT grp, topk_by_ord_str(term, s, term, 7) AS top FROM topk_str_in GROUP BY grp")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(sqlGot == agg)
+  }
+
   test("string payloads survive the serialize/merge path") {
     // 200 groups × 50 rows across partitions forces partial buffers to
     // serialize, shuffle, and merge
