@@ -70,6 +70,15 @@ class PlanInvariantsSpec extends SparkSuite {
         offenders.mkString("\n"))
   }
 
+  test("q_ngram_topk: topk aggregate runs partial+final (heap merges map-side)") {
+    val p = plan("q_ngram_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "TypedImperativeAggregate must plan two-phase so the shuffle carries " +
+        s"k-bounded heaps, not rows:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "the aggregate formulation must not fall back to a window sort")
+  }
+
   test("contamination: benchmark side is broadcast; corpus text never shuffles") {
     val docs = graft.Tables.documents(spark, sf0001)
     val df = graft.operators.TextAnalysis.contamination(
