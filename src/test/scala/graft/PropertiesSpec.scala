@@ -179,6 +179,50 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("as-of join == local reference for any data incl. null keys/times and instant ties") {
+    // guards the null-key/null-time window-grouping hazard (right-side rows
+    // must be filtered, never carried) and the highest-ord instant-tie rule
+    import graft.operators.AsOf
+    val keyGen = Gen.oneOf[Option[Long]](None, Some(1L), Some(2L))
+    val timeGen: Gen[Option[Long]] =
+      Gen.oneOf(None +: (0L to 6L).map(t => Some(t): Option[Long]))
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 10)
+      nr <- Gen.chooseNum(0, 12)
+      lrows <- Gen.listOfN(nl, Gen.zip(keyGen, timeGen))
+      rrows <- Gen.listOfN(nr, Gen.zip(keyGen, timeGen, Gen.chooseNum(0, 99)))
+    } yield (
+      lrows.zipWithIndex.map { case ((k: Option[Long], t: Option[Long]), i) =>
+        (k, t, i.toLong) },
+      rrows.zipWithIndex.map {
+        case ((k: Option[Long], t: Option[Long], v: Int), i) =>
+          (k, t, v.toLong, i.toLong) })
+    check(Prop.forAll(caseGen) { case (lrows, rrows) =>
+      val left = lrows.toDF("lk", "lt", "lv")
+      val right = rrows.toDF("rk", "rt", "rv", "ord")
+      def reference(l: (Option[Long], Option[Long], Long)): Option[Long] =
+        (l._1, l._2) match {
+          case (Some(k), Some(t)) =>
+            val cands = rrows.filter(r =>
+              r._1.contains(k) && r._2.exists(_ <= t))
+            if (cands.isEmpty) None
+            else Some(cands.maxBy(r => (r._2.get, r._4))._3)
+          case _ => None // null key/time never matches (SQL equi-join rule)
+        }
+      val expectedInner = lrows.flatMap(l =>
+        reference(l).map(rv => (l._3, Some(rv)))).toSet
+      val expectedOuter = lrows.map(l => (l._3, reference(l))).toSet
+      val gotInner = AsOf.join(left, right, col("lk"), col("rk"),
+        col("lt"), col("rt"), Seq("rv"), col("ord"), inner = true)
+        .select($"lv", $"rv").as[(Long, Option[Long])].collect()
+        .map { case (lv, rv) => (lv, rv) }.toSet
+      val gotOuter = AsOf.join(left, right, col("lk"), col("rk"),
+        col("lt"), col("rt"), Seq("rv"), col("ord"), inner = false)
+        .select($"lv", $"rv").as[(Long, Option[Long])].collect().toSet
+      gotInner == expectedInner && gotOuter == expectedOuter
+    }, n = 15)
+  }
+
   test("sessionize: streaming session_window == batch sessions for any events") {
     // the parity the end-boundary alignment (Sessionize.stream's
     // max(ts)-as-session_end) exists to guarantee. Minute-granular
