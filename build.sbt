@@ -16,6 +16,11 @@ run / fork := true
 // the bench driver parses the JSON metric line from stdout, and sbt's
 // default LoggedOutput strategy prefixes every line.
 run / outputStrategy := Some(StdoutOutput)
+// The driver only keeps the LAST 2000 bytes of stdout; sbt's trailing
+// "[success] Total time: …" line would evict the head of the metric
+// line from that window.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,11 +38,16 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line inside the driver's 2000-byte
+    // stdout tail window (full-precision doubles overflowed it at 70
+    // queries — BENCH_r04 "parsed": null). BenchMetricSpec guards the
+    // length budget as the catalog grows.
+    def sec3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Two channels: bare stdout (build.sbt routes forked-run output through
     // StdoutOutput, so no sbt log prefix) AND a file next to the build, in
     // case the caller only captures decorated logs.

@@ -33,7 +33,11 @@ class StreamingPrepSpec extends SparkSuite {
         "on running through the quiet green field today</p>"),
       (2L, "<script>junk();</script><b>a solid and reasonably long plain " +
         "sentence with enough words for the gate to like it</b>"),
-      (3L, "!!!! ???? 1234 5678 $$$$")) // quality-gated out
+      // quality-gated out: avg token length 15 > 12 (lenScore 0), no
+      // stopwords, saturated punct+digit penalties → quality 0. The
+      // previous fixture ("!!!! ???? 1234 5678 $$$$") scored exactly 0.3
+      // — the lenScore term alone — and sat ON the gate boundary.
+      (3L, "$$$$$$$$$$$$$$$ 111111111111111 ???????????????"))
 
     val in = MemoryStream[(Long, String)]
     val q = prep(in.toDF().toDF("doc_id", "text"))
