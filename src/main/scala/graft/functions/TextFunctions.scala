@@ -43,12 +43,16 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
 
-  /** Word n-gram shingles (strings), e.g. k=3 → "a b c" windows. */
+  /** Word n-gram shingles (strings), e.g. k=3 → "a b c" windows.
+    *
+    * Kernel expression, not an HOF chain: the previous
+    * `transform(sequence(…), i -> concat_ws(" ", slice(toks, …)))` form
+    * re-evaluated the captured `toks` expression (typically a regex
+    * `split` of the whole document) once per window — O(n²) regex work
+    * per doc, measured 6.8× slower on the corpus n-gram query at sf0.1.
+    * The kernel reads the token array once and stays in codegen. */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    Bridge.column(ShingleStrings(Bridge.expression(toks), k))
 
   /** 64-bit hash per array element (each string hashed exactly once). */
   def hashed(arr: Column): Column = transform(arr, s => xxhash64(s))
@@ -140,6 +144,34 @@ object TextFunctions {
     new GenericArrayData(out)
   }
 
+  private val ShingleSep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** k-window string join over tokens: out[i] = toks[i..i+k-1] joined by a
+    * space; fewer than k tokens → one shingle covering them all (identical
+    * semantics to the retired `when(size < k, …)` HOF form). */
+  def shingleStringKernel(toks: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = toks.numElements()
+    if (n < k) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(j); j += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(ShingleSep, parts: _*)))
+    } else {
+      val m = n - k + 1
+      val out = new Array[Any](m)
+      val parts = new Array[UTF8String](k)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(ShingleSep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Two-pointer intersection count over sorted distinct long arrays. */
   def sortedIntersectKernel(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -190,6 +222,25 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
       s"graft.functions.TextFunctions.minhashKernel($c, $numHashes, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `shingle_strings(tokens, k)` → ARRAY<STRING> of space-joined k-windows. */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.shingleStringKernel(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFunctions.shingleStringKernel($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
 }
 
