@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingPrep, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Dedup, EmbeddingPrep, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -189,6 +189,23 @@ object ExtQueries {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
         threshold = 0.35, maxBlock = None)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // transitive near-dup clusters: distributed connected components
+    // (large-star/small-star) over the exact embedding near-dup pair set;
+    // oracle = DuckDB recursive CTE computing min reachable id per node
+    "q_cc_components" -> ((s, dir) =>
+      Graph.connectedComponents(
+        Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
+          threshold = 0.35, maxBlock = None))
+        .orderBy(col("id"))),
+
+    // corpus dedup with exactly-one-survivor-per-transitive-cluster
+    // semantics (CC over minhash pairs — sketch-seeded → rows-only;
+    // selection semantics locked in DedupSpec/GraphSpec)
+    "q_dedup_corpus_cc" -> ((s, dir) =>
+      Dedup.dedupCorpusCC(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
 
     // ---- similarity search ---------------------------------------------
 
@@ -653,6 +670,24 @@ object ExtQueries {
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / (len_a + len_b - inter), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cc_components" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |        >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

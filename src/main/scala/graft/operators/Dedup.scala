@@ -77,6 +77,30 @@ object Dedup {
     exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus dedup with EXACT transitive-cluster semantics: connected
+    * components over the near-dup pair graph, one survivor (the min id)
+    * per cluster. [[dedupCorpus]]'s one-pass pairwise selection keeps
+    * every *local* minimum — a doc smaller than all its direct neighbors
+    * survives even when a smaller doc sits elsewhere in the same
+    * transitive cluster; CC collapses each cluster to exactly one
+    * survivor (so `dedupCorpusCC` ⊆ `dedupCorpus` always). Costs
+    * O(log² n) extra rounds over the PAIR set (see
+    * [[Graph.connectedComponents]]); pairs are tiny relative to the
+    * corpus, so the rounds never rescan documents. */
+  def dedupCorpusCC(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val exactSurvivors = docs.join(
+      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashPairs(exactSurvivors, idCol, textCol,
+      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+    val losers = Graph.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with exact
     * Jaccard over distinct shingle-hash sets.
     *

@@ -54,8 +54,10 @@ object Graph {
       .distinct()
       .localCheckpoint()
 
+    // (count, xor-fold of row hashes): an order-independent set signature
+    // that can't overflow under ANSI arithmetic (a sum of longs can)
     def signature(d: DataFrame): Row =
-      d.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      d.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
 
     var sig = signature(e)
     var converged = false

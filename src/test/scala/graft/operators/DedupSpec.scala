@@ -102,6 +102,25 @@ class DedupSpec extends SparkSuite {
     assert(survivors.contains(3L), "unrelated doc kept")
   }
 
+  test("dedupCorpusCC: one survivor per transitive cluster; subset of one-pass") {
+    // Hub topology: doc 3 is near-dup of BOTH 1 and 2, but 1 and 2 are
+    // not near-dups of each other (two single-word edits in different
+    // positions — 6 shingles apart, J ≈ 0.73 < 0.8; each is 3 shingles
+    // from the hub, J ≈ 0.85 ≥ 0.8). One-pass keeps every local minimum
+    // {1, 2}; CC collapses the transitive cluster {1, 2, 3} to {1}.
+    val words = (0 until 40).map(i => s"tok$i")
+    val hub = words.mkString(" ")
+    val editA = words.updated(5, "edita").mkString(" ")
+    val editB = words.updated(30, "editb").mkString(" ")
+    val docs = Seq((1L, editA), (2L, editB), (3L, hub), (9L, unrelated))
+      .toDF("doc_id", "text")
+    val onePass = Dedup.dedupCorpus(docs).select($"doc_id").as[Long].collect().toSet
+    val viaCC = Dedup.dedupCorpusCC(docs).select($"doc_id").as[Long].collect().toSet
+    assert(onePass == Set(1L, 2L, 9L), s"one-pass keeps local minima: $onePass")
+    assert(viaCC == Set(1L, 9L), s"CC keeps one per cluster: $viaCC")
+    assert(viaCC.subsetOf(onePass))
+  }
+
   test("pairRecallAudit: self-audit is 1.0; minhash holds the recall floor on the fixture") {
     // self-audit: exact vs itself
     val exact = Dedup.ngramJaccardPairs(corpus, blockCol = $"block",

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Connected components (large-star/small-star): fixed topologies with
+  * known answers, robustness to duplicate/reversed/self-loop edges, a
+  * long-path graph (the diameter case plain min-propagation would need
+  * O(n) rounds for), and a ScalaCheck property against a local
+  * union-find reference on random graphs.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Local union-find reference. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("chain, star, cycle, and disjoint components resolve to min ids") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(cc(Seq((5L, 9L), (5L, 7L), (5L, 6L))) ==
+      Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 5L))
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicate, reversed, and self-loop edges don't change the result") {
+    val base = cc(Seq((1L, 2L), (2L, 3L)))
+    assert(cc(Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L), (1L, 1L), (3L, 3L))) == base)
+  }
+
+  test("self-loops only → every node is its own singleton component") {
+    assert(cc(Seq((4L, 4L), (9L, 9L))) == Map(4L -> 4L, 9L -> 9L))
+  }
+
+  test("200-node path converges (log-round bound, not diameter-bound)") {
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("random graphs match a local union-find reference") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val real = edges.filter(e => e._1 != e._2)
+      if (real.isEmpty) true
+      else {
+        // union-find reference only tracks nodes touched by real edges;
+        // self-loop-only nodes are singletons in both (checked above)
+        val expected = ufComponents(real)
+        val got = cc(real)
+        got == expected
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
