@@ -17,6 +17,16 @@ object ExtQueries {
 
   /** Tokens once, as SQL (DuckDB regexp needs the 'g' flag on replace). */
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  /** Shared by q_mix_sample's Spark and oracle sides (PII-pattern rule:
+    * one definition, two renderings). es is deliberately absent → dropped. */
+  private val mixRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "zh" -> 0.1)
+
+  /** Shared by q_mix_shares: integer weights (exact normalizing sum — no
+    * float-sum order sensitivity between engines). */
+  private val mixWeights: Map[String, Int] =
+    Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
   private val stopSql = TextAnalysis.stopwords("en").mkString("['", "', '", "']")
 
   /** Word-3-gram shingles in DuckDB, mirroring TextFunctions.shingles. */
@@ -120,6 +130,12 @@ object ExtQueries {
         .orderBy(col("doc_id"))),
 
     // ---- dedup ----------------------------------------------------------
+
+    // span-level duplicated-substring coverage (Lee et al. 2021): token
+    // positions covered by a corpus-repeated 3-gram, interval-union per doc
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupCoverage(Tables.documents(s, dir), k = 3, minCount = 2)
+        .orderBy(col("doc_id"))),
 
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), keyCol = "text", idCol = "doc_id")
@@ -266,6 +282,32 @@ object ExtQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("lang"))),
+
+    // md5-keyed weighted sample: membership is hash-checked by the oracle —
+    // substr(md5(id),1,8) is engine-portable, unlike the xxhash64 samplers
+    "q_mix_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir), col("lang"), mixRates, col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // mixing to target shares: per-group keep-rates derived engine-side
+    // from one count aggregate (bottleneck group kept whole), then the md5
+    // sample — the oracle recomputes rates AND membership independently
+    "q_mix_shares" -> ((s, dir) =>
+      graft.operators.Sampling.mixToShares(
+        Tables.documents(s, dir), col("lang"), mixWeights, col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // exact global ntile(10) by (quality, doc_id) without a global sort —
+    // oracle is DuckDB's native ntile, a genuinely different formulation
+    "q_quality_strata" -> ((s, dir) =>
+      graft.operators.Sampling.scoreStrata(
+        TextAnalysis.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality")),
+        col("quality"), col("doc_id"), k = 10)
+        .orderBy(col("doc_id"))),
 
     // ---- document prep (chunk / pack / redact) --------------------------
 
@@ -434,6 +476,70 @@ object ExtQueries {
          |FROM (SELECT doc_id, $shinglesSql AS sh
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // same thresholds as the Spark side, rendered from the SAME map; "g"
+    // is the keep-all sentinel (above every 8-char hex string)
+    "q_mix_sample" -> {
+      val thrValues = mixRates.toSeq.sorted.map { case (g, r) =>
+        s"('$g', '${graft.operators.Sampling.hexThreshold(r)}')"
+      }.mkString(", ")
+      s"""WITH thr(g, t) AS (VALUES $thrValues)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.g
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // independently re-derives the keep-rates (same IEEE double steps on
+    // exact integer inputs) and the md5 membership
+    "q_mix_shares" -> {
+      val wValues = mixWeights.toSeq.sorted.map { case (g, x) =>
+        s"('$g', $x)"
+      }.mkString(", ")
+      val totalW = mixWeights.values.map(_.toLong).sum
+      s"""WITH w(g, wt) AS (VALUES $wValues),
+         |c AS (SELECT lang AS g, count(*) AS n FROM documents
+         |      JOIN w ON lang = w.g GROUP BY lang),
+         |j AS (SELECT c.g, c.n,
+         |        CAST(wt AS DOUBLE) / CAST($totalW AS DOUBLE) AS share
+         |      FROM c JOIN w USING (g)),
+         |s AS (SELECT min(CAST(n AS DOUBLE) / share) AS sc FROM j),
+         |thr AS (SELECT g, CAST(round(least(1.0, sc * share / CAST(n AS DOUBLE))
+         |          * 4294967296.0) AS BIGINT) AS t FROM j, s)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.g
+         |WHERE t >= 4294967296 OR
+         |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < printf('%08x', t)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_quality_strata" ->
+      s"""SELECT doc_id, quality,
+         |  CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS stratum
+         |FROM (SELECT doc_id, $qualitySql AS quality
+         |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.dupCoverage: positions of corpus-duplicated 3-grams,
+    // covered-token union computed by exploding the (clamped) k indices of
+    // every hit — set-equivalent to the Spark side's lead-window interval
+    // union, deliberately a DIFFERENT formulation so the oracle is
+    // independent evidence, not a translation
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |        $shinglesSql AS gs FROM t),
+         |p0 AS (SELECT doc_id, n_tokens, gs,
+         |         CAST(unnest(range(0, len(gs))) AS INT) AS pos FROM d),
+         |pos AS (SELECT doc_id, n_tokens, pos, gs[pos + 1] AS s FROM p0),
+         |dup AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2),
+         |hit AS (SELECT doc_id, n_tokens, pos FROM pos JOIN dup USING (s)),
+         |cov AS (SELECT doc_id, count(DISTINCT idx) AS n_dup FROM (
+         |          SELECT doc_id, unnest(range(pos, least(pos + 3, n_tokens))) AS idx
+         |          FROM hit) GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+         |  round(CAST(coalesce(c.n_dup, 0) AS DOUBLE) /
+         |        greatest(CAST(d.n_tokens AS DOUBLE), 1.0), 6) AS dup_ratio
+         |FROM d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH bench AS (

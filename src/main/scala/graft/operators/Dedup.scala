@@ -267,6 +267,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicated-substring coverage (the span-level dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): for each document, how many token positions are
+    * covered by a `k`-token n-gram that occurs at least `minCount` times in
+    * the whole corpus (including repeats inside one document). Unlike
+    * document-level dedup this catches boilerplate *inside* otherwise-unique
+    * documents — the license header pasted into every file, the navigation
+    * chrome around every page.
+    *
+    * Plan shape (the 100 TB story):
+    *  1. one pass emits `(doc, pos, xxhash64(k-gram))` postings — narrow
+    *     rows, the text never leaves the scan;
+    *  2. a count aggregate (map-side partial) finds hashes with
+    *     `count >= minCount`; corpus positions are semi-joined against that
+    *     set, so only *duplicated* positions survive;
+    *  3. covered-token count per doc is an interval-union done with one
+    *     `lead` window over the surviving positions — each position covers
+    *     `[pos, pos+k)` clamped to the doc, and overlap with the next
+    *     position is subtracted — NOT by exploding the k indices of every
+    *     hit (a ×k row blowup precisely on the boilerplate-heavy data the
+    *     operator exists to find). The window partitions by doc over
+    *     *duplicated positions only*, tiny relative to the posting set.
+    *
+    * Documents shorter than `k` tokens contribute one whole-doc shingle
+    * (the [[graft.functions.TextFunctions.shingleHashes]] contract), so a
+    * short doc pasted twice still counts as fully covered. Grouping is on
+    * the 64-bit n-gram hash — same birthday-bound trade as [[exact]].
+    *
+    * Output: `(doc_id, n_tokens, n_dup_tokens, dup_ratio)`, one row per doc.
+    */
+  def dupCoverage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        shingleHashes(col("toks"), k).as("sh"))
+    val pos = toks.select(col(idCol), col("n_tokens"),
+      posexplode(col("sh")).as(Seq("pos", "s")))
+    val dup = pos.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minCount)
+      .select(col("s"))
+    val hits = pos.join(dup, Seq("s"), "left_semi")
+    // interval union per doc: end_i = min(pos_i + k, n_tokens); the next
+    // duplicated position (same doc) truncates the contribution.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = hits
+      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+      .withColumn("span_end", least(col("pos") + lit(k), col("n_tokens")))
+      .withColumn("contrib",
+        least(col("span_end"), coalesce(col("next_pos"), col("span_end"))) - col("pos"))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("n_dup_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("dup_ratio"))
+  }
+
   /** Recall audit for a sketched pair-mining operator: what fraction of the
     * exact ground-truth pairs did the sketch surface? One row
     * (n_exact, n_hit, recall) — the in-engine health number for a dedup

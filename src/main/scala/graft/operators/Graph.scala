@@ -84,7 +84,9 @@ object Graph {
           col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        // lazy: the signature action right below materializes the
+        // checkpoint — eager would run a separate job per round first
+        .localCheckpoint(eager = false)
 
       val nextSig = signature(small)
       converged = nextSig == sig && small.except(e).isEmpty

@@ -42,6 +42,128 @@ object Sampling {
       pmod(xxhash64(keyCol, lit(seed)), lit(1000000L)) < threshold)
   }
 
+  /** First 8 hex chars of `md5(key rendered as string)` — a deterministic
+    * uniform in [0, 2³²) that evaluates BYTE-IDENTICALLY in any engine with
+    * a standard md5 (Spark, DuckDB, Trino, Postgres…): padded fixed-width
+    * lowercase hex, so lexicographic comparison == numeric comparison.
+    * [[hashSample]]'s xxhash64 is cheaper per row (no hex round-trip) but
+    * engine-specific; this variant is the cross-engine-auditable one — an
+    * external system can re-derive exactly which rows a sample contains. */
+  def hexUniform(keyCol: Column): Column =
+    substring(md5(keyCol.cast("string")), 1, 8)
+
+  /** Render a keep-rate as the [[hexUniform]] threshold string: keep a row
+    * iff `hexUniform(key) < threshold`. rate ≥ 1.0 returns "g", which is
+    * lexicographically above every 8-char hex string (hex digits end at
+    * 'f'), i.e. keep-all — avoiding the 9-char "100000000" whose string
+    * compare would invert. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = math.round(rate * 4294967296.0d)
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** Per-group deterministic Bernoulli sample with engine-portable
+    * membership: keep a row iff `hexUniform(idCol) < hexThreshold(rate)` for
+    * its group's rate. Same contract as [[stratifiedSample]] (groups absent
+    * from `rates` are dropped) but auditable from ANY engine — the oracle
+    * can hash-check exact membership, not just row counts. Narrow map-side
+    * filter; the only cost over xxhash64 is the md5. */
+  def weightedSample(df: DataFrame, groupCol: Column, rates: Map[String, Double],
+      idCol: Column): DataFrame = {
+    val thresholds = rates.map { case (g, r) => g -> hexThreshold(r) }
+    val thr = element_at(typedLit(thresholds), groupCol)
+    df.filter(thr.isNotNull && hexUniform(idCol) < thr)
+  }
+
+  /** Data mixing to a target group composition: given integer `weights`
+    * (e.g. web=3, code=2, books=1), compute per-group keep-rates that yield
+    * the LARGEST expected sample distributed proportionally to the weights,
+    * then take the [[weightedSample]]-style md5 sample at those rates.
+    *
+    * The bottleneck group (smallest `n_g / share_g`) is kept whole
+    * (rate 1.0); every other group is downsampled to match its share. Rates
+    * are derived ENGINE-SIDE from one count aggregate — no caller-supplied
+    * magic numbers — and every arithmetic step is a deterministic IEEE
+    * double op on exact integer inputs (counts and integer weights; the
+    * normalizing sum is integer, so no float-sum reassociation), which is
+    * what keeps membership engine-portable. Groups absent from `weights`
+    * are dropped.
+    *
+    * Scale: one partial-agg count over the data + a broadcast join of the
+    * tiny per-group threshold relation back onto the scan; the filter stays
+    * map-side.
+    */
+  def mixToShares(df: DataFrame, groupCol: Column, weights: Map[String, Int],
+      idCol: Column): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    val totalW = weights.values.map(_.toLong).sum
+    val w = typedLit(weights.map { case (g, x) => g -> x.toLong })
+    val counts = df.select(groupCol.as("g"))
+      .filter(element_at(w, col("g")).isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("share", element_at(w, col("g")).cast("double") / lit(totalW.toDouble))
+    // scale = min_g n_g / share_g → the largest total that keeps every
+    // group's demand ≤ its population; rate_g = scale·share_g / n_g ≤ 1
+    val scale = counts.agg(min(col("n").cast("double") / col("share")).as("sc"))
+    val thr = counts.crossJoin(scale)
+      .withColumn("t", round(least(lit(1.0d),
+        col("sc") * col("share") / col("n").cast("double")) * lit(4294967296.0d))
+        .cast("long"))
+      .select(col("g"), col("t"))
+    df.join(broadcast(thr), groupCol === col("g"))
+      .filter(col("t") >= lit(4294967296L) ||
+        hexUniform(idCol) < format_string("%08x", col("t")))
+      .drop("g", "t")
+  }
+
+  /** Exact global `ntile(k)` over `(scoreCol, tieCol)` WITHOUT a global
+    * sort: quality-decile stratification for curriculum/mixing decisions.
+    *
+    * A bare `ntile().over(Window.orderBy(...))` funnels every row through
+    * ONE task (Spark warns "No Partition Defined"); this operator gets the
+    * identical assignment from two distributed pieces plus one tiny one:
+    *  1. per-score histogram (`groupBy(score).count` — map-side partial);
+    *  2. cumulative offsets over the *histogram* — a single-task window,
+    *     but over |distinct scores| aggregated rows (for a 4-decimal
+    *     quality score that is ≤ 10⁴ rows at ANY corpus size), broadcast
+    *     back;
+    *  3. `row_number` within each score partition (distributed window);
+    *     global rank = offset + intra-score row number, and the SQL-standard
+    *     ntile bucket is a closed form of (rank, n, k) in exact integer
+    *     arithmetic.
+    *
+    * Output: input columns + `stratum` (1..k), bit-identical to
+    * `ntile(k) OVER (ORDER BY score, tie)` in any SQL engine.
+    */
+  def scoreStrata(df: DataFrame, scoreCol: Column, tieCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.exists(Set("__s", "__c", "__off", "__rn", "__rank", "__n")),
+      "input uses a reserved __ column name")
+    val hist = df.groupBy(scoreCol.as("__s")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+    val total = offsets.agg(sum(col("__c")).as("__n"))
+    val wIn = Window.partitionBy(scoreCol).orderBy(tieCol)
+    df.withColumn("__rn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets.select(col("__s"), col("__off"))), scoreCol === col("__s"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__off") + col("__rn"))
+      // ntile: first (n % k) buckets hold (n div k + 1) rows, the rest
+      // (n div k); q=0 (n<k) is covered entirely by the WHEN branch
+      .withColumn("stratum", expr(
+        s"""CAST(CASE WHEN __rank <= ((__n div $k) + 1) * (__n % $k)
+           |  THEN (__rank + (__n div $k)) div ((__n div $k) + 1)
+           |  ELSE (__n % $k) +
+           |    (__rank - ((__n div $k) + 1) * (__n % $k) + (__n div $k) - 1)
+           |      div (__n div $k)
+           |END AS INT)""".stripMargin))
+      .drop("__s", "__off", "__rn", "__rank", "__n")
+  }
+
   /** Deterministic per-key "reservoir": the k rows with the smallest
     * content hash per key — a uniform-ish fixed-size sample per group that
     * is stable across runs and mergeable (the k smallest of a union is

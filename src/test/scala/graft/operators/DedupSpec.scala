@@ -178,4 +178,41 @@ class DedupSpec extends SparkSuite {
     val n = Dedup.minhashPairs(many, bands = 4, rowsPerBand = 2, maxBucket = 50).count()
     assert(n == 0)
   }
+
+  test("dupCoverage: hand-computed span union, clamping, and short docs") {
+    // k=3 over known token layouts:
+    //  doc 0: "a b c d e f"      — trigram "a b c" repeated in doc 1
+    //  doc 1: "a b c x y z"      — shares only that one trigram
+    //  doc 2: "p q r s t u"      — fully unique → coverage 0
+    //  doc 3/4: "w w"            — short-doc whole-text shingle, duplicated
+    //  doc 5: "m m m m m"        — self-repetition: "m m m" at pos 0,1,2
+    val d = Seq(
+      (0L, "a b c d e f"), (1L, "a b c x y z"), (2L, "p q r s t u"),
+      (3L, "w w"), (4L, "w w"), (5L, "m m m m m")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupCoverage(d, k = 3)
+      .select($"doc_id", $"n_tokens", $"n_dup_tokens", $"dup_ratio")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((6, 3L, 0.5)), "one dup trigram covers tokens 0-2")
+    assert(got(1L) == ((6, 3L, 0.5)))
+    assert(got(2L) == ((6, 0L, 0.0)), "unique doc untouched")
+    assert(got(3L) == ((2, 2L, 1.0)), "short-doc shingle dup → fully covered")
+    assert(got(4L) == ((2, 2L, 1.0)))
+    // "m m m m m": positions 0,1,2 of the SAME trigram (count 3 ≥ 2);
+    // interval union [0,3)∪[1,4)∪[2,5) = all 5 tokens
+    assert(got(5L) == ((5, 5L, 1.0)), "within-doc repetition fully covered")
+  }
+
+  test("dupCoverage: overlap truncation and gap both counted correctly") {
+    // doc 0 repeats "a b c" at pos 0 and pos 4 (gap at token 3): union is
+    // [0,3)∪[4,7) = 6 of 7 tokens; doc 1 supplies the second occurrence
+    val d = Seq(
+      (0L, "a b c z a b c"), (1L, "a b c tail one two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupCoverage(d, k = 3)
+      .select($"doc_id", $"n_dup_tokens").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 6L, "two disjoint spans with a gap")
+    assert(got(1L) == 3L)
+  }
 }

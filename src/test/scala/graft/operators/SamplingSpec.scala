@@ -34,6 +34,71 @@ class SamplingSpec extends SparkSuite {
     assert(frRate > 0.3 && frRate < 0.7, s"fr rate=$frRate (expect ~0.5)")
   }
 
+  test("hexThreshold: boundary renderings") {
+    assert(Sampling.hexThreshold(1.0) == "g", "keep-all sentinel above hex")
+    assert(Sampling.hexThreshold(0.0) == "00000000", "rate 0 keeps nothing")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    // every 8-char lowercase hex string sorts below the sentinel
+    assert("ffffffff" < "g" && "00000000" < "g")
+  }
+
+  test("weightedSample: md5 membership is deterministic, rated, and nested") {
+    val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
+    val s1 = Sampling.weightedSample(docs, col("lang"), rates, col("doc_id"))
+    val ids = s1.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Sampling.weightedSample(docs, col("lang"), rates, col("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet)
+    val counts = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts("de") == full("de"), "rate 1.0 (sentinel path) keeps all")
+    assert(!counts.contains("fr"), "rate 0.0 keeps none")
+    assert(!counts.contains("es"), "unlisted group dropped")
+    val enRate = counts("en").toDouble / full("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate=$enRate (expect ~0.5)")
+    // nested by rate: md5 membership is threshold-monotone
+    val smaller = Sampling.weightedSample(docs, col("lang"),
+      Map("en" -> 0.2), col("doc_id")).select($"doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(ids))
+  }
+
+  test("mixToShares: bottleneck group kept whole, others near target shares") {
+    val weights = Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val mixed = Sampling.mixToShares(docs, col("lang"), weights, col("doc_id"))
+    val counts = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("fr"), "unweighted group dropped")
+    // bottleneck = argmin n_g/share_g; its rate is exactly 1.0
+    val totalW = weights.values.sum.toDouble
+    val bottleneck = weights.keys.minBy(g => full(g) / (weights(g) / totalW))
+    assert(counts(bottleneck) == full(bottleneck), "bottleneck group kept whole")
+    // achieved composition tracks the target shares (Bernoulli noise-tolerant)
+    val kept = counts.values.sum.toDouble
+    weights.foreach { case (g, wt) =>
+      val achieved = counts.getOrElse(g, 0L) / kept
+      val target = wt / totalW
+      assert(math.abs(achieved - target) < 0.10,
+        s"$g achieved=$achieved target=$target")
+    }
+    // deterministic
+    assert(mixed.select($"doc_id").as[Long].collect().toSet ==
+      Sampling.mixToShares(docs, col("lang"), weights, col("doc_id"))
+        .select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("scoreStrata: identical to a window ntile on (score, tie)") {
+    val scored = graft.operators.TextAnalysis.qualityScore(docs)
+      .select($"doc_id", $"quality")
+    for (k <- Seq(1, 7, 10, 600)) { // 600 > n exercises the n<k branch
+      val strata = Sampling.scoreStrata(scored, col("quality"), col("doc_id"), k)
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      val expected = scored.withColumn("stratum",
+        ntile(k).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"quality", $"doc_id")))
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      assert(strata == expected, s"k=$k")
+    }
+  }
+
   test("bottomKPerKey: exactly k per key (or all when group smaller), stable") {
     val s1 = Sampling.bottomKPerKey(docs, col("lang"), col("doc_id"), k = 10)
     val sizes = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap
