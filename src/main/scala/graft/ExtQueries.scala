@@ -29,6 +29,23 @@ object ExtQueries {
     Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
   private val stopSql = TextAnalysis.stopwords("en").mkString("['", "', '", "']")
 
+  /** One SQL, two queries: q_contamination (exact broadcast path) and
+    * q_contamination_bloom (bloom-prefiltered, output-identical). */
+  private lazy val contaminationSql =
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS s
+       |  FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 20)),
+       |d AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |post AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |hits AS (SELECT doc_id, count(*) AS n_contaminated
+       |         FROM post JOIN bench USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.sh) AS INT) AS n_shingles,
+       |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) /
+       |        greatest(CAST(len(d.sh) AS DOUBLE), 1.0), 6) AS contamination
+       |FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Word-3-gram shingles in DuckDB, mirroring TextFunctions.shingles. */
   private val shinglesSql =
     """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -100,6 +117,22 @@ object ExtQueries {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // frequent items via the Misra-Gries sketch aggregate — run here in its
+    // EXACT regime (distinct sources per lang ≤ m), where the sketch
+    // contract says counts are exact and err = 0, so the oracle can
+    // hash-check it; sketch-regime bounds are property-tested in
+    // HeavyHittersSpec. Map side ships ≤ m entries per group regardless of
+    // the distinct count — the vocabulary never crosses the exchange.
+    "q_heavy_hitters" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.heavyHitters(col("source"), m = 64).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("rank0", "e")))
+        .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
+          col("e.item").as("source"), col("e.est").as("est"),
+          col("e.err").as("err"))
+        .orderBy(col("lang"), col("rank"))),
+
     // within-doc repetition score (degenerate-text quality signal)
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))
@@ -113,6 +146,17 @@ object ExtQueries {
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 20), k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-prefiltered decontamination: OUTPUT-IDENTICAL to
+    // q_contamination (the bloom only gates entry to the exact verify), so
+    // the oracle is the same exact SQL — a hash-checked proof that the
+    // sketch path loses nothing
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationBloom(
+        docs, docs.filter(col("doc_id") < 20), k = 3, fpp = 0.03)
         .orderBy(col("doc_id"))
     }),
 
@@ -468,6 +512,16 @@ object ExtQueries {
          |  FROM c) t
          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
+    // exact-regime MG == plain counts, err 0, (est DESC, item ASC) order
+    "q_heavy_hitters" ->
+      s"""SELECT lang,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |                          ORDER BY est DESC, source) AS INT) AS rank,
+         |  source, est, CAST(0 AS BIGINT) AS err
+         |FROM (SELECT lang, source, count(*) AS est
+         |      FROM documents GROUP BY lang, source) t
+         |ORDER BY lang, rank""".stripMargin,
+
     "q_repetition" ->
       s"""SELECT doc_id, CAST(len(sh) AS INT) AS n_ngrams,
          |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct_ngrams,
@@ -541,20 +595,11 @@ object ExtQueries {
          |        greatest(CAST(d.n_tokens AS DOUBLE), 1.0), 6) AS dup_ratio
          |FROM d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q_contamination" ->
-      s"""WITH bench AS (
-         |  SELECT DISTINCT unnest(list_distinct($shinglesSql)) AS s
-         |  FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id < 20)),
-         |d AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
-         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |post AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |hits AS (SELECT doc_id, count(*) AS n_contaminated
-         |         FROM post JOIN bench USING (s) GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(len(d.sh) AS INT) AS n_shingles,
-         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-         |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) /
-         |        greatest(CAST(len(d.sh) AS DOUBLE), 1.0), 6) AS contamination
-         |FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_contamination" -> contaminationSql,
+
+    // the bloom variant is output-identical by construction (exact verify
+    // after the prefilter) — same oracle
+    "q_contamination_bloom" -> contaminationSql,
 
     "q_html_strip" ->
       s"""SELECT doc_id, $htmlCleanSql AS text_plain

@@ -297,3 +297,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** `bloom.mightContainLong(hash)` with the filter as expression state —
+  * the hand-placed runtime-filter probe. The sketch serializes ONCE with
+  * the plan (`ctx.addReferenceObj`), and the probe is a direct virtual call
+  * inside whole-stage codegen; a Scala UDF would box every hash and close
+  * over the filter per-row. `org.apache.spark.util.sketch.BloomFilter` is
+  * `Serializable`, so task-shipping works exactly like the IVF centroid /
+  * LSH plane reference objects in `Similarity`. */
+case class BloomContainsLong(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_contains_long"
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
+    copy(child = newChild)
+}

@@ -170,4 +170,54 @@ object TextAnalysis {
     docs.withColumn("fp_full", xxhash64(col(textCol)))
       .withColumn("fp_min_shingle", array_min(sh))
   }
+
+  /** [[contamination]] with a Bloom-filter prefilter on the benchmark
+    * membership test — IDENTICAL output (false positives are removed by the
+    * exact semi-join that follows; the bloom only decides which corpus
+    * postings enter it), cheaper transport at scale.
+    *
+    * Why it exists: [[contamination]] broadcasts the benchmark's distinct
+    * shingle hashes as an exact hash relation. A full eval-suite union can
+    * reach 10⁸–10⁹ distinct shingles — many GB broadcast to every executor.
+    * A Bloom filter at a few % fpp is ~10 bits/item (an order of magnitude
+    * smaller), and the corpus side tests it MAP-SIDE, so only true hits
+    * plus the fpp-fraction of false positives ever reach the exact join —
+    * the runtime-filter pattern, hand-placed. The filter is built with one
+    * aggregation over the (tiny) benchmark side; its only driver-side state
+    * is the sketch itself, which then rides the plan as expression state
+    * ([[graft.functions.TextFunctions]] kernel-expression style).
+    */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+      fpp: Double = 0.03, idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val benchSh = benchmark.select(explode(array_distinct(
+      shingleHashes(tokens(col(benchTextCol)), k))).as("s")).distinct()
+    // two actions over the SMALL side only: exact count sizes the filter
+    // (an undersized bloom degrades fpp, never correctness)
+    val nBench = benchSh.count()
+    // stat.bloomFilter NPEs on zero rows (the underlying aggregate yields
+    // null); a fresh filter is the correct empty-set sketch (all-false)
+    val bloom =
+      if (nBench == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else benchSh.stat.bloomFilter("s", nBench, fpp)
+    val mightContain = Bridge.column(
+      graft.functions.BloomContainsLong(Bridge.expression(col("s")), bloom))
+    val d = docs.select(col(idCol),
+      array_distinct(shingleHashes(tokens(col(textCol)), k)).as("sh"))
+      .withColumn("n_shingles", size(col("sh")))
+    // exact verify is a SHUFFLE semi-join on purpose: the premise is that
+    // the exact set is too big to broadcast — after the bloom, the corpus
+    // side is only true hits + fpp·clean, so both join inputs are small
+    val hits = d.select(col(idCol), explode(col("sh")).as("s"))
+      .filter(mightContain) // map-side: drops ~(1-fpp) of clean postings
+      .join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    d.select(col(idCol), col("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") /
+          greatest(col("n_shingles").cast("double"), lit(1.0d)), 6))
+  }
 }

@@ -111,4 +111,23 @@ class TextAnalysisSpec extends SparkSuite {
     val fp2 = TextAnalysis.fingerprint(df).select($"fp_full").as[Long].collect().toSet
     assert(fp2 == fp.values.map(_._1).toSet)
   }
+
+  test("contaminationBloom: output-identical to exact contamination, any fpp") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val bench = docs.filter($"doc_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val exact = rows(TextAnalysis.contamination(docs, bench, k = 3))
+    // tight and sloppy filters alike: false positives die in the exact
+    // verify, so the sketch can never change the answer
+    for (fpp <- Seq(0.01, 0.3)) {
+      assert(rows(TextAnalysis.contaminationBloom(docs, bench, k = 3, fpp = fpp))
+        == exact, s"fpp=$fpp")
+    }
+    // empty benchmark: zero contamination everywhere, not a crash
+    val none = TextAnalysis.contaminationBloom(
+      docs, docs.filter($"doc_id" < 0), k = 3)
+    assert(none.filter($"n_contaminated" =!= 0L).count() == 0)
+  }
 }
