@@ -66,13 +66,19 @@ object Graph {
       // large-star: around every node u (over the bidirected view), attach
       // each strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Emitted
       // (v, m) has v > u ≥ m, preserving the big → small orientation.
+      // The explicit repartition on u is read by BOTH consumers (the min
+      // aggregate and the relabel join) with identical projections, so the
+      // half-round pays ONE narrow exchange, not two (same shared-exchange
+      // shape as minhashPairs' banding).
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val minsL = bidir.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
       val large = bidir.join(minsL, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+        .repartition(col("u")) // ditto for the small-star half-round
 
       // small-star: edges already point big → small, so Γ(u) here is the
       // smaller-side neighborhood; attach every neighbor (and u itself) to
@@ -89,6 +95,7 @@ object Graph {
         .localCheckpoint(eager = false)
 
       val nextSig = signature(small)
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round=$iter edges=${nextSig.getLong(0)} t=${System.nanoTime()/1000000}ms")
       converged = nextSig == sig && small.except(e).isEmpty
       sig = nextSig
       e = small
