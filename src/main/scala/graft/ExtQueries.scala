@@ -230,10 +230,16 @@ object ExtQueries {
     // that collapses if signatures/banding break (rows-only; one row)
     "q_dedup_minhash_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // ONE shingle pass feeds both pipelines (Dedup.shingled contract):
+      // the audit's dominant cost at scale is corpus scans, and the exact
+      // and sketch sides consume the identical shingle sets anyway
+      val sh = Dedup.shingled(docs.withColumn("block", col("lang")),
+        extraCols = Seq("block"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.pairRecallAudit(
-        Dedup.ngramJaccardPairs(docs, blockCol = col("lang"),
-          threshold = 0.5, dfCap = None),
-        Dedup.minhashPairs(docs, bands = 32, rowsPerBand = 2, threshold = 0.5))
+        Dedup.ngramJaccardPairsFromShingles(sh, threshold = 0.5, dfCap = None),
+        Dedup.minhashPairsFromShingles(sh, bands = 32, rowsPerBand = 2,
+          threshold = 0.5))
     }),
 
     // end-to-end corpus dedup (exact + near-dup survivors; sketch-based →
@@ -362,6 +368,30 @@ object ExtQueries {
     "q_pack_budget" -> ((s, dir) =>
       TextPrep.packByBudget(Tables.documents(s, dir), col("lang"), budget = 1000)
         .orderBy(col("doc_id"))),
+
+    // per-source token quota: cumulative-sum trim, oracle re-derives the
+    // same window independently
+    "q_quota_trim" -> ((s, dir) =>
+      TextPrep.quotaTrim(Tables.documents(s, dir), col("lang"), budget = 2000)
+        .orderBy(col("doc_id"))),
+
+    // deterministic corpus permutation into training shards — md5-keyed so
+    // the oracle recomputes the exact (shard, pos) of every row
+    "q_train_shards" -> ((s, dir) =>
+      TextPrep.trainingShards(Tables.documents(s, dir), shards = 8)
+        .orderBy(col("shard"), col("pos"))),
+
+    // incremental ingestion: dedup a new batch (doc_id%10>=7) against the
+    // hash index of the standing corpus (doc_id%10<7) — corpus text is
+    // never re-read, only its 8-byte key hashes
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 10 >= 7),
+        Dedup.hashIndex(docs.filter(col("doc_id") % 10 < 7)))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
 
     // synthesize deterministic PII into each doc so the redaction path is
     // exercised (the fixture corpus itself is clean)
@@ -633,6 +663,40 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_quota_trim" ->
+      s"""WITH d AS (SELECT doc_id, lang AS "group",
+         |             CAST(len($toksSql) AS INT) AS n_tokens
+         |           FROM documents),
+         |w AS (SELECT doc_id, "group", n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY "group"
+         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS cum_before
+         |      FROM d)
+         |SELECT doc_id, "group", n_tokens,
+         |       CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM w WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
+
+    "q_train_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hex
+        |           FROM documents),
+        |s AS (SELECT doc_id, hex,
+        |        CAST(CAST(concat('0x', hex) AS BIGINT) % 8 AS INT) AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
+        |       AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
+        |grp AS (SELECT text, min(doc_id) AS doc_id, count(*) AS n_dups
+        |        FROM delta GROUP BY text)
+        |SELECT doc_id, n_dups FROM grp g
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 10 < 7 AND c.text = g.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       // one score row per (doc, lang), built from the SAME stopword map the

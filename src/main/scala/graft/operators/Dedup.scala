@@ -52,6 +52,33 @@ object Dedup {
     df.groupBy(xxhash64(col(keyCol)).as("key_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Content-hash index of an already-deduplicated corpus: one `key_hash`
+    * (xxhash64) row per distinct document. This is the state an INCREMENTAL
+    * ingestion pipeline persists between batches — 8 bytes per corpus doc,
+    * ~0.8 TB of index for 10¹¹ docs — so that deduplicating a new batch
+    * ([[incrementalExact]]) never rescans corpus text, only joins this
+    * narrow relation. Same 64-bit-collision trade as [[exact]]. */
+  def hashIndex(corpus: DataFrame, keyCol: String = "text"): DataFrame =
+    corpus.select(xxhash64(col(keyCol)).as("key_hash")).distinct()
+
+  /** Incremental exact dedup: survivors of a NEW batch against an existing
+    * corpus [[hashIndex]] — the min-id first occurrence of each content key
+    * within the batch, minus keys the corpus already holds. The batch-side
+    * group-by collapses the delta BEFORE the index join, so the join input
+    * is one row per distinct new key, not per delta row.
+    *
+    * Scale: the delta aggregates on its 8-byte key hash (map-side combine);
+    * the anti-join against the index is a hash-equi join on that same
+    * narrow key — sort-merge at full index scale, broadcast when a
+    * day's-worth index partition fits. Corpus text is never read; appending
+    * the survivors' hashes back to the index is a union, closing the loop
+    * for the next batch. */
+  def incrementalExact(delta: DataFrame, index: DataFrame,
+      keyCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    delta.groupBy(xxhash64(col(keyCol)).as("key_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .join(index, Seq("key_hash"), "left_anti")
+
   /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
     * text) then near-duplicates found by MinHash+LSH, keeping each pair's
     * lower id. Pair-wise survivor selection is a single-pass approximation
@@ -107,8 +134,29 @@ object Dedup {
     * @param bands     number of LSH bands (signature length = bands * rowsPerBand)
     * @param maxBucket drop pathological buckets larger than this (skew guard)
     */
+  /** Per-doc sorted distinct shingle-hash sets — the shared first pass of
+    * every shingle-based dedup operator. Callers running SEVERAL of them
+    * over one corpus (e.g. a recall audit of minhash against the exact
+    * ground truth) should compute this once, `persist` it, and hand it to
+    * the `*FromShingles` variants: the corpus text is then scanned and
+    * shingled ONCE instead of once per operator — at 100 TB the scan is
+    * the bill. `extraCols` carries blocking keys (lang, source) along. */
+  def shingled(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3,
+      extraCols: Seq[String] = Nil): DataFrame =
+    docs.select((idCol +: extraCols).map(col) :+
+      sort_array(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh"): _*)
+
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    minhashPairsFromShingles(shingled(docs, idCol, textCol, k), idCol,
+      bands, rowsPerBand, threshold, maxBucket)
+
+  /** [[minhashPairs]] over a precomputed [[shingled]] relation (column
+    * `sh`: sorted distinct shingle hashes per `idCol`). */
+  def minhashPairsFromShingles(shingledDocs: DataFrame, idCol: String = "doc_id",
+      bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // The shingle + minhash projection is the expensive kernel (one pass
@@ -127,9 +175,7 @@ object Dedup {
     // `spark.catalog.clearCache()` between them (Spark ML's
     // handlePersistence unpersists after its action for the same reason —
     // a lazy-DataFrame API has no post-action hook to do it for you).
-    val sigd = docs.select(
-      col(idCol),
-      sort_array(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh"))
+    val sigd = shingledDocs.select(col(idCol), col("sh"))
       .withColumn("sig", minhashSig(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -232,9 +278,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: Column,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, threshold: Double = 0.5,
+      dfCap: Option[Int] = Some(1000)): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingled(docs.withColumn("block", blockCol), idCol, textCol, k,
+        extraCols = Seq("block")),
+      idCol, threshold, dfCap)
+
+  /** [[ngramJaccardPairs]] over a precomputed [[shingled]] relation with a
+    * `block` column (share the shingle pass across operators — see
+    * [[shingled]]). */
+  def ngramJaccardPairsFromShingles(shingledDocs: DataFrame,
+      idCol: String = "doc_id", threshold: Double = 0.5,
       dfCap: Option[Int] = Some(1000)): DataFrame = {
-    val d = docs.select(col(idCol), blockCol.as("block"),
-      array_distinct(shingleHashes(tokens(col(textCol)), k)).as("sh"))
+    val d = shingledDocs.select(col(idCol), col("block"), col("sh"))
       .withColumn("len", size(col("sh")))
     val postings = d.select(col("block"), explode(col("sh")).as("s"),
       struct(col(idCol).as("id"), col("len")).as("doc"))

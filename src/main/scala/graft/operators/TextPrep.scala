@@ -80,6 +80,61 @@ object TextPrep {
       budget, idCol, textCol)
   }
 
+  /** Per-group token-budget quota: keep documents in deterministic
+    * (ascending-id) order until the group's cumulative token count reaches
+    * `budget`; the document that crosses the line is KEPT (overflow bounded
+    * by one doc — the same single-window trade as [[packByBudget]], whose
+    * exact variant would need a sequential scan), everything after it is
+    * cut. This is the mixing primitive that caps one source's contribution
+    * to a training corpus ("at most 10 B tokens of source X").
+    *
+    * Output: `(id, group, n_tokens, cum_tokens)` of kept docs only.
+    *
+    * Scale: identical shape to [[packByBudget]] — one shuffle on the group
+    * key, cumulative sum inside each window partition; parallelism = number
+    * of groups, which for source/domain quotas is naturally large. */
+  def quotaTrim(docs: DataFrame, groupCol: Column, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol), groupCol.as("group"),
+      size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col("group"), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
+  /** Deterministic global shuffle into training shards: every engine with a
+    * standard md5 derives the SAME (shard, position) for a row, so a
+    * training job's data order is reproducible and auditable from outside
+    * Spark (same [[graft.operators.Sampling.hexUniform]] contract as the
+    * samplers). `shard = md5-prefix mod shards` randomizes placement;
+    * `pos = rank by (md5, id) within shard` randomizes order within a
+    * shard — together a seeded corpus permutation, the last step before
+    * writing training shards.
+    *
+    * Output: `(id, shard, pos)`.
+    *
+    * Scale: the md5 prefix is a narrow map-side projection; the only
+    * shuffle is on `shard` (narrow rows), and the rank sorts shard-local
+    * rows only — there is NO global sort. Writing then pairs with
+    * `partitionBy(shard)` so each task streams one shard in order. */
+  def trainingShards(docs: DataFrame, shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0)
+    val hex = Sampling.hexUniform(col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hex"), col(idCol))
+    docs.select(col(idCol), hex.as("hex"))
+      .withColumn("shard",
+        (conv(col("hex"), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** HTML-strip patterns, in strip order; engine-portable (Java regex ∩
     * RE2, `(?s)` inline where a block spans lines). Script/style go first —
     * the generic tag strip would remove their tags but leave their code as

@@ -215,4 +215,22 @@ class DedupSpec extends SparkSuite {
     assert(got(0L) == 6L, "two disjoint spans with a gap")
     assert(got(1L) == 3L)
   }
+
+  test("incrementalExact: corpus-known keys dropped, batch-internal dups collapsed") {
+    val standing = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "seen before"),                     // known to the corpus → dropped
+      (11L, "brand new"), (12L, "brand new"),   // batch-internal dup → one survivor
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(delta, Dedup.hashIndex(standing))
+      .select($"doc_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 2L), (13L, 1L)))
+    // closing the loop: union survivors' hashes into the index → re-running
+    // the SAME batch yields nothing (idempotent ingestion)
+    val nextIndex = Dedup.hashIndex(standing)
+      .union(Dedup.incrementalExact(delta, Dedup.hashIndex(standing))
+        .select($"key_hash")).distinct()
+    assert(Dedup.incrementalExact(delta, nextIndex).count() == 0)
+  }
 }

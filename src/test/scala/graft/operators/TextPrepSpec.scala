@@ -106,4 +106,49 @@ class TextPrepSpec extends SparkSuite {
     assert((e2, i2, p2) == ((0, 0, 0)))
     assert(t2 == "no pii here, just a version 1.2 string and the number 42")
   }
+
+  test("quotaTrim: budget cut per group, straddler kept, overflow bounded by one doc") {
+    // group g, 4-token docs, budget 10: cum_before 0, 4, 8 kept (8 < 10,
+    // doc 3 straddles and stays), cum_before 12 cut
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "b b b b"), (3L, "c c c c"), (4L, "d d d d"))
+      .toDF("doc_id", "text")
+    val got = TextPrep.quotaTrim(docs, lit("g"), budget = 10)
+      .orderBy($"doc_id").select($"doc_id", $"n_tokens", $"cum_tokens")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 4, 4L), (2L, 4, 8L), (3L, 4, 12L)))
+  }
+
+  test("quotaTrim: groups trim independently") {
+    val docs = Seq(
+      (1L, "x", "a a a"), (2L, "x", "b b b"), (3L, "y", "c c c"))
+      .toDF("doc_id", "grp", "text")
+    val got = TextPrep.quotaTrim(docs, col("grp"), budget = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    // x: doc 1 kept (0 < 4), doc 2 cut (cum_before 3... 3 < 4 → kept!)
+    // budget 4 with 3-token docs: cum_before 0, 3 → both x docs kept;
+    // y restarts → kept. Tighten: budget 3 would cut doc 2.
+    assert(got == Set(1L, 2L, 3L))
+    val tight = TextPrep.quotaTrim(docs, col("grp"), budget = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(tight == Set(1L, 3L), "doc 2's cum_before 3 is not < 3; y unaffected")
+  }
+
+  test("trainingShards: deterministic permutation, all docs, dense in-shard positions") {
+    val docs = (0L until 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val a = TextPrep.trainingShards(docs, shards = 8)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSeq
+    val b = TextPrep.trainingShards(docs, shards = 8)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSeq
+    assert(a.sortBy(_._1) == b.sortBy(_._1), "shard/pos must be deterministic")
+    assert(a.map(_._1).distinct.length == 500, "a permutation loses nothing")
+    assert(a.map(_._2).distinct.sorted == (0 until 8), "all shards populated")
+    // positions within each shard are exactly 1..n (dense rank, no holes)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.length))
+    }
+    // the permutation actually shuffles: in-shard order is not id order
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted, "md5 ordering should not equal id order")
+  }
 }
