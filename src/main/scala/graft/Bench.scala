@@ -38,24 +38,46 @@ object Bench {
       }.min
       name -> best
     }
-    // Millisecond precision keeps the line inside the driver's 2000-byte
-    // stdout tail window (full-precision doubles overflowed it at 70
-    // queries — BENCH_r04 "parsed": null). BenchMetricSpec guards the
-    // length budget as the catalog grows.
-    def sec3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (printed, full) = metricLine(results.toSeq, sfDir)
     // Two channels: bare stdout (build.sbt routes forked-run output through
-    // StdoutOutput, so no sbt log prefix) AND a file next to the build, in
-    // case the caller only captures decorated logs.
-    println(line)
+    // StdoutOutput, so no sbt log prefix) gets the tail-safe line; the file
+    // next to the build always carries the FULL per-query map, for callers
+    // that only capture decorated logs and for the compact-line case.
+    println(printed)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metric.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  // Millisecond precision keeps the line inside the driver's 2000-byte
+  // stdout tail window (full-precision doubles overflowed it at 70
+  // queries — BENCH_r04 "parsed": null). BenchMetricSpec guards the
+  // length budget as the catalog grows.
+  private[graft] def sec3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Build (stdout line, bench_metric.json line). Stdout carries the full
+    * per-query map while it fits the driver's tail window (`maxBytes`,
+    * chosen under the 2000-byte tail with headroom for a trailing log
+    * line); past that it degrades to `"value"` (still the total over ALL
+    * queries) plus the slowest 20 — the driver's parse never breaks on
+    * catalog growth, and the full map is always one file away. */
+  private[graft] def metricLine(results: Seq[(String, Double)], sfDir: String,
+      maxBytes: Int = 1900): (String, String) = {
+    val total = results.map(_._2).sum
+    def line(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(results, "")
+    val printed =
+      if (full.length <= maxBytes) full
+      else line(results.sortBy(-_._2).take(20),
+        ""","queries_shown":"slowest 20 of """ + results.size +
+          """; full map in bench_metric.json"""")
+    (printed, full)
   }
 }

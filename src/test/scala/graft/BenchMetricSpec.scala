@@ -6,28 +6,50 @@ import org.scalatest.funsuite.AnyFunSuite
   * metric JSON line out of that window. BENCH_r04 registered "parsed": null
   * because the full-precision line (1987 bytes) plus sbt's trailing
   * "[success]" line overflowed it. Bench now prints millisecond precision
-  * and build.sbt suppresses the success line; this spec pins the remaining
-  * headroom so catalog growth can't silently re-truncate the metric.
+  * and degrades to a compact slowest-20 line once the full map outgrows the
+  * window (the full map always lands in bench_metric.json); this spec pins
+  * that whatever is PRINTED fits, at any catalog size.
   */
 class BenchMetricSpec extends AnyFunSuite {
 
-  test("metric line fits the driver's 2000-byte stdout tail with headroom") {
-    // Worst-case value width at ms precision: "99.999" (6 chars) — any
-    // single catalog query past 100 s is itself a red-flag regression
-    // (the whole r4 run was 36 s).
-    val qs = SparkEntry.queries.keys.map(k => "\"" + k + "\":99.999")
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 1900,
-      s"metric line would be ${line.length} bytes; the driver tail window is " +
-        "2000 — shorten query names or split the catalog before adding more")
+  // Worst-case value width at ms precision: "99.999" (6 chars) — any
+  // single catalog query past 100 s is itself a red-flag regression
+  // (the whole r4 run was 36 s).
+  private val worstCase =
+    SparkEntry.queries.keys.toSeq.map(k => k -> 99.999)
+
+  test("printed metric line fits the driver's 2000-byte stdout tail") {
+    val (printed, full) =
+      Bench.metricLine(worstCase, "/root/testdata/sf0.1")
+    assert(printed.length <= 1900,
+      s"printed metric line is ${printed.length} bytes; the driver tail " +
+        "window is 2000 — the compact fallback should have engaged")
+    // the file line always carries every query, compact or not
+    SparkEntry.queries.keys.foreach(k => assert(full.contains("\"" + k + "\"")))
+  }
+
+  test("compact fallback keeps the all-query total and parses as JSON-ish") {
+    val many = (1 to 300).map(i => f"q_synthetic_query_name_$i%03d" -> i / 1000.0)
+    val (printed, full) = Bench.metricLine(many, "/sf")
+    assert(printed.length <= 1900 && full.length > 1900)
+    val expected = Bench.sec3(many.map(_._2).sum)
+    assert(printed.contains("\"value\":" + expected))
+    assert(printed.contains("bench_metric.json"))
+    // slowest queries (highest seconds) are the ones shown
+    assert(printed.contains("q_synthetic_query_name_300"))
+    assert(!printed.contains("q_synthetic_query_name_001\""))
+  }
+
+  test("small catalogs print the full map on stdout") {
+    val few = Seq("q_a" -> 1.0, "q_b" -> 2.5)
+    val (printed, full) = Bench.metricLine(few, "/sf")
+    assert(printed == full)
+    assert(printed.contains("\"q_b\":2.500") && printed.contains("\"value\":3.500"))
   }
 
   test("ms formatting is locale-proof and plain-notation") {
-    def sec3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    assert(sec3(0.0001234) == "0.000")
-    assert(sec3(31.7) == "31.700")
-    assert(!sec3(1e-5).contains("E") && !sec3(1e-5).contains(","))
+    assert(Bench.sec3(0.0001234) == "0.000")
+    assert(Bench.sec3(31.7) == "31.700")
+    assert(!Bench.sec3(1e-5).contains("E") && !Bench.sec3(1e-5).contains(","))
   }
 }
