@@ -27,6 +27,11 @@ object ExtQueries {
     * float-sum order sensitivity between engines). */
   private val mixWeights: Map[String, Int] =
     Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
+
+  /** Shared by q_split_assign's Spark and oracle sides (ordered: first
+    * entry claims the lowest hash range). */
+  private val splitFracs: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val stopSql = TextAnalysis.stopwords("en").mkString("['", "', '", "']")
 
   /** One SQL, two queries: q_contamination (exact broadcast path) and
@@ -359,6 +364,19 @@ object ExtQueries {
         col("quality"), col("doc_id"), k = 10)
         .orderBy(col("doc_id"))),
 
+    // n-way split assignment: membership is a pure function of doc_id via
+    // the md5 hex rule, so the oracle re-derives every row's split exactly
+    "q_split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(
+        Tables.documents(s, dir), col("doc_id"), splitFracs)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // one-scan per-language corpus report (volume / diversity / dup load)
+    "q_corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(Tables.documents(s, dir))
+        .orderBy(col("lang"))),
+
     // ---- document prep (chunk / pack / redact) --------------------------
 
     "q_text_chunks" -> ((s, dir) =>
@@ -601,6 +619,30 @@ object ExtQueries {
          |FROM (SELECT doc_id, $qualitySql AS quality
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // cumulative thresholds rendered from the SAME fractions via the same
+    // hexThreshold; the last split is the CASE's ELSE (catches the rest)
+    "q_split_assign" -> {
+      val cuts = splitFracs.map(_._2).scanLeft(0.0)(_ + _).tail.init
+        .map(graft.operators.Sampling.hexThreshold)
+      val whens = cuts.zip(splitFracs.map(_._1)).map { case (t, name) =>
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t' THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE $whens ELSE '${splitFracs.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // count_distinct over text (the Spark side hashes text to an 8-byte
+    // key first — identical modulo the documented birthday bound)
+    "q_corpus_report" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         |  round(avg(CAST(len(toks) AS DOUBLE)), 6) AS avg_tokens,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(*) - count(DISTINCT text) AS n_dup_docs
+         |FROM (SELECT lang, source, text, $toksSql AS toks FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // mirrors Dedup.dupCoverage: positions of corpus-duplicated 3-grams,
     // covered-token union computed by exploding the (clamped) k indices of

@@ -164,6 +164,36 @@ object Sampling {
       .drop("__s", "__off", "__rn", "__rank", "__n")
   }
 
+  /** Deterministic train/val/test (or any n-way) split assignment: each row
+    * gets the FIRST split whose cumulative [[hexThreshold]] exceeds its
+    * [[hexUniform]] draw. Membership is a pure function of `idCol` — adding
+    * or removing other rows never reassigns a row (the property that keeps
+    * eval sets stable as the corpus grows), and the rule is engine-portable:
+    * any system with md5 can re-derive the assignment, so the split can be
+    * audited (and oracle-checked) outside Spark. Narrow map-side projection.
+    *
+    * `fractions` is ordered (first entry claims the lowest hash range);
+    * values must be positive and sum to 1 (±1e-9). */
+  def splitAssign(df: DataFrame, idCol: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
+      s"fractions must be positive, got $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names in $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(hexThreshold) // last split needs no cut: it catches the rest
+    val u = hexUniform(idCol)
+    val names = fractions.map(_._1)
+    val split = cuts.zip(names).foldLeft(Option.empty[Column]) {
+      case (acc, (thr, name)) =>
+        Some(acc.fold(when(u < lit(thr), lit(name)))(
+          _.when(u < lit(thr), lit(name))))
+    }.fold(lit(names.last))(_.otherwise(lit(names.last)))
+    df.withColumn("split", split)
+  }
+
   /** Deterministic per-key "reservoir": the k rows with the smallest
     * content hash per key — a uniform-ish fixed-size sample per group that
     * is stable across runs and mergeable (the k smallest of a union is

@@ -220,4 +220,24 @@ object TextAnalysis {
         round(col("n_contaminated").cast("double") /
           greatest(col("n_shingles").cast("double"), lit(1.0d)), 6))
   }
+
+  /** One-scan per-language corpus report — the summary a pipeline owner
+    * checks after every ingest: volume (docs / tokens), diversity (distinct
+    * sources), and exact-dup load (docs minus distinct texts). Composes
+    * [[stats]] so the token definition is THE pipeline's definition, and
+    * all measures come out of one partial-agg pass over the corpus
+    * (`count_distinct` of an 8-byte `xxhash64(text)` rather than the text
+    * itself — the same narrow-shuffle-key move as exact dedup; the
+    * birthday-bound caveat documented at [[Dedup.exact]] applies). */
+  def corpusReport(docs: DataFrame, langCol: String = "lang",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    stats(docs, textCol)
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        (count(lit(1)) - countDistinct(xxhash64(col(textCol))))
+          .as("n_dup_docs"))
 }

@@ -99,6 +99,34 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("splitAssign: total, disjoint, near-fractional, growth-stable") {
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.splitAssign(docs, col("doc_id"), fracs)
+    val n = docs.count()
+    assert(assigned.count() == n, "every row gets exactly one split")
+    val counts = assigned.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    val trainRate = counts.getOrElse("train", 0L).toDouble / n
+    assert(trainRate > 0.7 && trainRate < 0.9, s"train rate=$trainRate")
+    // the property that makes eval sets stable: a row's split never depends
+    // on which OTHER rows are present
+    val subset = Sampling.splitAssign(
+      docs.filter($"doc_id" % 3 === 0), col("doc_id"), fracs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val fullMap = assigned.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    subset.foreach { case (id, sp) =>
+      assert(fullMap(id) == sp, s"doc $id reassigned by corpus change")
+    }
+    // degenerate single split
+    val one = Sampling.splitAssign(docs, col("doc_id"), Seq("all" -> 1.0))
+    assert(one.filter($"split" =!= "all").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("bottomKPerKey: exactly k per key (or all when group smaller), stable") {
     val s1 = Sampling.bottomKPerKey(docs, col("lang"), col("doc_id"), k = 10)
     val sizes = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap

@@ -130,4 +130,20 @@ class TextAnalysisSpec extends SparkSuite {
       docs, docs.filter($"doc_id" < 0), k = 3)
     assert(none.filter($"n_contaminated" =!= 0L).count() == 0)
   }
+
+  test("corpusReport: volume, diversity, and dup load per language") {
+    val df = Seq(
+      (1L, "one two three", "en", "a"),
+      (2L, "one two three", "en", "b"), // exact dup of 1
+      (3L, "four five", "en", "a"),
+      (4L, "eins zwei", "de", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rep = TextAnalysis.corpusReport(df)
+      .select($"lang", $"n_docs", $"total_tokens", $"avg_tokens",
+        $"n_sources", $"n_dup_docs")
+      .as[(String, Long, Long, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep("en") == (("en", 3L, 8L, 2.666667, 2L, 1L)))
+    assert(rep("de") == (("de", 1L, 2L, 2.0, 1L, 0L)))
+  }
 }
