@@ -278,6 +278,27 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // incremental NEAR-dup: delta docs vs the standing corpus's persisted
+    // signature index (batch/incremental equivalence property-tested —
+    // sketch-based → rows-only)
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 10 >= 7),
+        Dedup.signatureIndex(docs.filter(col("doc_id") % 10 < 7)),
+        bands = 32, rowsPerBand = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // semantic near-dup with LEARNED blocking (k-means multi-probe cells;
+    // kmeans-seeded → rows-only; precision/recall locked in DedupSpec)
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(Tables.embeddings(s, dir), threshold = 0.35,
+        nlist = 8, nprobe = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- similarity search ---------------------------------------------
 
     "q_sim_topk" -> ((s, dir) => {

@@ -153,6 +153,80 @@ object Dedup {
     minhashPairsFromShingles(shingled(docs, idCol, textCol, k), idCol,
       bands, rowsPerBand, threshold, maxBucket)
 
+  /** Per-band bucket keys from a minhash signature (statically unrolled —
+    * `bands` is a plan-time constant). Shared by the batch miner and the
+    * incremental path so both derive IDENTICAL buckets for the same text. */
+  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))): _*)
+
+  /** The standing-corpus staging relation for [[incrementalMinhash]]:
+    * (id, sh, sig) — sorted distinct shingle hashes + minhash signature per
+    * document. Write it once as a table (parquet/bucketed) when the corpus
+    * is ingested; daily deltas then dedup against it WITHOUT re-scanning or
+    * re-signing the corpus — at 100 TB the index is a few hundred bytes per
+    * doc vs re-reading the text. Same (k, bands, rowsPerBand) must be used
+    * on both sides; id spaces must be disjoint (caller contract, same as
+    * [[incrementalExact]]). */
+  def signatureIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    shingled(docs, idCol, textCol, k)
+      .withColumn("sig", minhashSig(col("sh"), bands * rowsPerBand))
+
+  /** Near-dup pairs of DELTA documents against a standing corpus's
+    * [[signatureIndex]] AND each other — the incremental form of
+    * [[minhashPairs]]. Output: (id_a, id_b, jaccard) where id_a is always a
+    * delta doc; delta-delta pairs appear once (id_a < id_b).
+    *
+    * Equivalence contract (property-tested): with the same parameters this
+    * finds EXACTLY the [[minhashPairs]]-over-the-full-corpus pairs that
+    * touch a delta doc — signatures, band buckets, the bucket cap, and the
+    * exact-Jaccard verify are all computed by the same deterministic
+    * kernels, so batch and incremental can never drift.
+    *
+    * Scale: the index's text is never read (only its narrow (id, band)
+    * postings and its shingle sets for verified candidates); the bucket-cap
+    * guard counts over the UNION of postings, matching the batch run. Both
+    * candidate sides read one shared (band_idx, band_hash) exchange. */
+  def incrementalMinhash(delta: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val dSig = signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def postings(sigs: DataFrame, isDelta: Boolean): DataFrame = sigs.select(
+      col(idCol),
+      posexplode(bandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+      .select(col(idCol), col("band_idx"), col("band_hash"),
+        lit(isDelta).as("is_delta"))
+    // one exchange: both candidate sides read the identical repartitioned
+    // projection (the delta-only filter sits ABOVE the exchange)
+    val all = postings(dSig, isDelta = true)
+      .union(postings(index, isDelta = false))
+      .repartition(col("band_idx"), col("band_hash"))
+    val guarded = dropOversized(all, Seq("band_idx", "band_hash"), maxBucket)
+    val l = guarded.filter(col("is_delta"))
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = guarded.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("is_delta").as("b_delta"))
+    val candidates = l.join(r, Seq("band_idx", "band_hash"))
+      // index partner: any orientation; delta partner: once, as id_a < id_b
+      .filter((!col("b_delta") && col("id_a") =!= col("id_b")) ||
+        (col("b_delta") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sh = dSig.select(col(idCol), col("sh"))
+      .union(index.select(col(idCol), col("sh")))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** [[minhashPairs]] over a precomputed [[shingled]] relation (column
     * `sh`: sorted distinct shingle hashes per `idCol`). */
   def minhashPairsFromShingles(shingledDocs: DataFrame, idCol: String = "doc_id",
@@ -185,8 +259,7 @@ object Dedup {
     // banding shuffles — the shingle arrays stay behind and are joined back
     // exactly once per verified pair, so the ×bands explode and the skew
     // window shuffle carry narrow rows (the whole point of LSH at scale).
-    val bandArray = array((0 until bands).map(b =>
-      xxhash64(lit(b), concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)
+    val bandArray = bandHashes(col("sig"), bands, rowsPerBand)
     // repartition on the bucket key: both sides of the candidate self-join
     // need exactly this partitioning, and since they read identical
     // projections the exchange is canonically shared — one narrow (id,
@@ -426,6 +499,61 @@ object Dedup {
     val r = d.select(col("block"), col(idCol).as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Semantic near-dup pairs with LEARNED blocking (the SemDeDup shape):
+    * a bounded-sample k-means coarse quantizer assigns every vector its
+    * `nprobe` nearest cells; vectors sharing ANY cell become candidates,
+    * verified with exact cosine. [[embeddingPairs]] needs a pre-existing
+    * blocking key — this learns one from the geometry, and multi-probe
+    * assignment (`nprobe` ≥ 2) recovers pairs that straddle a cell
+    * boundary, the failure mode of single-cell blocking.
+    *
+    * Every returned pair is exact-cosine-verified (precision 1 vs the
+    * all-pairs ground truth by construction); recall is the blocking dial
+    * (nlist ↓ or nprobe ↑ ⇒ recall ↑, cost ↑) — property-tested against
+    * the unblocked ground truth in DedupSpec.
+    *
+    * Scale: training touches ≤ `trainSample` vectors; assignment is one
+    * narrow map pass (NearestCells kernel, centroid matrix as expression
+    * state); the shuffle carries (cell, id) postings; `maxBlock` caps the
+    * per-cell quadratic exactly like [[embeddingPairs]]. */
+  def semanticPairs(embs: DataFrame, threshold: Double = 0.95,
+      nlist: Int = 16, nprobe: Int = 2, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 10000, maxBlock: Option[Int] = Some(10000)): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nprobe >= 1 && nlist >= 1, s"nlist=$nlist nprobe=$nprobe")
+    // vectors are read three times (cell assignment + both verify sides) —
+    // same staging persist as minhashPairsFromShingles' sigd (and the same
+    // CacheManager-lifetime caveat documented there)
+    val v = embs.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = v.orderBy(col(idCol)).limit(trainSample)
+      .select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
+    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val cells = v.select(col(idCol),
+      explode(Similarity.nearestCells(col("v"), cents, nprobe)).as("cell"))
+      .repartition(col("cell")) // one exchange, read by both candidate sides
+    val guarded = maxBlock match {
+      case Some(cap) => dropOversized(cells, Seq("cell"), cap)
+      case None => cells
+    }
+    val candidates = guarded.select(col("cell"), col(idCol).as("id_a"))
+      .join(guarded.select(col("cell"), col(idCol).as("id_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // multi-probe: a pair can share up to nprobe cells
+    candidates
+      .join(v.select(col(idCol).as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)

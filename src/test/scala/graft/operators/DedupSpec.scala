@@ -233,4 +233,47 @@ class DedupSpec extends SparkSuite {
         .select($"key_hash")).distinct()
     assert(Dedup.incrementalExact(delta, nextIndex).count() == 0)
   }
+
+  test("incrementalMinhash == batch minhashPairs restricted to delta-touching pairs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val isDelta = (id: Long) => id % 10 >= 7
+    val full = Dedup.minhashPairs(docs, bands = 32, rowsPerBand = 2,
+      threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect()
+      .filter(p => isDelta(p._1) || isDelta(p._2))
+      // normalize orientation: incremental puts the delta id first
+      .map { case (a, b, j) =>
+        (math.min(a, b), math.max(a, b), j)
+      }.toSet
+    val inc = Dedup.incrementalMinhash(
+      docs.filter($"doc_id" % 10 >= 7),
+      Dedup.signatureIndex(docs.filter($"doc_id" % 10 < 7)),
+      bands = 32, rowsPerBand = 2, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(inc == full,
+      s"incremental drifted from batch: only-inc=${(inc -- full).take(3)} " +
+        s"only-batch=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "fixture should contain delta-touching near-dups")
+  }
+
+  test("semanticPairs: exact-verified subset of ground truth, recall floor, dial") {
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val truth = Dedup.embeddingPairs(embs, blockCol = lit(1),
+      threshold = 0.35, maxBlock = None)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.semanticPairs(embs, threshold = 0.35, nlist = 8, nprobe = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "every returned pair must be exact-verified")
+    assert(truth.nonEmpty && got.nonEmpty)
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.5, s"blocked recall collapsed: $recall")
+    // multi-probe is the recall dial: probing every cell = ground truth
+    val all = Dedup.semanticPairs(embs, threshold = 0.35, nlist = 8, nprobe = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(all == truth, "nprobe = nlist must recover the full pair set")
+    assert(all.size >= got.size)
+  }
 }
