@@ -25,16 +25,26 @@ object Bench {
     }
     if (warmFailures > 0)
       System.err.println(s"[bench] warm-up: $warmFailures queries failed on $warmDir")
+    spark.catalog.clearCache() // CacheManager pins every staging persist()
     System.gc() // drain warm-up garbage so no timed query absorbs the pause
     // Timed: min of `iters` runs per query. One run of 50+ queries has no
     // variance control (observed same-code round-to-round drift up to 3×);
     // min-of-N separates plan cost from machine/JIT noise at the price of
     // one extra pass.
+    // clearCache between queries: each run re-persists fresh staging
+    // relations (signatures, vectors) and the SQL CacheManager pins them
+    // for the session — 80+ queries × N iters would accumulate every
+    // intermediate cache, and the mounting GC/eviction pressure bleeds
+    // into later queries' timings (observed as tail-of-catalog drift).
+    // Dropping caches inside the timed region is fair: each iteration
+    // builds its own DataFrame, so it never reuses the previous one's.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val best = (0 until math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }.min
       name -> best
     }
