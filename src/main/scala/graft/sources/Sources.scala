@@ -79,6 +79,38 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — the table-maintenance pass behind every
+    * streaming/incremental ingest: micro-batches and per-task writers leave
+    * thousands of KB-sized files, and at 100 TB the scan's task count (and
+    * the namenode/liststatus load) is governed by FILE count, not data
+    * size. Rewrites `inPath` into ≈`targetBytes`-sized files at `outPath`.
+    *
+    * File count is sized from the actual on-disk bytes (driver-side
+    * metadata listing only — no data ever reaches the driver), so output
+    * sizes track input compression. `shuffle = true` (default) uses
+    * round-robin `repartition` — one full exchange buys evenly-sized
+    * files; `shuffle = false` uses `coalesce` — free of any exchange, but
+    * file sizes inherit input skew and the scan's parallelism collapses to
+    * the output count (the right trade only when the input is already
+    * balanced).
+    *
+    * Returns (input file count, output file count). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20, shuffle: Boolean = true): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val df = spark.read.parquet(inPath)
+    val files = df.inputFiles
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+    out.write.mode("overwrite").parquet(outPath)
+    (files.length, spark.read.parquet(outPath).inputFiles.length)
+  }
+
   /** Exact option map for the bounded Kafka read (testable without a
     * broker — see KafkaContractSpec). */
   def kafkaBatchOptions(bootstrapServers: String, topic: String,

@@ -46,4 +46,32 @@ class SourcesSpec extends SparkSuite {
   test("parquet reader round-trips the fixtures") {
     assert(Sources.parquet(spark, s"$sf0001/customer.parquet").count() == 150)
   }
+
+  test("compact: many small files → few target-sized, content identical") {
+    val dir = Files.createTempDirectory("compact").toString
+    val in = s"$dir/in"
+    val docs = graft.Tables.documents(spark, sf0001)
+    docs.repartition(40).write.parquet(in)
+    assert(spark.read.parquet(in).inputFiles.length == 40)
+    // generous target → everything fits in one file
+    val (nIn, nOut) = Sources.compact(spark, in, s"$dir/out", 1L << 30)
+    assert(nIn == 40 && nOut == 1, s"got ($nIn, $nOut)")
+    val before = docs.select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    val after = spark.read.parquet(s"$dir/out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(after == before, "compaction must not change the data")
+    // tight target → several files, sized from actual bytes
+    val total = spark.read.parquet(in).inputFiles.map { f =>
+      new java.io.File(new java.net.URI(f)).length
+    }.sum
+    val target = total / 4
+    val (_, nOut4) = Sources.compact(spark, in, s"$dir/out4", target)
+    assert(nOut4 == ((total + target - 1) / target).toInt, s"got $nOut4")
+    // coalesce path: no shuffle, same content
+    val (_, nOutC) = Sources.compact(spark, in, s"$dir/outc", 1L << 30,
+      shuffle = false)
+    assert(nOutC == 1)
+    assert(spark.read.parquet(s"$dir/outc")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet == before)
+  }
 }
