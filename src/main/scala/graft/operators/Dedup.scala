@@ -195,6 +195,16 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val dSig = signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BOTH sides persist, not just the delta: the index relation has the
+    // same consumer diamond (postings + both verify joins, and the bucket
+    // guard reads postings twice), and if the caller handed a lazily
+    // recomputed index — e.g. signatureIndex over raw documents rather
+    // than a staged parquet table — every consumer would re-scan and
+    // re-sign the standing corpus, the exact cost this operator exists to
+    // avoid (observed as 6× corpus scans in the audited plan). For a
+    // parquet-staged index this costs one cheap extra materialization.
+    val iSig = index.select(col(idCol), col("sh"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def postings(sigs: DataFrame, isDelta: Boolean): DataFrame = sigs.select(
       col(idCol),
       posexplode(bandHashes(col("sig"), bands, rowsPerBand))
@@ -204,7 +214,7 @@ object Dedup {
     // one exchange: both candidate sides read the identical repartitioned
     // projection (the delta-only filter sits ABOVE the exchange)
     val all = postings(dSig, isDelta = true)
-      .union(postings(index, isDelta = false))
+      .union(postings(iSig, isDelta = false))
       .repartition(col("band_idx"), col("band_hash"))
     val guarded = dropOversized(all, Seq("band_idx", "band_hash"), maxBucket)
     val l = guarded.filter(col("is_delta"))
@@ -218,7 +228,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     val sh = dSig.select(col(idCol), col("sh"))
-      .union(index.select(col(idCol), col("sh")))
+      .union(iSig.select(col(idCol), col("sh")))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
