@@ -33,7 +33,15 @@ object ScaleSmoke {
     "simhash" -> ((d: DataFrame) =>
       Dedup.simhashPairs(d, maxHamming = 6, chunks = 8)),
     "ngram" -> ((d: DataFrame) =>
-      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)))
+      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)),
+    // incremental: delta ~30% of corpus vs index over the rest — both
+    // sides grow 10× per step, so the curve covers index construction AND
+    // the delta-vs-index banding/verify
+    "minhash_inc" -> ((d: DataFrame) =>
+      Dedup.incrementalMinhash(
+        d.filter(col("doc_id") % 10 >= 7),
+        Dedup.signatureIndex(d.filter(col("doc_id") % 10 < 7)),
+        bands = 32, rowsPerBand = 2, threshold = 0.5)))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
