@@ -408,6 +408,19 @@ object ExtQueries {
       TextPrep.packByBudget(Tables.documents(s, dir), col("lang"), budget = 1000)
         .orderBy(col("doc_id"))),
 
+    // paragraph-level corpus dedup: fixtures carry no paragraph breaks, so
+    // the query constructs a paragraph'd corpus from 3-token slices (the
+    // small fixture vocabulary makes slices repeat across docs — real
+    // cross-doc boilerplate), mirrored verbatim in the oracle SQL
+    "q_para_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      def para(i: Int) = concat_ws(" ", slice(toks, i, 3))
+      TextPrep.dedupParagraphs(
+        Tables.documents(s, dir).withColumn("text",
+          concat_ws("\n\n", para(1), para(4), para(7), para(10))))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source token quota: cumulative-sum trim, oracle re-derives the
     // same window independently
     "q_quota_trim" -> ((s, dir) =>
@@ -726,6 +739,33 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence survivor via a window rn=1 — a deliberately
+    // DIFFERENT formulation than the Spark side's arg-min + equi-join
+    "q_para_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |              FROM documents),
+        |d2 AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |         array_to_string(toks[1:3], ' '), array_to_string(toks[4:6], ' '),
+        |         array_to_string(toks[7:9], ' '), array_to_string(toks[10:12], ' '))
+        |         AS text FROM base),
+        |p0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM d2),
+        |px AS (SELECT doc_id, ps, CAST(unnest(range(0, len(ps))) AS INT) AS pos
+        |       FROM p0),
+        |p AS (SELECT doc_id, pos, ps[pos+1] AS para FROM px
+        |      WHERE trim(ps[pos+1]) <> ''),
+        |k AS (SELECT doc_id, pos, para FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY para
+        |          ORDER BY doc_id, pos) AS rn FROM p) WHERE rn = 1),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_dedup
+        |      FROM k GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |  CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quota_trim" ->
       s"""WITH d AS (SELECT doc_id, lang AS "group",

@@ -135,6 +135,56 @@ object TextPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Paragraph-level corpus dedup (the RefinedWeb/CCNet boilerplate pass):
+    * a repeated paragraph survives only at its FIRST corpus occurrence —
+    * min (doc id, position) — and every later occurrence is dropped;
+    * documents are reassembled from their surviving paragraphs in order.
+    * Whole-document dedup misses this entirely (navigation chrome, cookie
+    * banners, licence footers repeat across *distinct* pages), and
+    * span-level coverage ([[Dedup.dupCoverage]]) only measures it — this
+    * op REMOVES it.
+    *
+    * Output: `(id, text_dedup, n_paras, n_kept)` — one row per input doc
+    * (a fully-boilerplate doc keeps its row with empty `text_dedup`).
+    * Whitespace-only paragraphs are dropped before dedup on both engines.
+    *
+    * Scale: paragraphs group on their `xxhash64` (8-byte shuffle key; the
+    * paragraph text crosses a shuffle only inside its own doc's rebuild
+    * group — same narrow-key move as [[Dedup.exact]], same documented
+    * birthday bound). Two shuffles: the survivor arg-min on the hash and
+    * the per-doc reassembly; the survivor relation ships (hash, id, pos)
+    * only. The first-occurrence rule (not "keep one arbitrary copy")
+    * makes the result deterministic AND oracle-checkable. */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+    val keyed = paras.withColumn("h", xxhash64(col("para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // arg-min over (id, pos) per paragraph hash — partial-agg friendly,
+    // never assembles an occurrence list (a hot boilerplate paragraph can
+    // occur once per document in the corpus)
+    val firsts = keyed.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col("h"), col(s"f.$idCol").as("__fid"), col("f.pos").as("__fpos"))
+    val kept = keyed.join(firsts, Seq("h"))
+      .filter(col(idCol) === col("__fid") && col("pos") === col("__fpos"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para")), "\n\n").as("text_dedup"))
+    val totals = keyed.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** HTML-strip patterns, in strip order; engine-portable (Java regex ∩
     * RE2, `(?s)` inline where a block spans lines). Script/style go first —
     * the generic tag strip would remove their tags but leave their code as

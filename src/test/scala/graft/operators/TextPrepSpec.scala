@@ -151,4 +151,31 @@ class TextPrepSpec extends SparkSuite {
     val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
     assert(shard0 != shard0.sorted, "md5 ordering should not equal id order")
   }
+
+  test("dedupParagraphs: first occurrence survives, rebuild ordered, empty doc kept") {
+    val docs = Seq(
+      (1L, "intro one\n\ncookie banner\n\nbody alpha"),
+      (2L, "cookie banner\n\nbody beta"),        // banner seen in doc 1 → dropped
+      (3L, "cookie banner"),                     // fully boilerplate → empty
+      (4L, "body beta\n\nintro one\n\nfresh tail") // both seen → only tail stays
+    ).toDF("doc_id", "text")
+    val got = TextPrep.dedupParagraphs(docs)
+      .select($"doc_id", $"text_dedup", $"n_paras", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "intro one\n\ncookie banner\n\nbody alpha", 3L, 3L)))
+    assert(got(2L) == ((2L, "body beta", 2L, 1L)))
+    assert(got(3L) == ((3L, "", 1L, 0L)))
+    assert(got(4L) == ((4L, "fresh tail", 3L, 1L)))
+    // whitespace-only paragraphs never count
+    val ws = TextPrep.dedupParagraphs(
+      Seq((9L, "a\n\n \n\nb")).toDF("doc_id", "text"))
+      .select($"n_paras", $"n_kept").as[(Long, Long)].head()
+    assert(ws == ((2L, 2L)))
+    // idempotence: running again on the deduped text changes nothing
+    val once = TextPrep.dedupParagraphs(docs)
+      .select($"doc_id", $"text_dedup".as("text"))
+    val twice = TextPrep.dedupParagraphs(once)
+      .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toMap
+    assert(twice == got.view.mapValues(_._2).toMap)
+  }
 }
