@@ -46,13 +46,18 @@ object Graph {
       dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
 
-    // canonical orientation big → small; drop self-loops and duplicates
-    var e = edges.select(
+    // canonical orientation big → small. The checkpoint happens BEFORE the
+    // self-loop filter so the final node extraction below reads it too:
+    // `edges` is typically an expensive mining pipeline (minhash/embedding
+    // pairs), and deriving nodes from the raw input would re-execute that
+    // whole pipeline a second time — at 100 TB, a second corpus pass for a
+    // projection (observed as a full re-mine in the audited plan).
+    val canon = edges.select(
       greatest(col(srcCol), col(dstCol)).as("u"),
       least(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var e = canon.filter(col("u") =!= col("v"))
 
     // (count, xor-fold of row hashes): an order-independent set signature
     // that can't overflow under ANSI arithmetic (a sum of longs can)
@@ -106,8 +111,10 @@ object Graph {
         s"connectedComponents did not converge in $maxIter rounds")
 
     // fixpoint = disjoint stars: every non-root points at its root.
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct()
+    // Nodes come from the checkpointed canonical set (self-loops included —
+    // a self-loop-only node is its own singleton component), NOT the input.
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct()
     nodes.join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
