@@ -421,6 +421,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // v2 end-to-end pipeline over the round-5 operators: paragraph dedup →
+    // quality gate → per-language token quota, as ONE Catalyst plan (same
+    // composability argument as q_prep_pipeline, new stages)
+    "q_prep_pipeline2" -> ((s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      def para(i: Int) = concat_ws(" ", slice(toks, i, 3))
+      val pdocs = Tables.documents(s, dir).withColumn("text",
+        concat_ws("\n\n", para(1), para(4), para(7), para(10)))
+      val deduped = TextPrep.dedupParagraphs(pdocs)
+        .filter(col("n_kept") > 0)
+        .join(pdocs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text_dedup").as("text"))
+      val gated = TextAnalysis.qualityScore(deduped)
+        .filter(col("quality") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("text"))
+      TextPrep.quotaTrim(gated, col("lang"), budget = 1500)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source token quota: cumulative-sum trim, oracle re-derives the
     // same window independently
     "q_quota_trim" -> ((s, dir) =>
@@ -566,6 +585,29 @@ object ExtQueries {
        |      (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
        |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0))
        |  )), 4)""".stripMargin
+
+  /** Paragraph-dedup CTE chain (through `r`: kept paragraphs per doc, and
+    * `t`: total paragraphs per doc) over the constructed paragraph'd corpus
+    * — shared by q_para_dedup and q_prep_pipeline2. */
+  private val paraDedupCtes: String =
+    """base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |              FROM documents),
+      |d2 AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+      |         array_to_string(toks[1:3], ' '), array_to_string(toks[4:6], ' '),
+      |         array_to_string(toks[7:9], ' '), array_to_string(toks[10:12], ' '))
+      |         AS text FROM base),
+      |p0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM d2),
+      |px AS (SELECT doc_id, ps, CAST(unnest(range(0, len(ps))) AS INT) AS pos
+      |       FROM p0),
+      |p AS (SELECT doc_id, pos, ps[pos+1] AS para FROM px
+      |      WHERE trim(ps[pos+1]) <> ''),
+      |k AS (SELECT doc_id, pos, para FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY para
+      |          ORDER BY doc_id, pos) AS rn FROM p) WHERE rn = 1),
+      |r AS (SELECT doc_id, count(*) AS n_kept,
+      |        string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_dedup
+      |      FROM k GROUP BY doc_id),
+      |t AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)""".stripMargin
 
   /** HTML strip + entity decode mirrored in DuckDB, built from the SAME
     * pattern lists the Spark operator uses (`(?s)` rides inline — both
@@ -743,29 +785,32 @@ object ExtQueries {
     // first-occurrence survivor via a window rn=1 — a deliberately
     // DIFFERENT formulation than the Spark side's arg-min + equi-join
     "q_para_dedup" ->
-      """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |              FROM documents),
-        |d2 AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
-        |         array_to_string(toks[1:3], ' '), array_to_string(toks[4:6], ' '),
-        |         array_to_string(toks[7:9], ' '), array_to_string(toks[10:12], ' '))
-        |         AS text FROM base),
-        |p0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM d2),
-        |px AS (SELECT doc_id, ps, CAST(unnest(range(0, len(ps))) AS INT) AS pos
-        |       FROM p0),
-        |p AS (SELECT doc_id, pos, ps[pos+1] AS para FROM px
-        |      WHERE trim(ps[pos+1]) <> ''),
-        |k AS (SELECT doc_id, pos, para FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY para
-        |          ORDER BY doc_id, pos) AS rn FROM p) WHERE rn = 1),
-        |r AS (SELECT doc_id, count(*) AS n_kept,
-        |        string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_dedup
-        |      FROM k GROUP BY doc_id),
-        |t AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
-        |  CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
-        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $paraDedupCtes
+         |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+         |  CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // v2 pipeline: the same paragraph-dedup CTEs feed quality gating and
+    // the per-language token quota — one definition, two queries
+    "q_prep_pipeline2" ->
+      s"""WITH $paraDedupCtes,
+         |dd AS (SELECT r.doc_id, d.lang, r.text_dedup AS text
+         |       FROM r JOIN documents d USING (doc_id) WHERE r.n_kept > 0),
+         |q AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+         |        $qualitySql AS quality
+         |      FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM dd)),
+         |g AS (SELECT doc_id, lang AS "group", n_tokens FROM q
+         |      WHERE quality >= 0.3),
+         |w AS (SELECT doc_id, "group", n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY "group"
+         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS cum_before
+         |      FROM g)
+         |SELECT doc_id, "group", n_tokens,
+         |       CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         |FROM w WHERE cum_before < 1500 ORDER BY doc_id""".stripMargin,
 
     "q_quota_trim" ->
       s"""WITH d AS (SELECT doc_id, lang AS "group",
