@@ -299,6 +299,54 @@ class PropertiesSpec extends SparkSuite {
     }, n = 50)
   }
 
+  test("splitAssign: a partition of the corpus, stable under subsetting") {
+    import graft.operators.Sampling
+    val fracGen: Gen[Seq[(String, Double)]] = for {
+      k <- Gen.chooseNum(2, 4)
+      ws <- Gen.listOfN(k, Gen.chooseNum(1, 10))
+    } yield {
+      val total = ws.sum.toDouble
+      ws.zipWithIndex.map { case (w, i) => s"s$i" -> w / total }
+    }
+    check(Prop.forAll(docGen, fracGen) { (docs, fracs) =>
+      val df = docs.toDF("doc_id", "text")
+      val all = Sampling.splitAssign(df, col("doc_id"), fracs)
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      val names = fracs.map(_._1).toSet
+      val sub = Sampling.splitAssign(
+        df.filter($"doc_id" % 2 === 0), col("doc_id"), fracs)
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      all.size == docs.size && all.values.forall(names.contains) &&
+        sub.forall { case (id, s) => all(id) == s }
+    }, n = 15)
+  }
+
+  test("dedupParagraphs: idempotent; kept == distinct paragraphs globally") {
+    import graft.operators.TextPrep
+    val paraPool =
+      Seq("alpha beta", "gamma delta", "epsilon zeta", "eta theta", "iota kappa")
+    val pdocGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 8)
+      docs <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf(paraPool)).map(_.mkString("\n\n")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(pdocGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val o = TextPrep.dedupParagraphs(df)
+        .select($"doc_id", $"text_dedup", $"n_paras", $"n_kept")
+        .as[(Long, String, Long, Long)].collect()
+      val twice = TextPrep.dedupParagraphs(
+        df.sparkSession.createDataFrame(
+          o.map(r => (r._1, r._2)).toSeq).toDF("doc_id", "text"))
+        .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toMap
+      val distinctParas =
+        docs.flatMap(_._2.split("\n\n")).filter(_.trim.nonEmpty).distinct.size
+      o.forall { case (_, _, np, nk) => nk <= np } &&
+        o.map(_._4).sum == distinctParas &&
+        o.forall { case (id, t, _, _) => twice(id) == t }
+    }, n = 15)
+  }
+
   test("latest-per-key: idempotent and order-insensitive") {
     val rowsGen = for {
       n <- Gen.chooseNum(1, 30)
