@@ -106,4 +106,37 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
       s"dimension join must broadcast at this scale:\n${p.take(2000)}")
   }
+
+  test("splitAssign / samplers: narrow scan-level predicates, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf0001)
+    Seq(
+      "splitAssign" -> graft.operators.Sampling.splitAssign(
+        docs, col("doc_id"), Seq("a" -> 0.8, "b" -> 0.2)),
+      "hashSample" -> graft.operators.Sampling.hashSample(
+        docs, col("doc_id"), 0.3),
+      "weightedSample" -> graft.operators.Sampling.weightedSample(
+        docs, col("lang"), Map("en" -> 0.5), col("doc_id"))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must stay a narrow map-side op:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_corpus_report: ONE two-phase aggregation pass, hashed dup key") {
+    val p = plan("q_corpus_report")
+    assert(p.contains("xxhash64"),
+      "dup counting must key on the 8-byte text hash, not the document")
+    assert(!p.contains("Join"),
+      s"the report must be a single aggregation pass, not joined sub-reports:\n${p.take(2000)}")
+  }
+
+  test("q_para_dedup: survivor arg-min is partial+final agg on the hash") {
+    val p = plan("q_para_dedup")
+    assert(p.contains("xxhash64"), "survivor grouping must key on the hash")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "arg-min must plan two-phase (partial min per partition) so a hot " +
+        s"boilerplate paragraph never assembles an occurrence list:\n${p.take(2000)}")
+  }
 }
