@@ -81,6 +81,20 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
+    // Unicode NFC normalization (kernel expression) — ASCII fixtures are
+    // already NFC, so decomposed/composed sequences are appended to make
+    // the normalization observable; mirrored verbatim in the oracle
+    "q_text_normalize" -> ((s, dir) => {
+      import graft.functions.TextFunctions.nfcNormalize
+      val mixed = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" café éclair")))
+      mixed.select(col("doc_id"),
+        nfcNormalize(col("text")).as("text_nfc"),
+        (length(col("text")) - length(nfcNormalize(col("text"))))
+          .cast("int").as("delta_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fingerprints (xxhash64-based — rows-only; determinism in ScalaTest)
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))
@@ -949,6 +963,13 @@ object ExtQueries {
          |$piiCleanSql AS text_clean
          |FROM aug ORDER BY doc_id""".stripMargin,
 
+    "q_text_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  CAST(length(text) - length(nfc_normalize(text)) AS INT) AS delta_chars
+        |FROM (SELECT doc_id,
+        |        text || ' cafe' || chr(769) || ' ' || chr(233) || 'clair' AS text
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-pipeline primitives for the LLM-data extensions (SURVEY.md §2.10).
   *
@@ -42,6 +43,23 @@ object TextFunctions {
   /** BPE-ish token count — one regexp pass, no array materialized. */
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
+
+  /** Unicode NFC normalization (kernel expression) — canonical composition
+    * so visually identical strings hash/dedup/join identically (decomposed
+    * "e"+U+0301 vs composed "é" — scraped web text mixes both freely, and
+    * every downstream hash-keyed operator silently treats them as
+    * different documents). Run it FIRST in an ingest pipeline. */
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+
+  /** NFC kernel: the `isNormalized` fast path makes the common
+    * (already-composed ASCII/NFC) case a scan without allocation. */
+  def nfcKernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 
   /** Word n-gram shingles (strings), e.g. k=3 → "a b c" windows.
     *
@@ -203,6 +221,22 @@ object TextFunctions {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+/** `nfc_normalize(text)` → STRING in Unicode Normalization Form C. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.nfcKernel(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.nfcKernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 /** `minhash_sig(shingle_hashes)` → ARRAY<LONG> of length `numHashes`.

@@ -131,6 +131,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(none.filter($"n_contaminated" =!= 0L).count() == 0)
   }
 
+  test("nfcNormalize: composes decomposed sequences, identity on NFC text") {
+    import graft.functions.TextFunctions.nfcNormalize
+    val composed = "café"                // é as one codepoint
+    val decomposed = "café"             // e + combining acute
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, "Å ring"))                   // A + combining ring → Å
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", nfcNormalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == composed, "decomposed must compose")
+    assert(got(2L) == composed, "already-NFC is identity")
+    assert(got(3L) == "plain ascii")
+    assert(got(4L) == "Å ring")
+    // the property the op exists for: normalized forms hash identically
+    val hashes = df.filter($"doc_id" <= 2)
+      .select(xxhash64(nfcNormalize($"text"))).as[Long].collect()
+    assert(hashes(0) == hashes(1), "NFC-equal strings must dedup together")
+  }
+
   test("corpusReport: volume, diversity, and dup load per language") {
     val df = Seq(
       (1L, "one two three", "en", "a"),
