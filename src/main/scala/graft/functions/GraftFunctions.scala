@@ -113,6 +113,7 @@ object GraftFunctions {
         intLit(exprs(1), "minhash_sig numHashes"),
         if (exprs.length > 2) intLit(exprs(2), "minhash_sig seed").toLong else 42L)),
       "simhash64" -> (exprs => SimHash64(exprs(0))),
+      "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
       "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
       // aggregate: the analyzer wraps a bare AggregateFunction into an
       // AggregateExpression during resolution, same as built-in max/min

@@ -148,6 +148,10 @@ class TextAnalysisSpec extends SparkSuite {
     val hashes = df.filter($"doc_id" <= 2)
       .select(xxhash64(nfcNormalize($"text"))).as[Long].collect()
     assert(hashes(0) == hashes(1), "NFC-equal strings must dedup together")
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposed')")
+      .as[String].head() == composed)
   }
 
   test("corpusReport: volume, diversity, and dup load per language") {
