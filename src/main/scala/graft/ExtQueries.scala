@@ -363,6 +363,25 @@ object ExtQueries {
         Similarity.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4))
     }),
 
+    // product-quantization ANN: 8 codebook ints per vector instead of 64
+    // floats — the scan-compression path (codebook-seeded → rows-only;
+    // recall floor in SimilaritySpec)
+    "q_sim_pq" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.pqTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        m = 16, ksub = 32, rerank = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_sim_pq_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(embs, qs, k = 5),
+        Similarity.pqTopK(embs, qs, k = 5, m = 16, ksub = 32, rerank = 8))
+    }),
+
     // deterministic stratified sampling (xxhash64-keyed — rows-only check;
     // determinism/rate/nesting locked in SamplingSpec)
     "q_sample_stratified" -> ((s, dir) =>

@@ -237,6 +237,167 @@ object Similarity {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  // ---- Product quantization (PQ) -------------------------------------
+
+  /** Driver-local deterministic Lloyd k-means over a BOUNDED sample — the
+    * PQ codebook trainer. m independent problems of ksub centroids over
+    * (dims/m)-dim subvectors aren't worth a distributed solver; only
+    * training is driver-side (≤ trainSample rows), the data path stays
+    * fully distributed. Seeded spread init + fixed iteration count keeps
+    * it reproducible on any cluster. */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val kk = math.max(1, math.min(k, n))
+    val cents = Array.tabulate(kk)(i => points((i.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, d)
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var dist = 0.0d; var j = 0
+          while (j < d) { val t = p(j) - cents(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) { // empty cluster keeps its previous centroid
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Product-quantization ANN top-k: vectors are unit-normalized, split
+    * into `m` subvectors, and each subvector replaced by the id of its
+    * nearest codebook centroid — `m` small ints per vector instead of
+    * `dims` floats. Scoring is asymmetric (ADC): the query stays exact,
+    * the corpus side is reconstructed from codebooks inside one fused
+    * kernel, so the approximate score ≈ cosine (unit norms make dot ==
+    * cosine).
+    *
+    * THE 100 TB argument is scan compression: at m=8 over 64 float dims
+    * the corpus shrinks 8× (256 B → 32 B/vector; 8 B with byte-packed
+    * codes) — the embedding sweep reads codes, never the float matrix,
+    * and the codebooks (m·ksub·dims/m doubles) ride the plan as
+    * expression state.
+    *
+    * Codebook distortion is repaired the standard way (FAISS "refine"):
+    * ADC produces a SHORTLIST of k·`rerank` candidates per query, and only
+    * those rows fetch their float vectors for an exact-cosine re-rank — at
+    * scale a narrow id-equi-join touching |queries|·k·rerank vectors, not
+    * the corpus. `rerank = 1` disables the refine step (pure ADC ranking);
+    * recall is audited in-engine like LSH/IVF ([[recallAudit]]). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", trainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub")
+    // unit-normalize with the scalar materialized BEFORE the HOF lambda
+    // (the EmbeddingPrep re-evaluation trap)
+    def unit(df: DataFrame, in: Column, out: String): DataFrame =
+      df.withColumn("__n2", aggregate(in, lit(0.0d), (a, x) => a + x * x))
+        .withColumn(out, transform(in, x => x / sqrt(greatest(col("__n2"), lit(1e-300)))))
+        .drop("__n2")
+    // three consumers (training sample, encode pass, shortlist refine) —
+    // the minhashPairs staging-persist rule
+    val c = unit(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims=$dims must divide by m=$m")
+    val dsub = dims / m
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      lloyd(sample.map(p =>
+        java.util.Arrays.copyOfRange(p, sub * dsub, (sub + 1) * dsub)),
+        ksub, iters = 8)
+    }
+    val codes = c.select(col("vec_id"),
+      Bridge.column(PqEncode(Bridge.expression(col("v")), codebooks)).as("code"))
+    val q = unit(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q0")), col("q0"), "qv").drop("q0")
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Bridge.column(PqAdc(Bridge.expression(col("qv")),
+          Bridge.expression(col("code")), codebooks)).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = scored.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= k * math.max(1, rerank))
+      .select(col("query_id"), col("vec_id"))
+    // refine: exact cosine over the shortlist only — vectors join back by
+    // id (narrow; |queries|·k·rerank rows), the corpus is never re-scanned
+    val refined = shortlist
+      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    refined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Kernel: nearest codebook centroid per subvector → m code ints. */
+  def pqEncodeKernel(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * dsub
+      val book = books(sub)
+      var best = 0; var bestD = Double.MaxValue; var cc = 0
+      while (cc < book.length) {
+        val cent = book(cc)
+        var dist = 0.0d; var j = 0
+        while (j < dsub) { val t = v.getDouble(base + j) - cent(j); dist += t * t; j += 1 }
+        if (dist < bestD) { bestD = dist; best = cc }
+        cc += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Kernel: asymmetric-distance dot — exact query × reconstructed codes. */
+  def pqAdcKernel(qv: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      books: Array[Array[Array[Double]]]): Double = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    var score = 0.0d
+    var sub = 0
+    while (sub < m) {
+      val cent = books(sub)(codes.getInt(sub))
+      val base = sub * dsub
+      var j = 0
+      while (j < dsub) { score += qv.getDouble(base + j) * cent(j); j += 1 }
+      sub += 1
+    }
+    score
+  }
 }
 
 /** LSH bucket id for an ARRAY<DOUBLE> vector: the plane matrix is expression
@@ -304,4 +465,63 @@ case class NearestCells(child: org.apache.spark.sql.catalyst.expressions.Express
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCells =
     copy(child = newChild)
+}
+
+/** PQ encoder: codebooks ride as expression state (m × ksub × dims/m
+  * doubles, serialized once with the plan); per row one fused
+  * nearest-centroid loop per subvector inside whole-stage codegen. */
+case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.Similarity.pqEncodeKernel(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.Similarity.pqEncodeKernel($c, $booksRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** PQ asymmetric scorer: exact query vector × codebook-reconstructed
+  * corpus codes, one fused loop, codebooks as expression state. */
+case class PqAdc(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.operators.Similarity.pqAdcKernel(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.operators.Similarity.pqAdcKernel($a, $b, $booksRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
 }

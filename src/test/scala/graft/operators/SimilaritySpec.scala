@@ -168,4 +168,48 @@ class SimilaritySpec extends SparkSuite {
       val c = Similarity.planeComponent(p, d, 7L); c >= -1.0 && c <= 1.0
     }))
   }
+
+  test("PQ ANN: refine recall floor, k respected, deterministic, scores exact") {
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.pqTopK(embs, queries, k = 5,
+      m = 16, ksub = 32, rerank = 8)
+    val pq = run().select($"query_id", $"vec_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pq.groupBy(_._1).values.forall(_.size <= 5))
+    val pqSet = pq.map(r => (r._1, r._2)).toSet
+    val recall = (pqSet & exact).size.toDouble / exact.size
+    // measured 0.92 on this fixture (codebook config in the catalog);
+    // floor leaves margin for fixture regeneration, not for breakage —
+    // a broken encoder/ADC collapses toward the 1% random floor
+    assert(recall >= 0.6, s"PQ refine recall collapsed: $recall")
+    assert(run().select($"query_id", $"vec_id").as[(Long, Long)]
+      .collect().toSet == pqSet, "seeded training must be deterministic")
+    // refine contract: reported scores are EXACT cosines of normalized
+    // vectors — cross-check one pair against brute force
+    val exactCos = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select($"query_id", $"vec_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, v, cos, _) =>
+      exactCos.get((q, v)).foreach(e => assert(math.abs(e - cos) < 1e-9,
+        s"refined score must be the exact cosine: ($q,$v) $cos vs $e"))
+    }
+  }
+
+  test("PQ encode kernel: m codes in range, nearest-centroid by hand") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(-1.0, 0.0), Array(1.0, 0.0)))
+    val v = new GenericArrayData(Array(0.9, 0.8, -0.7, 0.1))
+    val codes = Similarity.pqEncodeKernel(v, books)
+    assert(codes.numElements() == 2)
+    assert(codes.getInt(0) == 1, "(0.9,0.8) nearer (1,1)")
+    assert(codes.getInt(1) == 0, "(-0.7,0.1) nearer (-1,0)")
+    // ADC reconstructs from the chosen centroids
+    val q = new GenericArrayData(Array(1.0, 0.0, 1.0, 0.0))
+    val s = Similarity.pqAdcKernel(q, codes, books)
+    assert(math.abs(s - (1.0 * 1.0 + 0.0 * 1.0 + 1.0 * -1.0 + 0.0 * 0.0)) < 1e-12)
+  }
 }
