@@ -382,6 +382,17 @@ object ExtQueries {
         Similarity.pqTopK(embs, qs, k = 5, m = 16, ksub = 32, rerank = 8))
     }),
 
+    // IVF-PQ: coarse cells bound WHICH rows score, PQ codes bound what
+    // each row costs, exact refine on the shortlist (rows-only)
+    "q_sim_ivfpq_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(embs, qs, k = 5),
+        Similarity.ivfPqTopK(embs, qs, k = 5, nlist = 8, nprobe = 4,
+          m = 16, ksub = 32, rerank = 8))
+    }),
+
     // deterministic stratified sampling (xxhash64-keyed — rows-only check;
     // determinism/rate/nesting locked in SamplingSpec)
     "q_sample_stratified" -> ((s, dir) =>

@@ -240,6 +240,14 @@ object Similarity {
 
   // ---- Product quantization (PQ) -------------------------------------
 
+  /** Unit-normalize an ARRAY<DOUBLE> column (dot == cosine afterwards),
+    * with the norm scalar materialized BEFORE the HOF lambda (the
+    * EmbeddingPrep re-evaluation trap). */
+  private def unit(df: DataFrame, in: Column, out: String): DataFrame =
+    df.withColumn("__n2", aggregate(in, lit(0.0d), (a, x) => a + x * x))
+      .withColumn(out, transform(in, x => x / sqrt(greatest(col("__n2"), lit(1e-300)))))
+      .drop("__n2")
+
   /** Driver-local deterministic Lloyd k-means over a BOUNDED sample — the
     * PQ codebook trainer. m independent problems of ksub centroids over
     * (dims/m)-dim subvectors aren't worth a distributed solver; only
@@ -309,12 +317,6 @@ object Similarity {
       vecCol: String = "embedding", trainSample: Int = 10000): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub")
-    // unit-normalize with the scalar materialized BEFORE the HOF lambda
-    // (the EmbeddingPrep re-evaluation trap)
-    def unit(df: DataFrame, in: Column, out: String): DataFrame =
-      df.withColumn("__n2", aggregate(in, lit(0.0d), (a, x) => a + x * x))
-        .withColumn(out, transform(in, x => x / sqrt(greatest(col("__n2"), lit(1e-300)))))
-        .drop("__n2")
     // three consumers (training sample, encode pass, shortlist refine) —
     // the minhashPairs staging-persist rule
     val c = unit(corpus.select(col(idCol).as("vec_id"),
@@ -346,6 +348,63 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     // refine: exact cosine over the shortlist only — vectors join back by
     // id (narrow; |queries|·k·rerank rows), the corpus is never re-scanned
+    val refined = shortlist
+      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    refined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ: the production composition (FAISS `IVFx,PQy` + refine) —
+    * coarse k-means cells bound WHICH vectors each query scores
+    * (per-query work |corpus|·nprobe/nlist), PQ codes bound what each
+    * scored row COSTS (m ints scanned, not dims floats), and the exact
+    * refine repairs codebook distortion on the k·rerank shortlist only.
+    * Both quantizers train driver-locally on one bounded sample; cells,
+    * codes, ADC, and refine are all distributed and deterministic. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
+      rerank: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", trainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1,
+      s"nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub")
+    val c = unit(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dims = sample(0).length
+    require(dims % m == 0, s"dims=$dims must divide by m=$m")
+    val dsub = dims / m
+    val cents = lloyd(sample, nlist, iters = 8)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      lloyd(sample.map(p =>
+        java.util.Arrays.copyOfRange(p, sub * dsub, (sub + 1) * dsub)),
+        ksub, iters = 8)
+    }
+    // one narrow pass emits (id, cell, codes) — the compressed index
+    val codes = c.select(col("vec_id"),
+      element_at(nearestCells(col("v"), cents, 1), 1).as("cell"),
+      Bridge.column(PqEncode(Bridge.expression(col("v")), codebooks)).as("code"))
+    val q = unit(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q0")), col("q0"), "qv").drop("q0")
+    val probed = q.withColumn("cell",
+      explode(nearestCells(col("qv"), cents, nprobe)))
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        Bridge.column(PqAdc(Bridge.expression(col("qv")),
+          Bridge.expression(col("code")), codebooks)).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = scored.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= k * math.max(1, rerank))
+      .select(col("query_id"), col("vec_id"))
     val refined = shortlist
       .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))

@@ -197,6 +197,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ: recall floor, k respected, deterministic") {
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfPqTopK(embs, queries, k = 5,
+      nlist = 8, nprobe = 4, m = 16, ksub = 32, rerank = 8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = run()
+    assert(got.groupBy(_._1).values.forall(_.size <= 5))
+    val recall = (got & exact).size.toDouble / exact.size
+    // measured 0.80 probing 4/8 cells; the floor catches collapse (a
+    // broken cell assignment or codebook drops toward the random 1%)
+    assert(recall >= 0.4, s"IVF-PQ recall collapsed: $recall")
+    assert(run() == got, "two runs must agree (no RNG state anywhere)")
+  }
+
   test("PQ encode kernel: m codes in range, nearest-centroid by hand") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val books = Array(
