@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.cosine
 import graft.functions.TextFunctions.mix64
+import graft.functions.TopK
 
 /** Similarity search over an embedding column (SURVEY.md §2.10).
   *
@@ -35,6 +36,34 @@ object Similarity {
 
   private def asDouble(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
+
+  /** Scale-safe per-query top-k: a k-bounded [[graft.functions.TopK]]
+    * aggregate instead of `row_number()` over `Window.partitionBy(query_id)`.
+    * The window form shuffles EVERY scored candidate of a query into one
+    * task and sorts it — candidates grow linearly with the corpus
+    * (|corpus| for a flat scan, nprobe·|corpus|/nlist for IVF), so at
+    * 100 TB that is a single-task O(n log n) straggler per query. The
+    * aggregate ships at most k entries per (partition, query) and nothing
+    * is globally sorted. Output contract is identical to the window form:
+    * `ORDER BY score DESC, vec_id ASC`, rank 1-based. */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topKByOrd(
+        struct(col("vec_id"), col(scoreCol)), col(scoreCol), col("vec_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        col("col." + scoreCol).as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Scale-safe shortlist: ids of the `n` best candidates per query, same
+    * k-bounded aggregate (the ADC shortlist feeding the exact refine). */
+  private def shortlistPerQuery(scored: DataFrame, scoreCol: String,
+      n: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topKByOrd(col("vec_id"), col(scoreCol), col("vec_id"), n)
+        .as("__ids"))
+      .select(col("query_id"), explode(col("__ids")).as("vec_id"))
 
   /** Exact top-k: every query vector scored against every corpus vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -77,9 +106,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Flip sign-bit `p` of a packed bucket id (XOR with 2^p). */
@@ -105,7 +132,7 @@ object Similarity {
     // an un-cast float array would be reinterpreted, not converted (garbage
     // buckets with no error); Catalyst elides the cast when already double
     Bridge.column(HyperplaneSig(
-      Bridge.expression(vec.cast("array<double>")), matrix))
+      Bridge.expression(vec.cast("array<double>")), new Mat2(matrix)))
   }
 
   /** Kernel: sign-bit of each hyperplane projection, packed little-endian
@@ -170,9 +197,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Recall audit: per-query overlap of an approximate top-k result with
@@ -204,7 +229,7 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.Bridge
     // same float-input guard as signatureCol (kernel reads doubles)
     Bridge.column(NearestCells(
-      Bridge.expression(vec.cast("array<double>")), cents, nprobe))
+      Bridge.expression(vec.cast("array<double>")), new Mat2(cents), nprobe))
   }
 
   /** Kernel: score every centroid, selection-pick the nprobe smallest. */
@@ -334,28 +359,24 @@ object Similarity {
         ksub, iters = 8)
     }
     val codes = c.select(col("vec_id"),
-      Bridge.column(PqEncode(Bridge.expression(col("v")), codebooks)).as("code"))
+      Bridge.column(PqEncode(Bridge.expression(col("v")), new Mat3(codebooks))).as("code"))
     val q = unit(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("q0")), col("q0"), "qv").drop("q0")
     val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         Bridge.column(PqAdc(Bridge.expression(col("qv")),
-          Bridge.expression(col("code")), codebooks)).as("adc"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = scored.withColumn("__r", row_number().over(wAdc))
-      .filter(col("__r") <= k * math.max(1, rerank))
-      .select(col("query_id"), col("vec_id"))
+          Bridge.expression(col("code")), new Mat3(codebooks))).as("adc"))
+    val shortlist = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
     // refine: exact cosine over the shortlist only — vectors join back by
     // id (narrow; |queries|·k·rerank rows), the corpus is never re-scanned
-    val refined = shortlist
-      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+    // shortlist is bounded (|queries| * k * rerank rows) — broadcast it
+    // into the persisted corpus scan so the refine never sort-merge-joins
+    val refined = c.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    refined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(refined, "cos", k)
   }
 
   /** IVF-PQ: the production composition (FAISS `IVFx,PQy` + refine) —
@@ -390,7 +411,7 @@ object Similarity {
     // one narrow pass emits (id, cell, codes) — the compressed index
     val codes = c.select(col("vec_id"),
       element_at(nearestCells(col("v"), cents, 1), 1).as("cell"),
-      Bridge.column(PqEncode(Bridge.expression(col("v")), codebooks)).as("code"))
+      Bridge.column(PqEncode(Bridge.expression(col("v")), new Mat3(codebooks))).as("code"))
     val q = unit(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("q0")), col("q0"), "qv").drop("q0")
     val probed = q.withColumn("cell",
@@ -399,20 +420,16 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         Bridge.column(PqAdc(Bridge.expression(col("qv")),
-          Bridge.expression(col("code")), codebooks)).as("adc"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = scored.withColumn("__r", row_number().over(wAdc))
-      .filter(col("__r") <= k * math.max(1, rerank))
-      .select(col("query_id"), col("vec_id"))
-    val refined = shortlist
-      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+          Bridge.expression(col("code")), new Mat3(codebooks))).as("adc"))
+    val shortlist = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
+    // shortlist is bounded (|queries| * k * rerank rows) — broadcast it
+    // into the persisted corpus scan so the refine never sort-merge-joins
+    val refined = c.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    refined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(refined, "cos", k)
   }
 
   /** Kernel: nearest codebook centroid per subvector → m code ints. */
@@ -459,13 +476,41 @@ object Similarity {
   }
 }
 
+/** Deep-equality wrapper for a kernel parameter matrix. JVM arrays compare
+  * by reference, so a case-class `Expression` holding a raw `Array[Array[
+  * Double]]` never compares semantically equal to a structurally identical
+  * twin — Catalyst canonicalization, subexpression elimination, and
+  * exchange reuse all silently miss. Wrapping the matrix restores
+  * structural `equals`/`hashCode` while the kernel still reads the raw
+  * array (`a`) with zero copy. */
+final class Mat2(val a: Array[Array[Double]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case m: Mat2 => java.util.Arrays.deepEquals(
+      a.asInstanceOf[Array[AnyRef]], m.a.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+}
+
+/** [[Mat2]] for rank-3 codebooks (m × ksub × dsub). */
+final class Mat3(val a: Array[Array[Array[Double]]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case m: Mat3 => java.util.Arrays.deepEquals(
+      a.asInstanceOf[Array[AnyRef]], m.a.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+}
+
 /** LSH bucket id for an ARRAY<DOUBLE> vector: the plane matrix is expression
   * state (serialized once with the plan), the projection loop is a single
   * static kernel call inside whole-stage codegen — constant codegen size in
   * `dims`, unlike an unrolled per-component literal sum.
   */
 case class HyperplaneSig(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    planes: Array[Array[Double]])
+    planes: Mat2)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
@@ -476,10 +521,10 @@ case class HyperplaneSig(child: org.apache.spark.sql.catalyst.expressions.Expres
 
   override def nullSafeEval(input: Any): Any =
     graft.operators.Similarity.hyperplaneSigKernel(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes.a)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("planes", planes.a, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.operators.Similarity.hyperplaneSigKernel($c, $planesRef)")
   }
@@ -496,11 +541,11 @@ case class HyperplaneSig(child: org.apache.spark.sql.catalyst.expressions.Expres
   * same static call.
   */
 case class NearestCells(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    cents: Array[Array[Double]], nprobe: Int)
+    cents: Mat2, nprobe: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
-  private val c2: Array[Double] = cents.map(c => c.map(x => x * x).sum)
+  private val c2: Array[Double] = cents.a.map(c => c.map(x => x * x).sum)
 
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -511,11 +556,11 @@ case class NearestCells(child: org.apache.spark.sql.catalyst.expressions.Express
   override def nullSafeEval(input: Any): Any =
     graft.operators.Similarity.nearestCellsKernel(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      cents, c2, nprobe)
+      cents.a, c2, nprobe)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // ship the arrays into the generated class once via reference objects
-    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val centsRef = ctx.addReferenceObj("cents", cents.a, "double[][]")
     val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.operators.Similarity.nearestCellsKernel($c, $centsRef, $c2Ref, $nprobe)")
@@ -530,7 +575,7 @@ case class NearestCells(child: org.apache.spark.sql.catalyst.expressions.Express
   * doubles, serialized once with the plan); per row one fused
   * nearest-centroid loop per subvector inside whole-stage codegen. */
 case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
-    books: Array[Array[Array[Double]]])
+    books: Mat3)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
@@ -542,10 +587,10 @@ case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
 
   override def nullSafeEval(input: Any): Any =
     graft.operators.Similarity.pqEncodeKernel(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books.a)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val booksRef = ctx.addReferenceObj("books", books.a, "double[][][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.operators.Similarity.pqEncodeKernel($c, $booksRef)")
   }
@@ -559,7 +604,7 @@ case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
   * corpus codes, one fused loop, codebooks as expression state. */
 case class PqAdc(left: org.apache.spark.sql.catalyst.expressions.Expression,
     right: org.apache.spark.sql.catalyst.expressions.Expression,
-    books: Array[Array[Array[Double]]])
+    books: Mat3)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
@@ -571,10 +616,10 @@ case class PqAdc(left: org.apache.spark.sql.catalyst.expressions.Expression,
   override def nullSafeEval(a: Any, b: Any): Any =
     graft.operators.Similarity.pqAdcKernel(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books)
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], books.a)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val booksRef = ctx.addReferenceObj("books", books.a, "double[][][]")
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.operators.Similarity.pqAdcKernel($a, $b, $booksRef)")
   }

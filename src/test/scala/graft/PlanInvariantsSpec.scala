@@ -45,6 +45,34 @@ class PlanInvariantsSpec extends SparkSuite {
       "no per-component element_at chain (the unrolled form that fell out of codegen)")
   }
 
+  test("ANN paths: k selected via the TopK aggregate — no per-query window sort") {
+    // row_number() over Window.partitionBy(query_id) shuffles every scored
+    // candidate of a query into ONE task and sorts it; candidates grow
+    // linearly with the corpus, so at 100 TB that is a single-task
+    // O(n log n) straggler per query. The four production ANN paths must
+    // plan the k-bounded topk_by_ord aggregate instead (bruteForceTopK
+    // deliberately keeps the window as the equivalence-tested ground truth).
+    import org.apache.spark.sql.functions.col
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val qs = embs.filter(col("vec_id") < 8)
+    val S = graft.operators.Similarity
+    Seq(
+      "lshTopK" -> S.lshTopK(embs, qs, k = 5, dims = 64, planes = 6),
+      "ivfTopK" -> S.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4),
+      "pqTopK" -> S.pqTopK(embs, qs, k = 5, m = 16, ksub = 32, rerank = 8),
+      "ivfPqTopK" -> S.ivfPqTopK(embs, qs, k = 5, nlist = 8, nprobe = 4,
+        m = 16, ksub = 32, rerank = 8)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("topk_by_ord"),
+        s"$name must rank via the k-bounded TopK aggregate:\n${p.take(2000)}")
+      Seq("Window", "Sort [", "SortAggregate", "SortMergeJoin").foreach { node =>
+        assert(!p.contains(node),
+          s"$name must not plan a $node — per-query sorts don't scale:\n${p.take(2000)}")
+      }
+    }
+  }
+
   test("q_a1_daily_avg: partial + final aggregation (map-side combine)") {
     val p = plan("q_a1_daily_avg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
