@@ -28,6 +28,11 @@ object ExtQueries {
   private val mixWeights: Map[String, Int] =
     Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
 
+  /** Shared by q_sample_stratified's Spark and oracle sides (en is the
+    * keep-all sentinel path; es is deliberately absent → dropped). */
+  private val strataRates: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+
   /** Shared by q_split_assign's Spark and oracle sides (ordered: first
     * entry claims the lowest hash range). */
   private val splitFracs: Seq[(String, Double)] =
@@ -393,15 +398,13 @@ object ExtQueries {
           m = 16, ksub = 32, rerank = 8))
     }),
 
-    // deterministic stratified sampling (xxhash64-keyed — rows-only check;
-    // determinism/rate/nesting locked in SamplingSpec)
+    // deterministic stratified sampling on the md5 rule — EXACT membership
+    // is hash-checked by the oracle (rate/nesting properties in SamplingSpec)
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedSample(
-        Tables.documents(s, dir), col("lang"), col("doc_id"),
-        Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_sampled"))
-        .orderBy(col("lang"))),
+        Tables.documents(s, dir), col("lang"), col("doc_id"), strataRates)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // md5-keyed weighted sample: membership is hash-checked by the oracle —
     // substr(md5(id),1,8) is engine-portable, unlike the xxhash64 samplers
@@ -581,12 +584,21 @@ object ExtQueries {
 
     // ---- multimodal -----------------------------------------------------
 
+    // payloads are synthesized deterministically from text and the fake
+    // dims are integer arithmetic over the byte length, so the decode
+    // features are hash-checked against a DuckDB re-derivation; crc32 is
+    // the one engine-specific column (no DuckDB crc32) — excluded here,
+    // asserted in MultimodalSpec
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.attachPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_bytes"), col("avg_luma"))
         .orderBy(col("doc_id"))),
 
-    // frame-sampling + resize plumbing in the verified path (rows-only;
-    // slice-length invariants asserted in MultimodalSpec)
+    // frame-sampling + resize plumbing in the verified path — the slice
+    // arithmetic (resize ratio, frame offsets, substring clamping) is
+    // mirrored exactly in the oracle SQL; slice invariants also in
+    // MultimodalSpec
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.resizeStub(
@@ -698,6 +710,52 @@ object ExtQueries {
          |FROM (SELECT doc_id, $shinglesSql AS sh
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // re-derives the stub decode features: dims are integer arithmetic on
+    // the payload byte length (strlen = bytes; the test corpus is ASCII so
+    // ord-per-char == byte value for the luma sum; both engines do one
+    // exact-integer-sum / int division in IEEE double → bit-identical)
+    "q_multimodal" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |  CAST((strlen(text) % 1920) + 1 AS INT) AS width,
+        |  CAST(((strlen(text) * 7919) % 1080) + 1 AS INT) AS height,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(1, CAST(strlen(text) AS INT) + 1),
+        |      i -> ord(substr(text, i, 1)))) AS DOUBLE) / strlen(text)
+        |  END AS avg_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors resizeStub + frameSample slice arithmetic: Spark's `/` on
+    // integers is DOUBLE division and CAST(double AS INT) truncates, hence
+    // the explicit trunc(); substring clamps at the payload end, hence the
+    // least/greatest. l1 = post-resize byte length (bounded by l0: substring
+    // cannot extend), s = 1-based frame offset, g = nominal slice length.
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS l0,
+        |    (strlen(text) % 1920) + 1 AS w,
+        |    ((strlen(text) * 7919) % 1080) + 1 AS h FROM documents),
+        |r AS (SELECT doc_id, least(l0, greatest(1,
+        |    CAST(trunc(CAST(l0 AS DOUBLE) * 65536 / greatest(w * h, 1)) AS BIGINT)))
+        |    AS l1 FROM d),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |    1 + CAST(trunc(CAST(l1 AS DOUBLE) * i / 4) AS BIGINT) AS s,
+        |    greatest(1, CAST(trunc(CAST(l1 AS DOUBLE) / 4) AS BIGINT)) AS g, l1
+        |  FROM r, (SELECT unnest(range(0, 4)) AS i))
+        |SELECT CAST(frame_idx AS INT) AS frame_idx, count(*) AS n_frames,
+        |  CAST(sum(greatest(0, least(g, l1 - s + 1))) AS BIGINT) AS total_bytes
+        |FROM f GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
+
+    // per-stratum md5 membership, thresholds rendered from the SAME map
+    "q_sample_stratified" -> {
+      val thrValues = strataRates.toSeq.sorted.map { case (g, r) =>
+        s"('$g', '${graft.operators.Sampling.hexThreshold(r)}')"
+      }.mkString(", ")
+      s"""WITH thr(g, t) AS (VALUES $thrValues)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.g
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // same thresholds as the Spark side, rendered from the SAME map; "g"
     // is the keep-all sentinel (above every 8-char hex string)

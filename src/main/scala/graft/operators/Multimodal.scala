@@ -32,14 +32,20 @@ object Multimodal {
       StructField("height", IntegerType))))))
 
   /** Attach a synthetic media payload derived from the text column —
-    * deterministic fake bytes standing in for real image/audio blobs. */
+    * deterministic fake bytes standing in for real image/audio blobs.
+    * Fake dimensions are exact integer arithmetic over the payload byte
+    * length (not an engine-specific hash), so the whole attach→decode
+    * pipeline is re-derivable — and oracle-checkable — from any SQL
+    * engine. */
   def attachPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("media", struct(
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
         lit("image/fake").as("mime"),
-        (pmod(xxhash64(col(textCol)), lit(1920L)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)) + 1).cast("int").as("height"))
+        (pmod(octet_length(col(textCol)).cast("long"), lit(1920L)) + 1)
+          .cast("int").as("width"),
+        (pmod(octet_length(col(textCol)).cast("long") * lit(7919L), lit(1080L)) + 1)
+          .cast("int").as("height"))
         .as("meta")))
 
   /** ??? in spirit: a real deployment swaps this for an actual codec call

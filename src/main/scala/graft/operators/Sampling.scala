@@ -18,7 +18,7 @@ object Sampling {
     * deterministic Bernoulli sample keyed on content, not position. Narrow
     * op, fully pushdown-friendly (the predicate sits right on the scan).
     * The threshold rounds (not truncates) so the same (key, rate) predicate
-    * is shared bit-for-bit with [[stratifiedSample]] — samples taken by
+    * is shared bit-for-bit with [[stratifiedSampleXx]] — samples taken by
     * either operator at the same rate stay joinable. */
   def hashSample(df: DataFrame, keyCol: Column, rate: Double, seed: Long = 42L): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
@@ -28,10 +28,26 @@ object Sampling {
 
   /** Per-stratum hash sample with an individual rate per stratum value
     * (class rebalancing: downsample the head class, keep the tail). The
-    * per-row decision hashes `keyCol` (a stable row identity) with the same
-    * rounded threshold as [[hashSample]]; strata absent from `rates` are
-    * dropped. */
+    * per-row decision is the engine-portable md5 rule ([[hexUniform]] over
+    * `keyCol` vs the stratum's [[hexThreshold]]) — identical membership is
+    * re-derivable from ANY engine with a standard md5, so the sample is
+    * oracle-checkable row for row, and stays joinable with samples taken
+    * by [[weightedSample]]/[[splitAssign]] at the same rates. Strata
+    * absent from `rates` are dropped. Narrow map-side filter. */
   def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"all rates must be in [0,1], got $rates")
+    val thresholds = rates.map { case (k, r) => k -> hexThreshold(r) }
+    val thr = element_at(typedLit(thresholds), strataCol)
+    df.filter(thr.isNotNull && hexUniform(keyCol) < thr)
+  }
+
+  /** [[stratifiedSample]] on the cheaper engine-internal xxhash64 rule
+    * (same rounded threshold as [[hashSample]], no md5 hex round-trip).
+    * Use when per-row cost matters more than external auditability —
+    * membership is deterministic but only re-derivable inside Spark. */
+  def stratifiedSampleXx(df: DataFrame, strataCol: Column, keyCol: Column,
       rates: Map[String, Double], seed: Long = 42L): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
       s"all rates must be in [0,1], got $rates")

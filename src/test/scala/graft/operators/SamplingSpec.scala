@@ -34,6 +34,22 @@ class SamplingSpec extends SparkSuite {
     assert(frRate > 0.3 && frRate < 0.7, s"fr rate=$frRate (expect ~0.5)")
   }
 
+  test("stratifiedSample: md5 rule agrees with weightedSample; Xx variant shares hashSample membership") {
+    val rates = Map("en" -> 0.5, "fr" -> 0.25)
+    // same (key, rate) rule → identical membership across the two operators
+    val a = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), rates)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs, col("lang"), rates, col("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "md5 stratified sample must equal weightedSample at the same rates")
+    // the xxhash64 path shares hashSample's rounded-threshold predicate
+    val xx = Sampling.stratifiedSampleXx(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.3)).select($"doc_id").as[Long].collect().toSet
+    val hs = Sampling.hashSample(docs.filter($"lang" === "en"), col("doc_id"), 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(xx == hs, "Xx variant must share hashSample membership bit-for-bit")
+  }
+
   test("hexThreshold: boundary renderings") {
     assert(Sampling.hexThreshold(1.0) == "g", "keep-all sentinel above hex")
     assert(Sampling.hexThreshold(0.0) == "00000000", "rate 0 keeps nothing")
