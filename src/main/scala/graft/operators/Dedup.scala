@@ -535,8 +535,6 @@ object Dedup {
       nlist: Int = 16, nprobe: Int = 2, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Int = 10000, maxBlock: Option[Int] = Some(10000)): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(nprobe >= 1 && nlist >= 1, s"nlist=$nlist nprobe=$nprobe")
     // vectors are read three times (cell assignment + both verify sides) —
     // same staging persist as minhashPairsFromShingles' sigd (and the same
@@ -544,11 +542,15 @@ object Dedup {
     val v = embs.select(col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = v.orderBy(col(idCol)).limit(trainSample)
-      .select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .setInitMode("random").setFeaturesCol("features").fit(train)
-    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // driver-local deterministic Lloyd over the bounded sample (same
+    // trainer as the PQ codebooks): distributed k-means would make the
+    // centroids — hence blocking recall — depend on float aggregation
+    // order across cluster layouts; this way the blocking is identical
+    // on any cluster. Only training is driver-side (≤ trainSample rows).
+    val sample = v.orderBy(col(idCol)).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty input")
+    val cents: Array[Array[Double]] = Similarity.lloyd(sample, nlist, iters = 8)
     val cells = v.select(col(idCol),
       explode(Similarity.nearestCells(col("v"), cents, nprobe)).as("cell"))
       .repartition(col("cell")) // one exchange, read by both candidate sides

@@ -169,18 +169,16 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    // train the coarse quantizer on a bounded, deterministic sample
-    val train = c.orderBy(col("vec_id")).limit(trainSample)
-      .select(array_to_vector(col("v")).as("features"))
-    // coarse quantization only needs rough cells: random init + few
-    // iterations (kmeans|| init alone costs more RDD jobs than the training)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8)
-      .setInitMode("random").setFeaturesCol("features").fit(train)
-    val cents: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // coarse quantizer: driver-local deterministic Lloyd on a bounded
+    // sample (same trainer as the PQ codebooks) — centroids are identical
+    // on any cluster layout, unlike distributed k-means whose float
+    // aggregation order varies with partitioning; coarse cells only need
+    // rough geometry, and the sample is ≤ trainSample rows by contract
+    val sample = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
 
     // Cell assignment via the NearestCells kernel expression — an unrolled
     // literal formulation (nlist × dims plan literals) grows the expression
