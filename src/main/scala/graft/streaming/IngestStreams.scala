@@ -3,67 +3,163 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.operators.Dedup
 
-/** Streaming corpus ingestion with DURABLE cross-batch exact dedup.
+/** Streaming corpus ingestion with DURABLE cross-batch dedup — exact
+  * always, near-dup (minhash) optionally.
   *
   * [[WeatherStreams.dedupStream]] bounds its state with a watermark — the
   * right tool when duplicates arrive close together. Corpus ingestion has
   * the opposite profile: a document seen TODAY must still be recognized
   * next month, so the dedup state is unbounded and belongs OUTSIDE the
-  * stream, in a durable staging table — the same `(key_hash)` index that
-  * [[Dedup.incrementalExact]] consumes in batch. `foreachBatch` is the
+  * stream, in durable staging tables — the same `(key_hash)` index that
+  * [[Dedup.incrementalExact]] consumes in batch, and (optionally) the
+  * same `(id, sh, sig)` [[Dedup.signatureIndex]] that
+  * [[Dedup.incrementalMinhash]] consumes. `foreachBatch` is the
   * Spark-native seam for this pattern: each micro-batch is deduped against
-  * the index AND itself, survivors are appended to the output, and their
-  * hashes are appended to the index, so batch N+1 sees everything batch N
-  * admitted.
+  * the index AND itself, survivors are appended to the output, their
+  * hashes (and signatures) extend the indexes, and near-dup pairs of the
+  * batch against everything admitted before it are emitted — so batch N+1
+  * sees everything batch N admitted.
   *
-  * Scale: the index carries ONE 8-byte hash per admitted document (the
-  * [[Dedup.exact]] narrow-key contract, birthday bound documented there);
-  * per batch the corpus cost is one semi-join of the (small) batch against
-  * the index — the standing output is never re-read. Parquet append is
-  * at-least-once under retries; on a production lakehouse back the index
-  * and output with a transactional table format so batch replays stay
-  * exactly-once (the checkpoint already dedups Kafka offsets).
+  * Exactly-once on plain parquet: every write is partitioned by
+  * `batch_key` in dynamic-partition-OVERWRITE mode, so a crash-and-replay
+  * of batch N rewrites exactly batch N's partitions with identical
+  * deterministic content instead of appending duplicates. The key is
+  * derived from (checkpointDir, batchId): stable under replay of the same
+  * checkpoint (idempotence), distinct across ingestion runs (a NEW
+  * checkpoint restarts batch ids at 0 — a bare batch-id partition would
+  * clobber an earlier run's partition 0; callers must reuse the same
+  * checkpointDir string to resume a run). One wrinkle: on replay the hash
+  * index may ALREADY hold batch N's hashes (crash after the index write),
+  * which would make the batch dedup against itself and admit nothing — so
+  * index loads exclude the in-flight batch's partition (partition-pruned
+  * filter, never scans other batches).
+  *
+  * Scale: the exact index carries ONE 8-byte hash per admitted document
+  * (the [[Dedup.exact]] narrow-key contract, birthday bound documented
+  * there); the signature index a few hundred bytes per doc. Per batch the
+  * corpus cost is one semi-join of the (small) batch against the hash
+  * index plus (if enabled) the narrow (id, band) postings join of
+  * [[Dedup.incrementalMinhash]] — the standing output text is never
+  * re-read.
   */
 object IngestStreams {
 
+  /** Near-dup maintenance knobs for [[dedupIngest]]; parameters must match
+    * across every batch and any batch-mode consumer of the same index
+    * (the [[Dedup.incrementalMinhash]] caller contract). */
+  final case class MinhashConfig(pairsDir: String, k: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 1000)
+
   /** Start the ingestion query. `docs` is a streaming DataFrame with
-    * (idCol, textCol, ...); survivors land in `outDir`, their key hashes
-    * in `indexDir`. Both directories may start empty/absent. */
+    * (idCol, textCol, ...); survivors land in `outDir` (partitioned by
+    * admitting batch), their key hashes in `indexDir/hashes`. With
+    * `minhash` set, admitted survivors' minhash signatures are maintained
+    * in `indexDir/signatures` and each batch's near-dup pairs versus the
+    * standing corpus (and itself) land in `minhash.pairsDir` as
+    * (id_a, id_b, jaccard) with id_a the newer doc. All directories may
+    * start empty/absent. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery =
+      textCol: String = "text",
+      minhash: Option[MinhashConfig] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
+        val key = batchKey(checkpointDir, bid)
         val survivors = Dedup.incrementalExact(
-          batch, loadIndex(spark, indexDir), keyCol = textCol, idCol = idCol)
+          batch, loadIndex(spark, indexDir, excludeBatch = key),
+          keyCol = textCol, idCol = idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // survivors carry (idCol, key_hash, n_dups); join the batch back
           // for the full payload — batch-local, never touches the output
-          batch.join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
-            .write.mode("append").parquet(outDir)
-          survivors.select(col("key_hash"))
-            .write.mode("append").parquet(s"$indexDir/hashes")
+          val admitted = batch
+            .join(survivors.select(col(idCol)), Seq(idCol), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            overwriteBatch(admitted, key, outDir)
+            overwriteBatch(survivors.select(col("key_hash")), key,
+              s"$indexDir/hashes")
+            minhash.foreach { mh =>
+              // signatures of the admitted docs only: the near-dup index
+              // mirrors the corpus the exact pass actually admitted
+              val sigs = Dedup.signatureIndex(admitted, idCol, textCol,
+                mh.k, mh.bands, mh.rowsPerBand)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val standing =
+                  loadSignatures(spark, indexDir, idCol, excludeBatch = key)
+                // delta signatures are already computed — incrementalMinhash
+                // re-derives them from text via the same kernels, so hand it
+                // the admitted docs (cheap at batch size) and persist the
+                // standing side per its caller contract
+                val pairs = Dedup.incrementalMinhash(admitted, standing,
+                  idCol, textCol, mh.k, mh.bands, mh.rowsPerBand,
+                  mh.threshold, mh.maxBucket)
+                overwriteBatch(pairs, key, mh.pairsDir)
+                overwriteBatch(sigs, key, s"$indexDir/signatures")
+              } finally sigs.unpersist()
+            }
+          } finally admitted.unpersist()
         } finally survivors.unpersist()
         ()
       }
       .start()
 
+  /** Deterministic partition key for a micro-batch: stable across replays
+    * of the same checkpoint, distinct across checkpoints. (String.hashCode
+    * is spec-fixed, so the key survives JVM restarts.) */
+  private[streaming] def batchKey(checkpointDir: String, bid: Long): String =
+    f"${checkpointDir.hashCode}%08x-$bid"
+
+  /** Idempotent batch write: everything this batch produced lands in the
+    * `batch_key=<key>` partition, and OVERWRITE + dynamic partition mode
+    * replaces exactly that partition on checkpoint replay (deterministic
+    * recompute → identical content) instead of appending a duplicate. */
+  private def overwriteBatch(df: DataFrame, key: String, dir: String): Unit =
+    df.withColumn("batch_key", lit(key))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_key")
+      .parquet(dir)
+
   /** The standing (key_hash) index; an absent/empty directory is the empty
-    * index (first ever batch). */
-  def loadIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(path.toString)
-    else {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("key_hash", LongType))))
-    }
+    * index (first ever batch). `excludeBatch` drops the in-flight batch's
+    * own partition — present only when replaying after a crash that
+    * happened after the index write — so the replay can't dedup the batch
+    * against itself (partition-pruned, never scans other batches). */
+  def loadIndex(spark: SparkSession, indexDir: String,
+      excludeBatch: String = ""): DataFrame =
+    loadOrEmpty(spark, s"$indexDir/hashes", excludeBatch,
+      StructType(Seq(StructField("key_hash", LongType))))
+      .select(col("key_hash"))
+
+  /** The standing (id, sh, sig) [[Dedup.signatureIndex]]; absent/empty →
+    * empty index. Same `excludeBatch` replay rule as [[loadIndex]]. */
+  def loadSignatures(spark: SparkSession, indexDir: String,
+      idCol: String = "doc_id", excludeBatch: String = ""): DataFrame =
+    loadOrEmpty(spark, s"$indexDir/signatures", excludeBatch,
+      StructType(Seq(
+        StructField(idCol, LongType),
+        StructField("sh", ArrayType(LongType, containsNull = false)),
+        StructField("sig", ArrayType(LongType, containsNull = false)))))
+      .select(col(idCol), col("sh"), col("sig"))
+
+  private def loadOrEmpty(spark: SparkSession, path: String,
+      excludeBatch: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(p.toString)
+        .filter(col("batch_key") =!= lit(excludeBatch))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

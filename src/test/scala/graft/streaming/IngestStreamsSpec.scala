@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.SparkSuite
 import graft.operators.Dedup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 /** Durable cross-batch dedup ingestion: batches stream in through
   * foreachBatch, survivors and their key hashes append to parquet, and a
@@ -60,5 +61,97 @@ class IngestStreamsSpec extends SparkSuite {
     val out2 = spark.read.parquet(outDir)
       .select($"doc_id").as[Long].collect().toSet
     assert(out2 == Set(1L, 2L, 5L, 8L), s"got $out2")
+  }
+
+  test("dedupIngest minhash: streamed signature index and pairs match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_mh").toString
+    val (indexDir, outDir, ckpt, pairsDir) =
+      (s"$dir/idx", s"$dir/out", s"$dir/ckpt", s"$dir/pairs")
+    val mh = IngestStreams.MinhashConfig(pairsDir, threshold = 0.5)
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near1 = base.replace("lazy", "sleepy") // near-dup of base
+    val near2 = base.replace("quick", "swift") // near-dup of base (and near1)
+    val other = "completely different content with no shared shingles at all here now"
+
+    val src = MemoryStream[(Long, String)]
+    val q = IngestStreams.dedupIngest(src.toDF().toDF("doc_id", "text"),
+      indexDir, outDir, ckpt, minhash = Some(mh))
+    // batch 0: base + unrelated + exact dup (collapsed before signing)
+    src.addData((1L, base), (2L, other), (3L, base))
+    q.processAllAvailable()
+    // batch 1: near-dup of corpus doc 1, plus a fresh doc
+    src.addData((4L, near1), (5L, "another unrelated document about entirely new things"))
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = spark.read.parquet(outDir).select($"doc_id", $"text")
+    assert(admitted.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L))
+
+    // streamed signature index == batch signatureIndex over the admitted corpus
+    val streamedSigs = spark.read.parquet(s"$indexDir/signatures")
+      .select($"doc_id", $"sh", $"sig").as[(Long, Seq[Long], Seq[Long])]
+      .collect().toSet
+    val batchSigs = Dedup.signatureIndex(admitted)
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSet
+    assert(streamedSigs == batchSigs,
+      "streamed signature index must equal the batch signatureIndex of the admitted corpus")
+
+    // streamed pairs (union over batches) == batch minhashPairs over the
+    // admitted corpus, modulo orientation (incremental puts the newer doc
+    // first; batch uses id_a < id_b)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toSet
+    val streamedPairs = norm(spark.read.parquet(pairsDir))
+    val batchPairs = norm(Dedup.minhashPairs(admitted, threshold = 0.5))
+    assert(streamedPairs == batchPairs && streamedPairs.contains((1L, 4L)),
+      s"streamed=$streamedPairs batch=$batchPairs")
+
+    // restart durability: a NEW query over the same dirs still finds
+    // near-dups against the standing signature index
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = IngestStreams.dedupIngest(src2.toDF().toDF("doc_id", "text"),
+      indexDir, outDir, s"$dir/ckpt2", minhash = Some(mh))
+    src2.addData((6L, near2))
+    q2.processAllAvailable()
+    q2.stop()
+    // (4,6) is NOT expected: near1/near2 differ from each other by two
+    // words, which puts their jaccard below the 0.5 threshold
+    val afterRestart = norm(spark.read.parquet(pairsDir))
+    assert(afterRestart.contains((1L, 6L)),
+      s"restarted query must mine pairs against the standing index: $afterRestart")
+    // and the signature index kept growing
+    assert(spark.read.parquet(s"$indexDir/signatures")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("batch replay idempotence: same batch key overwrites, index load excludes in-flight batch") {
+    // unit-level drive of the replay path: a deterministic recompute of the
+    // same (checkpoint, batch) must overwrite its own partition, not append
+    val dir = Files.createTempDirectory("ingest_replay").toString
+    val k0 = IngestStreams.batchKey("/some/ckpt", 0L)
+    val k1 = IngestStreams.batchKey("/some/ckpt", 1L)
+    assert(k0 != k1 && k0 != IngestStreams.batchKey("/other/ckpt", 0L))
+
+    def writeHashes(vals: Seq[Long], key: String): Unit =
+      vals.toDF("key_hash").withColumn("batch_key", lit(key))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_key").parquet(s"$dir/hashes")
+    writeHashes(Seq(10L, 11L), k0)
+    writeHashes(Seq(20L), k1)
+    writeHashes(Seq(10L, 11L), k0) // replay of batch 0: overwrite, not append
+    val all = spark.read.parquet(s"$dir/hashes")
+      .select($"key_hash").as[Long].collect().toList.sorted
+    assert(all == List(10L, 11L, 20L), s"replay must not duplicate rows: $all")
+
+    // the in-flight batch's own partition is excluded from its index view
+    val visible = IngestStreams.loadIndex(spark, dir, excludeBatch = k1)
+      .as[Long].collect().toSet
+    assert(visible == Set(10L, 11L), s"batch 1 must not see its own hashes: $visible")
+    assert(IngestStreams.loadIndex(spark, dir).as[Long].collect().toSet ==
+      Set(10L, 11L, 20L))
   }
 }
