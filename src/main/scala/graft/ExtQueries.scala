@@ -584,6 +584,41 @@ object ExtQueries {
 
     // ---- multimodal -----------------------------------------------------
 
+    // bucketed-layout staging + shuffle-free read-back: both join sides are
+    // written bucketed on the join key, so the recurring fact⋈dim join and
+    // the bucket-key aggregation plan with NO hash-partitioning exchange
+    // (asserted in PlanInvariantsSpec); the result is layout-independent
+    // and oracle-checked (decimal-exact sum for cross-engine float parity)
+    "q_bucketed_join" -> ((s, dir) => {
+      // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
+      // session sees the old location but no table entry, and saveAsTable
+      // then refuses) — drop both the entry and any stale location
+      def dropStaging(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      dropStaging("g_orders_bucketed")
+      dropStaging("g_customer_bucketed")
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "g_orders_bucketed", 8, Seq("o_custkey"))
+      graft.sources.Sources.writeBucketed(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        "g_customer_bucketed", 8, Seq("c_custkey"))
+      s.table("g_orders_bucketed")
+        .join(s.table("g_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spent"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // payloads are synthesized deterministically from text and the fake
     // dims are integer arithmetic over the byte length, so the decode
     // features are hash-checked against a DuckDB re-derivation; crc32 is
@@ -710,6 +745,13 @@ object ExtQueries {
          |FROM (SELECT doc_id, $shinglesSql AS sh
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // the bucketed layout is invisible to semantics: plain join + group
+    "q_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // re-derives the stub decode features: dims are integer arithmetic on
     // the payload byte length (strlen = bytes; the test corpus is ASCII so

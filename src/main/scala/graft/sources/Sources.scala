@@ -98,11 +98,27 @@ object Sources {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L << 20, shuffle: Boolean = true): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // overwrite-the-input guard: the output write would delete the files
+    // the lazy read plan is about to scan. Compare fully-qualified paths so
+    // "file:/x" and "/x" (or relative spellings) can't slip past.
+    def qualified(s: String) = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(outPath) != qualified(inPath),
+      s"compact cannot write onto its own input: $inPath")
     val df = spark.read.parquet(inPath)
     val files = df.inputFiles
-    val conf = spark.sparkContext.hadoopConfiguration
     val totalBytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      // inputFiles entries are URI-encoded Path.toString values (space →
+      // %20), so URI is the correct decode — but Path.toString leaves some
+      // URI-illegal characters unescaped, so fall back to the raw string
+      // for entries URI rejects rather than failing the whole compaction
+      val p =
+        try new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        catch { case _: java.net.URISyntaxException =>
+          new org.apache.hadoop.fs.Path(f) }
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -73,6 +73,23 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("q_bucketed_join: bucketed read-back joins and aggregates with no shuffle") {
+    // pin to sort-merge so the plan shape is deterministic for the assert
+    // (the point is the missing exchange, not the join strategy)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_bucketed_join")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join + bucket-key agg must not shuffle:\n${p.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("q_a1_daily_avg: partial + final aggregation (map-side combine)") {
     val p = plan("q_a1_daily_avg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

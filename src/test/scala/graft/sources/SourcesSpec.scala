@@ -73,5 +73,13 @@ class SourcesSpec extends SparkSuite {
     assert(nOutC == 1)
     assert(spark.read.parquet(s"$dir/outc")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSet == before)
+    // overwrite-the-input guard, including differently-qualified spellings
+    intercept[IllegalArgumentException](Sources.compact(spark, in, in))
+    intercept[IllegalArgumentException](Sources.compact(spark, in, s"file:$in"))
+    // paths with URI-reserved characters (spaces) must size correctly
+    val spaced = s"$dir/with space/in"
+    docs.limit(10).write.parquet(spaced)
+    val (_, nSp) = Sources.compact(spark, spaced, s"$dir/with space/out", 1L << 30)
+    assert(nSp == 1)
   }
 }
