@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Measured skew stress for the guarded pair-mining paths (SCALE.md
+  * §Measured scaling).
+  *
+  * [[ScaleSmoke]] proves sub-quadratic growth on ORGANIC data; this main
+  * proves the skew GUARDS by behavior: a boilerplate sentence is prepended
+  * to a growing share of the corpus (0% → 50%), planting one shingle whose
+  * document frequency is half the corpus and hot LSH band buckets — the
+  * exact adversarial shape `dfCap` / `maxBucket` exist for. Wall time must
+  * stay flat as the hot share grows: an unguarded miner would go quadratic
+  * in the hot share (df² pair expansion), so a blow-up here means a guard
+  * stopped working even if plan-shape asserts still pass.
+  *
+  * Exit 1 if any operator's t(50%) exceeds 3× its t(0%) (flat + noise;
+  * the quadratic signature would be ≫10×).
+  */
+object SkewSmoke {
+
+  private val boiler =
+    "all rights reserved copyright notice and standard disclaimer follow"
+
+  private def skewed(docs: DataFrame, pct: Int): DataFrame =
+    docs.withColumn("text",
+      when(pmod(xxhash64(col("doc_id")), lit(100L)) < pct,
+        concat(lit(boiler + " "), col("text"))).otherwise(col("text")))
+
+  private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "minhash" -> ((d: DataFrame) =>
+      Dedup.minhashPairs(d, bands = 32, rowsPerBand = 2, threshold = 0.5)),
+    "ngram" -> ((d: DataFrame) =>
+      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)))
+
+  def main(args: Array[String]): Unit = {
+    val shares = Seq(0, 10, 30, 50)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    def time(op: DataFrame => DataFrame, pct: Int): Double =
+      (0 until math.max(1, iters)).map { _ =>
+        spark.catalog.clearCache() // pinned signature persists (ScaleSmoke note)
+        val t0 = System.nanoTime()
+        op(skewed(docs, pct)).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // warm-up for the codegen cache
+    ops.foreach { case (_, op) =>
+      spark.catalog.clearCache()
+      op(skewed(docs, 0).limit(500)).count()
+    }
+
+    var violations = 0
+    ops.foreach { case (name, op) =>
+      val ts = shares.map(p => p -> time(op, p))
+      val flat = ts.last._2 / math.max(ts.head._2, 1e-9)
+      val ok = flat < 3.0
+      if (!ok) violations += 1
+      val cells = ts.map { case (p, t) => f"hot$p%d%%=$t%.2fs" }.mkString(" ")
+      println(f"$name%-8s $cells  x(0%%→50%%)=$flat%.2f " +
+        (if (ok) "OK" else "GUARD BROKEN?"))
+    }
+    spark.stop()
+    if (violations > 0) {
+      System.err.println(s"[skew-smoke] $violations op(s) blew up under skew")
+      sys.exit(1)
+    }
+  }
+}
