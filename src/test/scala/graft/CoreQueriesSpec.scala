@@ -16,6 +16,27 @@ class CoreQueriesSpec extends SparkSuite {
     }
   }
 
+  test("approx distinct: HLL estimate within rsd bounds of the exact twin") {
+    // q_approx_distinct is rows-only (sketch estimates are engine-specific);
+    // this bounds it against the hash-checked exact variant so a broken
+    // sketch path can't hide behind the rows-only contract
+    import org.apache.spark.sql.functions.col
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
+      .select(col("event_type"), col("approx_users"))
+    val exact = SparkEntry.queries("q_distinct_agg")(spark, sf0001)
+      .select(col("event_type"), col("n_users"))
+    val joined = approx.join(exact, "event_type")
+      .select(col("approx_users").cast("double"), col("n_users").cast("double"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a, e) = (r.getDouble(0), r.getDouble(1))
+      // default rsd is 5%; 3σ + slack for small groups
+      assert(math.abs(a - e) <= math.max(0.2 * e, 3.0),
+        s"approx=$a exact=$e drifted beyond sketch bounds")
+    }
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
