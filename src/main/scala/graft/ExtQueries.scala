@@ -28,6 +28,15 @@ object ExtQueries {
   private val mixWeights: Map[String, Int] =
     Map("en" -> 2, "de" -> 1, "es" -> 1, "zh" -> 1)
 
+  /** Shared by q_quality_rules' Spark and oracle sides: the corpus is
+    * synthetic DB-prose with no English function words, so the Gopher
+    * "common word" rule uses its domain's common terms. */
+  private val qualityRuleWords: Seq[String] =
+    Seq("join", "hash", "scan", "row", "filter", "merge", "column", "batch")
+
+  /** Shared by q_text_bm25's Spark and oracle sides: mixed-df query terms. */
+  private val bm25Terms: Seq[String] = Seq("join", "vector", "checkpoint", "scan")
+
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
     * keep-all sentinel path; es is deliberately absent → dropped). */
   private val strataRates: Map[String, Double] =
@@ -584,6 +593,29 @@ object ExtQueries {
 
     // ---- multimodal -----------------------------------------------------
 
+    // Gopher/C4-style boolean rule gate — every rule an auditable exact
+    // predicate, whole gate hash-checked (required words are corpus-domain
+    // terms: the synthetic corpus has no English function words)
+    "q_quality_rules" -> ((s, dir) =>
+      TextAnalysis.qualityRules(Tables.documents(s, dir),
+        requiredWords = qualityRuleWords)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("r_word_count"), col("r_mean_word_len"), col("r_alpha_words"),
+          col("r_symbol_ratio"), col("r_bullet_lines"),
+          col("r_ellipsis_lines"), col("r_stopwords"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Okapi BM25 against a fixed query-term set: the full rational
+    // skeleton (tf, dl, idf_arg, tf_norm) is hash-checked bit-for-bit;
+    // the composed score is excluded because ln itself is not
+    // ULP-portable across engines (measured — see TextAnalysis.bm25
+    // scaladoc; the score is hand-checked in TextAnalysisSpec)
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir), bm25Terms)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          col("idf_arg"), col("tf_norm"))
+        .orderBy(col("doc_id"), col("term"))),
+
     // bucketed-layout staging + shuffle-free read-back: both join sides are
     // written bucketed on the join key, so the recurring fact⋈dim join and
     // the bucket-key aggregation plan with NO hash-partitioning exchange
@@ -745,6 +777,61 @@ object ExtQueries {
          |FROM (SELECT doc_id, $shinglesSql AS sh
          |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    // boolean rules re-derived over the same token/line definitions; the
+    // only double (mean_word_len) is one division of exact ints
+    "q_quality_rules" -> {
+      val reqList = qualityRuleWords.mkString("['", "', '", "']")
+      s"""WITH d AS (SELECT doc_id, text, $toksSql AS toks,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_word_len,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) >= 0.8 AS r_alpha_words,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+         |      / greatest(CAST(len(toks) AS DOUBLE), 1.0) <= 0.1 AS r_symbol_ratio,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+         |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) <= 0.9 AS r_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+         |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) <= 0.3 AS r_ellipsis_lines,
+         |    len(list_filter($reqList, w -> list_contains(toks, w))) >= 2 AS r_stopwords
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len,
+         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         |  r_alpha_words, r_symbol_ratio, r_bullet_lines, r_ellipsis_lines,
+         |  r_stopwords,
+         |  (n_words BETWEEN 50 AND 100000) AND
+         |    (mean_word_len BETWEEN 3.0 AND 10.0) AND r_alpha_words AND
+         |    r_symbol_ratio AND r_bullet_lines AND r_ellipsis_lines AND
+         |    r_stopwords AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    // identical rational operation tree to the Spark side: avgdl as ONE
+    // division, then dl/avgdl — basic IEEE ops are bit-portable; the ln
+    // composition is deliberately NOT compared (see the Spark-side note)
+    "q_text_bm25" -> {
+      val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN ($inList) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl)
+         |SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         |  1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5) AS idf_arg,
+         |  (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |  (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+         |    (CAST(dl AS DOUBLE) /
+         |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS tf_norm
+         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
+         |ORDER BY doc_id, term""".stripMargin
+    },
 
     // the bucketed layout is invisible to semantics: plain join + group
     "q_bucketed_join" ->

@@ -221,6 +221,107 @@ object TextAnalysis {
           greatest(col("n_shingles").cast("double"), lit(1.0d)), 6))
   }
 
+  /** Rule-based pre-training quality gate — the Gopher (Rae et al. 2021,
+    * §A1.1) / C4 (Raffel et al. 2020, §2.2) filter shape: per-document
+    * boolean rules over cheap narrow signals, plus their conjunction
+    * `keep`. Unlike [[qualityScore]]'s soft score, every rule is an
+    * auditable predicate a pipeline owner can tune independently — and all
+    * are exact integer/regex arithmetic, so the whole gate is
+    * oracle-checkable in any SQL engine.
+    *
+    * Rules (public thresholds from the papers): word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; ≥ 80% of words
+    * contain a letter; symbol-to-word ratio (#, …, ...) ≤ 0.1; ≤ 90% of
+    * lines start with a bullet; ≤ 30% of lines end in an ellipsis; at
+    * least 2 of the `requiredWords` present (Gopher's "stop word" rule —
+    * the default is the paper's English list; hand a domain list for
+    * non-prose corpora). Narrow one-pass plan, no shuffle. */
+  def qualityRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      requiredWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val nW = greatest(size(toks).cast("double"), lit(1.0d))
+    val nL = greatest(size(lines).cast("double"), lit(1.0d))
+    val requiredStops = requiredWords
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nW)
+      .withColumn("r_word_count", col("n_words").between(minWords, maxWords))
+      .withColumn("r_mean_word_len", col("mean_word_len").between(3.0d, 10.0d))
+      .withColumn("r_alpha_words",
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nW >= 0.8d)
+      .withColumn("r_symbol_ratio",
+        regexp_count(col(textCol), lit("#|\\.\\.\\.|…")).cast("double") / nW <= 0.1d)
+      .withColumn("r_bullet_lines",
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nL <= 0.9d)
+      .withColumn("r_ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nL <= 0.3d)
+      .withColumn("r_stopwords",
+        size(filter(array(requiredStops.map(lit): _*),
+          w => array_contains(toks, w))) >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha_words") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_stopwords"))
+      .drop("__toks", "__lines")
+  }
+
+  /** Okapi BM25 term scores for a FIXED query-term set — the retrieval
+    * scoring a contamination/attribution pipeline runs over the corpus
+    * (idf-weighted, length-normalized tf; Robertson & Zaragoza 2009).
+    * Output: one row per (doc, matched term) with tf, dl, the exact
+    * rational factors, and the score: `score = ln(idf_arg) · tf_norm`.
+    *
+    * Scale: one explode pass; tf filters to the bounded query set BEFORE
+    * aggregating (the shuffle carries only query-term postings); df and
+    * the corpus length stats are tiny aggregates broadcast back.
+    *
+    * Engine-portability: `idf_arg` (the ln argument) and `tf_norm` (the
+    * length-normalized tf factor) are pure rational IEEE arithmetic over
+    * exact integer counts in a fixed operation tree — bit-identical in any
+    * engine, hash-checked by the oracle. The final `ln` is NOT portable at
+    * full precision and is therefore excluded from the oracle projection:
+    * measured on this corpus, JVM `Math.log`, fdlibm `StrictMath.log`,
+    * and glibc `ln` EACH pick a different last ULP for some inputs
+    * (df=394: Math==glibc≠fdlibm; df=398: fdlibm==glibc≠Math), so no
+    * formulation hash-matches a native engine on all inputs. The composed
+    * score is hand-checked in TextAnalysisSpec instead. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qset = array(queryTerms.distinct.map(lit): _*)
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val dl = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = terms.filter(array_contains(qset, col("term")))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val nD = col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    // avgdl as ONE division (total/n), then dl/avgdl — the exact operation
+    // tree the oracle mirrors; reassociating (dl*n/total) would change bits
+    val avgdl = col("total_dl").cast("double") / nD
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_arg",
+        lit(1.0d) + (nD - dfD + lit(0.5d)) / (dfD + lit(0.5d)))
+      .withColumn("tf_norm",
+        (tfD * (lit(k1) + lit(1.0d))) /
+          (tfD + lit(k1) * (lit(1.0d) - lit(b) +
+            lit(b) * (col("dl").cast("double") / avgdl))))
+      .withColumn("score", log(col("idf_arg")) * col("tf_norm"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"),
+        col("idf_arg"), col("tf_norm"), col("score"))
+  }
+
   /** One-scan per-language corpus report — the summary a pipeline owner
     * checks after every ingest: volume (docs / tokens), diversity (distinct
     * sources), and exact-dup load (docs minus distinct texts). Composes

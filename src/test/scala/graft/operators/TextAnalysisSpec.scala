@@ -99,6 +99,62 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(3L) == ((3L, 1, 1, 0.0)), s"short doc: ${got(3L)}")
   }
 
+  test("qualityRules: each rule trips on its designed failure, clean doc keeps") {
+    val longClean = (("the data " * 30) + "pipeline runs with and that of be have").trim
+    val df = Seq(
+      (1L, longClean),                                  // passes everything
+      (2L, "too short but the and of"),                 // word count
+      (3L, ("x " * 60 + "the of").trim),                // mean word len < 3
+      (4L, (("##" + " # " * 60) + "the of and more words " * 8).trim), // symbols
+      (5L, (1 to 60).map(i => s"- bullet $i the of").mkString("\n")), // bullets
+      (6L, ("the of " * 30 + "a…\nb...\nc...\nd")), // ellipsis lines
+      (7L, ("zz " * 60 + "qq ww").trim)                 // no required stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityRules(df, minWords = 50)
+      .select($"doc_id", $"r_word_count", $"r_mean_word_len", $"r_symbol_ratio",
+        $"r_bullet_lines", $"r_ellipsis_lines", $"r_stopwords", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._8, "clean long doc must keep")
+    assert(!got(2L)._2 && !got(2L)._8, "short doc fails word count")
+    assert(!got(3L)._3, "single-letter soup fails mean word length")
+    assert(!got(4L)._4, "symbol-heavy doc fails symbol ratio")
+    assert(!got(5L)._5, "all-bullet doc fails bullet rule")
+    assert(!got(6L)._6, "ellipsis-ended lines fail ellipsis rule")
+    assert(!got(7L)._7 && !got(7L)._8, "no required words fails stopword rule")
+  }
+
+  test("bm25: tf raises score, rarity raises idf, length normalization works") {
+    val df = Seq(
+      (1L, "join join join scan filter"),     // high tf for join, short doc
+      (2L, "join " + ("pad " * 40).trim),     // tf=1, long doc
+      (3L, "scan filter merge row"),          // no join
+      (4L, "vector index probe")              // rare term 'vector'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, Seq("join", "vector"))
+      .select($"doc_id", $"term", $"tf", $"score")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // doc 1 has tf=3 and is short → strictly higher than doc 2 (tf=1, long)
+    assert(got((1L, "join"))._1 == 3L && got((2L, "join"))._1 == 1L)
+    assert(got((1L, "join"))._2 > got((2L, "join"))._2)
+    // 'vector' appears in 1 of 4 docs, 'join' in 2 of 4 → higher idf, and
+    // both have tf=1 in their single-occurrence docs; vector's doc is
+    // shorter too, so its score must exceed doc 2's join score
+    assert(got((4L, "vector"))._2 > got((2L, "join"))._2)
+    // no row for docs without the term
+    assert(!got.contains((3L, "join")))
+    // hand check: doc 4 vector score vs local computation
+    val n = 4.0; val dfv = 1.0
+    val dl = Map(1L -> 5.0, 2L -> 41.0, 3L -> 4.0, 4L -> 3.0)
+    val avgdl = dl.values.sum / n
+    val idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+    val expected = idf * (1.0 * (1.2 + 1.0)) /
+      (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl(4L) / avgdl)))
+    assert(math.abs(got((4L, "vector"))._2 - expected) < 1e-12,
+      s"got ${got((4L, "vector"))._2} expected $expected")
+  }
+
   test("fingerprint: deterministic, exact-dup-stable, change-sensitive") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f h"))
       .toDF("doc_id", "text")
