@@ -616,6 +616,16 @@ object ExtQueries {
           col("idf_arg"), col("tf_norm"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // Morton z-value (the writeZOrdered clustering key) — pure integer
+    // bit arithmetic, hash-checked against the same mask-and-shift chain
+    // in DuckDB; the layout behavior itself is asserted in LayoutSpec
+    "q_zvalue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.sources.Sources.zValue(col("o_custkey"), col("o_orderkey"))
+            .as("z"))
+        .orderBy(col("o_orderkey"))),
+
     // bucketed-layout staging + shuffle-free read-back: both join sides are
     // written bucketed on the join key, so the recurring fact⋈dim join and
     // the bucket-key aggregation plan with NO hash-partitioning exchange
@@ -832,6 +842,30 @@ object ExtQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
     },
+
+    // the same spread-mask chain, stepwise CTEs (inlining would duplicate
+    // each subexpression 2^5 times); masks in decimal for portability
+    "q_zvalue" ->
+      """WITH s0 AS (SELECT o_orderkey, o_custkey,
+        |    (CAST(o_custkey AS BIGINT) & 2147483647) AS xa,
+        |    (CAST(o_orderkey AS BIGINT) & 2147483647) AS xb FROM orders),
+        |s1 AS (SELECT o_orderkey, o_custkey,
+        |    ((xa | (xa << 16)) & 281470681808895) AS xa,
+        |    ((xb | (xb << 16)) & 281470681808895) AS xb FROM s0),
+        |s2 AS (SELECT o_orderkey, o_custkey,
+        |    ((xa | (xa << 8)) & 71777214294589695) AS xa,
+        |    ((xb | (xb << 8)) & 71777214294589695) AS xb FROM s1),
+        |s3 AS (SELECT o_orderkey, o_custkey,
+        |    ((xa | (xa << 4)) & 1085102592571150095) AS xa,
+        |    ((xb | (xb << 4)) & 1085102592571150095) AS xb FROM s2),
+        |s4 AS (SELECT o_orderkey, o_custkey,
+        |    ((xa | (xa << 2)) & 3689348814741910323) AS xa,
+        |    ((xb | (xb << 2)) & 3689348814741910323) AS xb FROM s3),
+        |s5 AS (SELECT o_orderkey, o_custkey,
+        |    ((xa | (xa << 1)) & 6148914691236517205) AS xa,
+        |    ((xb | (xb << 1)) & 6148914691236517205) AS xb FROM s4)
+        |SELECT o_orderkey, o_custkey, (xa | (xb << 1)) AS z
+        |FROM s5 ORDER BY o_orderkey""".stripMargin,
 
     // the bucketed layout is invisible to semantics: plain join + group
     "q_bucketed_join" ->

@@ -79,6 +79,44 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Morton (Z-order) value of two integer columns: bits of `a` and `b`
+    * interleaved (a = even bits, b = odd bits), via the standard
+    * mask-and-shift bit spreading. Inputs are masked to their low 31 bits
+    * (z stays positive; offset wider domains first). Pure built-in integer
+    * arithmetic — codegen'd by Spark AND bit-identical in any SQL engine,
+    * so z-values are oracle-checkable. */
+  def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var v = x.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write Z-ORDER-clustered parquet: the two-dimensional row-group-pruning
+    * layout. [[writeSorted]] tightens min/max on ONE high-cardinality
+    * column; a range-sort on the Morton interleave localizes BOTH columns
+    * per file/row group (each file covers a square-ish tile of the (a, b)
+    * plane), so selective predicates on EITHER — or both — dimensions skip
+    * row groups at scan time. The trade every lakehouse optimizer ships
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`), here as a plain writer. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 0): Unit = {
+    val z = zValue(df.col(colA), df.col(colB))
+    val withZ = df.withColumn("__z", z)
+    val ranged =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, withZ.col("__z"))
+      else withZ.repartitionByRange(withZ.col("__z"))
+    ranged.sortWithinPartitions(ranged.col("__z")).drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the table-maintenance pass behind every
     * streaming/incremental ingest: micro-batches and per-task writers leave
     * thousands of KB-sized files, and at 100 TB the scan's task count (and

@@ -60,4 +60,43 @@ class LayoutSpec extends SparkSuite {
       s"filter must be pushed to the parquet scan:\n$scan")
     assert(q.count() == 1)
   }
+
+  test("writeZOrdered: BOTH dimensions cluster per file; single-col sort only one") {
+    // a 100×100 grid of (a, b): z-order tiles the plane, so each output
+    // file should cover a bounded window of a AND of b; a plain sort on
+    // `a` clusters a but leaves b spanning its full range in every file
+    val dir = tmp("zorder")
+    val dirA = tmp("asorted")
+    val grid = (for (a <- 0 until 100; b <- 0 until 100)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    Sources.writeZOrdered(grid, dir, "a", "b", numFiles = 16)
+    Sources.writeSorted(grid, dirA, Seq("a"), numFiles = 16)
+
+    def avgSpan(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg($"span")).head().getDouble(0)
+
+    val (za, zb) = (avgSpan(dir, "a"), avgSpan(dir, "b"))
+    val (sa, sb) = (avgSpan(dirA, "a"), avgSpan(dirA, "b"))
+    // z-order: both dimensions bounded well below the full 0..99 range
+    assert(za < 60.0 && zb < 60.0, s"z-order must cluster both dims: a=$za b=$zb")
+    // single-column sort: a clusters tightly, b spans ~everything
+    assert(sa < 20.0, s"sort clusters its own column: $sa")
+    assert(sb > 90.0, s"sort leaves the other column unclustered: $sb")
+    // and z-order beats the sort on the non-sorted dimension by a lot
+    assert(zb < sb / 2, s"z-order b-span $zb must beat plain-sort $sb")
+
+    // correctness: same rows back
+    assert(spark.read.parquet(dir).count() == 10000)
+
+    // min/max pruning is live on both columns: a two-sided predicate reads
+    // fewer files than exist
+    val q = spark.read.parquet(dir)
+      .filter($"a".between(10, 19) && $"b".between(10, 19))
+    assert(q.count() == 100)
+    val touched = q.select(input_file_name()).distinct().count()
+    assert(touched < 16, s"two-dim predicate should not touch every file: $touched")
+  }
 }
