@@ -214,13 +214,25 @@ object Sampling {
     * content hash per key — a uniform-ish fixed-size sample per group that
     * is stable across runs and mergeable (the k smallest of a union is
     * computable from each side's k smallest — the classic distributed
-    * bottom-k sketch). */
+    * bottom-k sketch).
+    *
+    * Selection is the k-bounded [[graft.functions.TopK]] aggregate of the
+    * NEGATED hash (bottom-k = top-k of the negation), not a
+    * `row_number()` window: the window formulation sorts EVERY row of
+    * every key, which at corpus scale is a per-key O(n log n) sort to
+    * keep k rows; the aggregate ships ≤ k rows per (partition, key). The
+    * hash is compared in double precision (low 11 bits fold away), with
+    * ties — including any 53-bit collisions — resolved by ascending
+    * `idCol`, so the rule stays a pure deterministic function of content.
+    * `idCol` must be integral (the aggregate's LONG tie contract). */
   def bottomKPerKey(df: DataFrame, keyCol: Column, idCol: Column, k: Int,
       seed: Long = 42L): DataFrame = {
-    require(!df.columns.contains("__rk"),
-      "input already has a __rk column; rename it before sampling")
-    val w = Window.partitionBy(keyCol)
-      .orderBy(xxhash64(idCol, lit(seed)), idCol)
-    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+    import graft.functions.TopK
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(keyCol.as("__g"))
+      .agg(TopK.topKByOrd(payload,
+        negate(xxhash64(idCol, lit(seed)).cast("double")), idCol, k).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.*"))
   }
 }

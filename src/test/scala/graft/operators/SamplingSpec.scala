@@ -156,5 +156,9 @@ class SamplingSpec extends SparkSuite {
     val halfK = Sampling.bottomKPerKey(half, col("lang"), col("doc_id"), k = 10)
       .select($"doc_id").as[Long].collect().toSet
     assert((s2.filter(_ % 2 == 0) -- halfK).isEmpty)
+    // scale shape: k-bounded aggregate, never a per-key window sort
+    val p = s1.queryExecution.executedPlan.toString
+    assert(p.contains("topk_by_ord") && !p.contains("Window"),
+      s"bottom-k must plan the TopK aggregate:\n${p.take(1500)}")
   }
 }
