@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingPrep, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Dedup, EmbeddingPrep, Funnel, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -36,6 +36,9 @@ object ExtQueries {
 
   /** Shared by q_text_bm25's Spark and oracle sides: mixed-df query terms. */
   private val bm25Terms: Seq[String] = Seq("join", "vector", "checkpoint", "scan")
+
+  /** Shared by q_funnel's Spark and oracle sides (ordered). */
+  private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
     * keep-all sentinel path; es is deliberately absent → dropped). */
@@ -616,6 +619,15 @@ object ExtQueries {
           col("idf_arg"), col("tf_norm"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // ordered funnel conversion over the event log: stage k counts users
+    // with a step-k event strictly after their stage-(k-1) time; ts
+    // compared in epoch MICROS on both engines (unix_micros here,
+    // epoch_us in the oracle — the established events-table convention)
+    "q_funnel" -> ((s, dir) =>
+      Funnel.conversionCounts(
+        Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+        funnelSteps, tsCol = "ts_us")),
+
     // Morton z-value (the writeZOrdered clustering key) — pure integer
     // bit arithmetic, hash-checked against the same mask-and-shift chain
     // in DuckDB; the layout behavior itself is asserted in LayoutSpec
@@ -841,6 +853,26 @@ object ExtQueries {
          |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS tf_norm
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
+    },
+
+    // the same sequential-min chain as Funnel.stages, one CTE per stage
+    "q_funnel" -> {
+      val Seq(a, b, c) = funnelSteps
+      s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+         |            WHERE event_type = '$a' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+         |       FROM events e JOIN s0 USING (user_id)
+         |       WHERE e.event_type = '$b' AND epoch_us(e.ts) > s0.t0
+         |       GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+         |       FROM events e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = '$c' AND epoch_us(e.ts) > s1.t1
+         |       GROUP BY e.user_id)
+         |SELECT CAST(stage AS INT) AS stage, step, n_users FROM (
+         |  SELECT 0 AS stage, '$a' AS step, (SELECT count(*) FROM s0) AS n_users
+         |  UNION ALL SELECT 1, '$b', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, '$c', (SELECT count(*) FROM s2))
+         |ORDER BY stage""".stripMargin
     },
 
     // the same spread-mask chain, stepwise CTEs (inlining would duplicate

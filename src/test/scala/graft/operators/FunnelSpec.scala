@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (user, type, ts)
+  private def log(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "event_type", "ts")
+
+  test("ordered progression counts; out-of-order events don't convert") {
+    val events = log(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchase BEFORE view — only stage 0 (and a click after view)
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      // u3: click before view only — stuck at stage 0
+      (3L, "click", 5L), (3L, "view", 10L),
+      // u4: never views — absent from every stage
+      (4L, "click", 1L), (4L, "purchase", 2L))
+    val got = Funnel.conversionCounts(events, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    // u1 converts fully; u2/u3 reach click-after-view but never purchase
+    // after it; u4 never views at all
+    assert(got == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)),
+      s"got $got")
+  }
+
+  test("strictly-after semantics: same-timestamp events do not advance") {
+    val events = log(
+      (1L, "view", 10L), (1L, "click", 10L), // tie: not strictly after
+      (2L, "view", 10L), (2L, "click", 11L))
+    val got = Funnel.conversionCounts(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, "view", 2L), (1, "click", 1L)), s"got $got")
+  }
+
+  test("stage times: earliest qualifying event per stage") {
+    val events = log(
+      (1L, "view", 10L), (1L, "view", 5L),        // t0 = 5
+      (1L, "click", 3L),                           // before t0 → ignored
+      (1L, "click", 8L), (1L, "click", 50L))       // t1 = 8
+    val st = Funnel.stages(events, Seq("view", "click"))
+      .select($"user_id", $"t0", $"t1").as[(Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(st == Seq((1L, 5L, Some(8L))), s"got $st")
+  }
+
+  test("per-stage min aggregates are partial+final; no event-list assembly") {
+    val events = log((1L, "view", 1L), (1L, "click", 2L))
+    val p = Funnel.stages(events, Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list") && !p.contains("Window"),
+      s"funnel must not assemble per-user event lists:\n${p.take(1500)}")
+  }
+}
