@@ -628,6 +628,14 @@ object ExtQueries {
         Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
         funnelSteps, tsCol = "ts_us")),
 
+    // weekly cohort retention over the event log (UTC ISO-Monday weeks on
+    // both engines; offsets are exact multiples of 7 days → int-safe)
+    "q_retention" -> ((s, dir) =>
+      Funnel.retention(Tables.events(s, dir))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Morton z-value (the writeZOrdered clustering key) — pure integer
     // bit arithmetic, hash-checked against the same mask-and-shift chain
     // in DuckDB; the layout behavior itself is asserted in LayoutSpec
@@ -854,6 +862,20 @@ object ExtQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
     },
+
+    // same two-aggregate + join shape; date_trunc('week') is ISO-Monday
+    // in both engines, offsets exact multiples of 7 days
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        |      FROM events)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+        |    AS week_offset,
+        |  count(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the same sequential-min chain as Funnel.stages, one CTE per stage
     "q_funnel" -> {

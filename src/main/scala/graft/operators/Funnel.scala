@@ -45,6 +45,28 @@ object Funnel {
     }
   }
 
+  /** Weekly cohort retention: users grouped by the ISO week of their FIRST
+    * event; `n_active` counts distinct cohort members active in each
+    * subsequent week. Output: (cohort_week, week_offset, n_active).
+    *
+    * Scale shape: two per-user aggregates (first-seen, distinct active
+    * weeks — both partial-combined, shuffling one narrow row per user per
+    * week) and one join on user — never a per-user event list, never a
+    * window. Week truncation is ISO-Monday in UTC on both Spark and the
+    * SQL engines the result is audited against. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events.select(col(userCol),
+      date_trunc("week", col(tsCol)).as("active_week")).distinct()
+    active.join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Stage-level conversion counts: (stage, step, n_users), one row per
     * step, n_users = users whose tᵢ is non-null. One single-row aggregate
     * over [[stages]] unpivoted with `stack` — no extra shuffle. */

@@ -48,6 +48,28 @@ class FunnelSpec extends SparkSuite {
     assert(st == Seq((1L, 5L, Some(8L))), s"got $st")
   }
 
+  test("retention: cohort by first week, distinct-active per offset") {
+    import java.sql.Timestamp
+    // week of 2024-03-04 (Mon); next week 2024-03-11
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-03-05 10:00:00")), // u1 cohort week0
+      (1L, ts("2024-03-06 10:00:00")), // same week — still one active row
+      (1L, ts("2024-03-12 10:00:00")), // week1
+      (2L, ts("2024-03-07 10:00:00")), // u2 cohort week0, never returns
+      (3L, ts("2024-03-13 10:00:00"))  // u3 cohort = NEXT week
+    ).toDF("user_id", "ts")
+    val got = Funnel.retention(events)
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("w"),
+        $"week_offset", $"n_active")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-03-04", 0, 2L),  // u1+u2 in cohort week, both active
+      ("2024-03-04", 1, 1L),  // only u1 returns
+      ("2024-03-11", 0, 1L)), // u3's own cohort
+      s"got $got")
+  }
+
   test("per-stage min aggregates are partial+final; no event-list assembly") {
     val events = log((1L, "view", 1L), (1L, "click", 2L))
     val p = Funnel.stages(events, Seq("view", "click"))
