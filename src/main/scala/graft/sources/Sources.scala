@@ -16,6 +16,17 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar warehouse format (native reader: same
+    * predicate-pushdown / column-pruning / vectorized-scan properties as
+    * parquet, so every layout argument in this file carries over). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC writer (overwrite) — for interop with ORC-standardized
+    * warehouses; all graft operators are format-agnostic DataFrames. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JSON-lines with an explicit schema; PERMISSIVE mode keeps the
     * reference's drop-on-error semantics (malformed → null row). */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =

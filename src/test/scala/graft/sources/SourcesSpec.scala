@@ -47,6 +47,20 @@ class SourcesSpec extends SparkSuite {
     assert(Sources.parquet(spark, s"$sf0001/customer.parquet").count() == 150)
   }
 
+  test("orc: round-trip content identity, filter pushed to the ORC scan") {
+    val dir = s"${Files.createTempDirectory("orc")}/docs"
+    val docs = graft.Tables.documents(spark, sf0001)
+    Sources.writeOrc(docs, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.select($"doc_id", $"text").as[(Long, String)].collect().toSet ==
+      docs.select($"doc_id", $"text").as[(Long, String)].collect().toSet)
+    val q = back.filter($"doc_id" === 42L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"ORC scan must receive the pushed filter:\n${plan.take(1500)}")
+    assert(q.count() == 1)
+  }
+
   test("compact: many small files → few target-sized, content identical") {
     val dir = Files.createTempDirectory("compact").toString
     val in = s"$dir/in"
