@@ -628,6 +628,11 @@ object ExtQueries {
         Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
         funnelSteps, tsCol = "ts_us")),
 
+    // join-key skew profile over orders.o_custkey: hottest keys by the
+    // string-tie TopK heap, shares as single divisions — all portable
+    "q_key_skew" -> ((s, dir) =>
+      Profile.keySkew(Tables.orders(s, dir), col("o_custkey"), topK = 5)),
+
     // weekly cohort retention over the event log (UTC ISO-Monday weeks on
     // both engines; offsets are exact multiples of 7 days → int-safe)
     "q_retention" -> ((s, dir) =>
@@ -862,6 +867,20 @@ object ExtQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
     },
+
+    // top-k keys re-derived with ORDER BY count DESC, key ASC (binary
+    // string collation == the TopK string-tie contract)
+    "q_key_skew" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 5)
+        |SELECT CAST((SELECT sum(c) FROM c) AS BIGINT) AS n_rows,
+        |  (SELECT count(*) FROM c) AS n_distinct,
+        |  (SELECT max(c) FROM c) AS max_count,
+        |  CAST((SELECT max(c) FROM c) AS DOUBLE) /
+        |    CAST((SELECT sum(c) FROM c) AS DOUBLE) AS top1_share,
+        |  (SELECT string_agg(k || ':' || CAST(c AS VARCHAR), ','
+        |                     ORDER BY c DESC, k) FROM t) AS top_keys""".stripMargin,
 
     // same two-aggregate + join shape; date_trunc('week') is ISO-Monday
     // in both engines, offsets exact multiples of 7 days

@@ -58,4 +58,34 @@ object Profile {
       col(s"__maxs_$c").as("max_str"))): _*)
     aggregated.select(explode(rows).as("p")).select(col("p.*"))
   }
+
+  /** Join/group-key skew profile — the pre-flight check before keying a
+    * 100 TB shuffle on a column: row/distinct counts, the hottest key's
+    * frequency and share, and the top-k keys as a deterministic
+    * `key:count` list (count desc, key asc — the q_ngram_topk string-tie
+    * contract, so the output is engine-portable and oracle-checkable).
+    *
+    * One groupBy(key) count (partial-combined; the shuffle carries one
+    * row per distinct key per partition) + one single-row aggregate whose
+    * top-k is the k-bounded string-tie TopK heap — no window, no sort,
+    * no driver-side key list. `top1_share` is a single int/int division
+    * (bit-portable). */
+  def keySkew(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
+    import graft.functions.TopK
+    require(topK >= 1)
+    val counts = df.groupBy(keyCol.cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("max_count"),
+      TopK.topKByOrdStrTie(
+        concat(col("k"), lit(":"), col("c")), col("c"), col("k"), topK)
+        .as("__top"))
+      .select(
+        col("n_rows"), col("n_distinct"), col("max_count"),
+        (col("max_count").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        concat_ws(",", col("__top")).as("top_keys"))
+  }
 }

@@ -41,6 +41,19 @@ class ProfileSpec extends SparkSuite {
     assert(math.abs(got("tag") - 2L) <= 1)
   }
 
+  test("keySkew: counts, hottest key, deterministic top-k list, no window") {
+    import org.apache.spark.sql.functions.col
+    val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b")).toDF("k")
+    val r = Profile.keySkew(skewed, col("k"), topK = 2).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(math.abs(r.getDouble(3) - 6.0 / 9.0) < 1e-15)
+    assert(r.getString(4) == "hot:6,a:2", s"got ${r.getString(4)}")
+    val p = Profile.keySkew(skewed, col("k"), topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("topk_by_ord") && !p.contains("Window"),
+      s"top-k must be the bounded heap aggregate:\n${p.take(1200)}")
+  }
+
   test("profile: single aggregation output is one row per profiled column") {
     val got = Profile.profile(df, Seq("id", "score"))
     assert(got.count() == 2)
