@@ -628,6 +628,12 @@ object ExtQueries {
         Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
         funnelSteps, tsCol = "ts_us")),
 
+    // tokenizer-coverage: top-100 vocab via the string-tie heap, per-doc
+    // OOV rate via broadcast anti-join — fully oracle-checked
+    "q_vocab_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir), vocabSize = 100)
+        .orderBy(col("doc_id"))),
+
     // join-key skew profile over orders.o_custkey: hottest keys by the
     // string-tie TopK heap, shares as single divisions — all portable
     "q_key_skew" -> ((s, dir) =>
@@ -867,6 +873,21 @@ object ExtQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
     },
+
+    // same deterministic vocab rule: ORDER BY count DESC, term ASC LIMIT n
+    "q_vocab_oov" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |v AS (SELECT term FROM (SELECT term, count(*) AS c FROM t GROUP BY term)
+         |      ORDER BY c DESC, term LIMIT 100),
+         |o AS (SELECT doc_id, count(*) AS n_oov FROM t
+         |      ANTI JOIN v USING (term) GROUP BY doc_id),
+         |d AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens FROM documents)
+         |SELECT d.doc_id, d.n_tokens,
+         |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(coalesce(o.n_oov, 0) AS DOUBLE) /
+         |    greatest(CAST(d.n_tokens AS DOUBLE), 1.0) AS oov_rate
+         |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // top-k keys re-derived with ORDER BY count DESC, key ASC (binary
     // string collation == the TopK string-tie contract)

@@ -322,6 +322,36 @@ object TextAnalysis {
         col("idf_arg"), col("tf_norm"), col("score"))
   }
 
+  /** Tokenizer-coverage analysis: build the corpus's top-`vocabSize` term
+    * vocabulary and measure each document's out-of-vocabulary token rate —
+    * the pre-flight check before committing to a tokenizer/vocab budget
+    * (high OOV → fertile ground for byte-fallback blowup).
+    *
+    * Vocabulary selection is the k-bounded string-tie TopK heap (count
+    * desc, term asc — deterministic, engine-portable); the vocabulary is
+    * then a BOUNDED relation (≤ vocabSize rows) broadcast into an
+    * anti-join against the exploded corpus, so corpus text never shuffles
+    * for the membership test. Rates are single int/int divisions.
+    * Output: (idCol, n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TopK
+    require(vocabSize >= 1)
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .agg(TopK.topKByOrdStrTie(col("term"), col("c"), col("term"), vocabSize)
+        .as("__v"))
+      .select(explode(col("__v")).as("term"))
+    val oov = terms.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") /
+          greatest(col("n_tokens").cast("double"), lit(1.0d)))
+  }
+
   /** One-scan per-language corpus report — the summary a pipeline owner
     * checks after every ingest: volume (docs / tokens), diversity (distinct
     * sources), and exact-dup load (docs minus distinct texts). Composes

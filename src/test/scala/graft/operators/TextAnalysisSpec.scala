@@ -155,6 +155,26 @@ class TextAnalysisSpec extends SparkSuite {
       s"got ${got((4L, "vector"))._2} expected $expected")
   }
 
+  test("oovRate: vocab boundary deterministic, rates exact, in-vocab doc zero") {
+    val df = Seq(
+      (1L, "aa aa aa bb bb cc"),  // counts: aa=3, bb=2, cc=1
+      (2L, "aa zz"),              // zz is OOV at vocabSize=2 (vocab: aa, bb)
+      (3L, "aa bb")               // fully in-vocab
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6, 1L, 1.0 / 6.0)), s"got ${got(1L)}") // cc OOV
+    assert(got(2L) == ((2L, 2, 1L, 0.5)))
+    assert(got(3L) == ((3L, 2, 0L, 0.0)))
+    // tie at the boundary: bb=2 beats cc=1; with a (count) tie the LOWER
+    // term wins (string-tie contract)
+    val tied = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val v1 = TextAnalysis.oovRate(tied, vocabSize = 1)
+      .select($"n_oov").as[Long].head()
+    assert(v1 == 1L, "one of the tied terms must be out at vocabSize=1")
+  }
+
   test("fingerprint: deterministic, exact-dup-stable, change-sensitive") {
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "a b c d e f h"))
       .toDF("doc_id", "text")
