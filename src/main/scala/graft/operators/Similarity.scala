@@ -277,7 +277,7 @@ object Similarity {
     * training is driver-side (≤ trainSample rows), the data path stays
     * fully distributed. Seeded spread init + fixed iteration count keeps
     * it reproducible on any cluster. */
-  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     val n = points.length
     val d = points(0).length

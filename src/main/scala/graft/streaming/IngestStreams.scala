@@ -112,6 +112,119 @@ object IngestStreams {
       }
       .start()
 
+  /** Streaming embedding ingestion with a DURABLE IVF index — the
+    * similarity-family analogue of [[dedupIngest]]'s dedup indexes: each
+    * micro-batch's vectors are assigned to coarse k-means cells and the
+    * (id, cell) postings accumulate in a parquet index, so ANN queries
+    * over the standing corpus never re-assign (or re-read) old vectors.
+    *
+    * The coarse quantizer is trained ONCE, on the first non-empty batch
+    * (driver-local deterministic Lloyd over a bounded sample — the
+    * [[graft.operators.Similarity.ivfTopK]] trainer), and persisted to
+    * `indexDir/centroids`; every later batch — and any restart — loads
+    * those centroids, so cell ids stay consistent for the life of the
+    * index (the FAISS "train once, add forever" contract; retrain by
+    * starting a new index). Unit-normalized vectors are stored alongside
+    * the postings so the query face can exact-rescore its probed cells
+    * without a separate vector store. Writes use the same batch-key
+    * dynamic-partition overwrite as [[dedupIngest]] (exactly-once on
+    * plain parquet; replay-safe).
+    */
+  def embedIngest(embs: DataFrame, indexDir: String, checkpointDir: String,
+      nlist: Int = 16, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val spark = batch.sparkSession
+        val key = batchKey(checkpointDir, bid)
+        val unit = unitVec(batch, vecCol, idCol, idCol, "v")
+        if (!unit.isEmpty) {
+          val cents = loadOrTrainCentroids(spark, indexDir, unit, nlist,
+            trainSample)
+          overwriteBatch(
+            unit.select(col(idCol),
+              element_at(
+                graft.operators.Similarity.nearestCells(col("v"), cents, 1), 1)
+                .as("cell"),
+              col("v")),
+            key, s"$indexDir/postings")
+        }
+        ()
+      }
+      .start()
+
+  /** ANN top-k for a (small) query set against a streamed [[embedIngest]]
+    * index: probe `nprobe` cells per query, exact-rescore the stored
+    * unit vectors within — per-query work |index|·nprobe/nlist, the
+    * standing corpus is never re-assigned. Same output contract as
+    * [[graft.operators.Similarity.ivfTopK]]. */
+  def annFromIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopK
+    val cents = loadCentroids(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no centroids at $indexDir — ingest first"))
+    val q = unitVec(queries, vecCol, idCol, "query_id", "qv")
+      .withColumn("cell",
+        explode(graft.operators.Similarity.nearestCells(col("qv"), cents, nprobe)))
+    val scored = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
+          .as("cos"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topKByOrd(
+        struct(col("vec_id"), col("cos")), col("cos"), col("vec_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.vec_id").as("vec_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Unit-normalize an embedding column (dot == cosine afterwards); the
+    * norm scalar is materialized BEFORE the HOF lambda (re-evaluation
+    * trap documented at EmbeddingPrep). */
+  private def unitVec(df: DataFrame, vecCol: String, idCol: String,
+      outId: String, outVec: String): DataFrame =
+    df.withColumn("__v0", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__n2",
+        aggregate(col("__v0"), lit(0.0d), (a, x) => a + x * x))
+      .select(col(idCol).as(outId),
+        transform(col("__v0"),
+          x => x / sqrt(greatest(col("__n2"), lit(1e-300)))).as(outVec))
+
+  /** Load persisted centroids, or train-and-persist them from this first
+    * batch (driver-local Lloyd over a bounded deterministic sample). */
+  private def loadOrTrainCentroids(spark: SparkSession, indexDir: String,
+      unit: DataFrame, nlist: Int, trainSample: Int): Array[Array[Double]] =
+    loadCentroids(spark, indexDir).getOrElse {
+      val sample = unit.orderBy(col(unit.columns.head)).limit(trainSample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val cents = graft.operators.Similarity.lloyd(sample, nlist, iters = 8)
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        // plain write, no batch key: trained exactly once per index; a
+        // replay of the first batch finds it and skips retraining (same
+        // sample → same centroids, so either path is identical)
+        .write.mode("ignore").parquet(s"$indexDir/centroids")
+      cents
+    }
+
+  private def loadCentroids(spark: SparkSession,
+      indexDir: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(
+      spark.read.parquet(p.toString)
+        .orderBy(col("cell"))
+        .collect().map(_.getSeq[Double](1).toArray))
+  }
+
   /** Deterministic partition key for a micro-batch: stable across replays
     * of the same checkpoint, distinct across checkpoints. (String.hashCode
     * is spec-fixed, so the key survives JVM restarts.) */

@@ -128,6 +128,64 @@ class IngestStreamsSpec extends SparkSuite {
       .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("embedIngest: durable IVF index, train-once centroids, ANN recall from index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("embed_ingest").toString
+    val (indexDir, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = IngestStreams.embedIngest(src.toDF().toDF("vec_id", "embedding"),
+      indexDir, ckpt, nlist = 8)
+    src.addData(all.take(300).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(all.drop(300).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // every vector indexed exactly once, cells within range
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    assert(postings.select($"vec_id").distinct().count() == all.length)
+    assert(postings.count() == all.length)
+    assert(postings.filter($"cell" < 0 || $"cell" >= 8).count() == 0)
+
+    // centroids persisted once; batch-2 assignments used the SAME quantizer:
+    // re-deriving every assignment from the stored centroids matches
+    val cents = spark.read.parquet(s"$indexDir/centroids").orderBy($"cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(cents.length == 8)
+    val rederived = spark.read.parquet(s"$indexDir/postings")
+      .select($"vec_id",
+        element_at(graft.operators.Similarity.nearestCells($"v", cents, 1), 1)
+          .as("cell2"), $"cell")
+    assert(rederived.filter($"cell" =!= $"cell2").count() == 0,
+      "stored assignments must match the persisted quantizer")
+
+    // ANN from the streamed index: decent recall vs brute force
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val qs = embs.filter($"vec_id" < 8)
+    val ann = IngestStreams.annFromIndex(spark, indexDir, qs, k = 5, nprobe = 4)
+    val audit = graft.operators.Similarity.recallAudit(
+      graft.operators.Similarity.bruteForceTopK(embs, qs, k = 5), ann)
+    val recall = audit.agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.5, s"streamed-index ANN recall too low: $recall")
+
+    // restart with a NEW checkpoint: same centroids (no retrain), new rows
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = IngestStreams.embedIngest(
+      src2.toDF().toDF("vec_id", "embedding"), indexDir, s"$dir/ckpt2", nlist = 8)
+    src2.addData((100001L, all.head._2))
+    q2.processAllAvailable()
+    q2.stop()
+    val cents2 = spark.read.parquet(s"$indexDir/centroids").orderBy($"cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(cents2.length == 8 &&
+      cents.zip(cents2).forall { case (a, b) => a.sameElements(b) },
+      "centroids are train-once for the life of the index")
+    assert(spark.read.parquet(s"$indexDir/postings").count() == all.length + 1)
+  }
+
   test("batch replay idempotence: same batch key overwrites, index load excludes in-flight batch") {
     // unit-level drive of the replay path: a deterministic recompute of the
     // same (checkpoint, batch) must overwrite its own partition, not append
