@@ -90,6 +90,26 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("q_vocab_oov: bounded vocab broadcasts into the membership anti-join") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("topk_by_ord"),
+      "vocab selection must be the k-bounded heap, not a global sort")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      s"vocab membership must be a broadcast anti-join — a shuffle here " +
+        s"re-shuffles the exploded corpus:\n${p.take(2500)}")
+  }
+
+  test("q_funnel / q_retention: no windows, no per-user event-list assembly") {
+    Seq("q_funnel", "q_retention").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window") && !p.contains("collect_list"),
+        s"$name must stay aggregate+join shaped:\n${p.take(2000)}")
+      assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$name aggregates must plan two-phase (map-side partials):\n${p.take(2000)}")
+    }
+  }
+
   test("q_a1_daily_avg: partial + final aggregation (map-side combine)") {
     val p = plan("q_a1_daily_avg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
