@@ -61,6 +61,35 @@ class LayoutSpec extends SparkSuite {
     assert(q.count() == 1)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    // spark.sql.parquet.aggregatePushdown pushes whole-table COUNT/MIN/MAX
+    // into the scan — the query reads row-group METADATA, zero data pages.
+    // At 100 TB that turns corpus-size audits from a full scan into a
+    // footer sweep; worth guarding because the conf silently no-ops when a
+    // query shape disqualifies (filters, nested fields, timestamps).
+    val dir = s"${tmp("aggpush")}/data"
+    (1 to 5000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .write.parquet(dir)
+    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // aggregate pushdown is a DSv2-only feature; parquet defaults to the
+      // V1 path, so lift it out of the V1 list for this read
+      spark.conf.set("spark.sql.sources.useV1SourceList",
+        prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+      val q = spark.read.parquet(dir).agg(count("*"), min($"id"), max($"v"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation"),
+        s"aggregates must reach the scan:\n${p.take(2000)}")
+      val r = q.head()
+      assert(r.getLong(0) == 5000L && r.getLong(1) == 1L && r.getDouble(2) == 10000.0)
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
+
   test("writeZOrdered: BOTH dimensions cluster per file; single-col sort only one") {
     // a 100×100 grid of (a, b): z-order tiles the plane, so each output
     // file should cover a bounded window of a AND of b; a plain sort on
