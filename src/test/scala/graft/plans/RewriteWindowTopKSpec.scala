@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The injected optimizer rule that migrates `row_number()` window top-k
+  * filters to the k-bounded TopK aggregate automatically. Tested through
+  * `spark.experimental.extraOptimizations` (same rule object the
+  * GraftExtensions entry point injects). */
+class RewriteWindowTopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteWindowTopK
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def topkQuery: DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    graft.Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
+  }
+
+  test("rank<=k window becomes the TopK aggregate; results identical") {
+    val baseline = topkQuery.collect().map(_.toSeq).toSet // rule OFF
+    withRule {
+      val df = topkQuery
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("topk_by_ord"), s"rewrite must fire:\n${p.take(2000)}")
+      // no Window operator and no leftover WindowGroupLimit either
+      assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+        s"window machinery must be gone:\n${p.take(2000)}")
+      assert(df.collect().map(_.toSeq).toSet == baseline,
+        "rewritten results must match the window formulation exactly")
+    }
+  }
+
+  test("extra filter conjuncts survive; opt-out conf restores the window") {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    def q = graft.Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3 && $"o_orderkey" % 2 === 0)
+      .select($"o_orderpriority", $"rk", $"o_orderkey")
+    val baseline = q.collect().map(_.toSeq).toSet
+    withRule {
+      assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      assert(q.collect().map(_.toSeq).toSet == baseline)
+      spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+      try assert(!q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"),
+        "opt-out conf must disable the rewrite")
+      finally spark.conf.unset("spark.graft.rewriteWindowTopK")
+    }
+  }
+
+  test("unsupported shapes are left alone (rank, long ord, asc order, no bound)") {
+    withRule {
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "g", "v")
+      // rank() instead of row_number
+      val r1 = df.withColumn("rk", rank().over(Window.partitionBy($"g")
+        .orderBy($"v".desc, $"id"))).filter($"rk" <= 1)
+      assert(!r1.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      // ord is LONG (double cast not order-exact) — note orderBy(id.desc, v)
+      val r2 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
+        .orderBy($"id".desc, $"v"))).filter($"rk" <= 1)
+      assert(!r2.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      // ascending primary order
+      val r3 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
+        .orderBy($"v".asc, $"id"))).filter($"rk" <= 1)
+      assert(!r3.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      // no rank bound in the filter
+      val r4 = df.withColumn("rk", row_number().over(w)).filter($"v" > 0.5)
+      assert(!r4.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+    }
+  }
+
+  test("nullable ord: null sorts per NULLS LAST via the -Infinity sentinel") {
+    withRule {
+      val df = Seq[(Long, String, java.lang.Double)](
+        (1L, "a", 5.0), (2L, "a", null), (3L, "a", 1.0), (4L, "a", null)
+      ).toDF("id", "g", "v")
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      def q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"id", $"rk")
+      assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      val got = q.as[(Long, Int)].collect().toSet
+      // desc NULLS LAST: 5.0, 1.0, then nulls by id asc → ids 1,3,2
+      assert(got == Set((1L, 1), (3L, 2), (2L, 3)), s"got $got")
+    }
+  }
+
+  test("global top-k (no partition) — the single-task sort worst case") {
+    withRule {
+      val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      def q = df.withColumn("rk", row_number().over(
+        Window.orderBy($"v".desc, $"id"))).filter($"rk" <= 2)
+      assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      val got = q.select($"id", $"rk").as[(Long, Int)].collect().toSet
+      assert(got == Set((100L, 1), (99L, 2)), s"got $got")
+    }
+  }
+}
