@@ -96,6 +96,33 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
+  test("property: rule-on == rule-off for random data (ties, nulls, any k)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen: Gen[Seq[(String, Option[Int], Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        s <- Gen.option(Gen.chooseNum(0, 3)) // ties AND nulls
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 4)) { (rows, k) =>
+      def q = {
+        val w = Window.partitionBy($"_1").orderBy($"_2".desc, $"_3")
+        rows.toDF().withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+          .select($"_1", $"_3", $"rk")
+      }
+      val off = q.collect().map(_.toSeq).toSet
+      val on = withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+        q.collect().map(_.toSeq).toSet
+      }
+      off == on
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("global top-k (no partition) — the single-task sort worst case") {
     withRule {
       val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
