@@ -634,6 +634,14 @@ object ExtQueries {
       TextAnalysis.oovRate(Tables.documents(s, dir), vocabSize = 100)
         .orderBy(col("doc_id"))),
 
+    // per-source boilerplate line stripping; the fixture corpus has no
+    // repeated lines, so this hash-checks the split/strip/rebuild
+    // plumbing as an exact roundtrip (planted-boilerplate semantics are
+    // locked in TextPrepSpec)
+    "q_boilerplate" -> ((s, dir) =>
+      TextPrep.stripBoilerplate(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // join-key skew profile over orders.o_custkey: hottest keys by the
     // string-tie TopK heap, shares as single divisions — all portable
     "q_key_skew" -> ((s, dir) =>
@@ -873,6 +881,30 @@ object ExtQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
          |ORDER BY doc_id, term""".stripMargin
     },
+
+    // per-source line df vs doc counts, boilerplate anti-joined away,
+    // docs rebuilt in line order
+    "q_boilerplate" ->
+      """WITH l AS (SELECT doc_id, source, ln.pos, ln.line FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(string_split(text, chr(10)),
+        |        (x, i) -> struct_pack(pos := i - 1, line := x))) AS ln
+        |    FROM documents)),
+        |lf AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |       FROM l GROUP BY source, line),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT source, line FROM lf JOIN nd USING (source)
+        |      WHERE df >= 2 AND CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.5),
+        |k AS (SELECT * FROM l ANTI JOIN b USING (source, line)),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |      FROM k GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same deterministic vocab rule: ORDER BY count DESC, term ASC LIMIT n
     "q_vocab_oov" ->

@@ -185,6 +185,52 @@ object TextPrep {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-source boilerplate LINE removal — the CCNet/RefinedWeb template
+    * pass: a line occurring in ≥ `minShare` of a source's documents (and
+    * ≥ `minDf` of them) is site chrome (nav, footer, cookie banner), not
+    * content, and EVERY occurrence is stripped. Complements
+    * [[dedupParagraphs]], which keeps a repeated block's FIRST occurrence:
+    * dedup preserves one copy of repeated content; this deletes template
+    * lines outright.
+    *
+    * Scale shape: per-(source, line-hash) document frequency is a
+    * partial-combined aggregate (an occurrence list is never assembled —
+    * the hot line IS the expected input); the boilerplate relation is
+    * tiny (lines above the share threshold) and anti-joins against the
+    * postings; rebuild groups each doc's own lines only. Output:
+    * (idCol, text_clean, n_lines, n_kept). */
+  def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+      srcCol: String = "source", textCol: String = "text",
+      minShare: Double = 0.5, minDf: Int = 2): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare=$minShare")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs.select(col(idCol), col(srcCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lineDf = lines.groupBy(col(srcCol), col("h"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val nDocs = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    val boiler = lineDf.join(nDocs, Seq(srcCol))
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") / col("n_docs").cast("double") >= minShare)
+      .select(col(srcCol), col("h"))
+    val kept = lines.join(boiler, Seq(srcCol, "h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("text_clean"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** HTML-strip patterns, in strip order; engine-portable (Java regex ∩
     * RE2, `(?s)` inline where a block spans lines). Script/style go first —
     * the generic tag strip would remove their tags but leave their code as

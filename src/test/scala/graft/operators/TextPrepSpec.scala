@@ -152,6 +152,35 @@ class TextPrepSpec extends SparkSuite {
     assert(shard0 != shard0.sorted, "md5 ordering should not equal id order")
   }
 
+  test("stripBoilerplate: template lines removed everywhere, per-source, content kept") {
+    val docs = Seq(
+      // src a: "nav bar" in 3/3 docs (share 1.0) → stripped everywhere;
+      // "promo line" in 2/3 (share 0.67 ≥ 0.5) → stripped; content unique
+      (1L, "a", "nav bar\ncontent one\npromo line"),
+      (2L, "a", "nav bar\ncontent two"),
+      (3L, "a", "promo line\nnav bar\ncontent three"),
+      // src b: "nav bar" occurs in only 1/2 docs there → NOT boilerplate
+      // for b (per-source scoping), "solo" unique
+      (4L, "b", "nav bar\nsolo body"),
+      (5L, "b", "other body")
+    ).toDF("doc_id", "source", "text")
+    val got = TextPrep.stripBoilerplate(docs, minShare = 0.5)
+      .select($"doc_id", $"text_clean", $"n_lines", $"n_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "content one", 3L, 1L)))
+    assert(got(2L) == ((2L, "content two", 2L, 1L)))
+    assert(got(3L) == ((3L, "content three", 3L, 1L)))
+    assert(got(4L) == ((4L, "nav bar\nsolo body", 2L, 2L)), "per-source scoping")
+    assert(got(5L) == ((5L, "other body", 1L, 1L)))
+    // minDf floor: in a 2-doc source, a line in both has share 1.0 —
+    // still needs df >= minDf; with minDf=3 nothing is stripped
+    val strict = TextPrep.stripBoilerplate(
+      Seq((6L, "c", "x\ny"), (7L, "c", "x\nz")).toDF("doc_id", "source", "text"),
+      minShare = 0.5, minDf = 3)
+      .select($"doc_id", $"text_clean").as[(Long, String)].collect().toMap
+    assert(strict(6L) == "x\ny" && strict(7L) == "x\nz")
+  }
+
   test("dedupParagraphs: first occurrence survives, rebuild ordered, empty doc kept") {
     val docs = Seq(
       (1L, "intro one\n\ncookie banner\n\nbody alpha"),
