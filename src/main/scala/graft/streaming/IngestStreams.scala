@@ -130,9 +130,18 @@ object IngestStreams {
     * dynamic-partition overwrite as [[dedupIngest]] (exactly-once on
     * plain parquet; replay-safe).
     */
+  /** PQ compression knobs for [[embedIngest]]: vectors additionally get
+    * `m` codebook codes (trained once, persisted with the index), so the
+    * [[annFromIndex]] ADC pass scans `m` small ints per row instead of
+    * `dims` doubles — parquet column pruning makes the compression real
+    * at query time even though exact vectors sit in the same files for
+    * the refine step. */
+  final case class PqIndexConfig(m: Int = 8, ksub: Int = 16)
+
   def embedIngest(embs: DataFrame, indexDir: String, checkpointDir: String,
       nlist: Int = 16, trainSample: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pq: Option[PqIndexConfig] = None): StreamingQuery =
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -142,45 +151,83 @@ object IngestStreams {
         if (!unit.isEmpty) {
           val cents = loadOrTrainCentroids(spark, indexDir, unit, nlist,
             trainSample)
-          overwriteBatch(
-            unit.select(col(idCol),
-              element_at(
-                graft.operators.Similarity.nearestCells(col("v"), cents, 1), 1)
-                .as("cell"),
-              col("v")),
-            key, s"$indexDir/postings")
+          val base = unit.select(col(idCol),
+            element_at(
+              graft.operators.Similarity.nearestCells(col("v"), cents, 1), 1)
+              .as("cell"),
+            col("v"))
+          val withCodes = pq.fold(base) { cfg =>
+            import org.apache.spark.sql.graftbridge.Bridge
+            val books = loadOrTrainCodebooks(spark, indexDir, unit, cfg,
+              trainSample)
+            base.withColumn("code", Bridge.column(
+              graft.operators.PqEncode(Bridge.expression(col("v")),
+                new graft.operators.Mat3(books))))
+          }
+          overwriteBatch(withCodes, key, s"$indexDir/postings")
         }
         ()
       }
       .start()
 
   /** ANN top-k for a (small) query set against a streamed [[embedIngest]]
-    * index: probe `nprobe` cells per query, exact-rescore the stored
-    * unit vectors within — per-query work |index|·nprobe/nlist, the
-    * standing corpus is never re-assigned. Same output contract as
+    * index: probe `nprobe` cells per query; when the index carries PQ
+    * codes, ADC-score them (the probed scan reads only the narrow
+    * (id, cell, code) columns — parquet prunes the vector column away)
+    * into a k·`rerank` shortlist, then exact-rescore only shortlisted
+    * vectors; without codes, exact-rescore the probed cells directly.
+    * Per-query work is |index|·nprobe/nlist either way; the standing
+    * corpus is never re-assigned. Same output contract as
     * [[graft.operators.Similarity.ivfTopK]]. */
   def annFromIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+      k: Int, nprobe: Int = 4, rerank: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.TopK
+    import org.apache.spark.sql.graftbridge.Bridge
     val cents = loadCentroids(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no centroids at $indexDir — ingest first"))
     val q = unitVec(queries, vecCol, idCol, "query_id", "qv")
       .withColumn("cell",
         explode(graft.operators.Similarity.nearestCells(col("qv"), cents, nprobe)))
-    val scored = spark.read.parquet(s"$indexDir/postings")
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    def topKOf(scored: DataFrame, scoreCol: String): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(TopK.topKByOrd(
+          struct(col("vec_id"), col(scoreCol)), col(scoreCol), col("vec_id"), k)
+          .as("__top"))
+        .select(col("query_id"), posexplode(col("__top")))
+        .select(col("query_id"), col("col.vec_id").as("vec_id"),
+          col("col." + scoreCol).as(scoreCol),
+          (col("pos") + 1).cast("int").as("rank"))
+    val exactWithin = (rows: DataFrame) => rows
       .select(col("query_id"), col("vec_id"),
         round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
           .as("cos"))
-    scored.groupBy(col("query_id"))
-      .agg(TopK.topKByOrd(
-        struct(col("vec_id"), col("cos")), col("cos"), col("vec_id"), k)
-        .as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"), col("col.vec_id").as("vec_id"),
-        col("col.cos").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+    loadCodebooks(spark, indexDir) match {
+      case Some(books) if postings.columns.contains("code") =>
+        // ADC over the narrow columns only → bounded shortlist → refine
+        val adc = postings.select(col(idCol).as("vec_id"), col("cell"), col("code"))
+          .join(broadcast(q), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            Bridge.column(graft.operators.PqAdc(Bridge.expression(col("qv")),
+              Bridge.expression(col("code")),
+              new graft.operators.Mat3(books))).as("adc"))
+        val shortlist = adc.groupBy(col("query_id"))
+          .agg(TopK.topKByOrd(col("vec_id"), col("adc"), col("vec_id"),
+            k * math.max(1, rerank)).as("__ids"))
+          .select(col("query_id"), explode(col("__ids")).as("vec_id"))
+        val refined = postings.select(col(idCol).as("vec_id"), col("v"))
+          .join(broadcast(shortlist), Seq("vec_id"))
+          .join(broadcast(q.select(col("query_id"), col("qv")).distinct()),
+            Seq("query_id"))
+        topKOf(exactWithin(refined), "cos")
+      case _ =>
+        val scored = exactWithin(
+          postings.join(broadcast(q), Seq("cell"))
+            .filter(col("query_id") =!= col("vec_id")))
+        topKOf(scored, "cos")
+    }
   }
 
   /** Unit-normalize an embedding column (dot == cosine afterwards); the
@@ -223,6 +270,48 @@ object IngestStreams {
       spark.read.parquet(p.toString)
         .orderBy(col("cell"))
         .collect().map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Load persisted PQ codebooks, or train-and-persist from this first
+    * batch (one driver-local Lloyd per subvector — the
+    * [[graft.operators.Similarity.pqTopK]] trainer, same train-once
+    * contract as the coarse centroids). */
+  private def loadOrTrainCodebooks(spark: SparkSession, indexDir: String,
+      unit: DataFrame, cfg: PqIndexConfig,
+      trainSample: Int): Array[Array[Array[Double]]] =
+    loadCodebooks(spark, indexDir).getOrElse {
+      val sample = unit.orderBy(col(unit.columns.head)).limit(trainSample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val dims = sample(0).length
+      require(dims % cfg.m == 0, s"dims=$dims must divide by m=${cfg.m}")
+      val dsub = dims / cfg.m
+      val books = Array.tabulate(cfg.m) { sub =>
+        graft.operators.Similarity.lloyd(
+          sample.map(p => java.util.Arrays.copyOfRange(p, sub * dsub,
+            (sub + 1) * dsub)),
+          cfg.ksub, iters = 8)
+      }
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .write.mode("ignore").parquet(s"$indexDir/codebooks")
+      books
+    }
+
+  private def loadCodebooks(spark: SparkSession,
+      indexDir: String): Option[Array[Array[Array[Double]]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codebooks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(p.toString)
+        .orderBy(col("sub"), col("code"))
+        .collect()
+      val bySub = rows.groupBy(_.getInt(0))
+      Some((0 until bySub.size).toArray.map(sub =>
+        bySub(sub).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)))
+    }
   }
 
   /** Deterministic partition key for a micro-batch: stable across replays

@@ -186,6 +186,49 @@ class IngestStreamsSpec extends SparkSuite {
     assert(spark.read.parquet(s"$indexDir/postings").count() == all.length + 1)
   }
 
+  test("embedIngest PQ: train-once codebooks, stored codes match, ADC+refine recall") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("embed_pq").toString
+    val (indexDir, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = IngestStreams.embedIngest(src.toDF().toDF("vec_id", "embedding"),
+      indexDir, ckpt, nlist = 8,
+      pq = Some(IngestStreams.PqIndexConfig(m = 16, ksub = 16)))
+    src.addData(all.take(300).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(all.drop(300).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // codebooks persisted once; stored codes re-derivable from them for
+    // EVERY batch (i.e. batch 2 encoded with batch-1's codebooks)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bookRows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy($"sub", $"code").collect()
+    val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+    assert(books.length == 16 && books.forall(_.length == 16))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val mismatch = postings.select($"vec_id", $"code",
+      Bridge.column(graft.operators.PqEncode(Bridge.expression($"v"),
+        new graft.operators.Mat3(books))).as("code2"))
+      .filter($"code" =!= $"code2").count()
+    assert(mismatch == 0, "stored codes must match the persisted codebooks")
+
+    // ADC + refine path: recall floor vs brute force
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val qs = embs.filter($"vec_id" < 8)
+    val ann = IngestStreams.annFromIndex(spark, indexDir, qs, k = 5,
+      nprobe = 4, rerank = 8)
+    val recall = graft.operators.Similarity.recallAudit(
+      graft.operators.Similarity.bruteForceTopK(embs, qs, k = 5), ann)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.5, s"PQ-index ANN recall too low: $recall")
+  }
+
   test("batch replay idempotence: same batch key overwrites, index load excludes in-flight batch") {
     // unit-level drive of the replay path: a deterministic recompute of the
     // same (checkpoint, batch) must overwrite its own partition, not append
