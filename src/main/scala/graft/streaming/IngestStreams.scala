@@ -314,6 +314,48 @@ object IngestStreams {
     }
   }
 
+  /** Compact a streamed index into a fresh directory: every micro-batch
+    * leaves its own `batch_key` partition (often a single small file),
+    * and at 100 TB the scan's task count — and namenode load — is
+    * governed by FILE count, not bytes. Rewrites each postings-style
+    * subdirectory (`hashes`, `signatures`, `postings`) into ONE
+    * `batch_key=<compacted>` partition of ≈`targetBytes` files, and
+    * copies `centroids`/`codebooks` verbatim (the train-once contract —
+    * compaction must never retrain). The SOURCE index is left untouched;
+    * ingestion resumes against the new directory with a NEW checkpoint
+    * (batch keys embed the checkpoint path, so fresh batch ids can never
+    * collide with the compacted partition). */
+  def compactIndex(spark: SparkSession, indexDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(new org.apache.hadoop.fs.Path(outDir) !=
+      new org.apache.hadoop.fs.Path(indexDir),
+      "compactIndex writes a fresh directory")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    Seq("hashes", "signatures", "postings").filter(exists).foreach { sub =>
+      val df = spark.read.parquet(s"$indexDir/$sub").drop("batch_key")
+      val bytes = df.inputFiles.map { f =>
+        val p =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(f))
+          catch { case _: java.net.URISyntaxException =>
+            new org.apache.hadoop.fs.Path(f) }
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      df.repartition(n)
+        .withColumn("batch_key", lit("compacted"))
+        .write.mode("overwrite").partitionBy("batch_key")
+        .parquet(s"$outDir/$sub")
+    }
+    Seq("centroids", "codebooks").filter(exists).foreach { sub =>
+      spark.read.parquet(s"$indexDir/$sub")
+        .write.mode("overwrite").parquet(s"$outDir/$sub")
+    }
+  }
+
   /** Deterministic partition key for a micro-batch: stable across replays
     * of the same checkpoint, distinct across checkpoints. (String.hashCode
     * is spec-fixed, so the key survives JVM restarts.) */

@@ -229,6 +229,39 @@ class IngestStreamsSpec extends SparkSuite {
     assert(recall >= 0.5, s"PQ-index ANN recall too low: $recall")
   }
 
+  test("compactIndex: one partition out, same ANN answers, quantizers copied verbatim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("embed_compact").toString
+    val (indexDir, ckpt, compacted) = (s"$dir/idx", s"$dir/ckpt", s"$dir/idx2")
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = IngestStreams.embedIngest(src.toDF().toDF("vec_id", "embedding"),
+      indexDir, ckpt, nlist = 8)
+    // three micro-batches → three batch_key partitions
+    all.grouped(200).foreach { g => src.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    assert(spark.read.parquet(s"$indexDir/postings")
+      .select($"batch_key").distinct().count() == 3)
+
+    IngestStreams.compactIndex(spark, indexDir, compacted)
+    val post = spark.read.parquet(s"$compacted/postings")
+    assert(post.select($"batch_key").distinct().count() == 1)
+    assert(post.count() == all.length)
+    // quantizer copied bit-for-bit
+    assert(spark.read.parquet(s"$compacted/centroids").orderBy($"cell")
+      .collect().map(_.getSeq[Double](1)).toSeq ==
+      spark.read.parquet(s"$indexDir/centroids").orderBy($"cell")
+        .collect().map(_.getSeq[Double](1)).toSeq)
+    // identical ANN answers from the compacted index
+    val qs = graft.Tables.embeddings(spark, sf0001).filter($"vec_id" < 8)
+    def answers(d: String) =
+      IngestStreams.annFromIndex(spark, d, qs, k = 5)
+        .select($"query_id", $"vec_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(answers(compacted) == answers(indexDir))
+  }
+
   test("batch replay idempotence: same batch key overwrites, index load excludes in-flight batch") {
     // unit-level drive of the replay path: a deterministic recompute of the
     // same (checkpoint, batch) must overwrite its own partition, not append
