@@ -30,11 +30,26 @@ object SkewSmoke {
       when(pmod(xxhash64(col("doc_id")), lit(100L)) < pct,
         concat(lit(boiler + " "), col("text"))).otherwise(col("text")))
 
-  private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-    "minhash" -> ((d: DataFrame) =>
-      Dedup.minhashPairs(d, bands = 32, rowsPerBand = 2, threshold = 0.5)),
-    "ngram" -> ((d: DataFrame) =>
-      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)))
+  /** Plant a dominant SCORE value on `pct`% of rows — the hot-score shape
+    * scoreStrata's range-exchange exists for (a per-score window would
+    * single-task the hot value's sort). */
+  private def hotScore(docs: DataFrame, pct: Int): DataFrame =
+    docs.withColumn("score",
+      when(pmod(xxhash64(col("doc_id")), lit(100L)) < pct, lit(1.0d))
+        .otherwise(pmod(xxhash64(col("doc_id"), lit(3L)), lit(1000000L))
+          .cast("double") / 1000000.0d))
+
+  private val ops: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+    "minhash" -> ((d: DataFrame, pct: Int) =>
+      Dedup.minhashPairs(skewed(d, pct), bands = 32, rowsPerBand = 2,
+        threshold = 0.5)),
+    "ngram" -> ((d: DataFrame, pct: Int) =>
+      Dedup.ngramJaccardPairs(skewed(d, pct), blockCol = col("lang"),
+        threshold = 0.5)),
+    "strata" -> ((d: DataFrame, pct: Int) =>
+      graft.operators.Sampling.scoreStrata(
+        hotScore(d.select(col("doc_id")), pct), col("score"), col("doc_id"),
+        k = 10)))
 
   def main(args: Array[String]): Unit = {
     val shares = Seq(0, 10, 30, 50)
@@ -50,18 +65,18 @@ object SkewSmoke {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("lang"), col("text"))
 
-    def time(op: DataFrame => DataFrame, pct: Int): Double =
+    def time(op: (DataFrame, Int) => DataFrame, pct: Int): Double =
       (0 until math.max(1, iters)).map { _ =>
         spark.catalog.clearCache() // pinned signature persists (ScaleSmoke note)
         val t0 = System.nanoTime()
-        op(skewed(docs, pct)).count()
+        op(docs, pct).count()
         (System.nanoTime() - t0) / 1e9
       }.min
 
     // warm-up for the codegen cache
     ops.foreach { case (_, op) =>
       spark.catalog.clearCache()
-      op(skewed(docs, 0).limit(500)).count()
+      op(docs.limit(500), 0).count()
     }
 
     var violations = 0

@@ -138,34 +138,67 @@ object Sampling {
     * sort: quality-decile stratification for curriculum/mixing decisions.
     *
     * A bare `ntile().over(Window.orderBy(...))` funnels every row through
-    * ONE task (Spark warns "No Partition Defined"); this operator gets the
-    * identical assignment from two distributed pieces plus one tiny one:
-    *  1. per-score histogram (`groupBy(score).count` — map-side partial);
-    *  2. cumulative offsets over the *histogram* — a single-task window,
-    *     but over |distinct scores| aggregated rows (for a 4-decimal
-    *     quality score that is ≤ 10⁴ rows at ANY corpus size), broadcast
-    *     back;
-    *  3. `row_number` within each score partition (distributed window);
-    *     global rank = offset + intra-score row number, and the SQL-standard
-    *     ntile bucket is a closed form of (rank, n, k) in exact integer
-    *     arithmetic.
+    * ONE task (Spark warns "No Partition Defined"). An earlier revision of
+    * this operator distributed the rank as per-score offsets + a
+    * `row_number` window PARTITIONED BY the score — which re-creates the
+    * same straggler one level down: quality scores concentrate (rounding,
+    * and degenerate corpora pile up at exactly 0.0/1.0, the gate's
+    * saturation points), and every row sharing the dominant score value
+    * lands in ONE task's sort. This form has no per-value task anywhere:
+    *  1. range-exchange on `(score, tie)` — the sampled range partitioner
+    *     splits a hot score value across partitions BY TIE, so partition
+    *     sizes track `n/partitions` regardless of the score distribution,
+    *     and partitions are totally ordered;
+    *  2. per-partition local row numbers — one streaming pass, no
+    *     cross-row state beyond a counter (`mapPartitions`: Spark has no
+    *     narrow zip-with-index, and a window here would re-shuffle);
+    *  3. per-partition row counts → cumulative offsets — a single-task
+    *     window over ≤ `spark.sql.shuffle.partitions` aggregated rows,
+    *     broadcast back. Global rank = partition offset + local number,
+    *     and the SQL-standard ntile bucket is a closed form of
+    *     (rank, n, k) in exact integer arithmetic.
+    *
+    * The numbered relation is persisted (MEMORY_AND_DISK): offsets and the
+    * final join must read the SAME partitioning — the range partitioner
+    * samples its bounds per execution, so an unpersisted diamond could
+    * compute offsets for one set of bounds and ranks for another. (Ranks
+    * are invariant to WHERE the bounds fall — partitions are totally
+    * ordered — so run-to-run output is still deterministic.) Same
+    * CacheManager-lifetime caveat as `Dedup.minhashPairsFromShingles`; at
+    * 100 TB stage the numbered relation to parquet instead.
     *
     * Output: input columns + `stratum` (1..k), bit-identical to
-    * `ntile(k) OVER (ORDER BY score, tie)` in any SQL engine.
+    * `ntile(k) OVER (ORDER BY score, tie)` in any SQL engine, provided
+    * `(score, tie)` is unique per row (make `tie` a row id — with
+    * duplicate (score, tie) pairs ANY engine's assignment among the
+    * duplicates is arbitrary).
     */
   def scoreStrata(df: DataFrame, scoreCol: Column, tieCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(!df.columns.exists(Set("__s", "__c", "__off", "__rn", "__rank", "__n")),
+    require(!df.columns.exists(Set("__pid", "__c", "__off", "__rn", "__rank", "__n")),
       "input uses a reserved __ column name")
-    val hist = df.groupBy(scoreCol.as("__s")).agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__s"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, scoreCol.asc, tieCol.asc)
+      .sortWithinPartitions(scoreCol.asc, tieCol.asc)
+    val outSchema = ranged.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("__rn", org.apache.spark.sql.types.LongType, nullable = false)
+    val numbered = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = 0L
+      it.map { r =>
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCum = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = hist
+    val offsets = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wCum), lit(0L)))
     val total = offsets.agg(sum(col("__c")).as("__n"))
-    val wIn = Window.partitionBy(scoreCol).orderBy(tieCol)
-    df.withColumn("__rn", row_number().over(wIn).cast("long"))
-      .join(broadcast(offsets.select(col("__s"), col("__off"))), scoreCol === col("__s"))
+    numbered
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))), Seq("__pid"))
       .crossJoin(broadcast(total))
       .withColumn("__rank", col("__off") + col("__rn"))
       // ntile: first (n % k) buckets hold (n div k + 1) rows, the rest
@@ -177,7 +210,7 @@ object Sampling {
            |    (__rank - ((__n div $k) + 1) * (__n % $k) + (__n div $k) - 1)
            |      div (__n div $k)
            |END AS INT)""".stripMargin))
-      .drop("__s", "__off", "__rn", "__rank", "__n")
+      .drop("__pid", "__off", "__rn", "__rank", "__n")
   }
 
   /** Deterministic train/val/test (or any n-way) split assignment: each row

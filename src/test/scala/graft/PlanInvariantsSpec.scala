@@ -110,6 +110,20 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("q_quality_strata: rank is range-partitioned — no per-score window") {
+    // the old shape planned row_number() over Window.partitionBy(score):
+    // every row sharing one score value lands in ONE task. The fixed shape
+    // range-exchanges on (score, tie) and numbers per partition; the only
+    // window left is the offsets cumsum over the tiny per-partition counts.
+    val p = plan("q_quality_strata")
+    assert(!p.contains("row_number"),
+      s"within-score rank must not be a row_number window:\n${p.take(2000)}")
+    assert(p.contains("MapPartitions"),
+      s"local numbering must be the narrow per-partition pass:\n${p.take(2000)}")
+    assert(p.contains("rangepartitioning"),
+      s"the exchange must be a range partitioning on (score, tie):\n${p.take(2000)}")
+  }
+
   test("q_a1_daily_avg: partial + final aggregation (map-side combine)") {
     val p = plan("q_a1_daily_avg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

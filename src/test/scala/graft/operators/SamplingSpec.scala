@@ -115,6 +115,32 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("scoreStrata: exact under a dominant score value (hot-score skew)") {
+    // 50% of rows share ONE score — the saturation-pile-up shape that made
+    // the old per-score row_number window a single-task sort. Assignment
+    // must still be bit-identical to the global ntile.
+    val scored = spark.range(0, 2000).toDF("doc_id")
+      .withColumn("quality",
+        when($"doc_id" % 2 === 0, lit(1.0d)).otherwise(rand(7) * 0.9))
+    for (k <- Seq(3, 10)) {
+      val strata = Sampling.scoreStrata(scored, col("quality"), col("doc_id"), k)
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      val expected = scored.withColumn("stratum",
+        ntile(k).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"quality", $"doc_id")))
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      assert(strata == expected, s"k=$k")
+    }
+    // behavioral skew check: the hot score value spreads across partitions
+    // (range partitioning splits it by tie) instead of landing in one task
+    val spread = Sampling.scoreStrata(scored, col("quality"), col("doc_id"), 10)
+      .filter($"quality" === 1.0d)
+      .groupBy(spark_partition_id().as("p")).count()
+      .select(max($"count")).head().getLong(0)
+    assert(spread < 1000L,
+      s"hot score must spread across range partitions; max partition rows = $spread")
+  }
+
   test("splitAssign: total, disjoint, near-fractional, growth-stable") {
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val assigned = Sampling.splitAssign(docs, col("doc_id"), fracs)
