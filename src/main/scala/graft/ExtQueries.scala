@@ -924,7 +924,8 @@ object ExtQueries {
     // top-k keys re-derived with ORDER BY count DESC, key ASC (binary
     // string collation == the TopK string-tie contract)
     "q_key_skew" ->
-      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+      """WITH c AS (SELECT coalesce(CAST(o_custkey AS VARCHAR), '<null>') AS k,
+        |                  count(*) AS c
         |           FROM orders GROUP BY 1),
         |t AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 5)
         |SELECT CAST((SELECT sum(c) FROM c) AS BIGINT) AS n_rows,

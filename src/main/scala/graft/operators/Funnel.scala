@@ -13,16 +13,19 @@ import org.apache.spark.sql.functions._
   * event; tₖ = first step-k event with ts > tₖ₋₁). Out-of-order events
   * don't count — a purchase before the first view is not a conversion.
   *
-  * Scale shape: one narrow type-filter per step feeds a per-user min
-  * aggregate (partial map-side combine — the shuffle carries one (user,
-  * ts) pair per partition, never event lists), joined back per stage.
-  * The alternative single-pass form — `sort_array(collect_list(...))` per
-  * user and a scan — assembles every user's full event history in one
-  * task, exactly the hot-key straggler the rest of this repo avoids;
-  * k − 1 narrow joins on the shrinking reached-set are the better trade
-  * (each stage's input is ≤ the previous stage's users). Timestamps are
-  * compared as-is: pass an epoch-numeric column for engine-portable
-  * comparisons (the catalog entry uses microseconds).
+  * Scale shape: ONE exchange. Step events (a narrow (user, step, ts)
+  * projection — the type filter and step indexing sit on the scan) hash-
+  * partition by user and sort within partitions by (user, ts); a
+  * streaming per-partition pass then runs the greedy funnel DP with O(k)
+  * state per user — no event list is ever assembled (the sort is Spark's
+  * spillable partition sort, not a per-key buffer), and deeper funnels
+  * are free. The previous revision planned k − 1 shuffle joins on the
+  * shrinking reached-set — k − 1 exchanges of the event log's hot keys;
+  * the DP computes the identical greedy chain (t₀ = first step-0 event;
+  * tₖ = first step-k event with ts > tₖ₋₁, processed in ascending ts
+  * order) in one. Timestamps are compared as-is: pass an epoch-numeric
+  * column for engine-portable comparisons (the catalog entry uses
+  * microseconds). Events with a null timestamp are ignored.
   */
 object Funnel {
 
@@ -33,16 +36,48 @@ object Funnel {
       tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
-    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
-      val next = events.filter(col(typeCol) === step)
-        .join(acc.select(col(userCol), col(s"t${i - 1}")), Seq(userCol))
-        .filter(col(tsCol) > col(s"t${i - 1}"))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
-      // right join keeps users stuck at earlier stages (their tᵢ is null)
-      next.join(acc, Seq(userCol), "right")
-    }
+    val n = steps.size
+    // step name → index as a typed literal map lookup: injection-free and
+    // one scan-level projection for every step at once
+    val idx = element_at(typedLit(steps.zipWithIndex.toMap), col(typeCol))
+    val ev = events
+      .select(col(userCol).as("__u"), idx.as("__step"), col(tsCol).as("__ts"))
+      .filter(col("__step").isNotNull && col("__ts").isNotNull)
+    val parted = ev.repartition(col("__u"))
+      .sortWithinPartitions(col("__u"), col("__ts"), col("__step"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(userCol,
+        ev.schema("__u").dataType, nullable = true) +:
+        (0 until n).map(i => org.apache.spark.sql.types.StructField(s"t$i",
+          ev.schema("__ts").dataType, nullable = true)))
+    parted.mapPartitions { it =>
+      // greedy DP over one user's time-sorted events: a step-j event at ts
+      // advances the chain iff stage j-1 is reached, stage j is not, and
+      // ts is STRICTLY after t(j-1) — ascending order makes the first such
+      // event the minimum, so this is exactly the sequential-min chain.
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var pending: org.apache.spark.sql.Row =
+          if (it.hasNext) it.next() else null
+        override def hasNext: Boolean = pending != null
+        override def next(): org.apache.spark.sql.Row = {
+          val user = pending.get(0)
+          val t = new Array[Any](n)
+          var r = pending
+          while (r != null && java.util.Objects.equals(r.get(0), user)) {
+            val j = r.getInt(1)
+            val ts = r.get(2)
+            if (j == 0) { if (t(0) == null) t(0) = ts }
+            else if (t(j - 1) != null && t(j) == null &&
+              ts.asInstanceOf[Comparable[Any]].compareTo(t(j - 1)) > 0)
+              t(j) = ts
+            r = if (it.hasNext) it.next() else null
+          }
+          pending = r
+          org.apache.spark.sql.Row.fromSeq(user +: t.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .filter(col("t0").isNotNull) // users with no step-0 event are absent
   }
 
   /** Weekly cohort retention: users grouped by the ISO week of their FIRST
@@ -69,18 +104,22 @@ object Funnel {
 
   /** Stage-level conversion counts: (stage, step, n_users), one row per
     * step, n_users = users whose tᵢ is non-null. One single-row aggregate
-    * over [[stages]] unpivoted with `stack` — no extra shuffle. */
+    * over [[stages]] unpivoted by exploding an array of typed literal
+    * structs — no extra shuffle, and step names are DATA (a name holding
+    * a quote can never reshape the plan, unlike a `stack(...)` SQL
+    * string). */
   def conversionCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
     val st = stages(events, steps, userCol, typeCol, tsCol)
     val aggs = steps.indices.map(i =>
       sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"$i, '$s', n$i" }.mkString(", ")
+    val rows = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("stage"), lit(s).as("step"),
+        col(s"n$i").as("n_users")) }: _*)
     st.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${steps.size}, $stackArgs) AS (stage, step, n_users)"))
+      .select(explode(rows).as("__e"))
+      .select(col("__e.stage"), col("__e.step"), col("__e.n_users"))
       .orderBy(col("stage"))
   }
 }

@@ -69,11 +69,15 @@ object Profile {
     * row per distinct key per partition) + one single-row aggregate whose
     * top-k is the k-bounded string-tie TopK heap — no window, no sort,
     * no driver-side key list. `top1_share` is a single int/int division
-    * (bit-portable). */
+    * (bit-portable). Null keys — the CANONICAL skew cause — profile as
+    * the `<null>` stratum: the TopK aggregate skips null ties, so an
+    * un-coalesced null hottest key would count in `top1_share` yet vanish
+    * from `top_keys`. */
   def keySkew(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
     import graft.functions.TopK
     require(topK >= 1)
-    val counts = df.groupBy(keyCol.cast("string").as("k"))
+    val counts = df.groupBy(
+      coalesce(keyCol.cast("string"), lit("<null>")).as("k"))
       .agg(count(lit(1)).as("c"))
     counts.agg(
       sum(col("c")).as("n_rows"),

@@ -324,13 +324,29 @@ object IngestStreams {
     * compaction must never retrain). The SOURCE index is left untouched;
     * ingestion resumes against the new directory with a NEW checkpoint
     * (batch keys embed the checkpoint path, so fresh batch ids can never
-    * collide with the compacted partition). */
+    * collide with the compacted partition).
+    *
+    * Resume caveat: a fresh checkpoint RESETS source offsets. For
+    * [[dedupIngest]] that is safe at any starting offset — re-read rows
+    * dedup against the standing hash index. [[embedIngest]] has no such
+    * guard: resuming from `earliest` re-appends every already-indexed
+    * vector, and the default `latest` drops rows that arrived between the
+    * old run's last commit and the new start — carry the offsets over
+    * explicitly (read the old checkpoint's last committed offsets and pin
+    * them via the source's `startingOffsets` option) before pointing a
+    * new embedIngest at a compacted index. */
   def compactIndex(spark: SparkSession, indexDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Unit = {
-    require(new org.apache.hadoop.fs.Path(outDir) !=
-      new org.apache.hadoop.fs.Path(indexDir),
-      "compactIndex writes a fresh directory")
     val conf = spark.sparkContext.hadoopConfiguration
+    // qualify BOTH paths (scheme + working dir): `file:/x` and `/x`, or a
+    // relative spelling, must not slip past the overwrite-own-input guard —
+    // the static-mode overwrite would delete the source before reading it
+    def qualified(s: String) = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(outDir) != qualified(indexDir),
+      "compactIndex writes a fresh directory")
     def exists(sub: String) = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       p.getFileSystem(conf).exists(p)
@@ -357,10 +373,17 @@ object IngestStreams {
   }
 
   /** Deterministic partition key for a micro-batch: stable across replays
-    * of the same checkpoint, distinct across checkpoints. (String.hashCode
-    * is spec-fixed, so the key survives JVM restarts.) */
-  private[streaming] def batchKey(checkpointDir: String, bid: Long): String =
-    f"${checkpointDir.hashCode}%08x-$bid"
+    * of the same checkpoint, distinct across checkpoints. The prefix is
+    * the first 64 bits of md5(checkpoint path) — algorithm-fixed, so the
+    * key survives JVM restarts, and wide enough that two runs sharing an
+    * index/output directory can't collide on (prefix, batchId) the way a
+    * 32-bit String.hashCode could (a collision would silently overwrite
+    * the other run's partition AND make excludeBatch drop its hashes). */
+  private[streaming] def batchKey(checkpointDir: String, bid: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.take(8).map(b => f"$b%02x").mkString + s"-$bid"
+  }
 
   /** Idempotent batch write: everything this batch produced lands in the
     * `batch_key=<key>` partition, and OVERWRITE + dynamic partition mode

@@ -70,11 +70,52 @@ class FunnelSpec extends SparkSuite {
       s"got $got")
   }
 
-  test("per-stage min aggregates are partial+final; no event-list assembly") {
+  test("one exchange; no windows, no event-list assembly") {
     val events = log((1L, "view", 1L), (1L, "click", 2L))
-    val p = Funnel.stages(events, Seq("view", "click"))
-      .queryExecution.executedPlan.toString
+    val df = Funnel.stages(events, Seq("view", "click"))
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("collect_list") && !p.contains("Window"),
       s"funnel must not assemble per-user event lists:\n${p.take(1500)}")
+    // string-count (not a tree collect): under AQE the wrapper node hides
+    // its children from collect until execution
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"stages must plan exactly ONE exchange (got $exchanges):\n${p.take(1500)}")
+  }
+
+  test("5-stage funnel: greedy chain matches the sequential-min reference") {
+    val steps = Seq("a", "b", "c", "d", "e")
+    // u1 converts fully in order; u2 has every type but d's only event
+    // precedes its c-time; u3 interleaves with repeats — greedy must pick
+    // earliest qualifying each time; u4 only reaches b
+    val events = log(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "d", 4L), (1L, "e", 5L),
+      (2L, "a", 1L), (2L, "b", 2L), (2L, "d", 2L), (2L, "c", 3L), (2L, "e", 9L),
+      (3L, "b", 1L), (3L, "a", 2L), (3L, "b", 3L), (3L, "a", 4L), (3L, "c", 4L),
+      (3L, "d", 4L), (3L, "c", 5L), (3L, "d", 6L), (3L, "e", 6L), (3L, "e", 7L),
+      (4L, "a", 5L), (4L, "b", 6L), (4L, "c", 1L))
+    val st = Funnel.stages(events, steps)
+      .select($"user_id", $"t0", $"t1", $"t2", $"t3", $"t4")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(st == Set(
+      (1L, 1L, Some(2L), Some(3L), Some(4L), Some(5L)),
+      // u2: d@2 is not after c@3 → stuck at c; e never qualifies
+      (2L, 1L, Some(2L), Some(3L), None, None),
+      // u3: a@2, first b after → b@3, first c after → c@4, d@6 (d@4 ties
+      // c@4 — not strictly after), e@7
+      (3L, 2L, Some(3L), Some(4L), Some(6L), Some(7L)),
+      (4L, 5L, Some(6L), None, None, None)), s"got $st")
+    val counts = Funnel.conversionCounts(events, steps)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(counts == Seq((0, "a", 4L), (1, "b", 4L), (2, "c", 3L),
+      (3, "d", 2L), (4, "e", 2L)), s"got $counts")
+  }
+
+  test("step names are data: an apostrophe cannot reshape the plan") {
+    val events = log((1L, "add'l --x", 1L), (1L, "buy", 2L))
+    val got = Funnel.conversionCounts(events, Seq("add'l --x", "buy"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((0, "add'l --x", 1L), (1, "buy", 1L)), s"got $got")
   }
 }

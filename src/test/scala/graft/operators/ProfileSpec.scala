@@ -54,6 +54,17 @@ class ProfileSpec extends SparkSuite {
       s"top-k must be the bounded heap aggregate:\n${p.take(1200)}")
   }
 
+  test("keySkew: a null hottest key appears in top_keys as <null>") {
+    import org.apache.spark.sql.functions.col
+    val skewed = (Seq.fill(5)(None: Option[String]) ++
+      Seq(Some("a"), Some("a"), Some("b"))).toDF("k")
+    val r = Profile.keySkew(skewed, col("k"), topK = 2).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L && r.getLong(2) == 5L)
+    assert(math.abs(r.getDouble(3) - 5.0 / 8.0) < 1e-15,
+      "top1_share must count the null stratum")
+    assert(r.getString(4) == "<null>:5,a:2", s"got ${r.getString(4)}")
+  }
+
   test("profile: single aggregation output is one row per profiled column") {
     val got = Profile.profile(df, Seq("id", "score"))
     assert(got.count() == 2)
