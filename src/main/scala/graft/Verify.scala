@@ -12,11 +12,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // dogfood the graft optimizer rule under the oracle gate: every
+      // window-shaped catalog query is hash-checked against DuckDB with
+      // RewriteWindowTopK active (q_topk_window stays pinned to the window
+      // form — it is the explicit window-vs-aggregate comparison row)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      try Bench.runPinned(spark, name) {
         val df = fn(spark, sfDir)
         // comparator-safety gate: the driver's pandas compare sorts every
         // column; a top-level array/map column crashes it (unhashable
