@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k as a real aggregate (SURVEY §2.10 relational extension).
@@ -30,11 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly. Null `ord`/`tie`/`payload` rows are ignored, like every SQL
   * aggregate.
   *
-  * Precision contract: `ord` is compared in DOUBLE precision (the wrapper
-  * casts). Integer ords beyond 2⁵³ or decimals past 15 significant digits
-  * can collide after the cast and then resolve by `tie` — which a native
-  * `ORDER BY` on the original type would distinguish. Pre-scale such ords
-  * or fold the low-order information into `tie`.
+  * Precision contract: with a DOUBLE `ord` (the [[TopK.topKByOrd]]
+  * wrapper casts) integer ords beyond 2⁵³ or decimals past 15 significant
+  * digits can collide after the cast and then resolve by `tie` — which a
+  * native `ORDER BY` on the original type would distinguish. Pre-scale
+  * such ords, fold the low-order information into `tie`, or hand the
+  * aggregate a LONG `ord` ([[TopK.topKByLongOrd]]): long ords compare in
+  * native 64-bit precision, losslessly.
   */
 object TopK {
 
@@ -44,6 +46,14 @@ object TopK {
     Bridge.column(TopKByOrd(
       Bridge.expression(payload),
       Bridge.expression(ord.cast("double")),
+      Bridge.expression(tie.cast("long")), k).toAggregateExpression())
+
+  /** [[topKByOrd]] with a lossless LONG `ord` (native 64-bit compare —
+    * no 2⁵³ double-cast collisions). */
+  def topKByLongOrd(payload: Column, ord: Column, tie: Column, k: Int): Column =
+    Bridge.column(TopKByOrd(
+      Bridge.expression(payload),
+      Bridge.expression(ord.cast("long")),
       Bridge.expression(tie.cast("long")), k).toAggregateExpression())
 
   /** [[topKByOrd]] with a STRING tie-break (byte-wise ascending) — for
@@ -56,23 +66,26 @@ object TopK {
       Bridge.expression(tie.cast("string")), k).toAggregateExpression())
 }
 
-/** One retained entry: goodness key + an already-copied payload value. */
-private[functions] final case class TopKEntry(ord: Double, tie: Any, payload: Any)
+/** One retained entry: goodness key + an already-copied payload value.
+  * `ord` is a boxed Double or Long, matching the aggregate's ord type. */
+private[functions] final case class TopKEntry(ord: Any, tie: Any, payload: Any)
 
 /** k-bounded buffer. `worstFirst` puts the weakest entry at the heap head
-  * so a better candidate can displace it in O(log k). `tieCompare` is the
-  * ascending comparator for the tie type (long or UTF8String). */
-private[functions] final class TopKBuffer(val k: Int, tieCompare: (Any, Any) => Int) {
+  * so a better candidate can displace it in O(log k). `ordCompare` /
+  * `tieCompare` are the ascending comparators for the ord type (double or
+  * long) and tie type (long or UTF8String). */
+private[functions] final class TopKBuffer(val k: Int,
+    ordCompare: (Any, Any) => Int, tieCompare: (Any, Any) => Int) {
   // worse = lower ord, then larger tie
   private val worstFirst: Ordering[TopKEntry] = (a: TopKEntry, b: TopKEntry) => {
-    val c = java.lang.Double.compare(b.ord, a.ord)
+    val c = ordCompare(b.ord, a.ord)
     if (c != 0) c else tieCompare(a.tie, b.tie)
   }
   val heap = new scala.collection.mutable.PriorityQueue[TopKEntry]()(worstFirst)
 
   /** Admission test on the key alone — lets the caller skip payload
     * eval/copy for the (overwhelmingly common, once warm) rejected rows. */
-  def wouldAdmit(ord: Double, tie: Any): Boolean =
+  def wouldAdmit(ord: Any, tie: Any): Boolean =
     heap.size < k ||
       worstFirst.compare(TopKEntry(ord, tie, null), heap.head) < 0
 
@@ -104,6 +117,19 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
       s"topk_by_ord tie must be LONG or STRING, got $other")
   }
 
+  private def ordIsLong: Boolean = ord.dataType match {
+    case LongType => true
+    case DoubleType => false
+    case other => throw new IllegalArgumentException(
+      s"topk_by_ord ord must be DOUBLE or LONG, got $other")
+  }
+
+  @transient private lazy val ordCompare: (Any, Any) => Int =
+    if (ordIsLong)
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    else
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
   @transient private lazy val tieCompare: (Any, Any) => Int =
     if (tieIsString)
       (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
@@ -115,21 +141,21 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   @transient private lazy val payloadHolder =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, tieCompare)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, ordCompare, tieCompare)
 
   override def update(buf: TopKBuffer, row: InternalRow): TopKBuffer = {
     val o = ord.eval(row)
     val t = tie.eval(row)
     if (o != null && t != null) {
-      val od = o.asInstanceOf[Double]
       // admission-test on the key BEFORE touching the payload: once a
       // group's heap is warm almost every row is rejected, and the payload
       // eval + deep copy (UTF8String clone etc.) is the per-row hot cost
-      if (buf.wouldAdmit(od, t)) {
+      if (buf.wouldAdmit(o, t)) {
         val p = payload.eval(row)
         // the tie is stored in the heap too — copy it (an UTF8String from
         // eval may point into a reused row buffer)
-        if (p != null) buf.insert(TopKEntry(od, InternalRow.copyValue(t),
+        if (p != null) buf.insert(TopKEntry(o, InternalRow.copyValue(t),
           InternalRow.copyValue(p)))
       }
     }
@@ -150,7 +176,8 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
     val entries = buf.heap.toArray
     out.writeInt(entries.length)
     entries.foreach { e =>
-      out.writeDouble(e.ord)
+      if (ordIsLong) out.writeLong(e.ord.asInstanceOf[Long])
+      else out.writeDouble(e.ord.asInstanceOf[Double])
       if (tieIsString) {
         val tb = e.tie.asInstanceOf[UTF8String].getBytes
         out.writeInt(tb.length)
@@ -166,12 +193,12 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val buf = new TopKBuffer(k, tieCompare)
+    val buf = new TopKBuffer(k, ordCompare, tieCompare)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0
     while (i < n) {
-      val o = in.getDouble
+      val o: Any = if (ordIsLong) in.getLong else in.getDouble
       val t: Any =
         if (tieIsString) {
           val len = in.getInt

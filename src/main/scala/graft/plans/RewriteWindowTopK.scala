@@ -1,6 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Min
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -28,18 +32,34 @@ import graft.functions.TopKByOrd
   *  - a conjunct of the filter bounds it: `rk <= k`, `rk < k`, `rk = 1`
   *    (integer literal, k ≥ 1);
   *  - ORDER BY is `ord DESC, tie ASC` where `ord` is a numeric whose
-  *    double cast is exact (float/double/int and narrower — NOT
-  *    long/decimal, whose high magnitudes collide in double), and `tie`
-  *    is an integral or string (the aggregate's tie contract; nullable
-  *    strings are skipped).
+  *    double cast is exact (float/double/int and narrower) OR a LONG
+  *    (compared natively in the aggregate — lossless, no 2⁵³ double-cast
+  *    collisions; decimals stay unsupported), and `tie` is an integral or
+  *    string (the aggregate's tie contract; nullable strings are
+  *    skipped).
   *
   * Null ordering is emulated exactly by sentinel substitution: a null
-  * `ord` under NULLS LAST becomes -Infinity (NULLS FIRST: +Infinity), a
-  * null integral `tie` becomes Long.MinValue/MaxValue — the one
-  * observable deviation is data that actually CONTAINS those sentinel
-  * values, which then sorts equal to (instead of strictly before/after)
-  * the null rows; `row_number` among such exact ties is arbitrary
-  * anyway.
+  * `ord` under NULLS LAST becomes -Infinity / Long.MinValue (NULLS
+  * FIRST: +Infinity / Long.MaxValue), a null integral `tie` becomes
+  * Long.MinValue/MaxValue — the one observable deviation is data that
+  * actually CONTAINS those sentinel values, which then sorts equal to
+  * (instead of strictly before/after) the null rows; `row_number` among
+  * such exact ties is arbitrary anyway.
+  *
+  * `rank() = 1` / `dense_rank() = 1` (equal on the FULL sort key to the
+  * per-group extreme — identical semantics for both functions at k = 1,
+  * including ties, which `row_number` would split) rewrites to a partial
+  * aggregate + join instead: `min(struct(normalized sort key))` per
+  * group, joined back null-safely — map-side partials replace the
+  * per-group window sort, and ties survive because every row equal to
+  * the extreme joins. Sort keys normalize to (null-flag, value) pairs;
+  * descending keys are supported for integrals via the overflow-free
+  * order reversal `-1 - x`, floats/doubles/strings descending are
+  * skipped (NaN breaks negation). The rewrite duplicates the window's
+  * input subtree into the aggregate leg, so it fires only when that
+  * subtree is re-instantiable with fresh attribute ids (projects /
+  * filters over multi-instance leaf relations — scans, local and cached
+  * relations); anything more exotic keeps the window form.
   *
   * Output attribute ids are preserved (payload struct fields and the rank
   * column re-aliased to their original exprIds), so parent operators are
@@ -50,9 +70,11 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
 
   private val enabledKey = "spark.graft.rewriteWindowTopK"
 
-  /** Double cast is order-exact for these (≤ 32-bit integrals + floats). */
+  /** Order-exact ord types: ≤ 32-bit integrals + floats compare via the
+    * (exact) double cast; LONG compares natively in the aggregate. */
   private def ordSafe(dt: DataType): Boolean = dt match {
-    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+    case DoubleType | FloatType | IntegerType | ShortType | ByteType |
+         LongType => true
     case _ => false
   }
 
@@ -81,24 +103,29 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
     if (conf.getConfString(enabledKey, "true") != "true") return plan
     plan.transformUp {
       case f @ Filter(cond, Window(
-          Seq(alias @ Alias(WindowExpression(RowNumber(),
-            WindowSpecDefinition(_, _, SpecifiedWindowFrame(
-              RowFrame, UnboundedPreceding, CurrentRow))), _)),
+          Seq(alias @ Alias(WindowExpression(fn,
+            WindowSpecDefinition(_, _, frame)), _)),
           partSpec, orderSpec, child, _)) =>
         val rn = alias.toAttribute
         val conjuncts = splitConjunctivePredicates(cond)
         val bound: Option[(Expression, Int)] =
           conjuncts.iterator.map(c => c -> boundOf(c, rn))
             .collectFirst { case (c, Some(k)) => (c, k) }
-        (bound, orderSpec) match {
-          case (Some((boundConjunct, k)),
+        (fn, frame, bound, orderSpec) match {
+          case (RowNumber(),
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow),
+              Some((boundConjunct, k)),
               Seq(SortOrder(ord, Descending, ordNulls, _),
                 SortOrder(tie, Ascending, tieNulls, _)))
               if k >= 1 && ordSafe(ord.dataType) &&
                 tieSafe(tie.dataType) &&
                 !(tie.nullable && tie.dataType == StringType) =>
+            val ordIsLong = ord.dataType == LongType
             val ordSafeExpr =
               if (!ord.nullable) ord
+              else if (ordIsLong) Coalesce(Seq(ord, Literal(
+                if (ordNulls == NullsFirst) Long.MaxValue else Long.MinValue,
+                LongType)))
               else Coalesce(Seq(Cast(ord, DoubleType), Literal(
                 if (ordNulls == NullsFirst) Double.PositiveInfinity
                 else Double.NegativeInfinity, DoubleType)))
@@ -109,9 +136,122 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
                 LongType)))
             val rest = conjuncts.filterNot(_ eq boundConjunct)
             rewrite(child, partSpec, ordSafeExpr, tieSafeExpr, k, rn, rest)
+          // rank functions are frame-insensitive; the analyzer writes a
+          // RANGE frame, the optimizer may normalize it to ROW — accept
+          // both spellings of (unbounded preceding, current row)
+          case (_: Rank | _: DenseRank,
+              SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow),
+              Some((boundConjunct, 1)), _) =>
+            val rest = conjuncts.filterNot(_ eq boundConjunct)
+            rewriteRankOne(child, partSpec, orderSpec, rn, rest).getOrElse(f)
           case _ => f
         }
     }
+  }
+
+  /** Normalize one sort key for the rank-1 aggregate+join: a (null-flag,
+    * value) pair whose ascending struct-min order equals the SortOrder —
+    * the flag (−1 nulls-first / 1 nulls-last / 0 otherwise) makes null
+    * placement explicit; descending integrals reverse losslessly via
+    * `-1 - x` in long (no MinValue overflow, unlike negation);
+    * float/double values normalize −0.0/NaN so grouping-equality and
+    * sort-tie semantics agree. None = shape not provably reversible. */
+  private def normKey(so: SortOrder): Option[Seq[Expression]] = {
+    val e = so.child
+    val flag = If(IsNull(e),
+      Literal(if (so.nullOrdering == NullsFirst) -1 else 1), Literal(0))
+    val atomic = e.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    so.direction match {
+      case Ascending if atomic =>
+        val v = e.dataType match {
+          case FloatType | DoubleType => NormalizeNaNAndZero(e)
+          case _ => e
+        }
+        Some(Seq(flag, v))
+      case Descending => e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(Seq(flag, Subtract(Literal(-1L), Cast(e, LongType))))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** `rank()/dense_rank() = 1` → keep every row whose full sort key
+    * null-safe-equals its group's `min(struct(normalized keys))` — a
+    * partial aggregate + join back, no per-group sort, ties preserved.
+    * The aggregate leg re-reads the window input, so the subtree is
+    * duplicated with FRESH attribute ids (optimizer rules and physical
+    * binding assume globally unique ids); bail (None) when the subtree
+    * holds nodes this rule cannot re-instantiate. */
+  private def rewriteRankOne(child0: LogicalPlan, partSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder], rn: Attribute,
+      restPredicates: Seq[Expression]): Option[LogicalPlan] = {
+    val child = child0 match {
+      case WindowGroupLimit(_, _, _, limit, inner) if limit >= 1 => inner
+      case other => other
+    }
+    val keys = orderSpec.map(normKey)
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return None
+    val sortKey = CreateStruct(keys.flatten.flatten)
+    freshCopy(child).map { fresh =>
+      val attrMap = AttributeMap(child.output.zip(fresh.output))
+      def remap(e: Expression): Expression = e.transform {
+        case a: Attribute => attrMap.getOrElse(a, a)
+      }
+      val rPart = partSpec.map(remap)
+      val gAliases = rPart.zipWithIndex.map { case (e, i) =>
+        Alias(e, s"__graft_g$i")()
+      }
+      val mAlias = Alias(
+        Min(remap(sortKey)).toAggregateExpression(), "__graft_min")()
+      val agg = Aggregate(rPart, gAliases :+ mAlias, fresh)
+      val cond = (partSpec.zip(gAliases).map { case (l, g) =>
+        EqualNullSafe(l, g.toAttribute)
+      } :+ EqualNullSafe(sortKey, mAlias.toAttribute)).reduce(And)
+      val join = Join(child, agg, Inner, Some(cond), JoinHint.NONE)
+      val rank = Alias(Cast(Literal(1), rn.dataType), rn.name)(
+        exprId = rn.exprId)
+      val proj = Project((child.output: Seq[NamedExpression]) :+ rank, join)
+      if (restPredicates.isEmpty) proj
+      else Filter(restPredicates.reduce(And), proj)
+    }
+  }
+
+  /** Re-instantiate a plan subtree with fresh attribute ids everywhere:
+    * leaf relations via `MultiInstanceRelation.newInstance`, project
+    * aliases regenerated; `transformUpWithNewOutput` rewrites the
+    * references in between. Only projects/filters over multi-instance
+    * leaves are supported — None otherwise. */
+  private def freshCopy(plan: LogicalPlan): Option[LogicalPlan] = {
+    val unsupported = plan.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        (p.isInstanceOf[LeafNode] && p.isInstanceOf[MultiInstanceRelation])) => p
+    }
+    if (unsupported.nonEmpty) return None
+    Some(plan.transformUpWithNewOutput {
+      case m: LeafNode =>
+        val n = m.asInstanceOf[MultiInstanceRelation].newInstance()
+          .asInstanceOf[LogicalPlan]
+        (n, m.output.zip(n.output))
+      case p: Project if p.projectList.exists(_.isInstanceOf[Alias]) =>
+        val pairs: Seq[(NamedExpression, NamedExpression)] =
+          p.projectList.map {
+            case a: Alias =>
+              (a, Alias(a.child, a.name)(qualifier = a.qualifier,
+                explicitMetadata = a.explicitMetadata,
+                nonInheritableMetadataKeys = a.nonInheritableMetadataKeys))
+            case o => (o, o)
+          }
+        val np = Project(pairs.map(_._2), p.child)
+        (np, pairs.collect { case (a: Alias, na) =>
+          (a.toAttribute, na.toAttribute) })
+    })
   }
 
   private def rewrite(child0: LogicalPlan, partSpec: Seq[Expression],
@@ -131,7 +271,11 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       case StringType | LongType => tie
       case _ => Cast(tie, LongType)
     }
-    val topk = TopKByOrd(payload, Cast(ord, DoubleType), tieCast, k)
+    // LONG ords go to the aggregate uncast — it compares them natively
+    // (lossless); everything else rides the exact double cast
+    val ordCast =
+      if (ord.dataType == LongType) ord else Cast(ord, DoubleType)
+    val topk = TopKByOrd(payload, ordCast, tieCast, k)
       .toAggregateExpression()
     val arrAlias = Alias(topk, "__graft_topk")()
     val agg = Aggregate(partSpec, Seq(arrAlias), child)

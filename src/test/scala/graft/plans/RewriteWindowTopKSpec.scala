@@ -59,26 +59,122 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
-  test("unsupported shapes are left alone (rank, long ord, asc order, no bound)") {
+  test("unsupported shapes are left alone (rank k>1, bad tie, asc order, no bound)") {
     withRule {
       val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
       val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "g", "v")
-      // rank() instead of row_number
+      def window(q: DataFrame): Boolean = {
+        val p = q.queryExecution.optimizedPlan.toString
+        !p.contains("topk_by_ord") && p.contains("Window")
+      }
+      // rank() with k > 1: only the k = 1 tie-group has the aggregate form
       val r1 = df.withColumn("rk", rank().over(Window.partitionBy($"g")
+        .orderBy($"v".desc, $"id"))).filter($"rk" <= 2)
+      assert(window(r1))
+      // rank() = 1 over a DESCENDING DOUBLE: no overflow/NaN-free reversal
+      val r1b = df.withColumn("rk", rank().over(Window.partitionBy($"g")
         .orderBy($"v".desc, $"id"))).filter($"rk" <= 1)
-      assert(!r1.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
-      // ord is LONG (double cast not order-exact) — note orderBy(id.desc, v)
+      assert(window(r1b))
+      // row_number with a DOUBLE tie (not the aggregate's tie contract) —
+      // the long ord itself is fine now
       val r2 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
         .orderBy($"id".desc, $"v"))).filter($"rk" <= 1)
-      assert(!r2.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      assert(window(r2))
       // ascending primary order
       val r3 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
         .orderBy($"v".asc, $"id"))).filter($"rk" <= 1)
-      assert(!r3.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      assert(window(r3))
       // no rank bound in the filter
       val r4 = df.withColumn("rk", row_number().over(w)).filter($"v" > 0.5)
-      assert(!r4.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+      assert(window(r4))
+      // rank() = 1 over a child the aggregate leg can't re-instantiate
+      // (an aggregate below the window) keeps the window form
+      val r5 = df.groupBy($"g").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+        .withColumn("rk", rank().over(Window.partitionBy($"g")
+          .orderBy($"c".asc))).filter($"rk" === 1)
+      assert(window(r5))
     }
+  }
+
+  test("LONG ord: fires and compares natively (no 2^53 double collision)") {
+    withRule {
+      val big = 1L << 53 // big and big+1 collide after a double cast
+      val df = Seq((big, "a", 0), (big + 1L, "a", 1)).toDF("id", "g", "t")
+      def q = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
+        .orderBy($"id".desc, $"t"))).filter($"rk" === 1).select($"id")
+      assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"),
+        "long ord must fire")
+      // double-cast compare would tie the two ids and fall back to t asc
+      // (picking `big`); native long compare must pick big+1
+      assert(q.as[Long].collect().toSeq == Seq(big + 1L))
+    }
+  }
+
+  test("rank()/dense_rank() = 1: aggregate+join form, ties preserved") {
+    val df = Seq(
+      (1L, "a", 5), (2L, "a", 5), (3L, "a", 7),   // tie at min v=5 in a
+      (4L, "b", 2), (5L, "b", 3)).toDF("id", "g", "v")
+    for (fn <- Seq(rank(), dense_rank());
+         (ord, expect) <- Seq(
+           ($"v".asc, Set(1L, 2L, 4L)),  // min: both tied rows of a
+           ($"v".desc, Set(3L, 5L)))) {  // max via the -1-x reversal
+      def q = df.withColumn("rk", fn.over(Window.partitionBy($"g")
+        .orderBy(ord))).filter($"rk" === 1).select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        val p = q.queryExecution.optimizedPlan.toString
+        assert(!p.contains("Window"), s"window must be gone:\n${p.take(1500)}")
+        assert(p.contains("Join"), s"aggregate+join form expected:\n${p.take(1500)}")
+        assert(q.collect().map(_.toSeq).toSet == baseline)
+        assert(q.select($"id").as[Long].collect().toSet == expect)
+      }
+    }
+  }
+
+  test("rank() = 1: nulls and -0.0/0.0 agree with the window form") {
+    // nulls first (asc default) and the float grouping-vs-sort equality
+    // edge: whatever the window says, the rewrite must say the same
+    val df = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", null), (2L, "a", null), (3L, "a", 1.0),
+      (4L, "b", -0.0), (5L, "b", 0.0), (6L, "b", 1.0)
+    ).toDF("id", "g", "v")
+    for (ord <- Seq($"v".asc, $"v".asc_nulls_last)) {
+      def q = df.withColumn("rk", rank().over(Window.partitionBy($"g")
+        .orderBy(ord))).filter($"rk" === 1).select($"id")
+      val baseline = q.collect().map(_.toSeq).toSet
+      withRule {
+        assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+        assert(q.collect().map(_.toSeq).toSet == baseline, s"ord=$ord")
+      }
+    }
+  }
+
+  test("property: rank=1 rule-on == rule-off (ties, nulls, desc ints)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen: Gen[Seq[(String, Option[Int], Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        s <- Gen.option(Gen.chooseNum(0, 3)) // ties AND nulls
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    val prop = Prop.forAll(rowsGen, Gen.oneOf(true, false)) { (rows, desc) =>
+      def q = {
+        val ord = if (desc) $"_2".desc else $"_2".asc
+        val w = Window.partitionBy($"_1").orderBy(ord)
+        rows.toDF().withColumn("rk", rank().over(w)).filter($"rk" === 1)
+          .select($"_1", $"_3", $"rk")
+      }
+      val off = q.collect().map(_.toSeq).toSet
+      val on = withRule {
+        assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+        q.collect().map(_.toSeq).toSet
+      }
+      off == on
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("nullable ord: null sorts per NULLS LAST via the -Infinity sentinel") {
