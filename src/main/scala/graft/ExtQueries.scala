@@ -40,6 +40,22 @@ object ExtQueries {
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Fresh standing ANN index for the q_ann_index* entries: DELETE +
+    * rebuild per invocation, so a stale index from another scale factor
+    * (train-once quantizers never retrain!) can never answer for this
+    * one. The dir is keyed by the fixture path; build cost is part of the
+    * query — the bench row tracks build + standing-read together. */
+  private def annIndexFixture(s: SparkSession, dir: String): String = {
+    val idx = "/tmp/graft_ann_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.streaming.IngestStreams.buildEmbeddingIndex(
+      Tables.embeddings(s, dir), idx, nlist = 8,
+      pq = Some(graft.streaming.IngestStreams.PqIndexConfig(m = 16, ksub = 32)))
+    idx
+  }
+
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
     * keep-all sentinel path; es is deliberately absent → dropped). */
   private val strataRates: Map[String, Double] =
@@ -408,6 +424,33 @@ object ExtQueries {
         Similarity.bruteForceTopK(embs, qs, k = 5),
         Similarity.ivfPqTopK(embs, qs, k = 5, nlist = 8, nprobe = 4,
           m = 16, ksub = 32, rerank = 8))
+    }),
+
+    // STANDING-index ANN: build the durable IVF+PQ index from the batch
+    // fixture (train-once quantizers, batch-key partition — exactly what
+    // embedIngest leaves behind), then answer via annFromIndex's
+    // ADC-over-pruned-columns read path (rows-only; seeded by the trained
+    // quantizers. recall floor asserted in IngestStreamsSpec)
+    "q_ann_index" -> ((s, dir) => {
+      val idx = annIndexFixture(s, dir)
+      graft.streaming.IngestStreams.annFromIndex(s, idx,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 5,
+        nprobe = 4, rerank = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // recall audit of the standing-index read path against the exact
+    // brute force on the same (corpus, queries, k) — collapses if index
+    // build, ADC shortlist, or parquet pruning break (rows-only)
+    "q_ann_index_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+      val idx = annIndexFixture(s, dir)
+      Similarity.recallAudit(
+        Similarity.bruteForceTopK(embs, qs, k = 5),
+        graft.streaming.IngestStreams.annFromIndex(s, idx, qs, k = 5,
+          nprobe = 4, rerank = 8))
     }),
 
     // deterministic stratified sampling on the md5 rule — EXACT membership

@@ -30,6 +30,24 @@ object Dedup {
     * shuffle the entire hot bucket into one task just to measure it,
     * recreating the straggler the guard exists to prevent; groupBy's
     * map-side combine counts hot buckets without ever assembling them. */
+  /** Materialize a consumer-diamond staging relation. With `stagingDir`
+    * set, write it ONCE as an explicit parquet table under
+    * `stagingDir/name` and read it back — the 100 TB shape (SCALE.md
+    * §Cross-cutting): every consumer re-reads from disk, nothing pins the
+    * SQL CacheManager for the session lifetime, and the staged table
+    * doubles as a restart point. Without it, executor-local
+    * `persist(MEMORY_AND_DISK)` (the small-job default; CacheManager
+    * caveat documented at [[minhashPairsFromShingles]]). */
+  private def stage(df: DataFrame, stagingDir: Option[String],
+      name: String): DataFrame = stagingDir match {
+    case Some(dir) =>
+      val path = s"$dir/$name"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    case None =>
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   private def dropOversized(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
@@ -91,15 +109,16 @@ object Dedup {
     * toward dropping more near-duplicates, never toward keeping one. */
   def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    // persisted: the survivor relation is read twice (near-dup mining input
+      threshold: Double = 0.8, stagingDir: Option[String] = None): DataFrame = {
+    // staged: the survivor relation is read twice (near-dup mining input
     // AND the final anti-join base) and each read would otherwise redo the
     // exact-dedup scan+agg — same diamond rule as minhashPairs' signatures
-    val exactSurvivors = docs.join(
-      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactSurvivors = stage(docs.join(
+      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
+      stagingDir, "exact_survivors")
     val nearDupLosers = minhashPairs(exactSurvivors, idCol, textCol,
-      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
+      stagingDir = stagingDir)
       .select(col("id_b").as(idCol)).distinct()
     exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
   }
@@ -116,12 +135,13 @@ object Dedup {
     * corpus, so the rounds never rescan documents. */
   def dedupCorpusCC(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    val exactSurvivors = docs.join(
-      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.8, stagingDir: Option[String] = None): DataFrame = {
+    val exactSurvivors = stage(docs.join(
+      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
+      stagingDir, "exact_survivors")
     val pairs = minhashPairs(exactSurvivors, idCol, textCol,
-      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold)
+      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
+      stagingDir = stagingDir)
     val losers = Graph.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -149,9 +169,10 @@ object Dedup {
 
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      stagingDir: Option[String] = None): DataFrame =
     minhashPairsFromShingles(shingled(docs, idCol, textCol, k), idCol,
-      bands, rowsPerBand, threshold, maxBucket)
+      bands, rowsPerBand, threshold, maxBucket, stagingDir)
 
   /** Per-band bucket keys from a minhash signature (statically unrolled —
     * `bands` is a plan-time constant). Shared by the batch miner and the
@@ -241,7 +262,8 @@ object Dedup {
     * `sh`: sorted distinct shingle hashes per `idCol`). */
   def minhashPairsFromShingles(shingledDocs: DataFrame, idCol: String = "doc_id",
       bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      stagingDir: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // The shingle + minhash projection is the expensive kernel (one pass
     // over every token × numHashes). Three consumers need it: banding, the
@@ -249,19 +271,19 @@ object Dedup {
     // point Catalyst recomputes the projection per consumer (4 full corpus
     // passes, seen in the audited plan). Exchange reuse can't help: column
     // pruning hands each consumer a different projection, so the canonical
-    // subtrees never match. An explicit persist is the Spark-native shared
-    // materialization — the signature-staging step every production dedup
-    // pipeline runs; at 100 TB it spills executor-local (MEMORY_AND_DISK)
-    // or is replaced by an explicit parquet staging table. NOTE the cache
-    // is pinned by the SQL CacheManager for the session lifetime (the
-    // ContextCleaner does NOT collect CacheManager entries): callers
-    // running many dedup jobs in one session should
-    // `spark.catalog.clearCache()` between them (Spark ML's
-    // handlePersistence unpersists after its action for the same reason —
-    // a lazy-DataFrame API has no post-action hook to do it for you).
-    val sigd = shingledDocs.select(col(idCol), col("sh"))
-      .withColumn("sig", minhashSig(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // subtrees never match. [[stage]] is the shared materialization — the
+    // signature-staging step every production dedup pipeline runs. At
+    // 100 TB pass `stagingDir` for an explicit parquet staging table;
+    // the default executor-local persist is pinned by the SQL
+    // CacheManager for the session lifetime (the ContextCleaner does NOT
+    // collect CacheManager entries): callers running many dedup jobs in
+    // one session should `spark.catalog.clearCache()` between them
+    // (Spark ML's handlePersistence unpersists after its action for the
+    // same reason — a lazy-DataFrame API has no post-action hook to do it
+    // for you).
+    val sigd = stage(shingledDocs.select(col(idCol), col("sh"))
+      .withColumn("sig", minhashSig(col("sh"), numHashes)),
+      stagingDir, "signatures")
 
     // band_j = hash of the j-th signature slice → bucket key (bands is a
     // plan-time constant, so the band array is statically unrolled — better

@@ -145,30 +145,50 @@ object IngestStreams {
     embs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val spark = batch.sparkSession
-        val key = batchKey(checkpointDir, bid)
-        val unit = unitVec(batch, vecCol, idCol, idCol, "v")
-        if (!unit.isEmpty) {
-          val cents = loadOrTrainCentroids(spark, indexDir, unit, nlist,
-            trainSample)
-          val base = unit.select(col(idCol),
-            element_at(
-              graft.operators.Similarity.nearestCells(col("v"), cents, 1), 1)
-              .as("cell"),
-            col("v"))
-          val withCodes = pq.fold(base) { cfg =>
-            import org.apache.spark.sql.graftbridge.Bridge
-            val books = loadOrTrainCodebooks(spark, indexDir, unit, cfg,
-              trainSample)
-            base.withColumn("code", Bridge.column(
-              graft.operators.PqEncode(Bridge.expression(col("v")),
-                new graft.operators.Mat3(books))))
-          }
-          overwriteBatch(withCodes, key, s"$indexDir/postings")
-        }
+        ingestEmbeddingBatch(batch, indexDir, batchKey(checkpointDir, bid),
+          nlist, trainSample, idCol, vecCol, pq)
         ()
       }
       .start()
+
+  /** Build (or extend) an [[embedIngest]]-shaped index from a BATCH of
+    * vectors: identical kernels, train-once quantizer contract, and
+    * batch-key overwrite as one streaming micro-batch — idempotent for a
+    * fixed `batchKey`. This is the bulk-backfill path (build the standing
+    * index from history, then stream deltas onto it) and the
+    * catalog/bench face of the streamed index ([[annFromIndex]] reads the
+    * result either way). */
+  def buildEmbeddingIndex(embs: DataFrame, indexDir: String,
+      batchKey: String = "batch-0", nlist: Int = 16, trainSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pq: Option[PqIndexConfig] = None): Unit =
+    ingestEmbeddingBatch(embs, indexDir, batchKey, nlist, trainSample,
+      idCol, vecCol, pq)
+
+  private def ingestEmbeddingBatch(batch: DataFrame, indexDir: String,
+      key: String, nlist: Int, trainSample: Int, idCol: String,
+      vecCol: String, pq: Option[PqIndexConfig]): Unit = {
+    val spark = batch.sparkSession
+    val unit = unitVec(batch, vecCol, idCol, idCol, "v")
+    if (!unit.isEmpty) {
+      val cents = loadOrTrainCentroids(spark, indexDir, unit, nlist,
+        trainSample)
+      val base = unit.select(col(idCol),
+        element_at(
+          graft.operators.Similarity.nearestCells(col("v"), cents, 1), 1)
+          .as("cell"),
+        col("v"))
+      val withCodes = pq.fold(base) { cfg =>
+        import org.apache.spark.sql.graftbridge.Bridge
+        val books = loadOrTrainCodebooks(spark, indexDir, unit, cfg,
+          trainSample)
+        base.withColumn("code", Bridge.column(
+          graft.operators.PqEncode(Bridge.expression(col("v")),
+            new graft.operators.Mat3(books))))
+      }
+      overwriteBatch(withCodes, key, s"$indexDir/postings")
+    }
+  }
 
   /** ANN top-k for a (small) query set against a streamed [[embedIngest]]
     * index: probe `nprobe` cells per query; when the index carries PQ

@@ -121,6 +121,38 @@ class DedupSpec extends SparkSuite {
     assert(viaCC.subsetOf(onePass))
   }
 
+  test("stagingDir: parquet-staged diamond gives identical outputs, staged tables on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    try {
+      val pPairs = Dedup.minhashPairs(corpus, bands = 32, rowsPerBand = 2,
+        threshold = 0.5).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val sPairs = Dedup.minhashPairs(corpus, bands = 32, rowsPerBand = 2,
+        threshold = 0.5, stagingDir = Some(s"$dir/pairs"))
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(sPairs == pPairs, "staged minhashPairs must equal the persist path")
+      assert(new java.io.File(s"$dir/pairs/signatures").isDirectory,
+        "signature pass must be written as an explicit parquet table")
+
+      val pCorpus = Dedup.dedupCorpus(corpus.drop("block"), threshold = 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+      val sCorpus = Dedup.dedupCorpus(corpus.drop("block"), threshold = 0.5,
+        stagingDir = Some(s"$dir/corpus"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(sCorpus == pCorpus)
+      assert(new java.io.File(s"$dir/corpus/exact_survivors").isDirectory)
+
+      val pCC = Dedup.dedupCorpusCC(corpus.drop("block"), threshold = 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+      val sCC = Dedup.dedupCorpusCC(corpus.drop("block"), threshold = 0.5,
+        stagingDir = Some(s"$dir/cc"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(sCC == pCC)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("pairRecallAudit: self-audit is 1.0; minhash holds the recall floor on the fixture") {
     // self-audit: exact vs itself
     val exact = Dedup.ngramJaccardPairs(corpus, blockCol = $"block",

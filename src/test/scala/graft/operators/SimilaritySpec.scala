@@ -228,4 +228,40 @@ class SimilaritySpec extends SparkSuite {
     val s = Similarity.pqAdcKernel(q, codes, books)
     assert(math.abs(s - (1.0 * 1.0 + 0.0 * 1.0 + 1.0 * -1.0 + 0.0 * 0.0)) < 1e-12)
   }
+
+  test("PQ/IVF expressions canonicalize: equal matrices unify, exchanges reuse") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // Mat2/Mat3 exist because raw nested arrays compare by REFERENCE: two
+    // structurally identical PqEncode/NearestCells subtrees would then be
+    // semantically unequal and CSE / exchange reuse would silently miss.
+    def books() = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(-1.0, 0.0), Array(1.0, 0.0)))
+    def cents() = Array(Array(0.5, 0.5), Array(-0.5, 0.1))
+    val v = Bridge.expression(transform($"embedding", x => x.cast("double")))
+    assert(PqEncode(v, new Mat3(books()))
+      .semanticEquals(PqEncode(v, new Mat3(books()))),
+      "independently built equal codebooks must compare semantically equal")
+    assert(!PqEncode(v, new Mat3(books()))
+      .semanticEquals(PqEncode(v, new Mat3(Array(books()(0))))),
+      "different codebooks must not unify")
+    assert(NearestCells(v, new Mat2(cents()), 1)
+      .semanticEquals(NearestCells(v, new Mat2(cents()), 1)))
+
+    // plan level: two aggregates over the SAME PqEncode projection (each
+    // with its own freshly built codebook object) — the second exchange
+    // must be a ReusedExchange, not a recomputation
+    def leg() = embs.select($"vec_id",
+      Bridge.column(PqEncode(Bridge.expression(
+        transform($"embedding", x => x.cast("double"))), new Mat3(books())))
+        .as("code"))
+      .groupBy($"code").count()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = leg().union(leg()).queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"identical PQ subtrees must share one exchange:\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

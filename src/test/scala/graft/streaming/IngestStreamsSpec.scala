@@ -229,6 +229,25 @@ class IngestStreamsSpec extends SparkSuite {
     assert(recall >= 0.5, s"PQ-index ANN recall too low: $recall")
   }
 
+  test("q_ann_index catalog face: batch-built index, rank contract, recall floor") {
+    // the catalog entry builds the standing index with buildEmbeddingIndex
+    // (same kernels as a streaming micro-batch) and answers via
+    // annFromIndex — assert the rank contract and the recall floor the
+    // rows-only driver check cannot see
+    val ann = graft.SparkEntry.queries("q_ann_index")(spark, sf0001)
+    val rows = ann.select($"query_id", $"rank", $"vec_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty, "standing-index ANN must return rows")
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1 to rs.length) && rs.length <= 5
+    }, "ranks must be 1..k per query")
+    assert(rows.forall { case (q, _, v) => q != v }, "self-hits excluded")
+    val recall = graft.SparkEntry.queries("q_ann_index_recall")(spark, sf0001)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(recall >= 0.5, s"standing-index catalog recall too low: $recall")
+  }
+
   test("compactIndex: one partition out, same ANN answers, quantizers copied verbatim") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("embed_compact").toString
