@@ -40,6 +40,39 @@ object ExtQueries {
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** Shared by q_funnel_window: a deeper chain + a 3-day conversion
+    * window in epoch micros (median signup→view latency in the fixture is
+    * ~1.8 days, p90 ~6 — the window genuinely expires some users). */
+  private val windowFunnelSteps: Seq[String] =
+    Seq("signup", "view", "click", "purchase")
+  private val funnelWindowUs: Long = 3L * 86400L * 1000000L
+
+  /** Greedy windowed-funnel oracle: one CTE per stage, each carrying t0
+    * so the window constraint `tᵢ − t₀ ≤ W` reads the SAME greedy t0 the
+    * engine's DP uses. */
+  private def funnelWindowSql(steps: Seq[String], w: Long): String = {
+    val s0 =
+      s"""s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+         |       WHERE event_type = '${steps.head}' GROUP BY user_id)""".stripMargin
+    val rest = steps.zipWithIndex.drop(1).map { case (st, i) =>
+      val prevT = if (i == 1) "t0" else s"t${i - 1}"
+      s"""s$i AS (SELECT e.user_id, s${i - 1}.t0, min(epoch_us(e.ts)) AS t$i
+         |       FROM events e JOIN s${i - 1} USING (user_id)
+         |       WHERE e.event_type = '$st' AND epoch_us(e.ts) > s${i - 1}.$prevT
+         |         AND epoch_us(e.ts) - s${i - 1}.t0 <= $w
+         |       GROUP BY e.user_id, s${i - 1}.t0)""".stripMargin
+    }
+    val selects = steps.zipWithIndex.map { case (st, i) =>
+      val head = if (i == 0) "SELECT 0 AS stage, '" + st + "' AS step, "
+      else s"UNION ALL SELECT $i, '$st', "
+      head + s"(SELECT count(*) FROM s$i)" + (if (i == 0) " AS n_users" else "")
+    }
+    s"""WITH ${(s0 +: rest).mkString(",\n")}
+       |SELECT CAST(stage AS INT) AS stage, step, n_users FROM (
+       |  ${selects.mkString("\n  ")})
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Standing ANN index for the q_ann_index* entries, built ONCE per
     * (process, fixture dir) — a standing index is built once and read
     * many times, so repeated invocations (bench min-of-N, the recall
@@ -677,6 +710,14 @@ object ExtQueries {
         Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
         funnelSteps, tsCol = "ts_us")),
 
+    // 4-stage funnel with a 3-day conversion window: the windowed greedy
+    // DP (tᵢ > tᵢ₋₁ AND tᵢ − t₀ ≤ W, one exchange at any depth) against
+    // the same chain spelled as per-stage CTEs in the oracle
+    "q_funnel_window" -> ((s, dir) =>
+      Funnel.conversionCounts(
+        Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+        windowFunnelSteps, tsCol = "ts_us", within = Some(funnelWindowUs))),
+
     // tokenizer-coverage: top-100 vocab via the string-tie heap, per-doc
     // OOV rate via broadcast anti-join — fully oracle-checked
     "q_vocab_oov" -> ((s, dir) =>
@@ -1018,6 +1059,9 @@ object ExtQueries {
          |  UNION ALL SELECT 2, '$c', (SELECT count(*) FROM s2))
          |ORDER BY stage""".stripMargin
     },
+
+    // greedy windowed chain, one CTE per stage carrying t0 for the window
+    "q_funnel_window" -> funnelWindowSql(windowFunnelSteps, funnelWindowUs),
 
     // the same spread-mask chain, stepwise CTEs (inlining would duplicate
     // each subexpression 2^5 times); masks in decimal for portability

@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-user stage times: (userCol, t0 … t{n-1}), tᵢ null when stage i
-    * was not reached. Users with no step-0 event are absent. */
+    * was not reached. Users with no step-0 event are absent.
+    *
+    * `within`: optional conversion window — stage i ≥ 1 additionally
+    * requires `tᵢ − t₀ ≤ within` (units of `tsCol`, which must be an
+    * integral column when set; the greedy t₀ is NOT re-chosen if its
+    * window expires, the standard windowed-funnel semantic). */
   def stages(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", within: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(within.forall(_ > 0), s"within must be positive, got $within")
     val n = steps.size
     // step name → index as a typed literal map lookup: injection-free and
     // one scan-level projection for every step at once
@@ -43,6 +49,15 @@ object Funnel {
     val ev = events
       .select(col(userCol).as("__u"), idx.as("__step"), col(tsCol).as("__ts"))
       .filter(col("__step").isNotNull && col("__ts").isNotNull)
+    if (within.isDefined) {
+      val ok = ev.schema("__ts").dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      }
+      require(ok, s"within requires an integral $tsCol (epoch units), " +
+        s"got ${ev.schema("__ts").dataType}")
+    }
     val parted = ev.repartition(col("__u"))
       .sortWithinPartitions(col("__u"), col("__ts"), col("__step"))
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -68,7 +83,9 @@ object Funnel {
             val ts = r.get(2)
             if (j == 0) { if (t(0) == null) t(0) = ts }
             else if (t(j - 1) != null && t(j) == null &&
-              ts.asInstanceOf[Comparable[Any]].compareTo(t(j - 1)) > 0)
+              ts.asInstanceOf[Comparable[Any]].compareTo(t(j - 1)) > 0 &&
+              within.forall(w => ts.asInstanceOf[Number].longValue -
+                t(0).asInstanceOf[Number].longValue <= w))
               t(j) = ts
             r = if (it.hasNext) it.next() else null
           }
@@ -110,8 +127,8 @@ object Funnel {
     * string). */
   def conversionCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
-    val st = stages(events, steps, userCol, typeCol, tsCol)
+      tsCol: String = "ts", within: Option[Long] = None): DataFrame = {
+    val st = stages(events, steps, userCol, typeCol, tsCol, within)
     val aggs = steps.indices.map(i =>
       sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
     val rows = array(steps.zipWithIndex.map { case (s, i) =>

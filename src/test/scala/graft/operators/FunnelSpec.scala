@@ -112,6 +112,28 @@ class FunnelSpec extends SparkSuite {
       (3, "d", 2L), (4, "e", 2L)), s"got $counts")
   }
 
+  test("windowed funnel: window expires stages; greedy t0 is not re-chosen") {
+    val events = log(
+      (1L, "a", 0L), (1L, "b", 5L),                    // converts in window
+      // u2: only b is 25, outside greedy a@0's window — the later a@20
+      // would qualify, but windowed-funnel semantics keep the greedy t0
+      (2L, "a", 0L), (2L, "a", 20L), (2L, "b", 25L),
+      (3L, "a", 0L), (3L, "b", 10L))                   // boundary: 10 ≤ W
+    val st = Funnel.stages(events, Seq("a", "b"), within = Some(10L))
+      .select($"user_id", $"t0", $"t1").as[(Long, Long, Option[Long])]
+      .collect().toSet
+    assert(st == Set((1L, 0L, Some(5L)), (2L, 0L, None), (3L, 0L, Some(10L))),
+      s"got $st")
+    val counts = Funnel.conversionCounts(events, Seq("a", "b"),
+      within = Some(10L)).as[(Int, String, Long)].collect().toSeq
+    assert(counts == Seq((0, "a", 3L), (1, "b", 2L)), s"got $counts")
+    // window math needs an integral ts
+    intercept[IllegalArgumentException] {
+      Funnel.stages(events.withColumn("ts", $"ts".cast("double")),
+        Seq("a", "b"), within = Some(10L))
+    }
+  }
+
   test("step names are data: an apostrophe cannot reshape the plan") {
     val events = log((1L, "add'l --x", 1L), (1L, "buy", 2L))
     val got = Funnel.conversionCounts(events, Seq("add'l --x", "buy"))
