@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Funnel, Sampling, TextAnalysis}
 
 /** Measured scaling curve for the guarded dedup family (SCALE.md §
   * "Measured scaling"): runs minhash / simhash / n-gram dedup at
@@ -25,23 +25,40 @@ import graft.operators.Dedup
   */
 object ScaleSmoke {
 
-  private val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+  private val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // catalog configs; ngram runs the DEFAULT dfCap — this is the guard
     // path the smoke exists to measure
-    "minhash" -> ((d: DataFrame) =>
-      Dedup.minhashPairs(d, bands = 32, rowsPerBand = 2, threshold = 0.5)),
-    "simhash" -> ((d: DataFrame) =>
-      Dedup.simhashPairs(d, maxHamming = 6, chunks = 8)),
-    "ngram" -> ((d: DataFrame) =>
-      Dedup.ngramJaccardPairs(d, blockCol = col("lang"), threshold = 0.5)),
+    "minhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashPairs(docs(s, dir), bands = 32, rowsPerBand = 2,
+        threshold = 0.5)),
+    "simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 6, chunks = 8)),
+    "ngram" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), blockCol = col("lang"),
+        threshold = 0.5)),
     // incremental: delta ~30% of corpus vs index over the rest — both
     // sides grow 10× per step, so the curve covers index construction AND
     // the delta-vs-index banding/verify
-    "minhash_inc" -> ((d: DataFrame) =>
+    "minhash_inc" -> ((s: SparkSession, dir: String) =>
       Dedup.incrementalMinhash(
-        d.filter(col("doc_id") % 10 >= 7),
-        Dedup.signatureIndex(d.filter(col("doc_id") % 10 < 7)),
-        bands = 32, rowsPerBand = 2, threshold = 0.5)))
+        docs(s, dir).filter(col("doc_id") % 10 >= 7),
+        Dedup.signatureIndex(docs(s, dir).filter(col("doc_id") % 10 < 7)),
+        bands = 32, rowsPerBand = 2, threshold = 0.5)),
+    // one-exchange shapes added in r7: the greedy funnel DP over events
+    // and the range-partitioned exact ntile — both must track data growth
+    // linearly, not per-key/per-value hot-spot size
+    "funnel" -> ((s: SparkSession, dir: String) =>
+      Funnel.conversionCounts(
+        Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+        Seq("view", "click", "purchase"), tsCol = "ts_us")),
+    "strata" -> ((s: SparkSession, dir: String) =>
+      Sampling.scoreStrata(
+        TextAnalysis.qualityScore(docs(s, dir))
+          .select(col("doc_id"), col("quality")),
+        col("quality"), col("doc_id"), k = 10)))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
@@ -54,20 +71,20 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(op: DataFrame => DataFrame, dir: String): Double =
+    def time(op: (SparkSession, String) => DataFrame, dir: String): Double =
       (0 until math.max(1, iters)).map { _ =>
         // the minhash/simhash persist() is pinned by the CacheManager —
         // clear between runs so no run reads another's cached signatures
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        op(Tables.documents(spark, s"/root/testdata/$dir")).count()
+        op(spark, s"/root/testdata/$dir").count()
         (System.nanoTime() - t0) / 1e9
       }.min
 
     // warm-up at the smallest SF so timed runs hit the codegen cache
     ops.foreach { case (_, op) =>
       spark.catalog.clearCache()
-      op(Tables.documents(spark, "/root/testdata/sf0.001")).count()
+      op(spark, "/root/testdata/sf0.001").count()
     }
 
     var violations = 0
