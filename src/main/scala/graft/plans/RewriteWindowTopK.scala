@@ -58,8 +58,10 @@ import graft.functions.TopKByOrd
   * skipped (NaN breaks negation). The rewrite duplicates the window's
   * input subtree into the aggregate leg, so it fires only when that
   * subtree is re-instantiable with fresh attribute ids (projects /
-  * filters over multi-instance leaf relations — scans, local and cached
-  * relations); anything more exotic keeps the window form.
+  * filters / aggregates over multi-instance leaf relations — scans,
+  * local and cached relations; rank over a groupBy, the canonical "top
+  * group per key", falls inside); anything more exotic keeps the window
+  * form.
   *
   * Output attribute ids are preserved (payload struct fields and the rank
   * column re-aliased to their original exprIds), so parent operators are
@@ -224,33 +226,41 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Re-instantiate a plan subtree with fresh attribute ids everywhere:
-    * leaf relations via `MultiInstanceRelation.newInstance`, project
-    * aliases regenerated; `transformUpWithNewOutput` rewrites the
-    * references in between. Only projects/filters over multi-instance
-    * leaves are supported — None otherwise. */
+    * leaf relations via `MultiInstanceRelation.newInstance`,
+    * project/aggregate aliases regenerated; `transformUpWithNewOutput`
+    * rewrites the references in between. Only projects / filters /
+    * aggregates over multi-instance leaves are supported — None
+    * otherwise (the "top group per key" shape, rank over a groupBy,
+    * falls inside; generators/windows/joins below bail). */
   private def freshCopy(plan: LogicalPlan): Option[LogicalPlan] = {
     val unsupported = plan.collectFirst {
       case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Aggregate] ||
         (p.isInstanceOf[LeafNode] && p.isInstanceOf[MultiInstanceRelation])) => p
     }
     if (unsupported.nonEmpty) return None
+    def regen(exprs: Seq[NamedExpression]): Seq[(NamedExpression, NamedExpression)] =
+      exprs.map {
+        case a: Alias =>
+          (a, Alias(a.child, a.name)(qualifier = a.qualifier,
+            explicitMetadata = a.explicitMetadata,
+            nonInheritableMetadataKeys = a.nonInheritableMetadataKeys))
+        case o => (o, o)
+      }
+    def mapping(pairs: Seq[(NamedExpression, NamedExpression)]) =
+      pairs.collect { case (a: Alias, na) => (a.toAttribute, na.toAttribute) }
     Some(plan.transformUpWithNewOutput {
       case m: LeafNode =>
         val n = m.asInstanceOf[MultiInstanceRelation].newInstance()
           .asInstanceOf[LogicalPlan]
         (n, m.output.zip(n.output))
       case p: Project if p.projectList.exists(_.isInstanceOf[Alias]) =>
-        val pairs: Seq[(NamedExpression, NamedExpression)] =
-          p.projectList.map {
-            case a: Alias =>
-              (a, Alias(a.child, a.name)(qualifier = a.qualifier,
-                explicitMetadata = a.explicitMetadata,
-                nonInheritableMetadataKeys = a.nonInheritableMetadataKeys))
-            case o => (o, o)
-          }
-        val np = Project(pairs.map(_._2), p.child)
-        (np, pairs.collect { case (a: Alias, na) =>
-          (a.toAttribute, na.toAttribute) })
+        val pairs = regen(p.projectList)
+        (Project(pairs.map(_._2), p.child), mapping(pairs))
+      case a: Aggregate if a.aggregateExpressions.exists(_.isInstanceOf[Alias]) =>
+        val pairs = regen(a.aggregateExpressions)
+        (Aggregate(a.groupingExpressions, pairs.map(_._2), a.child),
+          mapping(pairs))
     })
   }
 

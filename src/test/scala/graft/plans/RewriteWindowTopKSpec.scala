@@ -88,11 +88,13 @@ class RewriteWindowTopKSpec extends SparkSuite {
       val r4 = df.withColumn("rk", row_number().over(w)).filter($"v" > 0.5)
       assert(window(r4))
       // rank() = 1 over a child the aggregate leg can't re-instantiate
-      // (an aggregate below the window) keeps the window form
-      val r5 = df.groupBy($"g").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      // (another window below this one) keeps the window form
+      val r5 = df.withColumn("rn", row_number().over(Window.partitionBy($"g")
+          .orderBy($"id".asc)))
         .withColumn("rk", rank().over(Window.partitionBy($"g")
-          .orderBy($"c".asc))).filter($"rk" === 1)
-      assert(window(r5))
+          .orderBy($"rn".asc))).filter($"rk" === 1)
+      assert(!r5.queryExecution.optimizedPlan.toString.contains("Join"),
+        "a window-below-window child must bail to the window form")
     }
   }
 
@@ -128,6 +130,29 @@ class RewriteWindowTopKSpec extends SparkSuite {
         assert(q.collect().map(_.toSeq).toSet == baseline)
         assert(q.select($"id").as[Long].collect().toSet == expect)
       }
+    }
+  }
+
+  test("rank() = 1 over a groupBy: the canonical top-group-per-key shape fires") {
+    // orders per (priority, custkey): which customer(s) tie for the most orders
+    // in each priority — rank over an Aggregate child, the shape the
+    // freshCopy Aggregate case exists for
+    def q = {
+      val counts = graft.Tables.orders(spark, sf0001)
+        .groupBy($"o_orderpriority", $"o_custkey")
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", rank().over(
+        Window.partitionBy($"o_orderpriority").orderBy($"n".desc_nulls_last)))
+        .filter($"rk" === 1)
+        .select($"o_orderpriority", $"o_custkey", $"n", $"rk")
+    }
+    val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+    assert(baseline.nonEmpty)
+    withRule {
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Window") && p.contains("Join"),
+        s"rank-over-aggregate must take the join form:\n${p.take(1500)}")
+      assert(q.collect().map(_.toSeq).toSet == baseline)
     }
   }
 
