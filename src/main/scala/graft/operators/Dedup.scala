@@ -30,23 +30,8 @@ object Dedup {
     * shuffle the entire hot bucket into one task just to measure it,
     * recreating the straggler the guard exists to prevent; groupBy's
     * map-side combine counts hot buckets without ever assembling them. */
-  /** Materialize a consumer-diamond staging relation. With `stagingDir`
-    * set, write it ONCE as an explicit parquet table under
-    * `stagingDir/name` and read it back — the 100 TB shape (SCALE.md
-    * §Cross-cutting): every consumer re-reads from disk, nothing pins the
-    * SQL CacheManager for the session lifetime, and the staged table
-    * doubles as a restart point. Without it, executor-local
-    * `persist(MEMORY_AND_DISK)` (the small-job default; CacheManager
-    * caveat documented at [[minhashPairsFromShingles]]). */
   private def stage(df: DataFrame, stagingDir: Option[String],
-      name: String): DataFrame = stagingDir match {
-    case Some(dir) =>
-      val path = s"$dir/$name"
-      df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
-    case None =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+      name: String): DataFrame = Staging.stage(df, stagingDir, name)
 
   private def dropOversized(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = df.groupBy(keys.map(col): _*)

@@ -158,14 +158,17 @@ object Sampling {
     *     and the SQL-standard ntile bucket is a closed form of
     *     (rank, n, k) in exact integer arithmetic.
     *
-    * The numbered relation is persisted (MEMORY_AND_DISK): offsets and the
-    * final join must read the SAME partitioning — the range partitioner
-    * samples its bounds per execution, so an unpersisted diamond could
-    * compute offsets for one set of bounds and ranks for another. (Ranks
-    * are invariant to WHERE the bounds fall — partitions are totally
-    * ordered — so run-to-run output is still deterministic.) Same
-    * CacheManager-lifetime caveat as `Dedup.minhashPairsFromShingles`; at
-    * 100 TB stage the numbered relation to parquet instead.
+    * The numbered relation is materialized ([[Staging.stage]]): offsets
+    * and the final join must read the SAME numbering — the range
+    * partitioner samples its bounds per execution, so an unmaterialized
+    * diamond could compute offsets for one set of bounds and ranks for
+    * another. (Ranks are invariant to WHERE the bounds fall — partitions
+    * are totally ordered — so run-to-run output is still deterministic.)
+    * Default is `persist(MEMORY_AND_DISK)` with the usual
+    * CacheManager-lifetime caveat; at 100 TB pass `stagingDir` and the
+    * numbered relation becomes an explicit parquet staging table instead
+    * (once __pid/__rn are materialized columns, any re-read partitioning
+    * is correct).
     *
     * Output: input columns + `stratum` (1..k), bit-identical to
     * `ntile(k) OVER (ORDER BY score, tie)` in any SQL engine, provided
@@ -173,7 +176,8 @@ object Sampling {
     * duplicate (score, tie) pairs ANY engine's assignment among the
     * duplicates is arbitrary).
     */
-  def scoreStrata(df: DataFrame, scoreCol: Column, tieCol: Column, k: Int): DataFrame = {
+  def scoreStrata(df: DataFrame, scoreCol: Column, tieCol: Column, k: Int,
+      stagingDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(!df.columns.exists(Set("__pid", "__c", "__off", "__rn", "__rank", "__n")),
       "input uses a reserved __ column name")
@@ -183,15 +187,16 @@ object Sampling {
     val outSchema = ranged.schema
       .add("__pid", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("__rn", org.apache.spark.sql.types.LongType, nullable = false)
-    val numbered = ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = 0L
-      it.map { r =>
-        i += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val numbered = Staging.stage(
+      ranged.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)),
+      stagingDir, "strata_numbered")
     val wCum = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = numbered.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))

@@ -139,6 +139,20 @@ class SamplingSpec extends SparkSuite {
       .select(max($"count")).head().getLong(0)
     assert(spread < 1000L,
       s"hot score must spread across range partitions; max partition rows = $spread")
+    // parquet-staged numbering path: identical assignment, table on disk
+    val dir = java.nio.file.Files.createTempDirectory("graft-strata").toString
+    try {
+      val staged = Sampling.scoreStrata(scored, col("quality"), col("doc_id"),
+        10, stagingDir = Some(dir))
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      val default = Sampling.scoreStrata(scored, col("quality"), col("doc_id"), 10)
+        .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+      assert(staged == default, "staged strata must equal the persist path")
+      assert(new java.io.File(s"$dir/strata_numbered").isDirectory)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
   }
 
   test("splitAssign: total, disjoint, near-fractional, growth-stable") {
