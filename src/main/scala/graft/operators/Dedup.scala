@@ -30,6 +30,11 @@ object Dedup {
     * shuffle the entire hot bucket into one task just to measure it,
     * recreating the straggler the guard exists to prevent; groupBy's
     * map-side combine counts hot buckets without ever assembling them. */
+  /** Every `stagingDir` parameter in this object follows the [[Staging]]
+    * contract: staged tables land under unique per-invocation
+    * subdirectories (concurrent sharing is safe), the write is eager at
+    * call time, and the directory is job-scoped scratch the caller
+    * deletes only after the returned DataFrame has been fully consumed. */
   private def stage(df: DataFrame, stagingDir: Option[String],
       name: String): DataFrame = Staging.stage(df, stagingDir, name)
 
@@ -127,7 +132,7 @@ object Dedup {
     val pairs = minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
       stagingDir = stagingDir)
-    val losers = Graph.connectedComponents(pairs)
+    val losers = Graph.connectedComponents(pairs, stagingDir = stagingDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     exactSurvivors.join(losers, Seq(idCol), "left_anti")

@@ -26,11 +26,16 @@ import org.apache.spark.sql.functions._
   *    non-root node;
   *  - the driver coordinates rounds (an inherently iterative algorithm)
   *    but touches only a (count, checksum) pair per round — no edge data;
-  *  - each round ends in `localCheckpoint`, truncating the join lineage
-  *    that would otherwise grow exponentially and re-execute from the
-  *    scan on every action (the GraphX/ML iteration pattern). On a real
-  *    cluster prefer `spark.sparkContext.setCheckpointDir` + reliable
-  *    `checkpoint()` for fault tolerance across executor loss.
+  *  - each round truncates the join lineage that would otherwise grow
+  *    exponentially and re-execute from the scan on every action (the
+  *    GraphX/ML iteration pattern). With no `stagingDir`, truncation is
+  *    `localCheckpoint` — executor-memory/disk-resident, NOT tolerant of
+  *    executor loss, fine for a single-node or short job. At cluster
+  *    scale pass `stagingDir`: each round's edge set becomes a durable
+  *    parquet staging table ([[Staging]]) on the cluster filesystem, a
+  *    lost executor merely re-reads its split, and the previous round's
+  *    table is deleted as soon as the next is on disk — peak staging
+  *    footprint is two (shrinking) edge sets plus the canonical input.
   */
 object Graph {
 
@@ -38,26 +43,40 @@ object Graph {
     * in `edges`. Output: (id, component); nodes absent from the edge set
     * are the caller's to union in as their own singleton components.
     *
+    * @param stagingDir when set, per-round lineage truncation is a durable
+    *   parquet staging table under this directory instead of
+    *   `localCheckpoint` — the fault-tolerant cluster path (see class
+    *   doc). Job-scoped scratch: intermediate rounds are deleted as the
+    *   algorithm advances, but the final round and the canonical edge set
+    *   back the RETURNED DataFrame — delete the directory only after the
+    *   result has been fully consumed.
     * @throws IllegalStateException if `maxIter` rounds don't converge —
     *   the O(log² n) bound makes the default unreachable for any real
     *   graph, so non-convergence means the input is pathological.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 50,
+      stagingDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
 
-    // canonical orientation big → small. The checkpoint happens BEFORE the
+    // canonical orientation big → small. Truncation happens BEFORE the
     // self-loop filter so the final node extraction below reads it too:
     // `edges` is typically an expensive mining pipeline (minhash/embedding
     // pairs), and deriving nodes from the raw input would re-execute that
     // whole pipeline a second time — at 100 TB, a second corpus pass for a
     // projection (observed as a full re-mine in the audited plan).
-    val canon = edges.select(
+    val canonRaw = edges.select(
       greatest(col(srcCol), col(dstCol)).as("u"),
       least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint()
+    val canon = stagingDir match {
+      case Some(dir) => Staging.stageAt(canonRaw, dir, "cc_canon")._1
+      case None      => canonRaw.localCheckpoint()
+    }
     var e = canon.filter(col("u") =!= col("v"))
+    // staged path of the PREVIOUS round — safe to delete the moment the
+    // current round's table is on disk (nothing reads it after that)
+    var prevRoundPath: Option[String] = None
 
     // (count, xor-fold of row hashes): an order-independent set signature
     // that can't overflow under ANSI arithmetic (a sum of longs can).
@@ -94,15 +113,25 @@ object Graph {
       // smaller-side neighborhood; attach every neighbor (and u itself) to
       // its minimum. v == m emits the center edge (u, m), the rest (v, m).
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(minsS, "u")
+      val smallRaw = large.join(minsS, "u")
         .select(
           when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
           col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        // lazy: the signature action right below materializes the
-        // checkpoint — eager would run a separate job per round first
-        .localCheckpoint(eager = false)
+      val small = stagingDir match {
+        case Some(dir) =>
+          // durable round: the parquet write IS the round's job; the
+          // signature below is a cheap scan of the narrow staged table
+          val (staged, path) = Staging.stageAt(smallRaw, dir, "cc_round")
+          prevRoundPath.foreach(Staging.drop(spark, _))
+          prevRoundPath = Some(path)
+          staged
+        case None =>
+          // lazy: the signature action right below materializes the
+          // checkpoint — eager would run a separate job per round first
+          smallRaw.localCheckpoint(eager = false)
+      }
 
       val nextSig = signature(small)
       if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] round=$iter edges=${nextSig.getLong(0)} t=${System.nanoTime()/1000000}ms")

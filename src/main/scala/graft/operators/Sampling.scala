@@ -165,7 +165,9 @@ object Sampling {
     * another. (Ranks are invariant to WHERE the bounds fall — partitions
     * are totally ordered — so run-to-run output is still deterministic.)
     * Default is `persist(MEMORY_AND_DISK)` with the usual
-    * CacheManager-lifetime caveat; at 100 TB pass `stagingDir` and the
+    * CacheManager-lifetime caveat; at 100 TB pass `stagingDir` ([[Staging]]
+    * contract: unique per-invocation subdir, eager write, caller deletes
+    * the dir only after the result is fully consumed) and the
     * numbered relation becomes an explicit parquet staging table instead
     * (once __pid/__rn are materialized columns, any re-read partitioning
     * is correct).

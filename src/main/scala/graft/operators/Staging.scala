@@ -1,18 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared materialization point for consumer-diamond staging relations.
   *
-  * With `stagingDir` set, the relation is written ONCE as an explicit
-  * parquet table under `stagingDir/name` and read back — the 100 TB shape
-  * (SCALE.md §Cross-cutting): every consumer re-reads from disk, nothing
-  * pins the SQL CacheManager for the session lifetime, and the staged
-  * table doubles as a restart point. Without it, executor-local
+  * With `stagingDir` set, the relation is written EAGERLY (at call time,
+  * not first action — the one non-lazy step in these otherwise lazy
+  * APIs) as an explicit parquet table under a unique subdirectory of
+  * `stagingDir` and read back — the 100 TB shape (SCALE.md
+  * §Cross-cutting): every consumer re-reads from disk, nothing pins the
+  * SQL CacheManager for the session lifetime, and the staged table
+  * doubles as a restart point. Without it, executor-local
   * `persist(MEMORY_AND_DISK)` — the small-job default, whose cache is
   * pinned by the CacheManager until `spark.catalog.clearCache()` (the
   * Spark ML handlePersistence caveat, documented at
   * [[Dedup.minhashPairsFromShingles]]).
+  *
+  * Subdirectory names are unique per invocation (`name_<n>` with a
+  * process-wide counter), so concurrent pipelines — or repeated runs of
+  * one operator — may share a `stagingDir` without overwriting each
+  * other's staged relations mid-read. The cost of that safety: staged
+  * tables accumulate; `stagingDir` is job-scoped scratch space and the
+  * CALLER deletes it once every returned DataFrame has been fully
+  * consumed (the results lazily re-read their staged paths on every
+  * action).
   *
   * Either path also FREEZES the relation's content and partitioning, so
   * diamond consumers provably read the same data — which is a correctness
@@ -21,13 +32,30 @@ import org.apache.spark.sql.DataFrame
   * exchange).
   */
 private[operators] object Staging {
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
   def stage(df: DataFrame, stagingDir: Option[String],
       name: String): DataFrame = stagingDir match {
-    case Some(dir) =>
-      val path = s"$dir/$name"
-      df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
+    case Some(dir) => stageAt(df, dir, name)._1
     case None =>
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Like [[stage]] with a directory, but also returns the staged path —
+    * for iterative callers ([[Graph.connectedComponents]]) that retire
+    * earlier rounds' staging tables with [[drop]] as they go. */
+  def stageAt(df: DataFrame, dir: String, name: String): (DataFrame, String) = {
+    val path = s"$dir/${name}_${counter.incrementAndGet()}"
+    df.write.mode("error").parquet(path)
+    (df.sparkSession.read.parquet(path), path)
+  }
+
+  /** Delete a path returned by [[stageAt]] once no live DataFrame reads
+    * it. Works on any Hadoop filesystem (the staging dir is HDFS/S3A at
+    * cluster scale, local disk in tests). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
   }
 }

@@ -130,7 +130,12 @@ class DedupSpec extends SparkSuite {
         threshold = 0.5, stagingDir = Some(s"$dir/pairs"))
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(sPairs == pPairs, "staged minhashPairs must equal the persist path")
-      assert(new java.io.File(s"$dir/pairs/signatures").isDirectory,
+      def stagedTables(d: String, prefix: String): Array[java.io.File] = {
+        val ls = new java.io.File(d).listFiles()
+        if (ls == null) Array.empty
+        else ls.filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      }
+      assert(stagedTables(s"$dir/pairs", "signatures_").nonEmpty,
         "signature pass must be written as an explicit parquet table")
 
       val pCorpus = Dedup.dedupCorpus(corpus.drop("block"), threshold = 0.5)
@@ -139,7 +144,7 @@ class DedupSpec extends SparkSuite {
         stagingDir = Some(s"$dir/corpus"))
         .select($"doc_id").as[Long].collect().toSet
       assert(sCorpus == pCorpus)
-      assert(new java.io.File(s"$dir/corpus/exact_survivors").isDirectory)
+      assert(stagedTables(s"$dir/corpus", "exact_survivors_").nonEmpty)
 
       val pCC = Dedup.dedupCorpusCC(corpus.drop("block"), threshold = 0.5)
         .select($"doc_id").as[Long].collect().toSet
@@ -147,6 +152,11 @@ class DedupSpec extends SparkSuite {
         stagingDir = Some(s"$dir/cc"))
         .select($"doc_id").as[Long].collect().toSet
       assert(sCC == pCC)
+      // CC's durable rounds ran under the same dir: canon table present,
+      // intermediate rounds retired down to the final one
+      assert(stagedTables(s"$dir/cc", "cc_canon_").length == 1)
+      assert(stagedTables(s"$dir/cc", "cc_round_").length == 1,
+        "all but the final CC round must be deleted as the algorithm advances")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       ()

@@ -54,6 +54,28 @@ class GraphSpec extends SparkSuite {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("stagingDir path: durable rounds, identical labels, rounds retired") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    try {
+      // long path forces many rounds — exercises the stage/drop rotation
+      val edges = ((0L until 149L).map(i => (i, i + 1)) ++
+        Seq((500L, 501L), (600L, 600L))).toDF("id_a", "id_b")
+      val default = Graph.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val staged = Graph.connectedComponents(edges, stagingDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(staged == default, "staged CC must equal the localCheckpoint path")
+      val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).sorted
+      assert(subdirs.count(_.startsWith("cc_canon_")) == 1, subdirs.mkString(","))
+      assert(subdirs.count(_.startsWith("cc_round_")) == 1,
+        s"only the final round's staging table may remain: ${subdirs.mkString(",")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("random graphs match a local union-find reference") {
     val edgeGen: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.chooseNum(2, 40)

@@ -148,7 +148,8 @@ class SamplingSpec extends SparkSuite {
       val default = Sampling.scoreStrata(scored, col("quality"), col("doc_id"), 10)
         .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
       assert(staged == default, "staged strata must equal the persist path")
-      assert(new java.io.File(s"$dir/strata_numbered").isDirectory)
+      assert(new java.io.File(dir).listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("strata_numbered_")))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       ()
