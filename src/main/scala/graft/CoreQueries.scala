@@ -303,6 +303,21 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
+    // dense_rank top-k: all orders at the 3 smallest DISTINCT price points
+    // per priority, ties included — exercises RewriteWindowTopK's
+    // dense_rank<=k path (distinct-key partial agg + join) under the
+    // oracle gate, since the rule is installed in the Verify/Bench
+    // sessions and this shape fires (ascending double key).
+    "q_dense_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc)
+      Tables.orders(s, dir)
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+    }),
+
     // Time-series resample: per-user daily grid, forward-filled by the
     // as-of composition (operators.TimeSeries over operators.AsOf). Ticks
     // exported as epoch micros (timestamp hashing is representation-safe
@@ -638,6 +653,14 @@ object CoreQueries {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_dense_topk" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         dense_rank() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice ASC) AS rk
+        |  FROM orders) t WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
 
     "q_ts_resample" ->
       """WITH obs AS (

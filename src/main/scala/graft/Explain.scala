@@ -17,13 +17,16 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // same extensions as Verify/Bench — the audited plan is the plan
+      // the gates actually run (q_topk_window pin honored below)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           println(s"\n========== $name ==========")
-          try fn(spark, sfDir).explain("formatted")
+          try Bench.runPinned(spark, name)(fn(spark, sfDir).explain("formatted"))
           catch { case e: Throwable => println(s"[explain] $name failed: $e") }
         case None => println(s"[explain] unknown query: $name")
       }

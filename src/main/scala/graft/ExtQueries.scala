@@ -364,6 +364,32 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // ---- staged (100 TB-path) twins: the SAME queries routed through the
+    // durable parquet staging path (Staging contract) instead of persist /
+    // localCheckpoint, so the configuration recommended at cluster scale
+    // is itself under the oracle gate. Scratch dirs are per-invocation
+    // temp dirs (harness-local; a cluster run points stagingDir at HDFS/S3).
+
+    // durable-round CC (fault-tolerant lineage truncation): hash-checked
+    // against the same recursive-CTE oracle as q_cc_components
+    "q_cc_components_staged" -> ((s, dir) =>
+      Graph.connectedComponents(
+        Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
+          threshold = 0.35, maxBlock = None),
+        stagingDir = Some(java.nio.file.Files
+          .createTempDirectory("graft-stg-cc").toString))
+        .orderBy(col("id"))),
+
+    // staged one-pass corpus dedup (signatures + survivors as parquet
+    // staging tables — rows-only like its twin; parity with the persist
+    // path is machine-asserted in DedupSpec)
+    "q_dedup_corpus_staged" -> ((s, dir) =>
+      Dedup.dedupCorpus(Tables.documents(s, dir),
+        stagingDir = Some(java.nio.file.Files
+          .createTempDirectory("graft-stg-corpus").toString))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // incremental NEAR-dup: delta docs vs the standing corpus's persisted
     // signature index (batch/incremental equivalence property-tested —
     // sketch-based → rows-only)
@@ -524,6 +550,17 @@ object ExtQueries {
         TextAnalysis.qualityScore(Tables.documents(s, dir))
           .select(col("doc_id"), col("quality")),
         col("quality"), col("doc_id"), k = 10)
+        .orderBy(col("doc_id"))),
+
+    // staged twin: the numbered relation as a parquet staging table (the
+    // 100 TB configuration) — hash-checked against the same ntile oracle
+    "q_quality_strata_staged" -> ((s, dir) =>
+      graft.operators.Sampling.scoreStrata(
+        TextAnalysis.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality")),
+        col("quality"), col("doc_id"), k = 10,
+        stagingDir = Some(java.nio.file.Files
+          .createTempDirectory("graft-stg-strata").toString))
         .orderBy(col("doc_id"))),
 
     // n-way split assignment: membership is a pure function of doc_id via
@@ -1181,6 +1218,14 @@ object ExtQueries {
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
 
+    // staged twin: identical semantics, identical oracle
+    "q_quality_strata_staged" ->
+      s"""SELECT doc_id, quality,
+         |  CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS stratum
+         |FROM (SELECT doc_id, $qualitySql AS quality
+         |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
     // cumulative thresholds rendered from the SAME fractions via the same
     // hexThreshold; the last split is the CASE's ELSE (catches the rest)
     "q_split_assign" -> {
@@ -1527,6 +1572,25 @@ object ExtQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cc_components" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |        >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    // staged twin: identical semantics (durable rounds), identical oracle
+    "q_cc_components_staged" ->
       """WITH RECURSIVE v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pairs AS (

@@ -52,16 +52,26 @@ import graft.functions.TopKByOrd
   * aggregate + join instead: `min(struct(normalized sort key))` per
   * group, joined back null-safely — map-side partials replace the
   * per-group window sort, and ties survive because every row equal to
-  * the extreme joins. Sort keys normalize to (null-flag, value) pairs;
-  * descending keys are supported for integrals via the overflow-free
-  * order reversal `-1 - x`, floats/doubles/strings descending are
-  * skipped (NaN breaks negation). The rewrite duplicates the window's
-  * input subtree into the aggregate leg, so it fires only when that
-  * subtree is re-instantiable with fresh attribute ids (projects /
-  * filters / aggregates over multi-instance leaf relations — scans,
-  * local and cached relations; rank over a groupBy, the canonical "top
-  * group per key", falls inside); anything more exotic keeps the window
-  * form.
+  * the extreme joins. `dense_rank() <= k` with k > 1 similarly becomes
+  * the k smallest DISTINCT sort keys per group (partial-agg distinct,
+  * then row_number over the per-group distinct keys — a relation of
+  * distinct-key cardinality, not corpus cardinality) joined back;
+  * `rank() <= k` with k > 1 is not expressible this way (rank skips
+  * positions after ties) and keeps the window form. Sort keys normalize
+  * to (null-flag, value) pairs; descending keys are supported for
+  * integrals via the overflow-free order reversal `-1 - x`,
+  * floats/doubles/strings descending are skipped (NaN breaks negation).
+  * These rewrites duplicate the window's input subtree into the
+  * aggregate leg, so they fire only when that subtree is
+  * re-instantiable with fresh attribute ids (projects / filters /
+  * aggregates / joins over multi-instance leaf relations — scans, local
+  * and cached relations; rank over a groupBy or over an enriched join,
+  * the canonical "top group per key" shapes, fall inside) AND fully
+  * deterministic — a rand()/uuid()/monotonically_increasing_id() below
+  * the window, or in the partition/sort keys, would be re-drawn
+  * independently per leg, so those bail to the window form (the same
+  * gate Spark's own duplication-based rewrites apply); anything more
+  * exotic keeps the window form.
   *
   * Output attribute ids are preserved (payload struct fields and the rank
   * column re-aliased to their original exprIds), so parent operators are
@@ -146,6 +156,16 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
               Some((boundConjunct, 1)), _) =>
             val rest = conjuncts.filterNot(_ eq boundConjunct)
             rewriteRankOne(child, partSpec, orderSpec, rn, rest).getOrElse(f)
+          // dense_rank() <= k, k > 1: top-k DISTINCT sort keys + join back.
+          // rank() <= k with k > 1 is NOT expressible this way (rank skips
+          // values after ties) and must keep the window form — boundOf
+          // already yields it only here via the DenseRank match.
+          case (_: DenseRank,
+              SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow),
+              Some((boundConjunct, k)), _) if k > 1 =>
+            val rest = conjuncts.filterNot(_ eq boundConjunct)
+            rewriteDenseRankK(child, partSpec, orderSpec, k, rn, rest)
+              .getOrElse(f)
           case _ => f
         }
     }
@@ -184,13 +204,28 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The rank rewrites duplicate the window's input subtree into a second
+    * leg, so each leg must recompute the SAME relation: any
+    * non-deterministic expression below the window (rand(), uuid(),
+    * monotonically_increasing_id()) — or in the partition/sort keys —
+    * would be re-drawn independently per leg, making the aggregate's
+    * extreme (or distinct-key set) disagree with the probe side. The
+    * window form is well-defined on one materialization; the split form
+    * is not — bail, the same gate Spark's own duplication-based rewrites
+    * apply via `plan.deterministic`. */
+  private def duplicationSafe(child: LogicalPlan, partSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder]): Boolean =
+    !child.exists(p => p.expressions.exists(!_.deterministic)) &&
+      (partSpec ++ orderSpec).forall(_.deterministic)
+
   /** `rank()/dense_rank() = 1` → keep every row whose full sort key
     * null-safe-equals its group's `min(struct(normalized keys))` — a
     * partial aggregate + join back, no per-group sort, ties preserved.
     * The aggregate leg re-reads the window input, so the subtree is
     * duplicated with FRESH attribute ids (optimizer rules and physical
     * binding assume globally unique ids); bail (None) when the subtree
-    * holds nodes this rule cannot re-instantiate. */
+    * holds nodes this rule cannot re-instantiate, or anything
+    * non-deterministic (see [[duplicationSafe]]). */
   private def rewriteRankOne(child0: LogicalPlan, partSpec: Seq[Expression],
       orderSpec: Seq[SortOrder], rn: Attribute,
       restPredicates: Seq[Expression]): Option[LogicalPlan] = {
@@ -198,6 +233,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       case WindowGroupLimit(_, _, _, limit, inner) if limit >= 1 => inner
       case other => other
     }
+    if (!duplicationSafe(child, partSpec, orderSpec)) return None
     val keys = orderSpec.map(normKey)
     if (keys.isEmpty || keys.exists(_.isEmpty)) return None
     val sortKey = CreateStruct(keys.flatten.flatten)
@@ -225,18 +261,75 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** `dense_rank() <= k` (k > 1) → the k smallest DISTINCT sort keys per
+    * group + join back: a partial-agg distinct over (group, normalized
+    * key) — map-side combine collapses duplicate keys before the shuffle
+    * — then `row_number` over the distinct keys (row_number on distincts
+    * IS dense_rank) on a relation of per-group distinct-key cardinality,
+    * not corpus cardinality, and an equi-join that both restores every
+    * qualifying row and carries the rank value. The "top 3 scores per
+    * group including ties" idiom. `rank() <= k` with k > 1 does NOT
+    * reduce to this (rank skips positions after ties) and keeps the
+    * window form. */
+  private def rewriteDenseRankK(child0: LogicalPlan, partSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder], k: Int, rn: Attribute,
+      restPredicates: Seq[Expression]): Option[LogicalPlan] = {
+    val child = child0 match {
+      case WindowGroupLimit(_, _, _, limit, inner) if limit >= k => inner
+      case other => other
+    }
+    if (!duplicationSafe(child, partSpec, orderSpec)) return None
+    val keys = orderSpec.map(normKey)
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return None
+    val sortKey = CreateStruct(keys.flatten.flatten)
+    freshCopy(child).map { fresh =>
+      val attrMap = AttributeMap(child.output.zip(fresh.output))
+      def remap(e: Expression): Expression = e.transform {
+        case a: Attribute => attrMap.getOrElse(a, a)
+      }
+      val gAliases = partSpec.map(remap).zipWithIndex.map { case (e, i) =>
+        Alias(e, s"__graft_g$i")()
+      }
+      val keyAlias = Alias(remap(sortKey), "__graft_key")()
+      val distinct = Aggregate(
+        gAliases.map(_.child) :+ keyAlias.child, gAliases :+ keyAlias, fresh)
+      val gAttrs: Seq[Expression] = gAliases.map(_.toAttribute)
+      val keyOrder = Seq(SortOrder(keyAlias.toAttribute, Ascending))
+      val rkAlias = Alias(WindowExpression(RowNumber(),
+        WindowSpecDefinition(gAttrs, keyOrder,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+        "__graft_rk")()
+      val win = Window(Seq(rkAlias), gAttrs, keyOrder, distinct, None)
+      val filt = Filter(
+        LessThanOrEqual(rkAlias.toAttribute, Literal(k)), win)
+      val cond = (partSpec.zip(gAliases).map { case (l, g) =>
+        EqualNullSafe(l, g.toAttribute)
+      } :+ EqualNullSafe(sortKey, keyAlias.toAttribute)).reduce(And)
+      val join = Join(child, filt, Inner, Some(cond), JoinHint.NONE)
+      val rank = Alias(Cast(rkAlias.toAttribute, rn.dataType), rn.name)(
+        exprId = rn.exprId)
+      val proj = Project((child.output: Seq[NamedExpression]) :+ rank, join)
+      if (restPredicates.isEmpty) proj
+      else Filter(restPredicates.reduce(And), proj)
+    }
+  }
+
   /** Re-instantiate a plan subtree with fresh attribute ids everywhere:
     * leaf relations via `MultiInstanceRelation.newInstance`,
     * project/aggregate aliases regenerated; `transformUpWithNewOutput`
-    * rewrites the references in between. Only projects / filters /
-    * aggregates over multi-instance leaves are supported — None
-    * otherwise (the "top group per key" shape, rank over a groupBy,
-    * falls inside; generators/windows/joins below bail). */
+    * rewrites the references in between — including join conditions,
+    * whose referenced child attributes remap automatically. Only
+    * projects / filters / aggregates / joins over multi-instance leaves
+    * are supported — None otherwise (the "top group per key" shape, rank
+    * over a groupBy, and rank over an enriched/joined input fall inside;
+    * generators/windows below bail, as does any subquery expression —
+    * duplicating one would clone its inner plan with its attribute ids). */
   private def freshCopy(plan: LogicalPlan): Option[LogicalPlan] = {
     val unsupported = plan.collectFirst {
       case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
-        p.isInstanceOf[Aggregate] ||
+        p.isInstanceOf[Aggregate] || p.isInstanceOf[Join] ||
         (p.isInstanceOf[LeafNode] && p.isInstanceOf[MultiInstanceRelation])) => p
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) => p
     }
     if (unsupported.nonEmpty) return None
     def regen(exprs: Seq[NamedExpression]): Seq[(NamedExpression, NamedExpression)] =

@@ -156,6 +156,133 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
+  test("dense_rank() <= k: distinct-key top-k + join, ties and ranks preserved") {
+    val df = Seq(
+      (1L, "a", 5), (2L, "a", 5), (3L, "a", 7), (4L, "a", 9),  // dup key 5
+      (5L, "b", 2), (6L, "b", 3), (7L, "b", 3), (8L, "b", 4)   // dup key 3
+    ).toDF("id", "g", "v")
+    for ((ord, expect) <- Seq(
+        ($"v".asc, Set((1L, 1), (2L, 1), (3L, 2), (5L, 1), (6L, 2), (7L, 2))),
+        ($"v".desc, Set((4L, 1), (3L, 2), (8L, 1), (6L, 2), (7L, 2))))) {
+      def q = df.withColumn("rk", dense_rank().over(Window.partitionBy($"g")
+        .orderBy(ord))).filter($"rk" <= 2).select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        val p = q.queryExecution.optimizedPlan.toString
+        assert(p.contains("Join"), s"distinct-key join form expected:\n${p.take(1500)}")
+        assert(p.contains("__graft_key"), s"distinct-key leg expected:\n${p.take(1500)}")
+        assert(q.collect().map(_.toSeq).toSet == baseline, s"ord=$ord")
+        assert(q.as[(Long, Int)].collect().toSet == expect, s"ord=$ord")
+      }
+    }
+  }
+
+  test("dense_rank() <= k locked shapes: rank() <= k stays a window; = k too") {
+    withRule {
+      val df = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 2)).toDF("id", "g", "v")
+      // rank() <= 2 is NOT top-2-distinct-keys (rank skips after ties)
+      val r = df.withColumn("rk", rank().over(Window.partitionBy($"g")
+        .orderBy($"v".asc))).filter($"rk" <= 2)
+      val pr = r.queryExecution.optimizedPlan.toString
+      assert(pr.contains("Window") && !pr.contains("__graft_key"), pr.take(1200))
+      // dense_rank() = 2 (an equality slice, not a top-k) keeps the window
+      val d = df.withColumn("rk", dense_rank().over(Window.partitionBy($"g")
+        .orderBy($"v".asc))).filter($"rk" === 2)
+      val pd = d.queryExecution.optimizedPlan.toString
+      assert(pd.contains("Window") && !pd.contains("__graft_key"), pd.take(1200))
+    }
+  }
+
+  test("property: dense_rank<=k rule-on == rule-off (ties, nulls, desc ints)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen: Gen[Seq[(String, Option[Int], Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        s <- Gen.option(Gen.chooseNum(0, 3)) // ties AND nulls
+      } yield (g, s))
+    } yield rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(2, 4),
+        Gen.oneOf(true, false)) { (rows, k, desc) =>
+      def q = {
+        val ord = if (desc) $"_2".desc else $"_2".asc
+        rows.toDF().withColumn("rk", dense_rank().over(
+          Window.partitionBy($"_1").orderBy(ord))).filter($"rk" <= k)
+          .select($"_1", $"_3", $"rk")
+      }
+      val off = q.collect().map(_.toSeq).toSet
+      val on = withRule {
+        // fired = the distinct-key leg is present (the rewrite keeps a
+        // Window, but over per-group DISTINCT keys, not the corpus)
+        assert(q.queryExecution.optimizedPlan.toString.contains("__graft_key"))
+        q.collect().map(_.toSeq).toSet
+      }
+      off == on
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rank() = 1 / dense_rank() <= k over a JOINED input fires (freshCopy over Join)") {
+    // top-order(s) per customer over an enriched orders⋈customer input —
+    // the "top group per key over a joined relation" shape
+    def base = {
+      val o = graft.Tables.orders(spark, sf0001)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      val c = graft.Tables.customer(spark, sf0001)
+        .select($"c_custkey", $"c_mktsegment")
+      o.join(c, $"o_custkey" === $"c_custkey")
+    }
+    def q1 = base.withColumn("rk", rank().over(
+        Window.partitionBy($"c_mktsegment").orderBy($"o_orderkey".asc)))
+      .filter($"rk" === 1).select($"c_mktsegment", $"o_orderkey", $"rk")
+    def qk = base.withColumn("rk", dense_rank().over(
+        Window.partitionBy($"c_mktsegment").orderBy($"o_orderkey".asc)))
+      .filter($"rk" <= 3).select($"c_mktsegment", $"o_orderkey", $"rk")
+    val b1 = q1.collect().map(_.toSeq).toSet // rule OFF
+    val bk = qk.collect().map(_.toSeq).toSet
+    assert(b1.nonEmpty && bk.nonEmpty)
+    withRule {
+      val p1 = q1.queryExecution.optimizedPlan.toString
+      assert(!p1.contains("Window ["), s"join child must fire:\n${p1.take(1500)}")
+      assert(q1.collect().map(_.toSeq).toSet == b1)
+      val pk = qk.queryExecution.optimizedPlan.toString
+      assert(pk.contains("__graft_key"),
+        s"dense_rank over join child must fire:\n${pk.take(1500)}")
+      assert(qk.collect().map(_.toSeq).toSet == bk)
+    }
+  }
+
+  test("non-deterministic input bails: rand() below rank()=1 keeps the window") {
+    withRule {
+      // NB: a LocalRelation fixture would be constant-folded by
+      // ConvertToLocalRelation (rand evaluated before this rule runs, so
+      // firing would be correct); Range projections stay symbolic
+      val df = spark.range(6).select($"id", (($"id" % 2).cast("string")).as("g"))
+      // rand() in a projection below the window: duplicating the subtree
+      // would re-draw it per leg — the rule must NOT fire
+      val q1 = df.withColumn("v", rand(7))
+        .withColumn("rk", rank().over(Window.partitionBy($"g").orderBy($"v".asc)))
+        .filter($"rk" === 1)
+      val p1 = q1.queryExecution.optimizedPlan.toString
+      assert(p1.contains("Window [") && !p1.contains("Join"), p1.take(1200))
+      // and for the dense_rank k>1 leg
+      val q2 = df.withColumn("v", rand(7))
+        .withColumn("rk", dense_rank().over(Window.partitionBy($"g").orderBy($"v".asc)))
+        .filter($"rk" <= 2)
+      val p2 = q2.queryExecution.optimizedPlan.toString
+      assert(p2.contains("Window [") && !p2.contains("__graft_key"), p2.take(1200))
+      // row_number TopK path reads its input ONCE — rand() below it is
+      // still safe and must keep firing
+      val q3 = df.withColumn("v", rand(7))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+        .filter($"rk" <= 1)
+      assert(q3.queryExecution.optimizedPlan.toString.contains("topk_by_ord"))
+    }
+  }
+
   test("rank() = 1: nulls and -0.0/0.0 agree with the window form") {
     // nulls first (asc default) and the float grouping-vs-sort equality
     // edge: whatever the window says, the rewrite must say the same
