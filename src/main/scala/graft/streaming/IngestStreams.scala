@@ -352,9 +352,8 @@ object IngestStreams {
     * guard: resuming from `earliest` re-appends every already-indexed
     * vector, and the default `latest` drops rows that arrived between the
     * old run's last commit and the new start — carry the offsets over
-    * explicitly (read the old checkpoint's last committed offsets and pin
-    * them via the source's `startingOffsets` option) before pointing a
-    * new embedIngest at a compacted index. */
+    * with [[resumeOffsets]] (pin them via the source's `startingOffsets`
+    * option) before pointing a new embedIngest at a compacted index. */
   def compactIndex(spark: SparkSession, indexDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -392,13 +391,52 @@ object IngestStreams {
     }
   }
 
+  /** Offsets to pin when resuming a stream on a NEW checkpoint — the
+    * compact-then-resume recipe (the [[compactIndex]] resume caveat) made
+    * mechanical: reads the OLD checkpoint's commit log, finds the last
+    * COMMITTED batch, and returns that batch's per-source ending offsets
+    * exactly as each source serialized them (one entry per source, in the
+    * query's source order). For a Kafka source the returned string is
+    * verbatim the `startingOffsets` option value for the resumed reader;
+    * rate/memory-style sources serialize a bare number. Empty when the
+    * old checkpoint never committed a batch — resume from the source's
+    * default in that case. */
+  def resumeOffsets(spark: SparkSession,
+      oldCheckpointDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(s"$oldCheckpointDir/commits")
+    val fs = commits.getFileSystem(conf)
+    if (!fs.exists(commits)) return Seq.empty
+    val committed = fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    if (committed.isEmpty) return Seq.empty
+    val off = new org.apache.hadoop.fs.Path(
+      s"$oldCheckpointDir/offsets/${committed.max}")
+    val in = fs.open(off)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    // OffsetSeqLog layout: "v1", one metadata JSON line, then one line
+    // per source holding that source's offset JSON
+    lines.drop(2).filter(_.nonEmpty)
+  }
+
   /** Deterministic partition key for a micro-batch: stable across replays
     * of the same checkpoint, distinct across checkpoints. The prefix is
     * the first 64 bits of md5(checkpoint path) — algorithm-fixed, so the
     * key survives JVM restarts, and wide enough that two runs sharing an
     * index/output directory can't collide on (prefix, batchId) the way a
     * 32-bit String.hashCode could (a collision would silently overwrite
-    * the other run's partition AND make excludeBatch drop its hashes). */
+    * the other run's partition AND make excludeBatch drop its hashes).
+    *
+    * Upgrade note (round 7 → 8): the prefix changed from 32-bit
+    * `String.hashCode` to this md5 form. A checkpoint created BEFORE the
+    * change must not be resumed against its old index/output directories:
+    * the replayed in-flight batch would write under the new key, leaving
+    * the legacy attempt's partition in place (duplicate rows) while
+    * `excludeBatch` no longer matches it. Start a fresh checkpoint (for
+    * [[dedupIngest]] any starting offset is safe; for [[embedIngest]] pin
+    * [[resumeOffsets]]) or compact to a new directory first. */
   private[streaming] def batchKey(checkpointDir: String, bid: Long): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -47,6 +47,22 @@ class BenchMetricSpec extends AnyFunSuite {
     assert(printed.contains("\"q_b\":2.500") && printed.contains("\"value\":3.500"))
   }
 
+  test("file line records per-query max and retimed; stdout schema unchanged") {
+    val few = Seq("q_a" -> 1.0, "q_b" -> 2.5)
+    val maxes = Seq("q_a" -> 1.2, "q_b" -> 9.9)
+    val (printed, full) = Bench.metricLine(few, "/sf", maxes = maxes,
+      retimed = Seq("q_b:2.500(prior 0.500)"))
+    assert(!printed.contains("queries_max") && !printed.contains("retimed"),
+      "stdout line schema must not grow")
+    assert(full.contains("\"queries_max\":{\"q_a\":1.200,\"q_b\":9.900}"))
+    assert(full.contains("\"retimed\":[\"q_b:2.500(prior 0.500)\"]"))
+    assert(full.contains("\"queries\":{\"q_a\":1.000,\"q_b\":2.500}"))
+    // the file line must stay machine-parseable
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
+    assert(parsed.path("queries_max").path("q_b").asDouble() == 9.9)
+    assert(parsed.path("retimed").get(0).asText().startsWith("q_b:"))
+  }
+
   test("ms formatting is locale-proof and plain-notation") {
     assert(Bench.sec3(0.0001234) == "0.000")
     assert(Bench.sec3(31.7) == "31.700")

@@ -281,6 +281,52 @@ class IngestStreamsSpec extends SparkSuite {
     assert(answers(compacted) == answers(indexDir))
   }
 
+  test("compact-then-resume: resumeOffsets pins the old commit point; no dup, no gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("embed_resume").toString
+    val (indexDir, ckpt) = (s"$dir/idx", s"$dir/ckpt")
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = IngestStreams.embedIngest(src.toDF().toDF("vec_id", "embedding"),
+      indexDir, ckpt, nlist = 8)
+    src.addData(all.take(200).toSeq: _*)
+    q.processAllAvailable()
+    src.addData(all.slice(200, 400).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // the helper returns the OLD checkpoint's last COMMITTED end offsets,
+    // exactly as the source serialized them (MemoryStream: a bare block
+    // count; Kafka would be the startingOffsets partition-map JSON)
+    val offs = IngestStreams.resumeOffsets(spark, ckpt)
+    assert(offs.length == 1, s"one source → one offset entry: $offs")
+    assert(offs.head.forall(_.isDigit) && offs.head.toLong == 1L,
+      s"end offset of the 2nd committed block (0-based): $offs")
+    // a checkpoint that never committed pins nothing
+    assert(IngestStreams.resumeOffsets(spark, s"$dir/never").isEmpty)
+
+    // compact into a fresh dir, then resume ingestion against it with the
+    // source pinned at the old commit point — for MemoryStream the pin is
+    // emulated by feeding exactly the rows past the committed offset (the
+    // same rows a Kafka reader yields under startingOffsets = offs.head)
+    val compacted = s"$dir/idx2"
+    IngestStreams.compactIndex(spark, indexDir, compacted)
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = IngestStreams.embedIngest(src2.toDF().toDF("vec_id", "embedding"),
+      compacted, s"$dir/ckpt2", nlist = 8)
+    src2.addData(all.drop(400).toSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // no duplicate (earliest would re-append 400) and no gap (latest
+    // would drop the tail): every vector indexed exactly once
+    val postings = spark.read.parquet(s"$compacted/postings")
+    assert(postings.count() == all.length, "resume must neither dup nor gap")
+    assert(postings.select($"vec_id").distinct().count() == all.length)
+  }
+
   test("batch replay idempotence: same batch key overwrites, index load excludes in-flight batch") {
     // unit-level drive of the replay path: a deterministic recompute of the
     // same (checkpoint, batch) must overwrite its own partition, not append
