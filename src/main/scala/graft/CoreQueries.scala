@@ -303,14 +303,15 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"))
     }),
 
-    // dense_rank top-k: all orders at the 3 smallest DISTINCT price points
+    // dense_rank top-k: all orders at the 3 highest DISTINCT price points
     // per priority, ties included — exercises RewriteWindowTopK's
-    // dense_rank<=k path (distinct-key partial agg + join) under the
-    // oracle gate, since the rule is installed in the Verify/Bench
-    // sessions and this shape fires (ascending double key).
+    // dense_rank<=k path (distinct-key partial agg + join, native sort
+    // direction — descending double keys only fire on this leg) under
+    // the oracle gate, since the rule is installed in the Verify/Bench
+    // sessions.
     "q_dense_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc)
+        .orderBy(col("o_totalprice").desc)
       Tables.orders(s, dir)
         .withColumn("rk", dense_rank().over(w))
         .filter(col("rk") <= 3)
@@ -658,7 +659,7 @@ object CoreQueries {
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         dense_rank() OVER (PARTITION BY o_orderpriority
-        |                            ORDER BY o_totalprice ASC) AS rk
+        |                            ORDER BY o_totalprice DESC) AS rk
         |  FROM orders) t WHERE rk <= 3
         |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
 

@@ -53,14 +53,18 @@ import graft.functions.TopKByOrd
   * group, joined back null-safely — map-side partials replace the
   * per-group window sort, and ties survive because every row equal to
   * the extreme joins. `dense_rank() <= k` with k > 1 similarly becomes
-  * the k smallest DISTINCT sort keys per group (partial-agg distinct,
+  * the k extreme DISTINCT sort keys per group (partial-agg distinct,
   * then row_number over the per-group distinct keys — a relation of
   * distinct-key cardinality, not corpus cardinality) joined back;
   * `rank() <= k` with k > 1 is not expressible this way (rank skips
-  * positions after ties) and keeps the window form. Sort keys normalize
-  * to (null-flag, value) pairs; descending keys are supported for
-  * integrals via the overflow-free order reversal `-1 - x`,
-  * floats/doubles/strings descending are skipped (NaN breaks negation).
+  * positions after ties) and keeps the window form. In the k = 1
+  * min-struct leg, sort keys normalize to (null-flag, value) pairs;
+  * descending keys are supported for integrals via the overflow-free
+  * order reversal `-1 - x`, floats/doubles/strings descending are
+  * skipped (NaN breaks negation). The k > 1 distinct-key leg has no
+  * such restriction — its inner window orders the distinct keys
+  * natively (original directions and null orderings), so both
+  * directions of every atomic type fire.
   * These rewrites duplicate the window's input subtree into the
   * aggregate leg, so they fire only when that subtree is
   * re-instantiable with fresh attribute ids (projects / filters /
@@ -261,16 +265,38 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** `dense_rank() <= k` (k > 1) → the k smallest DISTINCT sort keys per
+  /** Per-key value for the dense-rank distinct-key leg: grouping-equality
+    * must agree with the window's sort-tie equality, so floats/doubles
+    * normalize NaN/−0.0; direction and null placement are handled
+    * NATIVELY by the inner window's SortOrder, so BOTH directions of
+    * every atomic type are supported here — no `-1 - x` reversal, unlike
+    * the k = 1 min-struct path. None = non-atomic (array/struct/map sort
+    * keys keep the window form). */
+  private def denseKeyValue(so: SortOrder): Option[Expression] = {
+    val atomic = so.child.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    if (!atomic) None
+    else Some(so.child.dataType match {
+      case FloatType | DoubleType => NormalizeNaNAndZero(so.child)
+      case _ => so.child
+    })
+  }
+
+  /** `dense_rank() <= k` (k > 1) → the k extreme DISTINCT sort keys per
     * group + join back: a partial-agg distinct over (group, normalized
-    * key) — map-side combine collapses duplicate keys before the shuffle
+    * keys) — map-side combine collapses duplicate keys before the shuffle
     * — then `row_number` over the distinct keys (row_number on distincts
     * IS dense_rank) on a relation of per-group distinct-key cardinality,
-    * not corpus cardinality, and an equi-join that both restores every
-    * qualifying row and carries the rank value. The "top 3 scores per
-    * group including ties" idiom. `rank() <= k` with k > 1 does NOT
-    * reduce to this (rank skips positions after ties) and keeps the
-    * window form. */
+    * not corpus cardinality, ordered by the ORIGINAL directions and null
+    * orderings, and an equi-join that both restores every qualifying row
+    * and carries the rank value. The "top 3 scores per group including
+    * ties" idiom — descending doubles/strings included. `rank() <= k`
+    * with k > 1 does NOT reduce to this (rank skips positions after
+    * ties) and keeps the window form. */
   private def rewriteDenseRankK(child0: LogicalPlan, partSpec: Seq[Expression],
       orderSpec: Seq[SortOrder], k: Int, rn: Attribute,
       restPredicates: Seq[Expression]): Option[LogicalPlan] = {
@@ -279,9 +305,9 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       case other => other
     }
     if (!duplicationSafe(child, partSpec, orderSpec)) return None
-    val keys = orderSpec.map(normKey)
-    if (keys.isEmpty || keys.exists(_.isEmpty)) return None
-    val sortKey = CreateStruct(keys.flatten.flatten)
+    val keyVals = orderSpec.map(denseKeyValue)
+    if (keyVals.isEmpty || keyVals.exists(_.isEmpty)) return None
+    val vals = keyVals.flatten
     freshCopy(child).map { fresh =>
       val attrMap = AttributeMap(child.output.zip(fresh.output))
       def remap(e: Expression): Expression = e.transform {
@@ -290,11 +316,16 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       val gAliases = partSpec.map(remap).zipWithIndex.map { case (e, i) =>
         Alias(e, s"__graft_g$i")()
       }
-      val keyAlias = Alias(remap(sortKey), "__graft_key")()
+      val keyAliases = vals.zipWithIndex.map { case (v, i) =>
+        Alias(remap(v), s"__graft_key$i")()
+      }
       val distinct = Aggregate(
-        gAliases.map(_.child) :+ keyAlias.child, gAliases :+ keyAlias, fresh)
+        gAliases.map(_.child) ++ keyAliases.map(_.child),
+        gAliases ++ keyAliases, fresh)
       val gAttrs: Seq[Expression] = gAliases.map(_.toAttribute)
-      val keyOrder = Seq(SortOrder(keyAlias.toAttribute, Ascending))
+      val keyOrder = keyAliases.zip(orderSpec).map { case (ka, so) =>
+        SortOrder(ka.toAttribute, so.direction, so.nullOrdering, Seq.empty)
+      }
       val rkAlias = Alias(WindowExpression(RowNumber(),
         WindowSpecDefinition(gAttrs, keyOrder,
           SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
@@ -304,7 +335,9 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
         LessThanOrEqual(rkAlias.toAttribute, Literal(k)), win)
       val cond = (partSpec.zip(gAliases).map { case (l, g) =>
         EqualNullSafe(l, g.toAttribute)
-      } :+ EqualNullSafe(sortKey, keyAlias.toAttribute)).reduce(And)
+      } ++ vals.zip(keyAliases).map { case (v, ka) =>
+        EqualNullSafe(v, ka.toAttribute)
+      }).reduce(And)
       val join = Join(child, filt, Inner, Some(cond), JoinHint.NONE)
       val rank = Alias(Cast(rkAlias.toAttribute, rn.dataType), rn.name)(
         exprId = rn.exprId)

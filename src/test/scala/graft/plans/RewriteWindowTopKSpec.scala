@@ -177,6 +177,27 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
+  test("dense_rank() <= k fires on DESCENDING doubles and strings (no reversal needed)") {
+    // the k=1 min-struct leg bails on desc doubles/strings (NaN breaks
+    // negation); the distinct-key leg orders natively, so these fire —
+    // including the NaN / -0.0==0.0 sort-equality edges
+    val df = Seq(
+      (1L, "a", 2.5, "x"), (2L, "a", 2.5, "y"), (3L, "a", 1.0, "z"),
+      (4L, "a", 9.0, "w"), (5L, "b", -0.0, "m"), (6L, "b", 0.0, "n"),
+      (7L, "b", Double.NaN, "o")).toDF("id", "g", "v", "s")
+    for (ord <- Seq($"v".desc, $"s".desc, $"v".desc_nulls_last)) {
+      def q = df.withColumn("rk", dense_rank().over(
+        Window.partitionBy($"g").orderBy(ord)))
+        .filter($"rk" <= 2).select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("__graft_key"),
+          s"ord=$ord must fire")
+        assert(q.collect().map(_.toSeq).toSet == baseline, s"ord=$ord")
+      }
+    }
+  }
+
   test("dense_rank() <= k locked shapes: rank() <= k stays a window; = k too") {
     withRule {
       val df = Seq((1L, "a", 1), (2L, "a", 1), (3L, "a", 2)).toDF("id", "g", "v")
