@@ -55,7 +55,17 @@ object ScaleSmoke {
       Sampling.scoreStrata(
         TextAnalysis.qualityScore(docs(s, dir))
           .select(col("doc_id"), col("quality")),
-        col("quality"), col("doc_id"), k = 10)))
+        col("quality"), col("doc_id"), k = 10)),
+    // r8: connected components on the DURABLE (parquet-staged round)
+    // path — the 100 TB configuration must track the same log-round
+    // growth as the localCheckpoint default, not add a per-round cost
+    // that compounds with data size (fresh scratch dir per run)
+    "cc_staged" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.connectedComponents(
+        Dedup.embeddingPairs(Tables.embeddings(s, dir),
+          blockCol = col("label"), threshold = 0.35, maxBlock = None),
+        stagingDir = Some(java.nio.file.Files
+          .createTempDirectory("graft-smoke-cc").toString))))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
