@@ -16,10 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark ML handlePersistence caveat, documented at
   * [[Dedup.minhashPairsFromShingles]]).
   *
-  * Subdirectory names are unique per invocation (`name_<n>` with a
-  * process-wide counter), so concurrent pipelines — or repeated runs of
-  * one operator — may share a `stagingDir` without overwriting each
-  * other's staged relations mid-read. The cost of that safety: staged
+  * Subdirectory names are unique per invocation (`name_p<pid>_<n>`:
+  * process id + a process-wide counter), so concurrent pipelines —
+  * across JVMs as well as within one — or repeated runs of one operator
+  * may share a `stagingDir` without overwriting each other's staged
+  * relations mid-read. The cost of that safety: staged
   * tables accumulate; `stagingDir` is job-scoped scratch space and the
   * CALLER deletes it once every returned DataFrame has been fully
   * consumed (the results lazily re-read their staged paths on every
@@ -45,7 +46,10 @@ private[operators] object Staging {
     * for iterative callers ([[Graph.connectedComponents]]) that retire
     * earlier rounds' staging tables with [[drop]] as they go. */
   def stageAt(df: DataFrame, dir: String, name: String): (DataFrame, String) = {
-    val path = s"$dir/${name}_${counter.incrementAndGet()}"
+    val path =
+      s"$dir/${name}_p${ProcessHandle.current().pid()}_${counter.incrementAndGet()}"
+    // error-on-exists: the name is unique by construction, so an existing
+    // path means a uniqueness bug — fail loudly, never silently overwrite
     df.write.mode("error").parquet(path)
     (df.sparkSession.read.parquet(path), path)
   }

@@ -68,9 +68,10 @@ import graft.functions.TopKByOrd
   * These rewrites duplicate the window's input subtree into the
   * aggregate leg, so they fire only when that subtree is
   * re-instantiable with fresh attribute ids (projects / filters /
-  * aggregates / joins over multi-instance leaf relations — scans, local
-  * and cached relations; rank over a groupBy or over an enriched join,
-  * the canonical "top group per key" shapes, fall inside) AND fully
+  * aggregates / joins / unions / sorts over multi-instance leaf
+  * relations — scans, local and cached relations; rank over a groupBy,
+  * over an enriched join, or over a union of shards — the canonical
+  * "top group per key" shapes — fall inside) AND fully
   * deterministic — a rand()/uuid()/monotonically_increasing_id() below
   * the window, or in the partition/sort keys, would be re-drawn
   * independently per leg, so those bail to the window form (the same
@@ -352,15 +353,20 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
     * project/aggregate aliases regenerated; `transformUpWithNewOutput`
     * rewrites the references in between — including join conditions,
     * whose referenced child attributes remap automatically. Only
-    * projects / filters / aggregates / joins over multi-instance leaves
-    * are supported — None otherwise (the "top group per key" shape, rank
-    * over a groupBy, and rank over an enriched/joined input fall inside;
+    * projects / filters / aggregates / joins / unions / sorts over
+    * multi-instance leaves are supported — None otherwise (the "top
+    * group per key" shape, rank over a groupBy, over an enriched join,
+    * or over a union of corpus shards all fall inside;
     * generators/windows below bail, as does any subquery expression —
     * duplicating one would clone its inner plan with its attribute ids). */
   private def freshCopy(plan: LogicalPlan): Option[LogicalPlan] = {
     val unsupported = plan.collectFirst {
+      // Union: multi-shard corpus inputs — output attrs derive from the
+      // first child's, so the child re-instancing propagates through.
+      // Sort: harmless to duplicate (the aggregate leg is order-blind).
       case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
         p.isInstanceOf[Aggregate] || p.isInstanceOf[Join] ||
+        p.isInstanceOf[Union] || p.isInstanceOf[Sort] ||
         (p.isInstanceOf[LeafNode] && p.isInstanceOf[MultiInstanceRelation])) => p
       case p if p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) => p
     }

@@ -275,6 +275,27 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
+  test("rank() = 1 over a UNION of shards fires (freshCopy over Union)") {
+    // multi-shard corpus: min order per priority across two disjoint
+    // slices — the union-of-sources shape a sharded pipeline produces
+    def q = {
+      val o = graft.Tables.orders(spark, sf0001)
+        .select($"o_orderpriority", $"o_orderkey")
+      val sharded = o.filter($"o_orderkey" % 2 === 0)
+        .union(o.filter($"o_orderkey" % 2 =!= 0))
+      sharded.withColumn("rk", rank().over(
+        Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey".asc)))
+        .filter($"rk" === 1).select($"o_orderpriority", $"o_orderkey", $"rk")
+    }
+    val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+    assert(baseline.nonEmpty)
+    withRule {
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Window ["), s"union child must fire:\n${p.take(1500)}")
+      assert(q.collect().map(_.toSeq).toSet == baseline)
+    }
+  }
+
   test("non-deterministic input bails: rand() below rank()=1 keeps the window") {
     withRule {
       // NB: a LocalRelation fixture would be constant-folded by
