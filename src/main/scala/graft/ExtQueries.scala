@@ -101,6 +101,18 @@ object ExtQueries {
       idx
     })
 
+  /** Per-invocation scratch dir for the staged (100 TB-path) catalog
+    * twins, deleted on JVM exit — bench min-of-N re-invokes each query,
+    * and without the hook every run would strand a staging dir in /tmp. */
+  private def tempStagingDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+      ()
+    }))
+    d.toString
+  }
+
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
     * keep-all sentinel path; es is deliberately absent → dropped). */
   private val strataRates: Map[String, Double] =
@@ -382,8 +394,7 @@ object ExtQueries {
       Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
           threshold = 0.35, maxBlock = None),
-        stagingDir = Some(java.nio.file.Files
-          .createTempDirectory("graft-stg-cc").toString))
+        stagingDir = Some(tempStagingDir("graft-stg-cc")))
         .orderBy(col("id"))),
 
     // staged one-pass corpus dedup (signatures + survivors as parquet
@@ -391,8 +402,7 @@ object ExtQueries {
     // path is machine-asserted in DedupSpec)
     "q_dedup_corpus_staged" -> ((s, dir) =>
       Dedup.dedupCorpus(Tables.documents(s, dir),
-        stagingDir = Some(java.nio.file.Files
-          .createTempDirectory("graft-stg-corpus").toString))
+        stagingDir = Some(tempStagingDir("graft-stg-corpus")))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
@@ -565,8 +575,7 @@ object ExtQueries {
         TextAnalysis.qualityScore(Tables.documents(s, dir))
           .select(col("doc_id"), col("quality")),
         col("quality"), col("doc_id"), k = 10,
-        stagingDir = Some(java.nio.file.Files
-          .createTempDirectory("graft-stg-strata").toString))
+        stagingDir = Some(tempStagingDir("graft-stg-strata")))
         .orderBy(col("doc_id"))),
 
     // n-way split assignment: membership is a pure function of doc_id via

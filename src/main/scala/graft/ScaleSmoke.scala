@@ -60,12 +60,17 @@ object ScaleSmoke {
     // path — the 100 TB configuration must track the same log-round
     // growth as the localCheckpoint default, not add a per-round cost
     // that compounds with data size (fresh scratch dir per run)
-    "cc_staged" -> ((s: SparkSession, dir: String) =>
+    "cc_staged" -> ((s: SparkSession, dir: String) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-smoke-cc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+        ()
+      }))
       graft.operators.Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir),
           blockCol = col("label"), threshold = 0.35, maxBlock = None),
-        stagingDir = Some(java.nio.file.Files
-          .createTempDirectory("graft-smoke-cc").toString))))
+        stagingDir = Some(scratch.toString))
+    }))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
