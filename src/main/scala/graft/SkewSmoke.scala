@@ -49,7 +49,18 @@ object SkewSmoke {
     "strata" -> ((d: DataFrame, pct: Int) =>
       graft.operators.Sampling.scoreStrata(
         hotScore(d.select(col("doc_id")), pct), col("score"), col("doc_id"),
-        k = 10)))
+        k = 10)),
+    // r8: dense_rank()<=k through the RewriteWindowTopK distinct-key leg
+    // (the session installs GraftExtensions below, and the firing is
+    // asserted before timing) — a dominant score value must collapse in
+    // the distinct partial agg map-side, not assemble anywhere
+    "dense_topk" -> ((d: DataFrame, pct: Int) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("score").desc)
+      hotScore(d.select(col("doc_id"), col("lang")), pct)
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= 3)
+    }))
 
   def main(args: Array[String]): Unit = {
     val shares = Seq(0, 10, 30, 50)
@@ -59,11 +70,21 @@ object SkewSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the dense_topk case stresses the REWRITTEN plan, not the window
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("lang"), col("text"))
+
+    // guard the guard: if the rewrite stopped firing, this smoke would
+    // silently time the window form instead of the distinct-key leg
+    ops.collectFirst { case ("dense_topk", op) =>
+      val p = op(docs, 50).queryExecution.optimizedPlan.toString
+      require(p.contains("__graft_key"),
+        s"dense_topk must take the rewritten form:\n${p.take(1200)}")
+    }
 
     def time(op: (DataFrame, Int) => DataFrame, pct: Int): Double =
       (0 until math.max(1, iters)).map { _ =>
