@@ -38,6 +38,23 @@ class PlanInvariantsSpec extends SparkSuite {
       "minhash signatures must be materialized once (diamond persist)")
   }
 
+  test("q_dense_topk: distinct-key rewrite fires on the catalog query") {
+    // the Verify/Bench sessions install GraftExtensions; replicate with
+    // the same rule object so the CATALOG spelling (not just the spec
+    // fixtures) is proven to take the rewritten plan: distinct partial
+    // agg + window over per-group DISTINCT keys + broadcast join back —
+    // never a row_number/dense_rank sort over corpus rows
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RewriteWindowTopK
+    try {
+      val p = plan("q_dense_topk")
+      assert(p.contains("__graft_key"),
+        s"rewrite must fire on the catalog query:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        "the tiny distinct-key leg must come back as a broadcast join")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q_sim_ann_lsh: signature is a kernel call, not unrolled literals") {
     val p = plan("q_sim_ann_lsh")
     assert(p.contains("hyperplane_sig"), "kernel expression must be in the plan")
