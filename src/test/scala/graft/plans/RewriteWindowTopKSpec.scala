@@ -275,6 +275,30 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
+  test("SQL text: the window-topk idiom in spark.sql() takes the same rewrites") {
+    graft.Tables.orders(spark, sf0001).createOrReplaceTempView("o_sqltest")
+    try {
+      def q(fn: String, bound: String) = spark.sql(
+        s"""SELECT o_orderpriority, o_orderkey, rk FROM (
+           |  SELECT o_orderpriority, o_orderkey,
+           |         $fn OVER (PARTITION BY o_orderpriority
+           |                   ORDER BY o_orderkey) AS rk
+           |  FROM o_sqltest) WHERE $bound""".stripMargin)
+      for ((fn, bound, marker) <- Seq(
+          ("dense_rank()", "rk <= 3", "__graft_key"),
+          ("rank()", "rk = 1", "__graft_min"))) {
+        val baseline = q(fn, bound).collect().map(_.toSeq).toSet // rule OFF
+        assert(baseline.nonEmpty)
+        withRule {
+          val df = q(fn, bound)
+          assert(df.queryExecution.optimizedPlan.toString.contains(marker),
+            s"$fn $bound must fire through the SQL surface")
+          assert(df.collect().map(_.toSeq).toSet == baseline)
+        }
+      }
+    } finally spark.catalog.dropTempView("o_sqltest")
+  }
+
   test("rank() = 1 over a UNION of shards fires (freshCopy over Union)") {
     // multi-shard corpus: min order per priority across two disjoint
     // slices — the union-of-sources shape a sharded pipeline produces
