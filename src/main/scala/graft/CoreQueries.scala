@@ -319,6 +319,21 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
     }),
 
+    // Bottom-k per group ("3 CHEAPEST orders per priority"): ascending
+    // primary order — the shape the specialized TopK leg can't take.
+    // Exercises RewriteWindowTopK's general row_number leg (SortKeyBytes
+    // memcomparable tie, constant ord) under the oracle gate, since the
+    // rule is installed in the Verify/Bench sessions.
+    "q_bottomk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // Time-series resample: per-user daily grid, forward-filled by the
     // as-of composition (operators.TimeSeries over operators.AsOf). Ticks
     // exported as epoch micros (timestamp hashing is representation-safe
@@ -662,6 +677,13 @@ object CoreQueries {
         |                            ORDER BY o_totalprice DESC) AS rk
         |  FROM orders) t WHERE rk <= 3
         |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+
+    "q_bottomk_window" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice ASC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     "q_ts_resample" ->
       """WITH obs AS (

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k as a real aggregate (SURVEY §2.10 relational extension).
@@ -24,11 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Determinism contract: "better" = higher `ord`, ties broken by LOWER
   * `tie` — exactly `ORDER BY ord DESC, tie ASC` — so results are
   * reproducible and engine-portable when (ord, tie) is unique per row
-  * (make `tie` a row id). The tie may be a LONG or a STRING: string ties
-  * compare byte-wise (UTF8String.compareTo), identical to DuckDB's default
-  * binary collation, so `ORDER BY cnt DESC, term ASC` oracles mirror
-  * exactly. Null `ord`/`tie`/`payload` rows are ignored, like every SQL
-  * aggregate.
+  * (make `tie` a row id). The tie may be a LONG, a STRING, or BINARY:
+  * string ties compare byte-wise (UTF8String.compareTo), identical to
+  * DuckDB's default binary collation, so `ORDER BY cnt DESC, term ASC`
+  * oracles mirror exactly; binary ties compare unsigned-lexicographic —
+  * the [[SortKeyBytes]] memcomparable encoding rides this to rank by
+  * ARBITRARY multi-key sort lists (any directions) through the single
+  * (ord, tie) contract, with `ord` pinned to a constant. Null
+  * `ord`/`tie`/`payload` rows are ignored, like every SQL aggregate.
   *
   * Precision contract: with a DOUBLE `ord` (the [[TopK.topKByOrd]]
   * wrapper casts) integer ords beyond 2⁵³ or decimals past 15 significant
@@ -110,12 +113,17 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "topk_by_ord"
 
-  private def tieIsString: Boolean = tie.dataType match {
-    case StringType => true
-    case LongType => false
+  // 0 = string, 1 = binary (unsigned byte-wise — the SortKeyBytes
+  // memcomparable contract), 2 = long
+  private def tieKind: Int = tie.dataType match {
+    case StringType => 0
+    case BinaryType => 1
+    case LongType => 2
     case other => throw new IllegalArgumentException(
-      s"topk_by_ord tie must be LONG or STRING, got $other")
+      s"topk_by_ord tie must be LONG, STRING or BINARY, got $other")
   }
+  private def tieIsString: Boolean = tieKind == 0
+  private def tieIsBinary: Boolean = tieKind == 1
 
   private def ordIsLong: Boolean = ord.dataType match {
     case LongType => true
@@ -130,11 +138,15 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
     else
       (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
 
-  @transient private lazy val tieCompare: (Any, Any) => Int =
-    if (tieIsString)
+  @transient private lazy val tieCompare: (Any, Any) => Int = tieKind match {
+    case 0 =>
       (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    else
+    case 1 =>
+      (a, b) => SortKeyBytes.compareUnsigned(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case _ =>
       (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
 
   @transient private lazy val payloadProj =
     UnsafeProjection.create(Array(payload.dataType))
@@ -154,8 +166,13 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
       if (buf.wouldAdmit(o, t)) {
         val p = payload.eval(row)
         // the tie is stored in the heap too — copy it (an UTF8String from
-        // eval may point into a reused row buffer)
-        if (p != null) buf.insert(TopKEntry(o, InternalRow.copyValue(t),
+        // eval may point into a reused row buffer; a binary tie's array
+        // may be reused the same way)
+        val tCopy = t match {
+          case b: Array[Byte] => b.clone()
+          case other => InternalRow.copyValue(other)
+        }
+        if (p != null) buf.insert(TopKEntry(o, tCopy,
           InternalRow.copyValue(p)))
       }
     }
@@ -182,6 +199,10 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
         val tb = e.tie.asInstanceOf[UTF8String].getBytes
         out.writeInt(tb.length)
         out.write(tb)
+      } else if (tieIsBinary) {
+        val tb = e.tie.asInstanceOf[Array[Byte]]
+        out.writeInt(tb.length)
+        out.write(tb)
       } else out.writeLong(e.tie.asInstanceOf[Long])
       payloadHolder.update(0, e.payload)
       val rowBytes = payloadProj(payloadHolder).getBytes
@@ -205,6 +226,11 @@ case class TopKByOrd(payload: Expression, ord: Expression, tie: Expression,
           val tb = new Array[Byte](len)
           in.get(tb)
           UTF8String.fromBytes(tb)
+        } else if (tieIsBinary) {
+          val len = in.getInt
+          val tb = new Array[Byte](len)
+          in.get(tb)
+          tb
         } else in.getLong
       val len = in.getInt
       val rowBytes = new Array[Byte](len)

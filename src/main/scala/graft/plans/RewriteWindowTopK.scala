@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-import graft.functions.TopKByOrd
+import graft.functions.{SortKeyBytes, TopKByOrd}
 
 /** Optimizer rule: rewrite the ubiquitous window top-k idiom
   *
@@ -34,9 +34,16 @@ import graft.functions.TopKByOrd
   *  - ORDER BY is `ord DESC, tie ASC` where `ord` is a numeric whose
   *    double cast is exact (float/double/int and narrower) OR a LONG
   *    (compared natively in the aggregate — lossless, no 2⁵³ double-cast
-  *    collisions; decimals stay unsupported), and `tie` is an integral or
-  *    string (the aggregate's tie contract; nullable strings are
-  *    skipped).
+  *    collisions), and `tie` is an integral or string (the aggregate's
+  *    tie contract; nullable strings are skipped) — the primitive-compare
+  *    fast shape; OR the ORDER BY is ANY list of all-atomic keys — one
+  *    key or many, ascending (bottom-k) or descending or mixed, explicit
+  *    null orderings, strings/decimals(≤18)/dates/timestamps included —
+  *    which rides the [[graft.functions.SortKeyBytes]] memcomparable
+  *    encoding as the aggregate's tie (constant ord): ascending byte
+  *    order equals the window's row order exactly, including Spark's
+  *    NaN-greatest and −0.0 < 0.0 float semantics. Non-atomic sort keys
+  *    (arrays/structs/maps, wide decimals) keep the window form.
   *
   * Null ordering is emulated exactly by sentinel substitution: a null
   * `ord` under NULLS LAST becomes -Infinity / Long.MinValue (NULLS
@@ -153,6 +160,22 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
                 LongType)))
             val rest = conjuncts.filterNot(_ eq boundConjunct)
             rewrite(child, partSpec, ordSafeExpr, tieSafeExpr, k, rn, rest)
+          // General row_number leg: ANY all-atomic ORDER BY — ascending
+          // (bottom-k), multi-key, mixed directions, explicit null
+          // orderings — via the SortKeyBytes memcomparable encoding: the
+          // whole sort key packs into one byte array whose unsigned byte
+          // order IS the window's row order, passed as the aggregate's
+          // ascending tie under a constant ord. The specialized
+          // (ord DESC, tie ASC) case above keeps its primitive compare
+          // (no per-row encoding) for the classic shape.
+          case (RowNumber(),
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow),
+              Some((boundConjunct, k)), _)
+              if k >= 1 && orderSpec.nonEmpty &&
+                orderSpec.forall(so => SortKeyBytes.supported(so.child.dataType)) =>
+            val rest = conjuncts.filterNot(_ eq boundConjunct)
+            rewrite(child, partSpec, Literal(0L),
+              SortKeyBytes.fromSortOrder(orderSpec), k, rn, rest)
           // rank functions are frame-insensitive; the analyzer writes a
           // RANGE frame, the optimizer may normalize it to ROW — accept
           // both spellings of (unbounded preceding, current row)
@@ -410,7 +433,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       StructField(a.name, a.dataType, a.nullable, a.metadata)))
     val payload = CreateStruct(child.output)
     val tieCast = tie.dataType match {
-      case StringType | LongType => tie
+      case StringType | LongType | BinaryType => tie
       case _ => Cast(tie, LongType)
     }
     // LONG ords go to the aggregate uncast — it compares them natively

@@ -55,6 +55,21 @@ class PlanInvariantsSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("q_bottomk_window: general (memcomparable) TopK leg fires on the catalog query") {
+    // ascending primary order: only the SortKeyBytes general leg can take
+    // it — the plan must show the k-bounded aggregate ranking by the
+    // encoded tie, with the window sort machinery gone
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RewriteWindowTopK
+    try {
+      val p = plan("q_bottomk_window")
+      assert(p.contains("sort_key_bytes") && p.contains("topk_by_ord"),
+        s"general TopK leg must fire on the catalog query:\n${p.take(1500)}")
+      assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+        s"window machinery must be gone:\n${p.take(1500)}")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("q_sim_ann_lsh: signature is a kernel call, not unrolled literals") {
     val p = plan("q_sim_ann_lsh")
     assert(p.contains("hyperplane_sig"), "kernel expression must be in the plan")

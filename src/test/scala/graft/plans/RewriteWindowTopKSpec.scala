@@ -59,7 +59,7 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
   }
 
-  test("unsupported shapes are left alone (rank k>1, bad tie, asc order, no bound)") {
+  test("unsupported shapes are left alone (rank k>1, non-atomic key, no bound)") {
     withRule {
       val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
       val df = Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "g", "v")
@@ -75,15 +75,10 @@ class RewriteWindowTopKSpec extends SparkSuite {
       val r1b = df.withColumn("rk", rank().over(Window.partitionBy($"g")
         .orderBy($"v".desc, $"id"))).filter($"rk" <= 1)
       assert(window(r1b))
-      // row_number with a DOUBLE tie (not the aggregate's tie contract) —
-      // the long ord itself is fine now
+      // row_number over a NON-ATOMIC sort key (array) — not encodable
       val r2 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
-        .orderBy($"id".desc, $"v"))).filter($"rk" <= 1)
+        .orderBy(array($"v").desc, $"id"))).filter($"rk" <= 1)
       assert(window(r2))
-      // ascending primary order
-      val r3 = df.withColumn("rk", row_number().over(Window.partitionBy($"g")
-        .orderBy($"v".asc, $"id"))).filter($"rk" <= 1)
-      assert(window(r3))
       // no rank bound in the filter
       val r4 = df.withColumn("rk", row_number().over(w)).filter($"v" > 0.5)
       assert(window(r4))
@@ -95,6 +90,68 @@ class RewriteWindowTopKSpec extends SparkSuite {
           .orderBy($"rn".asc))).filter($"rk" === 1)
       assert(!r5.queryExecution.optimizedPlan.toString.contains("Join"),
         "a window-below-window child must bail to the window form")
+    }
+  }
+
+  test("general leg: bottom-k (asc) and double-tie shapes fire via sort_key_bytes") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 2.0), (5L, "b", 1.0)).toDF("id", "g", "v")
+    // ascending primary (bottom-k) and a DOUBLE tie — both beyond the
+    // specialized (desc, asc-long/string) shape, both encodable now
+    val shapes = Seq(
+      Window.partitionBy($"g").orderBy($"v".asc, $"id"),
+      Window.partitionBy($"g").orderBy($"id".desc, $"v"),
+      Window.partitionBy($"g").orderBy($"v".asc))
+    for (w <- shapes) {
+      def q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+        .select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        val p = q.queryExecution.optimizedPlan.toString
+        assert(p.contains("sort_key_bytes") && p.contains("topk_by_ord"),
+          s"general leg must fire:\n${p.take(1500)}")
+        assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+          s"window machinery must be gone:\n${p.take(1500)}")
+        assert(q.collect().map(_.toSeq).toSet == baseline)
+      }
+    }
+  }
+
+  test("general leg: multi-key mixed directions + null orderings match the window") {
+    val df = Seq[(Long, String, java.lang.Double, String)](
+      (1L, "a", 2.0, "x"), (2L, "a", 2.0, "w"), (3L, "a", null, "z"),
+      (4L, "a", 1.0, "y"), (5L, "b", -0.0, "m"), (6L, "b", 0.0, "n"),
+      (7L, "b", Double.NaN, "o"), (8L, "b", null, "p")
+    ).toDF("id", "g", "v", "s")
+    val shapes = Seq(
+      Window.partitionBy($"g").orderBy($"v".desc_nulls_last, $"s".desc, $"id"),
+      Window.partitionBy($"g").orderBy($"v".asc_nulls_first, $"s".asc, $"id".desc),
+      Window.partitionBy($"g").orderBy($"s".desc, $"v".asc, $"id"))
+    for (w <- shapes) {
+      def q = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("sort_key_bytes"))
+        assert(q.collect().map(_.toSeq).toSet == baseline, s"window=$w")
+      }
+    }
+  }
+
+  test("general leg: string prefix / embedded-NUL keys order like the window") {
+    // the memcomparable escape+terminator must keep "a" < "a\u0000b" < "ab"
+    // in both directions, with the unique id as the final key
+    val df = Seq((1L, "g", "a"), (2L, "g", "a\u0000b"), (3L, "g", "ab"),
+      (4L, "g", ""), (5L, "g", "a\u0000"), (6L, "g", "b")).toDF("id", "g", "s")
+    for (dir <- Seq($"s".asc, $"s".desc)) {
+      def q = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy(dir, $"id"))).filter($"rk" <= 4)
+        .select($"id", $"rk")
+      val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+      withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("sort_key_bytes"))
+        assert(q.collect().map(_.toSeq).toSet == baseline, s"dir=$dir")
+      }
     }
   }
 
@@ -434,6 +491,47 @@ class RewriteWindowTopKSpec extends SparkSuite {
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: general leg rule-on == rule-off (random directions, key counts)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen: Gen[Seq[(String, Option[Int], Option[String], Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.option(Gen.chooseNum(0, 3))          // ties AND nulls
+        s <- Gen.option(Gen.oneOf("", "x", "x y", "xy", "z"))
+      } yield (g, v, s))
+    } yield rows.zipWithIndex.map { case ((g, v, s), i) => (g, v, s, i.toLong) }
+    val dirGen = Gen.oneOf(0, 1, 2, 3) // asc, desc, asc_nulls_last, desc_nulls_first
+    def orient(c: org.apache.spark.sql.Column, d: Int) = d match {
+      case 0 => c.asc
+      case 1 => c.desc
+      case 2 => c.asc_nulls_last
+      case _ => c.desc_nulls_first
+    }
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 4), dirGen, dirGen,
+        dirGen, Gen.chooseNum(1, 3)) { (rows, k, d1, d2, d3, nKeys) =>
+      def q = {
+        // 1-3 sort keys of random orientation; the unique index is always
+        // last so row_number stays deterministic
+        val keys = Seq(orient($"_2", d1), orient($"_3", d2))
+          .take(nKeys - 1) :+ orient($"_4", d3)
+        val w = Window.partitionBy($"_1").orderBy(keys: _*)
+        rows.toDF().withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+          .select($"_1", $"_4", $"rk")
+      }
+      val off = q.collect().map(_.toSeq).toSet
+      val on = withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_ord"),
+          "every all-atomic shape must take one of the TopK legs")
+        q.collect().map(_.toSeq).toSet
+      }
+      off == on
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
 
