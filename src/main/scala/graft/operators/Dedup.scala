@@ -138,6 +138,50 @@ object Dedup {
     exactSurvivors.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental [[dedupCorpusCC]]: fold ONE ingest batch into the
+    * standing dedup state without rescanning or re-converging the corpus.
+    * Composes the three standing relations an incremental pipeline
+    * persists between batches — the exact-dedup [[hashIndex]], the
+    * MinHash [[signatureIndex]] (both over the corpus's exact-unique
+    * docs), and the CC label table from the previous batch — exactly as
+    * their individual equivalence contracts promise: exact-unique delta
+    * docs come from [[incrementalExact]] (batch-internal min-id survivor,
+    * minus keys the corpus holds), their near-dup pairs from
+    * [[incrementalMinhash]] (= the full-corpus pairs touching the delta),
+    * and the merge from [[Graph.incrementalCC]] (= full CC recompute on
+    * the unioned pair graph, labels included).
+    *
+    * Returns the UPDATED label table (id, component) over every node of
+    * the unioned pair graph — the new standing state. Survivors derive
+    * from it the same way [[dedupCorpusCC]] does: corpus ∪ delta
+    * exact-survivors anti-joined with `id =!= component` rows. Docs with
+    * no near-dup pair stay absent (implicitly singleton), the
+    * [[Graph.connectedComponents]] convention. Parity with a batch
+    * [[dedupCorpusCC]] over the unioned corpus is property-tested in
+    * DedupSpec; it requires the standing contracts: delta ids disjoint
+    * from AND larger than corpus ids (min-id survivor agreement), same
+    * (k, bands, rowsPerBand, threshold, maxBucket) on every batch.
+    *
+    * Scale: corpus text is never read (the indexes are narrow), the label
+    * table is streamed twice and never shuffled, and the only iterative
+    * work is the O(delta) contracted label graph — each batch costs
+    * O(delta + affected components), not O(corpus). */
+  def dedupCorpusCCInc(delta: DataFrame, hashIdx: DataFrame,
+      sigIndex: DataFrame, prevLabels: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000,
+      stagingDir: Option[String] = None): DataFrame = {
+    // exact-unique delta docs: batch-internal survivors minus corpus keys;
+    // staged — read by the signature pass AND (via pairs) the CC rounds
+    val uniq = stage(delta.join(
+      incrementalExact(delta, hashIdx, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_semi"), stagingDir, "inc_exact_survivors")
+    val pairs = incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
+      bands, rowsPerBand, threshold, maxBucket)
+    Graph.incrementalCC(prevLabels, pairs, srcCol = "id_a", dstCol = "id_b",
+      stagingDir = stagingDir)
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding, verified with exact
     * Jaccard over distinct shingle-hash sets.
     *

@@ -152,4 +152,93 @@ object Graph {
     nodes.join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
+
+  /** Incremental connected components: fold a DELTA edge set into the
+    * label table of a previous [[connectedComponents]] (or
+    * [[incrementalCC]]) run — the daily-ingest path, where re-converging
+    * over the full corpus graph every batch would be O(corpus · log²)
+    * for an O(delta)-sized change.
+    *
+    * Correctness: a previous run's labels are min-reachable-ids, so
+    * CONTRACTING each old component to its label preserves connectivity
+    * exactly; the delta edges, mapped endpoint → label (nodes never seen
+    * before label themselves), form a label-graph of size O(delta) whose
+    * components tell which old components the batch merges. Because old
+    * labels are the min node id of their component and fresh labels are
+    * the node ids themselves, the min label of a merged group IS the min
+    * node id of the merged component — the incremental result equals a
+    * full recompute over the unioned edge set, label values included
+    * (property-tested in GraphSpec).
+    *
+    * Scale: the iterative convergence runs ONLY on the contracted
+    * delta-label graph (O(delta) narrow rows, the usual log rounds); the
+    * corpus-sized label table is never shuffled and never iterated — it
+    * is STREAMED exactly twice, both times past a broadcast of an
+    * O(delta)-sized relation: once to look up the delta endpoints' old
+    * labels (broadcast semi-join probe) and once for the final relabel
+    * (broadcast left join against the changed-label remap). Output is the
+    * updated label table — O(corpus) rows, as any relabel must be, but
+    * produced by one narrow map-side pass.
+    *
+    * Contract: `prevLabels` holds (id, component) for every node of the
+    * PREVIOUS edge set (nodes outside it are implicitly their own
+    * singleton components, same convention as [[connectedComponents]]);
+    * labels must be min-reachable-ids as produced by this object — a
+    * foreign labeling with non-min representatives would still merge
+    * correctly but drift from full-recompute label VALUES.
+    *
+    * @param stagingDir threaded to the inner convergence AND used to
+    *   stage the (tiny) endpoint-label lookup, whose lineage contains the
+    *   caller's pair-mining pipeline — without truncation each of its
+    *   consumers would re-mine the delta (the [[Staging]] diamond rule).
+    */
+  def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
+      idCol: String = "id", compCol: String = "component",
+      srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,
+      stagingDir: Option[String] = None): DataFrame = {
+    val lbl = prevLabels.select(col(idCol).as("id"), col(compCol).as("component"))
+    val endsRaw = newEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // the delta edge list is typically an expensive mining result (e.g.
+    // incrementalMinhash) read by three consumers below — truncate once
+    val ends = stagingDir match {
+      case Some(dir) => Staging.stageAt(endsRaw, dir, "icc_delta")._1
+      case None      => endsRaw.localCheckpoint()
+    }
+    val nodes = ends.select(col("a").as("id"))
+      .union(ends.select(col("b").as("id"))).distinct()
+    // old labels of the delta endpoints: stream the corpus-sized label
+    // table past a broadcast of the delta node set — a left join the
+    // other way around would shuffle (or broadcast!) the corpus side
+    val known = lbl.join(broadcast(nodes), Seq("id"), "left_semi")
+    val nodeLblRaw = known.withColumn("is_new", lit(false))
+      .union(nodes.join(broadcast(known.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"), lit(true).as("is_new")))
+    // staged: O(delta) rows, but its lineage streams the label table —
+    // three consumers (two label-edge joins, the fresh-node relabel)
+    // must not triple that pass
+    val nodeLbl = stagingDir match {
+      case Some(dir) => Staging.stageAt(nodeLblRaw, dir, "icc_node_lbl")._1
+      case None      => nodeLblRaw.localCheckpoint()
+    }
+    // contracted delta graph: edges between component representatives
+    val labelEdges = ends
+      .join(nodeLbl.select(col("id").as("a"), col("component").as("ca")), Seq("a"))
+      .join(nodeLbl.select(col("id").as("b"), col("component").as("cb")), Seq("b"))
+      .select(col("ca").as("u"), col("cb").as("v"))
+    // converge on the contracted graph ONLY — O(delta), not O(corpus)
+    val remap = connectedComponents(labelEdges, "u", "v", maxIter, stagingDir)
+      .select(col("id").as("old_label"), col("component").as("new_label"))
+    val changed = remap.filter(col("old_label") =!= col("new_label"))
+    // corpus-wide relabel: ONE streamed broadcast-join pass, no shuffle
+    val updated = lbl.join(broadcast(changed),
+        col("component") === col("old_label"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("component")).as("component"))
+    // nodes first seen in this batch: every one of them is in the label
+    // graph (it has a delta edge), so the remap carries its final label
+    val freshLabeled = nodeLbl.filter(col("is_new")).select(col("id"))
+      .join(broadcast(remap), col("id") === col("old_label"))
+      .select(col("id"), col("new_label").as("component"))
+    updated.union(freshLabeled)
+      .select(col("id").as(idCol), col("component").as(compCol))
+  }
 }

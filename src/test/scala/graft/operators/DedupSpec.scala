@@ -301,6 +301,52 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "fixture should contain delta-touching near-dups")
   }
 
+  test("dedupCorpusCCInc == batch dedupCorpusCC over the unioned corpus") {
+    // standing state over the base partition (ids < delta ids, the
+    // min-id survivor contract), then fold the delta batch in
+    val docs = graft.Tables.documents(spark, sf0001)
+    val baseDocs = docs.filter($"doc_id" % 10 < 7)
+    val deltaDocs = docs.filter($"doc_id" % 10 >= 7)
+      .withColumn("doc_id", $"doc_id" + 1000000L) // strictly above base ids
+    val full = baseDocs.union(deltaDocs)
+    val (bands, rows, thr) = (32, 2, 0.5)
+
+    val baseSurvivors = baseDocs.join(
+      Dedup.exact(baseDocs, "text", "doc_id").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val prevLabels = Graph.connectedComponents(Dedup.minhashPairs(
+      baseSurvivors, bands = bands, rowsPerBand = rows, threshold = thr))
+    val updated = Dedup.dedupCorpusCCInc(deltaDocs,
+      Dedup.hashIndex(baseDocs), Dedup.signatureIndex(baseSurvivors),
+      prevLabels, bands = bands, rowsPerBand = rows, threshold = thr)
+      .as[(Long, Long)].collect().toMap
+
+    // the incremental label table must equal a full CC recompute over
+    // the union corpus's pair graph, label values included
+    val fullSurvivors = full.join(
+      Dedup.exact(full, "text", "doc_id").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val batchLabels = Graph.connectedComponents(Dedup.minhashPairs(
+      fullSurvivors, bands = bands, rowsPerBand = rows, threshold = thr))
+      .as[(Long, Long)].collect().toMap
+    assert(updated == batchLabels,
+      s"only-inc=${(updated.toSet -- batchLabels.toSet).take(3)} " +
+        s"only-batch=${(batchLabels.toSet -- updated.toSet).take(3)}")
+    assert(updated.exists { case (id, c) => id != c },
+      "fixture should merge at least one cluster")
+
+    // and the derived survivor set must match the batch operator exactly
+    val incSurvivors = fullSurvivors.join(
+      updated.toSeq.toDF("doc_id", "component")
+        .filter($"doc_id" =!= $"component").select($"doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    val batchSurvivors = Dedup.dedupCorpusCC(full, bands = bands,
+      rowsPerBand = rows, threshold = thr)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(incSurvivors == batchSurvivors)
+  }
+
   test("semanticPairs: exact-verified subset of ground truth, recall floor, dial") {
     val embs = graft.Tables.embeddings(spark, sf0001)
     val truth = Dedup.embeddingPairs(embs, blockCol = lit(1),

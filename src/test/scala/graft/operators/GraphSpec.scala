@@ -76,6 +76,65 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  private def incCC(prev: Map[Long, Long], delta: Seq[(Long, Long)],
+      dir: Option[String] = None): Map[Long, Long] =
+    Graph.incrementalCC(prev.toSeq.toDF("id", "component"),
+      delta.toDF("id_a", "id_b"), stagingDir = dir)
+      .as[(Long, Long)].collect().toMap
+
+  test("incrementalCC: merges, bridges, fresh nodes, and no-op deltas") {
+    // base: {1,2,3} and {10,11}; delta bridges them and adds {20,21}
+    val base = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(incCC(base, Seq((3L, 10L), (20L, 21L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+        20L -> 20L, 21L -> 20L))
+    // delta entirely inside one old component: labels unchanged
+    assert(incCC(base, Seq((1L, 3L))) == base)
+    // delta linking a fresh node in: it takes the component's min label
+    assert(incCC(base, Seq((99L, 11L))) == base + (99L -> 10L))
+    // a fresh node SMALLER than the old label becomes the new label
+    assert(incCC(base, Seq((0L, 2L))) ==
+      base.map { case (k, v) => k -> (if (v == 1L) 0L else v) } + (0L -> 0L))
+  }
+
+  test("property: incrementalCC == full recompute on the unioned edge set") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      m <- Gen.chooseNum(1, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, 25L)
+        b <- Gen.chooseNum(0L, 25L)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(edgeGen, edgeGen) { (e1, e2) =>
+      val b1 = e1.filter(e => e._1 != e._2)
+      val b2 = e2.filter(e => e._1 != e._2)
+      if (b1.isEmpty || b2.isEmpty) true
+      else {
+        val full = ufComponents(b1 ++ b2) // trusted vs cc() in the spec above
+        val inc = incCC(cc(b1), b2)
+        inc == full
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("incrementalCC stagingDir: identical labels, scratch is droppable rounds only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-icc").toString
+    try {
+      val base = cc(Seq((1L, 2L), (5L, 6L), (8L, 9L)))
+      val delta = Seq((2L, 5L), (30L, 31L), (9L, 30L))
+      val staged = incCC(base, delta, Some(dir))
+      assert(staged == incCC(base, delta), "staged ≡ localCheckpoint path")
+      assert(staged == ufComponents(
+        Seq((1L, 2L), (5L, 6L), (8L, 9L)) ++ delta))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("random graphs match a local union-find reference") {
     val edgeGen: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.chooseNum(2, 40)
