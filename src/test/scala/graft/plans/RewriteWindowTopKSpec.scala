@@ -302,6 +302,64 @@ class RewriteWindowTopKSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dense_rank() <= k over an AGGREGATE child fires (top distinct totals per key)") {
+    // "top 3 distinct daily totals per priority" — the window's input is
+    // itself a groupBy, so the distinct-key leg must freshCopy an
+    // Aggregate (regenerated aliases) into its second leg
+    def q = {
+      val daily = graft.Tables.orders(spark, sf0001)
+        .groupBy($"o_orderpriority", $"o_orderdate")
+        .agg(sum($"o_totalprice").as("total"))
+      daily.withColumn("rk", dense_rank().over(
+        Window.partitionBy($"o_orderpriority").orderBy($"total".desc)))
+        .filter($"rk" <= 3)
+        .select($"o_orderpriority", $"o_orderdate", $"total", $"rk")
+    }
+    val baseline = q.collect().map(_.toSeq).toSet // rule OFF
+    assert(baseline.nonEmpty)
+    withRule {
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("__graft_key") && p.contains("Join"),
+        s"dense_rank over aggregate child must take the distinct-key form:\n${p.take(1500)}")
+      assert(q.collect().map(_.toSeq).toSet == baseline)
+    }
+  }
+
+  test("property: dense_rank<=k over aggregated child rule-on == rule-off") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random fact rows → groupBy(g, s) sum(v) → dense_rank over partition g
+    // ordered by the aggregated total; duplicate totals exercise the
+    // distinct-key semantics, null group keys the null-safe join-back
+    val rowsGen: Gen[Seq[(String, Option[Int], Int)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        s <- Gen.option(Gen.chooseNum(0, 2))
+        v <- Gen.chooseNum(0, 3) // few values → tied sums across subkeys
+      } yield (g, s, v))
+    } yield rows
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(2, 4),
+        Gen.oneOf(true, false)) { (rows, k, desc) =>
+      def q = {
+        val ord = if (desc) $"total".desc else $"total".asc
+        rows.toDF("g", "s", "v").groupBy($"g", $"s")
+          .agg(sum($"v").as("total"))
+          .withColumn("rk", dense_rank().over(
+            Window.partitionBy($"g").orderBy(ord)))
+          .filter($"rk" <= k).select($"g", $"s", $"total", $"rk")
+      }
+      val off = q.collect().map(_.toSeq).toSet
+      val on = withRule {
+        assert(q.queryExecution.optimizedPlan.toString.contains("__graft_key"))
+        q.collect().map(_.toSeq).toSet
+      }
+      off == on
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rank() = 1 / dense_rank() <= k over a JOINED input fires (freshCopy over Join)") {
     // top-order(s) per customer over an enriched orders⋈customer input —
     // the "top group per key over a joined relation" shape
