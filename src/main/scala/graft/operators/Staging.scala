@@ -16,15 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark ML handlePersistence caveat, documented at
   * [[Dedup.minhashPairsFromShingles]]).
   *
-  * Subdirectory names are unique per invocation (`name_p<pid>_<n>`:
-  * process id + a process-wide counter), so concurrent pipelines —
-  * across JVMs as well as within one — or repeated runs of one operator
-  * may share a `stagingDir` without overwriting each other's staged
-  * relations mid-read. The cost of that safety: staged
-  * tables accumulate; `stagingDir` is job-scoped scratch space and the
-  * CALLER deletes it once every returned DataFrame has been fully
-  * consumed (the results lazily re-read their staged paths on every
-  * action).
+  * Subdirectory names are unique per invocation
+  * (`name_p<pid>_<jvmTag>_<n>`: process id, a random per-JVM tag, and a
+  * process-wide counter), so concurrent pipelines — across JVMs as well
+  * as within one — or repeated runs of one operator may share a
+  * `stagingDir` without overwriting each other's staged relations
+  * mid-read. The random tag is what carries the cross-JVM claim: pids
+  * recycle, and containerized JVMs often ALL get pid 1, so sequential
+  * re-runs against an undeleted dir cannot ride the pid alone. The cost
+  * of that safety: staged tables accumulate; `stagingDir` is job-scoped
+  * scratch space and the CALLER deletes it once every returned DataFrame
+  * has been fully consumed (the results lazily re-read their staged
+  * paths on every action) — or scopes the whole job in [[withDir]],
+  * which does the deletion mechanically.
   *
   * Either path also FREEZES the relation's content and partitioning, so
   * diamond consumers provably read the same data — which is a correctness
@@ -32,8 +36,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the partition level (e.g. [[Sampling.scoreStrata]]'s sampled range
   * exchange).
   */
-private[operators] object Staging {
+object Staging {
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+  // one random token per JVM: see the cross-JVM uniqueness note above
+  private val jvmTag = java.lang.Long.toUnsignedString(
+    new java.security.SecureRandom().nextLong(), 36)
 
   def stage(df: DataFrame, stagingDir: Option[String],
       name: String): DataFrame = stagingDir match {
@@ -46,12 +53,39 @@ private[operators] object Staging {
     * for iterative callers ([[Graph.connectedComponents]]) that retire
     * earlier rounds' staging tables with [[drop]] as they go. */
   def stageAt(df: DataFrame, dir: String, name: String): (DataFrame, String) = {
-    val path =
-      s"$dir/${name}_p${ProcessHandle.current().pid()}_${counter.incrementAndGet()}"
+    val path = s"$dir/${name}_p${ProcessHandle.current().pid()}_" +
+      s"${jvmTag}_${counter.incrementAndGet()}"
     // error-on-exists: the name is unique by construction, so an existing
     // path means a uniqueness bug — fail loudly, never silently overwrite
     df.write.mode("error").parquet(path)
     (df.sparkSession.read.parquet(path), path)
+  }
+
+  /** Run `body` against a private scratch scope under `dir` and delete
+    * the scope — and with it every relation staged inside it — when the
+    * block exits (normally or not). `body` receives the scope path; pass
+    * it as the operators' `stagingDir` and every [[stageAt]] they issue
+    * lands under the scope by construction, so "track the paths created
+    * in scope" is directory containment, with no registry to race:
+    * concurrent and nested `withDir` calls each get their own unique
+    * scope subdirectory, even against one shared `dir`.
+    *
+    * This is the mechanical form of the caller-deletes contract: results
+    * computed inside MUST be forced (collected, or written outside the
+    * scope) before the block returns — staged DataFrames lazily re-read
+    * their staged paths, which are gone afterwards.
+    *
+    * {{{
+    * val survivors = Staging.withDir(spark, "s3://bucket/scratch") { scope =>
+    *   Dedup.dedupCorpusCC(docs, stagingDir = Some(scope))
+    *     .write.parquet("s3://bucket/out/survivors")   // forced in scope
+    * }
+    * }}}
+    */
+  def withDir[T](spark: SparkSession, dir: String)(body: String => T): T = {
+    val scope = s"$dir/scope_p${ProcessHandle.current().pid()}_" +
+      s"${jvmTag}_${counter.incrementAndGet()}"
+    try body(scope) finally drop(spark, scope)
   }
 
   /** Delete a path returned by [[stageAt]] once no live DataFrame reads

@@ -61,6 +61,78 @@ class StagingSpec extends SparkSuite {
     }
   }
 
+  test("withDir: scratch is gone after the block; forced results stay correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stg-scope").toString
+    try {
+      val expect = Dedup.dedupCorpusCC(corpus, bands = 32, rowsPerBand = 2,
+        threshold = 0.5).select($"doc_id").as[Long].collect().toSet
+      val got = Staging.withDir(spark, dir) { scope =>
+        // a staged pipeline that issues several stageAt calls (exact
+        // survivors, signatures, CC rounds) — all land under the scope
+        val r = Dedup.dedupCorpusCC(corpus, bands = 32, rowsPerBand = 2,
+          threshold = 0.5, stagingDir = Some(scope))
+          .select($"doc_id").as[Long].collect().toSet // forced IN scope
+        assert(new java.io.File(scope).exists(), "scope live during block")
+        r
+      }
+      assert(got == expect)
+      // the scope subdirectory — and every table staged in it — is gone;
+      // the shared parent dir the caller owns is untouched
+      assert(new java.io.File(dir).listFiles().isEmpty,
+        new java.io.File(dir).listFiles().map(_.getName).mkString(","))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
+  test("withDir: scope is deleted on exception; nested scopes are independent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stg-scope2").toString
+    try {
+      intercept[RuntimeException] {
+        Staging.withDir(spark, dir) { scope =>
+          Staging.stageAt(Seq(1).toDF("x"), scope, "t")
+          throw new RuntimeException("boom")
+        }
+      }
+      assert(new java.io.File(dir).listFiles().isEmpty, "scope gone on throw")
+      val outer = Staging.withDir(spark, dir) { s1 =>
+        val (a, _) = Staging.stageAt(Seq(1, 2).toDF("x"), s1, "outer")
+        Staging.withDir(spark, dir) { s2 =>
+          assert(s1 != s2)
+          Staging.stageAt(Seq(3).toDF("x"), s2, "inner")
+        }
+        // inner scope's exit must not have touched the outer scope's tables
+        a.as[Int].collect().toSet
+      }
+      assert(outer == Set(1, 2))
+      assert(new java.io.File(dir).listFiles().isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
+  test("staged paths carry a per-JVM random tag, not just pid + counter") {
+    // pids recycle across container runs (often always pid 1), so the
+    // cross-JVM uniqueness claim rides a random per-JVM tag in the name:
+    // name_p<pid>_<tag>_<counter>
+    val dir = java.nio.file.Files.createTempDirectory("graft-stg-tag").toString
+    try {
+      val (_, p1) = Staging.stageAt(Seq(1).toDF("x"), dir, "t")
+      val (_, p2) = Staging.stageAt(Seq(2).toDF("x"), dir, "t")
+      val Array(tag1, n1) = new java.io.File(p1).getName
+        .stripPrefix(s"t_p${ProcessHandle.current().pid()}_").split("_")
+      val Array(tag2, n2) = new java.io.File(p2).getName
+        .stripPrefix(s"t_p${ProcessHandle.current().pid()}_").split("_")
+      assert(tag1 == tag2 && tag1.nonEmpty, "one stable random tag per JVM")
+      assert(n1.toLong < n2.toLong, "counter still disambiguates in-process")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("drop removes a staged table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stg-drop").toString
     try {
