@@ -101,16 +101,27 @@ object ExtQueries {
       idx
     })
 
-  /** Per-invocation scratch dir for the staged (100 TB-path) catalog
-    * twins, deleted on JVM exit — bench min-of-N re-invokes each query,
-    * and without the hook every run would strand a staging dir in /tmp. */
-  private def tempStagingDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
-      ()
-    }))
-    d.toString
+  private val stagingScratch =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch dir for the staged (100 TB-path) catalog twins: ONE dir and
+    * ONE JVM-exit hook per (query prefix, sf dir) — bench min-of-N plus
+    * warm-ups and outlier re-times re-invoke each lambda many times, and
+    * a fresh dir + hook per invocation would accumulate both for the JVM
+    * lifetime. Re-entry RESETS the cached dir's content instead: safe for
+    * the driver surfaces, whose trials are sequential — a query's
+    * previous DataFrame is dead before its lambda runs again. */
+  private def tempStagingDir(prefix: String, sfDir: String): String = {
+    val d = stagingScratch.computeIfAbsent(s"$prefix|$sfDir", { _ =>
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        ()
+      }))
+      p.toString
+    })
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(d))
+    d
   }
 
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
@@ -394,7 +405,7 @@ object ExtQueries {
       Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
           threshold = 0.35, maxBlock = None),
-        stagingDir = Some(tempStagingDir("graft-stg-cc")))
+        stagingDir = Some(tempStagingDir("graft-stg-cc", dir)))
         .orderBy(col("id"))),
 
     // staged one-pass corpus dedup (signatures + survivors as parquet
@@ -402,7 +413,7 @@ object ExtQueries {
     // path is machine-asserted in DedupSpec)
     "q_dedup_corpus_staged" -> ((s, dir) =>
       Dedup.dedupCorpus(Tables.documents(s, dir),
-        stagingDir = Some(tempStagingDir("graft-stg-corpus")))
+        stagingDir = Some(tempStagingDir("graft-stg-corpus", dir)))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
@@ -575,7 +586,7 @@ object ExtQueries {
         TextAnalysis.qualityScore(Tables.documents(s, dir))
           .select(col("doc_id"), col("quality")),
         col("quality"), col("doc_id"), k = 10,
-        stagingDir = Some(tempStagingDir("graft-stg-strata")))
+        stagingDir = Some(tempStagingDir("graft-stg-strata", dir)))
         .orderBy(col("doc_id"))),
 
     // n-way split assignment: membership is a pure function of doc_id via

@@ -398,11 +398,14 @@ object IngestStreams {
     * exactly as each source serialized them (one entry per source, in the
     * query's source order). For a Kafka source the returned string is
     * verbatim the `startingOffsets` option value for the resumed reader;
-    * rate/memory-style sources serialize a bare number. Empty when the
-    * old checkpoint never committed a batch — resume from the source's
-    * default in that case. */
+    * rate/memory-style sources serialize a bare number. A source the
+    * committed batch recorded NO offset for (the OffsetSeqLog's `-`
+    * marker) surfaces as `None` — resume that source from its default
+    * rather than pinning the raw marker, which no reader parses. Empty
+    * when the old checkpoint never committed a batch — resume everything
+    * from source defaults in that case. */
   def resumeOffsets(spark: SparkSession,
-      oldCheckpointDir: String): Seq[String] = {
+      oldCheckpointDir: String): Seq[Option[String]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val commits = new org.apache.hadoop.fs.Path(s"$oldCheckpointDir/commits")
     val fs = commits.getFileSystem(conf)
@@ -417,8 +420,10 @@ object IngestStreams {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     // OffsetSeqLog layout: "v1", one metadata JSON line, then one line
-    // per source holding that source's offset JSON
+    // per source holding that source's offset JSON — or the bare `-`
+    // void marker when the batch committed no offset for that source
     lines.drop(2).filter(_.nonEmpty)
+      .map(l => if (l == "-") None else Some(l))
   }
 
   /** Deterministic partition key for a micro-batch: stable across replays
