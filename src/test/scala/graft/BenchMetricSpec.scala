@@ -47,12 +47,17 @@ class BenchMetricSpec extends AnyFunSuite {
     assert(printed.contains("\"q_b\":2.500") && printed.contains("\"value\":3.500"))
   }
 
-  test("file line records per-query max and retimed; stdout schema unchanged") {
+  test("file line records per-query max, retimed, and env; stdout schema unchanged") {
     val few = Seq("q_a" -> 1.0, "q_b" -> 2.5)
     val maxes = Seq("q_a" -> 1.2, "q_b" -> 9.9)
+    val env = Seq(("ts_start", "2026-08-13T10:00:00Z"),
+      ("load_start", "0.52 0.61 0.70 2/345 6789"),
+      ("ts_end", "2026-08-13T10:01:00Z"),
+      ("load_end", "1.10 0.75 0.71 1/345 6999"))
     val (printed, full) = Bench.metricLine(few, "/sf", maxes = maxes,
-      retimed = Seq("q_b:2.500(prior 0.500)"))
-    assert(!printed.contains("queries_max") && !printed.contains("retimed"),
+      retimed = Seq("q_b:2.500(prior 0.500)"), env = env)
+    assert(!printed.contains("queries_max") && !printed.contains("retimed") &&
+      !printed.contains("load_start"),
       "stdout line schema must not grow")
     assert(full.contains("\"queries_max\":{\"q_a\":1.200,\"q_b\":9.900}"))
     assert(full.contains("\"retimed\":[\"q_b:2.500(prior 0.500)\"]"))
@@ -61,6 +66,8 @@ class BenchMetricSpec extends AnyFunSuite {
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
     assert(parsed.path("queries_max").path("q_b").asDouble() == 9.9)
     assert(parsed.path("retimed").get(0).asText().startsWith("q_b:"))
+    assert(parsed.path("env").path("load_start").asText().startsWith("0.52"))
+    assert(parsed.path("env").path("ts_end").asText() == "2026-08-13T10:01:00Z")
   }
 
   test("ms formatting is locale-proof and plain-notation") {
