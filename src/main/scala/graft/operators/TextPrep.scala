@@ -9,8 +9,26 @@ import graft.functions.TextFunctions.tokens
   * (SURVEY.md §2.10 extensions): token-window chunking, token-budget
   * packing, PII redaction. All three are pure built-in-function
   * compositions — whole-stage codegen, no UDFs.
+  *
+  * The budget family ([[packByBudget]], [[quotaTrim]]) takes a pluggable
+  * `tokenCount: Column => Column` and [[chunkTokens]] a pluggable
+  * `tokenizer` — real training budgets are TOKENIZER tokens, not
+  * whitespace words. Defaults stay whitespace (the oracle-checked path);
+  * [[graft.functions.TextFunctions.bpeishCount]] /
+  * [[graft.functions.TextFunctions.bpeishTokens]] give a BPE
+  * pre-tokenizer approximation as a column expression. A FULL BPE (merge
+  * table + ranks) needs vocab files this sandbox cannot ship; the
+  * parameter is the seam a deployment plugs its tokenizer expression
+  * into (the [[Multimodal]] stub convention: plumbing real,
+  * heavyweight kernel injected).
   */
 object TextPrep {
+
+  /** Lowercased whitespace-token count — the default `tokenCount` of the
+    * budget family; exactly `size(`[[graft.functions.TextFunctions.tokens]]`)`
+    * (an INT, keeping the default path's output schema unchanged — a
+    * custom counter's result type flows through to `n_tokens` as-is). */
+  val whitespaceCount: Column => Column = c => size(tokens(c))
 
   /** Split each document into overlapping token-window chunks.
     *
@@ -19,19 +37,27 @@ object TextPrep {
     * with ≤ chunkSize tokens yields exactly one chunk. Output:
     * `(id, chunk_idx, chunk_text, n_chunk_tokens)`.
     *
+    * `tokenizer` maps the text column to the token array the windows
+    * slice over (default whitespace; e.g.
+    * [[graft.functions.TextFunctions.bpeishTokens]]). Chunks rejoin with
+    * a single space, which for non-whitespace tokenizers whose pieces
+    * carry their own leading space (BPE-style) inserts one extra space at
+    * chunk seams — acceptable for training windows, documented here.
+    *
     * Scale: narrow map-side transform — tokenization, the chunk-count
     * arithmetic and the explode all happen in one codegen stage, no
     * shuffle; row growth is len/stride (bounded by the corpus token count,
     * the same budget the training job itself pays). */
   def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", chunkSize: Int = 128, overlap: Int = 16): DataFrame = {
+      textCol: String = "text", chunkSize: Int = 128, overlap: Int = 16,
+      tokenizer: Column => Column = tokens): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
     val nChunks = greatest(lit(1),
       ceil((col("n_toks") - lit(chunkSize)).cast("double") / lit(stride))
         .cast("int") + lit(1))
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    docs.select(col(idCol), tokenizer(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")))
       .select(col(idCol), col("toks"), col("n_toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
@@ -52,17 +78,21 @@ object TextPrep {
     * window function instead of a sequential first-fit scan (whose
     * reset-on-decision state no window can express).
     *
+    * `tokenCount` maps the text column to its token count (default
+    * whitespace; e.g. [[graft.functions.TextFunctions.bpeishCount]]).
+    *
     * Scale: one shuffle on the group key; packing within a group is
     * inherently ordered, so parallelism = number of groups — pick a group
     * key with enough cardinality (shard hash, date, source). */
   def packByBudget(docs: DataFrame, groupCol: Column, budget: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCount: Column => Column = whitespaceCount): DataFrame = {
     require(budget > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(idCol), groupCol.as("group"),
-      size(tokens(col(textCol))).as("n_tokens"))
+      tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("pack_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
       .select(col(idCol), col("group"), col("pack_id"), col("n_tokens"))
@@ -74,10 +104,11 @@ object TextPrep {
     * identity is (group, pack_id); determinism carries over because the
     * shard of a doc is a pure function of its id. */
   def packByBudgetSharded(docs: DataFrame, shards: Int, budget: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCount: Column => Column = whitespaceCount): DataFrame = {
     require(shards > 0)
     packByBudget(docs, pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int"),
-      budget, idCol, textCol)
+      budget, idCol, textCol, tokenCount)
   }
 
   /** Per-group token-budget quota: keep documents in deterministic
@@ -94,13 +125,14 @@ object TextPrep {
     * key, cumulative sum inside each window partition; parallelism = number
     * of groups, which for source/domain quotas is naturally large. */
   def quotaTrim(docs: DataFrame, groupCol: Column, budget: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCount: Column => Column = whitespaceCount): DataFrame = {
     require(budget > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(idCol), groupCol.as("group"),
-      size(tokens(col(textCol))).as("n_tokens"))
+      tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
       .select(col(idCol), col("group"), col("n_tokens"),

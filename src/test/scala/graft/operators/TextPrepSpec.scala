@@ -51,6 +51,39 @@ class TextPrepSpec extends SparkSuite {
     assert(got == Seq((1L, 0L, 4), (2L, 0L, 4), (3L, 0L, 4), (4L, 1L, 4)))
   }
 
+  test("pluggable tokenCount: bpeish counts drive pack and quota budgets") {
+    import graft.functions.TextFunctions.{bpeishCount, bpeishTokens}
+    // "a,b,c,d" is 1 whitespace token but 7 BPE-ish pieces (4 letter runs
+    // + 3 punctuation runs) — whitespace packing would never cut here
+    val docs = Seq(
+      (1L, "a,b,c,d"), (2L, "e,f,g,h"), (3L, "i,j,k,l")).toDF("doc_id", "text")
+    val packed = TextPrep.packByBudget(docs, lit("g"), budget = 10,
+      tokenCount = bpeishCount)
+      .orderBy($"doc_id").select($"doc_id", $"pack_id", $"n_tokens")
+      .as[(Long, Long, Int)].collect().toSeq
+    // exclusive cumsums 0, 7, 14 → packs 0, 0, 1
+    assert(packed == Seq((1L, 0L, 7), (2L, 0L, 7), (3L, 1L, 7)))
+    val whitespace = TextPrep.packByBudget(docs, lit("g"), budget = 10)
+      .select($"pack_id").as[Long].collect().toSet
+    assert(whitespace == Set(0L), "default counter unchanged: 1 token/doc")
+
+    val trimmed = TextPrep.quotaTrim(docs, lit("g"), budget = 10,
+      tokenCount = bpeishCount)
+      .orderBy($"doc_id").select($"doc_id", $"cum_tokens")
+      .as[(Long, Long)].collect().toSeq
+    // cum_before 0, 7 pass (< 10); doc 3 at 14 is cut
+    assert(trimmed == Seq((1L, 7L), (2L, 14L)))
+
+    // chunking over BPE-ish pieces: windows slice the piece array
+    val chunks = TextPrep.chunkTokens(Seq((1L, "aa bb cc dd")).toDF("doc_id", "text"),
+      chunkSize = 2, overlap = 0, tokenizer = bpeishTokens)
+      .orderBy($"chunk_idx").select($"chunk_text", $"n_chunk_tokens")
+      .as[(String, Int)].collect().toSeq
+    // pieces: "aa", " bb", " cc", " dd" (space-prefixed runs) → 2 windows
+    assert(chunks.map(_._2) == Seq(2, 2))
+    assert(chunks.head._1.contains("aa") && chunks.head._1.contains("bb"))
+  }
+
   test("packByBudget: groups pack independently") {
     val docs = Seq(
       (1L, "x", "a a a"), (2L, "x", "b b b"), (3L, "y", "c c c"))
