@@ -101,6 +101,46 @@ object ExtQueries {
       idx
     })
 
+  private val ingestReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the EXACT streamed-ingest path end-to-end, once per fixture
+    * dir: the documents table splits into 3 batches by `doc_id % 3` and
+    * feeds through [[graft.streaming.IngestStreams.dedupIngest]] — a real
+    * checkpointed `foreachBatch` streaming query over a MemoryStream,
+    * writing the durable hash index and admitted corpus — so the catalog
+    * face under the DuckDB oracle is the SAME code path production ingest
+    * runs, not a batch re-derivation. The MemoryStream feed is
+    * driver-local by nature (bounded: the sf fixture's documents); the
+    * per-batch processing is the distributed foreachBatch pipeline
+    * itself. Same first-touch-rebuild + md5(dir)+pid path contract as
+    * [[annIndexFixture]]. */
+  private def ingestReplayFixture(s: SparkSession, dir: String): String =
+    ingestReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_ingest_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.IngestStreams.dedupIngest(
+        src.toDF().toDF("doc_id", "text"),
+        s"$root/index", s"$root/corpus", s"$root/ckpt")
+      try (0 until 3).foreach { b =>
+        src.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val stagingScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -667,6 +707,19 @@ object ExtQueries {
         .select(col("doc_id"), col("n_dups"))
         .orderBy(col("doc_id"))
     }),
+
+    // the EXACT streamed-ingest path under the oracle gate: a 3-batch
+    // checkpointed foreachBatch replay (dedupIngest over a MemoryStream)
+    // whose final admitted corpus must equal DuckDB's dedup over the
+    // concatenated batches — survivor = min doc_id within the EARLIEST
+    // batch (doc_id % 3) holding the text. q_dedup_incremental checks one
+    // incremental step as a batch computation; this checks the streaming
+    // machinery itself: batch keys, durable index accumulation, and the
+    // cross-batch exclusion over three real micro-batches.
+    "q_ingest_exact_replay" -> ((s, dir) =>
+      s.read.parquet(s"${ingestReplayFixture(s, dir)}/corpus")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
 
     // synthesize deterministic PII into each doc so the redaction path is
     // exercised (the fixture corpus itself is clean)
@@ -1392,6 +1445,12 @@ object ExtQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id)
         |       AS INT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q_ingest_exact_replay" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
