@@ -17,12 +17,12 @@ import org.apache.spark.sql.types._
   *  3. that the full wrapper call path executes to provider resolution —
   *     i.e. the only missing piece is the connector jar itself.
   *
-  * Probe log (re-checked each round): 2026-08-13 (r8) — no `*kafka*`
+  * Probe log (re-checked each round): 2026-08-13 (r9) — no `*kafka*`
   * artifact anywhere in the coursier cache (`find /root/.cache/coursier
   * -iname '*kafka*'` → 0), no ivy cache, none of the 287 jars under
   * /opt/spark/jars is a kafka connector or client. Unchanged from prior
-  * rounds; a broker-backed round-trip test remains environmentally
-  * impossible here.
+  * rounds (r8 probe identical); a broker-backed round-trip test remains
+  * environmentally impossible here.
   */
 class KafkaContractSpec extends SparkSuite {
   import spark.implicits._
