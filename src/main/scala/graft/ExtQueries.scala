@@ -425,6 +425,23 @@ object ExtQueries {
           threshold = 0.35, maxBlock = None))
         .orderBy(col("id"))),
 
+    // incremental CC under the SAME oracle as q_cc_components: the label
+    // table of a base partition of the pair graph (both endpoints even),
+    // folded with the remaining (delta) pairs via Graph.incrementalCC,
+    // must equal a full recompute over the whole graph — which is exactly
+    // the recursive-CTE oracle, label VALUES included (the min-reachable-
+    // id agreement the operator's scaladoc promises)
+    "q_cc_components_inc" -> ((s, dir) => {
+      val pairs = Dedup.embeddingPairs(Tables.embeddings(s, dir),
+        blockCol = col("label"), threshold = 0.35, maxBlock = None)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isBase = col("id_a") % 2 === 0 && col("id_b") % 2 === 0
+      Graph.incrementalCC(
+        Graph.connectedComponents(pairs.filter(isBase)),
+        pairs.filter(!isBase))
+        .orderBy(col("id"))
+    }),
+
     // corpus dedup with exactly-one-survivor-per-transitive-cluster
     // semantics (CC over minhash pairs — sketch-seeded → rows-only;
     // selection semantics locked in DedupSpec/GraphSpec)
@@ -1657,6 +1674,26 @@ object ExtQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cc_components" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |        >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    // incremental face: base-partition labels + delta edges must land on
+    // the full recompute exactly — identical oracle by construction
+    "q_cc_components_inc" ->
       """WITH RECURSIVE v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pairs AS (
