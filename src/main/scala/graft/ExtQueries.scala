@@ -141,6 +141,44 @@ object ExtQueries {
       root
     })
 
+  private val corpusIncBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Standing corpus-dedup state for q_dedup_corpus_inc: the base
+    * partition's exact-hash index, minhash signature index, CC label
+    * table, and exact-survivor rows, written once per (process, fixture
+    * dir) — these are the tables a production incremental pipeline
+    * persists between batches ([[graft.operators.Dedup.signatureIndex]]
+    * scaladoc), so the catalog face reads them as parquet exactly as a
+    * daily job would, and repeated invocations time the per-batch fold
+    * rather than state reconstruction. Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. Sketch params
+    * here must match the query's (bands·rowsPerBand = 64). */
+  private def corpusIncFixture(s: SparkSession, dir: String): String =
+    corpusIncBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_corpus_inc_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 10 < 7)
+      val baseSurv = base.join(
+        Dedup.exact(base, "text", "doc_id").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hashIndex(base).write.parquet(s"$root/hash_idx")
+      Dedup.signatureIndex(baseSurv).write.parquet(s"$root/sig_idx")
+      Graph.connectedComponents(Dedup.minhashPairs(baseSurv,
+          bands = 32, rowsPerBand = 2, threshold = 0.5))
+        .write.parquet(s"$root/labels")
+      baseSurv.select(col("doc_id"), col("lang"), col("source"))
+        .write.parquet(s"$root/base_surv")
+      baseSurv.unpersist()
+      root
+    })
+
   private val stagingScratch =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -449,6 +487,40 @@ object ExtQueries {
       Dedup.dedupCorpusCC(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // the incremental end-to-end face of the same operator: STANDING
+    // exact/signature/label state over a base partition (built once per
+    // fixture dir — a standing index is built once and read many times,
+    // same contract as annIndexFixture, so repeated invocations measure
+    // the per-batch fold, which is the thing this face exists to track),
+    // one delta batch folded in via dedupCorpusCCInc, survivors derived
+    // from the updated labels exactly as dedupCorpusCC derives them.
+    // Delta ids are shifted strictly above base ids (the min-id survivor
+    // contract the operator documents), so union-corpus exact survivors
+    // = base survivors ∪ incrementalExact survivors of the delta — no
+    // full-corpus re-scan. Sketch-seeded → rows-only; inc ≡ batch parity
+    // over the unioned corpus (labels AND survivors) is property-tested
+    // in DedupSpec.
+    "q_dedup_corpus_inc" -> ((s, dir) => {
+      val fx = corpusIncFixture(s, dir)
+      val (bands, rows, thr) = (32, 2, 0.5)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 >= 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val hashIdx = s.read.parquet(s"$fx/hash_idx")
+      val updated = Dedup.dedupCorpusCCInc(delta, hashIdx,
+        s.read.parquet(s"$fx/sig_idx"), s.read.parquet(s"$fx/labels"),
+        bands = bands, rowsPerBand = rows, threshold = thr)
+      val deltaSurv = delta.join(
+        Dedup.incrementalExact(delta, hashIdx).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      s.read.parquet(s"$fx/base_surv")
+        .unionByName(deltaSurv.select(col("doc_id"), col("lang"), col("source")))
+        .join(updated.filter(col("id") =!= col("component"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- staged (100 TB-path) twins: the SAME queries routed through the
     // durable parquet staging path (Staging contract) instead of persist /
