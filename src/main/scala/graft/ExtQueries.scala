@@ -37,6 +37,29 @@ object ExtQueries {
   /** Shared by q_text_bm25's Spark and oracle sides: mixed-df query terms. */
   private val bm25Terms: Seq[String] = Seq("join", "vector", "checkpoint", "scan")
 
+  /** One oracle for both BM25 faces: `q_text_bm25` (from raw text) and
+    * `q_bm25_index` (from the standing postings index) project the same
+    * rational skeleton, so they share this SQL verbatim. */
+  private lazy val bm25OracleSql: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+       |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |       WHERE term IN ($inList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl)
+       |SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       |  1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) AS idf_arg,
+       |  (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+       |  (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+       |    (CAST(dl AS DOUBLE) /
+       |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS tf_norm
+       |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
+       |ORDER BY doc_id, term""".stripMargin
+  }
+
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
@@ -163,7 +186,10 @@ object ExtQueries {
         s"/tmp/graft_corpus_inc_${dirHash}_p${ProcessHandle.current().pid()}"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val base = Tables.documents(s, dir).filter(col("doc_id") % 10 < 7)
+      // 90/10 corpus/delta split: the regime the incremental face exists
+      // for (daily delta « standing corpus) — the fold's measured cost is
+      // then the per-batch price, not a half-corpus rebuild
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 10 < 9)
       val baseSurv = base.join(
         Dedup.exact(base, "text", "doc_id").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -504,15 +530,20 @@ object ExtQueries {
     "q_dedup_corpus_inc" -> ((s, dir) => {
       val fx = corpusIncFixture(s, dir)
       val (bands, rows, thr) = (32, 2, 0.5)
-      val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 >= 7)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 >= 9)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val hashIdx = s.read.parquet(s"$fx/hash_idx")
-      val updated = Dedup.dedupCorpusCCInc(delta, hashIdx,
-        s.read.parquet(s"$fx/sig_idx"), s.read.parquet(s"$fx/labels"),
-        bands = bands, rowsPerBand = rows, threshold = thr)
+      // exact dedup runs ONCE: the survivor rows feed both the fold (via
+      // deltaUniq — the operator then skips its internal recompute) and
+      // the survivor-set union below
       val deltaSurv = delta.join(
         Dedup.incrementalExact(delta, hashIdx).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val updated = Dedup.dedupCorpusCCInc(delta, hashIdx,
+        s.read.parquet(s"$fx/sig_idx"), s.read.parquet(s"$fx/labels"),
+        bands = bands, rowsPerBand = rows, threshold = thr,
+        deltaUniq = Some(deltaSurv))
       s.read.parquet(s"$fx/base_surv")
         .unionByName(deltaSurv.select(col("doc_id"), col("lang"), col("source")))
         .join(updated.filter(col("id") =!= col("component"))
@@ -906,6 +937,30 @@ object ExtQueries {
           col("idf_arg"), col("tf_norm"))
         .orderBy(col("doc_id"), col("term"))),
 
+    // the SAME scores served from the standing inverted index (postings +
+    // 1-row corpus stats) instead of raw text — the retrieval path at
+    // corpus scale reads only query-term postings; identical operation
+    // tree → bit-equal factors, so it shares q_text_bm25's oracle SQL
+    "q_bm25_index" -> ((s, dir) => {
+      val postings = TextAnalysis.postingsIndex(Tables.documents(s, dir))
+      TextAnalysis.bm25FromIndex(postings,
+          TextAnalysis.corpusStats(postings), bm25Terms)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          col("idf_arg"), col("tf_norm"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // standing df statistic + one delta fold (disjoint-id contract): the
+    // merged index must equal full-corpus df exactly — hash-gated against
+    // DuckDB computing df over ALL documents in one shot
+    "q_text_df_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 10 < 7)
+      val delta = docs.filter(col("doc_id") % 10 >= 7)
+      TextAnalysis.incrementalDf(TextAnalysis.dfIndex(base), delta)
+        .orderBy(col("term"))
+    }),
+
     // ordered funnel conversion over the event log: stage k counts users
     // with a step-k event strictly after their stage-(k-1) time; ts
     // compared in epoch MICROS on both engines (unix_micros here,
@@ -1157,25 +1212,18 @@ object ExtQueries {
     // identical rational operation tree to the Spark side: avgdl as ONE
     // division, then dl/avgdl — basic IEEE ops are bit-portable; the ln
     // composition is deliberately NOT compared (see the Spark-side note)
-    "q_text_bm25" -> {
-      val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    "q_text_bm25" -> bm25OracleSql,
+
+    // identical result served from the standing postings index — same SQL
+    "q_bm25_index" -> bm25OracleSql,
+
+    // full-corpus per-term document frequency; the Spark side computes it
+    // as a standing base index + one delta fold (disjoint ids → additive)
+    "q_text_df_inc" ->
       s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
-         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |       WHERE term IN ($inList) GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |c AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl)
-         |SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
-         |  1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |      / (CAST(df AS DOUBLE) + 0.5) AS idf_arg,
-         |  (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-         |  (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-         |    (CAST(dl AS DOUBLE) /
-         |      (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS tf_norm
-         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), c
-         |ORDER BY doc_id, term""".stripMargin
-    },
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |SELECT term, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY term ORDER BY term""".stripMargin,
 
     // per-source line df vs doc counts, boilerplate anti-joined away,
     // docs rebuilt in line order

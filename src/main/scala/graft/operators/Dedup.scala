@@ -170,12 +170,17 @@ object Dedup {
       sigIndex: DataFrame, prevLabels: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000,
-      stagingDir: Option[String] = None): DataFrame = {
+      stagingDir: Option[String] = None,
+      deltaUniq: Option[DataFrame] = None): DataFrame = {
     // exact-unique delta docs: batch-internal survivors minus corpus keys;
-    // staged — read by the signature pass AND (via pairs) the CC rounds
-    val uniq = stage(delta.join(
+    // staged — read by the signature pass AND (via pairs) the CC rounds.
+    // A pipeline that has already run [[incrementalExact]] on this batch
+    // (exact dedup precedes near-dup in every standing ingest flow) hands
+    // the survivor ROWS in via `deltaUniq` instead of paying the
+    // aggregation again; the value must equal this default computation.
+    val uniq = stage(deltaUniq.getOrElse(delta.join(
       incrementalExact(delta, hashIdx, textCol, idCol).select(col(idCol)),
-      Seq(idCol), "left_semi"), stagingDir, "inc_exact_survivors")
+      Seq(idCol), "left_semi")), stagingDir, "inc_exact_survivors")
     val pairs = incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
       bands, rowsPerBand, threshold, maxBucket)
     Graph.incrementalCC(prevLabels, pairs, srcCol = "id_a", dstCol = "id_b",

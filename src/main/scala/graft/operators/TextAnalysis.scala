@@ -119,6 +119,37 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Standing document-frequency index: (term, df) over the corpus — the
+    * statistic every idf-weighted scorer ([[tfidf]], [[bm25]]) needs, made
+    * persistable so scoring never re-tokenizes the corpus.
+    *
+    * Scale: one explode pass over the text, one term-keyed aggregation;
+    * the output is narrow (string, long). At cluster scale write it
+    * partitioned/bucketed by a term hash so [[incrementalDf]] merges and
+    * scorer lookups prune to touched buckets. */
+  def dfIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+
+  /** Fold a delta batch into a standing [[dfIndex]]: per-term df counts
+    * are additive when the delta's doc ids are DISJOINT from the indexed
+    * corpus (the same contract as [[Dedup.incrementalExact]] — each doc
+    * is ingested exactly once), so the merge is a union of narrow
+    * (term, long) rows + one term-keyed sum. The delta's TEXT is
+    * tokenized once; the standing corpus's text is never re-read — the
+    * O(corpus) explode happens only at index build.
+    *
+    * Equals `dfIndex(base ∪ delta)` exactly (property-tested in
+    * TextAnalysisSpec); hash-gated end-to-end as `q_text_df_inc`. */
+  def incrementalDf(index: DataFrame, delta: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    index.select(col("term"), col("df"))
+      .unionByName(dfIndex(delta, idCol, textCol))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
+
   /** Benchmark-contamination check (decontamination): per document, how
     * many of its distinct k-gram hashes appear anywhere in `benchmark` —
     * the standard eval-set leak detector run before training.
@@ -311,6 +342,71 @@ object TextAnalysis {
     tf.join(dl, Seq(idCol))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(corpus))
+      .withColumn("idf_arg",
+        lit(1.0d) + (nD - dfD + lit(0.5d)) / (dfD + lit(0.5d)))
+      .withColumn("tf_norm",
+        (tfD * (lit(k1) + lit(1.0d))) /
+          (tfD + lit(k1) * (lit(1.0d) - lit(b) +
+            lit(b) * (col("dl").cast("double") / avgdl))))
+      .withColumn("score", log(col("idf_arg")) * col("tf_norm"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"),
+        col("idf_arg"), col("tf_norm"), col("score"))
+  }
+
+  /** Standing inverted-index postings: (idCol, term, tf, dl) — one row
+    * per (doc, distinct term), carrying the doc's token length. Built with
+    * one explode pass + one (doc, term) aggregation + a narrow doc-keyed
+    * join for dl. This is the relation a retrieval/attribution pipeline
+    * persists so per-query scoring ([[bm25FromIndex]]) never re-reads
+    * corpus text.
+    *
+    * Scale: write partitioned/bucketed by a term hash — query-term
+    * scoring then prunes to the touched buckets. Under the disjoint-id
+    * ingest contract the index is APPEND-ONLY: folding a delta batch is
+    * `index.unionByName(postingsIndex(delta))` — no merge aggregation at
+    * all, which is why no dedicated incremental operator exists for it. */
+  def postingsIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq(idCol))
+  }
+
+  /** Corpus-level stats (n_docs, total_dl) from a [[postingsIndex]] — the
+    * 1-row relation [[bm25FromIndex]] broadcasts. Both fields are sums, so
+    * a standing copy folds a delta additively (stats(base ∪ delta) =
+    * field-wise sum); recomputing from the index as here costs one pass
+    * over narrow (id, dl) rows, never text. */
+  def corpusStats(postings: DataFrame, idCol: String = "doc_id"): DataFrame =
+    postings.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  /** [[bm25]] served from a standing [[postingsIndex]] + [[corpusStats]]
+    * instead of raw text — the retrieval path at corpus scale: the only
+    * data read is the query terms' postings (partition-pruned when the
+    * index is term-bucketed) plus a 1-row broadcast; corpus text is never
+    * touched. Per-term df is counted from the filtered postings, which
+    * equals [[bm25]]'s df because both count one row per (doc, term).
+    *
+    * The arithmetic is the IDENTICAL operation tree as [[bm25]] over the
+    * same integer counts, so results are bit-equal (asserted in
+    * TextAnalysisSpec), and the rational factors hash-gate against the
+    * same oracle SQL as `q_text_bm25` (the `ln` caveat there applies to
+    * `score` here too). */
+  def bm25FromIndex(postings: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qset = array(queryTerms.distinct.map(lit): _*)
+    val tf = postings.filter(array_contains(qset, col("term")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val avgdl = col("total_dl").cast("double") / nD
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
       .withColumn("idf_arg",
         lit(1.0d) + (nD - dfD + lit(0.5d)) / (dfD + lit(0.5d)))
       .withColumn("tf_norm",

@@ -335,6 +335,19 @@ class DedupSpec extends SparkSuite {
     assert(updated.exists { case (id, c) => id != c },
       "fixture should merge at least one cluster")
 
+    // handing pre-computed exact survivors in via deltaUniq (the
+    // exact-dedup-already-ran pipeline shape) must change nothing
+    val preUniq = deltaDocs.join(
+      Dedup.incrementalExact(deltaDocs, Dedup.hashIndex(baseDocs))
+        .select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val viaParam = Dedup.dedupCorpusCCInc(deltaDocs,
+      Dedup.hashIndex(baseDocs), Dedup.signatureIndex(baseSurvivors),
+      prevLabels, bands = bands, rowsPerBand = rows, threshold = thr,
+      deltaUniq = Some(preUniq))
+      .as[(Long, Long)].collect().toMap
+    assert(viaParam == updated)
+
     // and the derived survivor set must match the batch operator exactly
     val incSurvivors = fullSurvivors.join(
       updated.toSeq.toDF("doc_id", "component")

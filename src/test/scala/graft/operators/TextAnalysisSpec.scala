@@ -155,6 +155,59 @@ class TextAnalysisSpec extends SparkSuite {
       s"got ${got((4L, "vector"))._2} expected $expected")
   }
 
+  test("dfIndex/incrementalDf: delta fold equals full recompute, chains, identity on empty") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("join", "hash", "scan", "row", "filter", "merge", "pad")
+    def doc(id: Long) =
+      (id, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val base = (0L until 20L).map(doc).toDF("doc_id", "text")
+    val d1 = (100L until 110L).map(doc).toDF("doc_id", "text")
+    val d2 = (200L until 205L).map(doc).toDF("doc_id", "text")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"term").as[(String, Long)].collect().toSeq
+
+    val idx = TextAnalysis.dfIndex(base)
+    // one fold ≡ recompute over the union
+    assert(rows(TextAnalysis.incrementalDf(idx, d1)) ==
+      rows(TextAnalysis.dfIndex(base.unionByName(d1))))
+    // chained folds ≡ one recompute over everything
+    val chained = TextAnalysis.incrementalDf(TextAnalysis.incrementalDf(idx, d1), d2)
+    assert(rows(chained) ==
+      rows(TextAnalysis.dfIndex(base.unionByName(d1).unionByName(d2))))
+    // empty delta is the identity
+    assert(rows(TextAnalysis.incrementalDf(idx, d1.filter($"doc_id" < 0L))) == rows(idx))
+  }
+
+  test("postingsIndex/bm25FromIndex: served scores bit-equal to bm25 from raw text") {
+    val df = Seq(
+      (1L, "join join join scan filter"),
+      (2L, "join " + ("pad " * 40).trim),
+      (3L, "scan filter merge row"),
+      (4L, "vector index probe")).toDF("doc_id", "text")
+    val postings = TextAnalysis.postingsIndex(df)
+    // index shape: one row per (doc, distinct term), dl = token count
+    val p = postings.as[(Long, String, Long, Long)].collect()
+    assert(p.map(r => (r._1, r._2)).distinct.length == p.length)
+    assert(p.filter(_._1 == 1L).forall(_._4 == 5L))
+    assert(p.filter(_._1 == 2L).forall(_._4 == 41L))
+    val q = Seq("join", "vector")
+    val batch = TextAnalysis.bm25(df, q).orderBy($"doc_id", $"term").collect().toSeq
+    val served = TextAnalysis.bm25FromIndex(postings,
+        TextAnalysis.corpusStats(postings), q)
+      .orderBy($"doc_id", $"term").collect().toSeq
+    // Row equality on java.lang.Double is bits-based — this asserts the
+    // factors AND the composed ln score are bit-identical, not just close
+    assert(served == batch)
+    // append-only ingest: postings over base ∪ delta == union of postings
+    val basePart = df.filter($"doc_id" <= 2L)
+    val deltaPart = df.filter($"doc_id" > 2L)
+    assert(TextAnalysis.postingsIndex(basePart)
+      .unionByName(TextAnalysis.postingsIndex(deltaPart))
+      .orderBy($"doc_id", $"term").collect().toSeq ==
+      postings.orderBy($"doc_id", $"term").collect().toSeq)
+  }
+
   test("oovRate: vocab boundary deterministic, rates exact, in-vocab doc zero") {
     val df = Seq(
       (1L, "aa aa aa bb bb cc"),  // counts: aa=3, bb=2, cc=1
