@@ -60,6 +60,16 @@ object ExtQueries {
        |ORDER BY doc_id, term""".stripMargin
   }
 
+  /** One oracle for both df-statistic faces: `q_text_df_inc` (standing
+    * index + one batch-mode delta fold) and `q_df_ingest_replay` (the
+    * STREAMED 3-batch maintenance path) must each land on DuckDB's df
+    * over the whole corpus computed in one shot. */
+  private lazy val dfOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+       |           FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |SELECT term, count(DISTINCT doc_id) AS df
+       |FROM t GROUP BY term ORDER BY term""".stripMargin
+
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
@@ -161,6 +171,18 @@ object ExtQueries {
         src.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      // the df-statistic ingest over the SAME 3-batch split (its own
+      // stream + checkpoint): q_df_ingest_replay reads the accumulated
+      // batch partitions back as the standing term-keyed sum
+      val dfSrc =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val dq = graft.streaming.IngestStreams.dfIngest(
+        dfSrc.toDF().toDF("doc_id", "text"),
+        s"$root/df_index", s"$root/df_ckpt")
+      try (0 until 3).foreach { b =>
+        dfSrc.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        dq.processAllAvailable()
+      } finally dq.stop()
       root
     })
 
@@ -841,6 +863,15 @@ object ExtQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // the STREAMED df-index maintenance path under the oracle gate: the
+    // same 3-batch replay feeds dfIngest, and the standing statistic read
+    // back from the accumulated batch partitions must equal DuckDB's df
+    // over the whole corpus in one shot (same oracle SQL as q_text_df_inc)
+    "q_df_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readDfIndex(s,
+          s"${ingestReplayFixture(s, dir)}/df_index")
+        .orderBy(col("term"))),
+
     // synthesize deterministic PII into each doc so the redaction path is
     // exercised (the fixture corpus itself is clean)
     "q_pii_redact" -> ((s, dir) =>
@@ -1219,11 +1250,10 @@ object ExtQueries {
 
     // full-corpus per-term document frequency; the Spark side computes it
     // as a standing base index + one delta fold (disjoint ids → additive)
-    "q_text_df_inc" ->
-      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
-         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents))
-         |SELECT term, count(DISTINCT doc_id) AS df
-         |FROM t GROUP BY term ORDER BY term""".stripMargin,
+    "q_text_df_inc" -> dfOracleSql,
+
+    // same statistic, maintained by the streamed 3-batch dfIngest replay
+    "q_df_ingest_replay" -> dfOracleSql,
 
     // per-source line df vs doc counts, boilerplate anti-joined away,
     // docs rebuilt in line order

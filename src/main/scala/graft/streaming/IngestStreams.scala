@@ -391,6 +391,72 @@ object IngestStreams {
     }
   }
 
+  /** Streaming maintenance of a standing document-frequency index —
+    * [[graft.operators.TextAnalysis.dfIndex]] kept fresh by a stream, the
+    * statistic the idf-weighted scorers read. Each micro-batch's per-term
+    * df lands as its OWN batch-keyed partition: df is additive under the
+    * disjoint-id ingest contract (each doc ingested exactly once, the
+    * [[dedupIngest]] convention), so the index is APPEND-ONLY and the
+    * standing statistic is the read-time term-keyed sum ([[readDfIndex]]).
+    * No read-modify-write of standing state ever happens — which is what
+    * makes exactly-once the same batch-key dynamic-partition overwrite as
+    * [[dedupIngest]]: a crash-and-replay of batch N rewrites exactly batch
+    * N's partition with identical deterministic content.
+    *
+    * Scale: per batch, one explode of the BATCH's text + one term-keyed
+    * aggregation; corpus text is never re-read and the index carries
+    * narrow (term, long) rows. Batch partitions accumulate — fold them
+    * with [[compactDfIndex]]; at 100 TB bucket the compacted table by a
+    * term hash so scorer lookups and later compactions prune. */
+  def dfIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          graft.operators.TextAnalysis.dfIndex(batch, idCol, textCol),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing df statistic of a [[dfIngest]] index: term-keyed sum
+    * across batch partitions. Equals `TextAnalysis.dfIndex` over the
+    * concatenated batches — gated end-to-end through a 3-batch replay as
+    * `q_df_ingest_replay` (✓ hash vs DuckDB full-corpus df). An
+    * absent/empty directory is the empty corpus. */
+  def readDfIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
+    else
+      spark.read.parquet(indexDir)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+  }
+
+  /** Sum-preserving compaction of a [[dfIngest]] index: pre-aggregates
+    * every batch partition into one `compacted` partition in a FRESH
+    * directory. Unlike [[compactIndex]] (content-identical rewrite), rows
+    * here MERGE — but [[readDfIndex]] over the result is unchanged (a sum
+    * of sums), asserted in IngestStreamsSpec. The [[compactIndex]] resume
+    * caveat applies identically: point resumed streams at the new
+    * directory with a new checkpoint and pinned [[resumeOffsets]]. */
+  def compactDfIndex(spark: SparkSession, indexDir: String,
+      outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(s: String) = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(outDir) != qualified(indexDir),
+      "compactDfIndex writes a fresh directory")
+    readDfIndex(spark, indexDir)
+      .withColumn("batch_key", lit("compacted"))
+      .write.mode("overwrite").partitionBy("batch_key").parquet(outDir)
+  }
+
   /** Offsets to pin when resuming a stream on a NEW checkpoint — the
     * compact-then-resume recipe (the [[compactIndex]] resume caveat) made
     * mechanical: reads the OLD checkpoint's commit log, finds the last

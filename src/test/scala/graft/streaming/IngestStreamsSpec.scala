@@ -63,6 +63,54 @@ class IngestStreamsSpec extends SparkSuite {
     assert(out2 == Set(1L, 2L, 5L, 8L), s"got $out2")
   }
 
+  test("dfIngest: streamed df index equals batch dfIndex; compaction sum-preserving; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("dfingest").toString
+    val (indexDir, ckpt) = (s"$dir/df_idx", s"$dir/ckpt")
+
+    // empty directory = empty corpus
+    assert(IngestStreams.readDfIndex(spark, indexDir).count() == 0L)
+
+    val src = MemoryStream[(Long, String)]
+    val q = IngestStreams.dfIngest(
+      src.toDF().toDF("doc_id", "text"), indexDir, ckpt)
+    src.addData((1L, "join hash join"), (2L, "hash scan"))
+    q.processAllAvailable()
+    src.addData((3L, "join row"), (4L, "scan scan filter"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"term").as[(String, Long)].collect().toSeq
+    val all = Seq((1L, "join hash join"), (2L, "hash scan"),
+      (3L, "join row"), (4L, "scan scan filter")).toDF("doc_id", "text")
+    val expected = rows(graft.operators.TextAnalysis.dfIndex(all))
+    assert(rows(IngestStreams.readDfIndex(spark, indexDir)) == expected)
+    // spot value: 'join' in docs 1 and 3, df counts docs not occurrences
+    assert(expected.toMap.apply("join") == 2L)
+
+    // compaction folds batch partitions; the read-back statistic is bit-identical
+    IngestStreams.compactDfIndex(spark, indexDir, s"$dir/df_compact")
+    assert(rows(IngestStreams.readDfIndex(spark, s"$dir/df_compact")) == expected)
+    // and genuinely pre-aggregated: one partition, one row per term
+    val compacted = spark.read.parquet(s"$dir/df_compact")
+    assert(compacted.select($"batch_key").distinct().as[String].collect()
+      .toSeq == Seq("compacted"))
+    assert(compacted.count() == expected.size.toLong)
+
+    // the index survives the query: a NEW stream over the same dir keeps
+    // accumulating (append-only batch partitions, disjoint ids)
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = IngestStreams.dfIngest(
+      src2.toDF().toDF("doc_id", "text"), indexDir, s"$dir/ckpt2")
+    src2.addData((5L, "filter merge"))
+    q2.processAllAvailable()
+    q2.stop()
+    val all2 = all.union(Seq((5L, "filter merge")).toDF("doc_id", "text"))
+    assert(rows(IngestStreams.readDfIndex(spark, indexDir)) ==
+      rows(graft.operators.TextAnalysis.dfIndex(all2)))
+  }
+
   test("dedupIngest minhash: streamed signature index and pairs match batch semantics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("ingest_mh").toString
