@@ -398,8 +398,11 @@ object TextAnalysis {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val qset = array(queryTerms.distinct.map(lit): _*)
-    val tf = postings.filter(array_contains(qset, col("term")))
+    // isin, not array_contains: an In predicate reaches the parquet scan
+    // as a pushed filter (row-group stats skip non-matching groups on a
+    // term-sorted index) — array_contains over a literal array never
+    // pushes. Plan-guarded in PlanInvariantsSpec.
+    val tf = postings.filter(col("term").isin(queryTerms.distinct: _*))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nD = col("n_docs").cast("double")
     val tfD = col("tf").cast("double")

@@ -122,6 +122,25 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("bm25FromIndex: query-term In predicate reaches the postings parquet scan") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("postings").toString
+    graft.operators.TextAnalysis.postingsIndex(docs)
+      .write.mode("overwrite").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val df = graft.operators.TextAnalysis.bm25FromIndex(postings,
+      graft.operators.TextAnalysis.corpusStats(postings), Seq("join", "scan"))
+    val p = df.queryExecution.executedPlan.toString
+    // isin → In filter at the scan (row-group skipping on a term-sorted
+    // index); array_contains would leave the scan unfiltered
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      s"query-term filter must reach the scan:\n${p.take(2000)}")
+    // per-term df and the 1-row corpus stats ride broadcasts — the only
+    // shuffle-joining relation would be the postings themselves
+    assert(!p.contains("SortMergeJoin"),
+      s"df/stats sides must broadcast:\n${p.take(2000)}")
+  }
+
   test("q_vocab_oov: bounded vocab broadcasts into the membership anti-join") {
     val p = plan("q_vocab_oov")
     assert(p.contains("topk_by_ord"),
