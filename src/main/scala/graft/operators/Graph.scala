@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed connected components over an undirected edge set — the
   * principled clustering step for transitive near-duplicate groups (the
@@ -53,10 +54,25 @@ object Graph {
     * @throws IllegalStateException if `maxIter` rounds don't converge —
     *   the O(log² n) bound makes the default unreachable for any real
     *   graph, so non-convergence means the input is pathological.
-    */
+    * @param smallGraphThreshold when the CANONICAL edge set (distinct,
+    *   self-loops included) has at most this many rows, skip the
+    *   iterative convergence entirely: collect the edges and run one
+    *   driver-local union-find, then hand the labels back as a local
+    *   relation. Same output contract (min-reachable-id labels,
+    *   property-tested ≡ the iterative path in GraphSpec). Why: every
+    *   large-star/small-star round is a fixed number of Spark jobs, and
+    *   on a tiny graph — the common case for [[incrementalCC]]'s
+    *   contracted delta-label graph in a daily-ingest pipeline — the
+    *   ~log² rounds are almost pure job-scheduling overhead. 100k edge
+    *   rows is ≲ a few MB on the driver, the same bounded-collect class
+    *   as PQ codebook training. The count that takes the decision reads
+    *   the already-materialized canonical set (one cheap metadata-ish
+    *   scan), never the caller's mining lineage. Set 0 to force the
+    *   iterative path (specs do, to pin its semantics independently). */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 50,
-      stagingDir: Option[String] = None): DataFrame = {
+      stagingDir: Option[String] = None,
+      smallGraphThreshold: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
 
     // canonical orientation big → small. Truncation happens BEFORE the
@@ -69,10 +85,27 @@ object Graph {
       greatest(col(srcCol), col(dstCol)).as("u"),
       least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-    val canon = stagingDir match {
-      case Some(dir) => Staging.stageAt(canonRaw, dir, "cc_canon")._1
-      case None      => canonRaw.localCheckpoint()
+    val (canon, canonPath) = stagingDir match {
+      case Some(dir) =>
+        val (df, path) = Staging.stageAt(canonRaw, dir, "cc_canon")
+        (df, Some(path))
+      case None => (canonRaw.localCheckpoint(), None)
     }
+
+    // small-graph fast path: the canonical set is materialized, so this
+    // count is one cheap narrow scan — no re-execution of the caller's
+    // mining lineage — and on a hit the whole multi-round convergence
+    // below collapses into one driver-local union-find
+    val idType = canon.schema("u").dataType
+    if (smallGraphThreshold > 0 && driverOrderable(idType) &&
+        canon.count() <= smallGraphThreshold) {
+      val labels = driverCC(spark, canon.collect(), idType)
+      // nothing references the staged canonical set anymore (the labels
+      // are a local relation) — retire it now instead of at caller-delete
+      canonPath.foreach(Staging.drop(spark, _))
+      return labels
+    }
+
     var e = canon.filter(col("u") =!= col("v"))
     // staged path of the PREVIOUS round — safe to delete the moment the
     // current round's table is on disk (nothing reads it after that)
