@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // dogfood the graft optimizer rule: every window-shaped catalog query
       // exercises RewriteWindowTopK under the same timings the judge reads

@@ -16,6 +16,7 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same extensions as Verify/Bench — the audited plan is the plan
       // the gates actually run (q_topk_window pin honored below)

@@ -566,11 +566,10 @@ object ExtQueries {
         s.read.parquet(s"$fx/sig_idx"), s.read.parquet(s"$fx/labels"),
         bands = bands, rowsPerBand = rows, threshold = thr,
         deltaUniq = Some(deltaSurv))
-      s.read.parquet(s"$fx/base_surv")
-        .unionByName(deltaSurv.select(col("doc_id"), col("lang"), col("source")))
-        .join(updated.filter(col("id") =!= col("component"))
-            .select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+      Dedup.survivorsFromLabels(
+        s.read.parquet(s"$fx/base_surv")
+          .unionByName(deltaSurv.select(col("doc_id"), col("lang"), col("source"))),
+        updated)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -582,12 +581,18 @@ object ExtQueries {
     // temp dirs (harness-local; a cluster run points stagingDir at HDFS/S3).
 
     // durable-round CC (fault-tolerant lineage truncation): hash-checked
-    // against the same recursive-CTE oracle as q_cc_components
+    // against the same recursive-CTE oracle as q_cc_components.
+    // smallGraphThreshold = 0 PINS this face to the iterative
+    // large-star/small-star convergence: q_cc_components{,_inc} take the
+    // driver-local fast path at oracle scale, so this is the catalog row
+    // that keeps the distributed path itself under the DuckDB gate
+    // (fast ≡ iterative is additionally property-tested in GraphSpec)
     "q_cc_components_staged" -> ((s, dir) =>
       Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
           threshold = 0.35, maxBlock = None),
-        stagingDir = Some(tempStagingDir("graft-stg-cc", dir)))
+        stagingDir = Some(tempStagingDir("graft-stg-cc", dir)),
+        smallGraphThreshold = 0L)
         .orderBy(col("id"))),
 
     // staged one-pass corpus dedup (signatures + survivors as parquet
@@ -992,6 +997,21 @@ object ExtQueries {
         .orderBy(col("term"))
     }),
 
+    // re-ingest guard face: the delta OVERLAPS the indexed base
+    // (doc_id % 10 == 6 rows are in both — an at-least-once source
+    // redelivering a batch); Dedup.guardReingest drops the roster hits, so
+    // the additive fold keeps the disjoint-id contract and the merged
+    // index equals full-corpus df (same oracle as q_text_df_inc). Without
+    // the guard the overlap double-counts — locked in TextAnalysisSpec.
+    "q_text_df_guard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 10 < 7)
+      val delta = docs.filter(col("doc_id") % 10 >= 6)
+      TextAnalysis.incrementalDf(TextAnalysis.dfIndex(base),
+        Dedup.guardReingest(delta, base))
+        .orderBy(col("term"))
+    }),
+
     // ordered funnel conversion over the event log: stage k counts users
     // with a step-k event strictly after their stage-(k-1) time; ts
     // compared in epoch MICROS on both engines (unix_micros here,
@@ -1251,6 +1271,7 @@ object ExtQueries {
     // full-corpus per-term document frequency; the Spark side computes it
     // as a standing base index + one delta fold (disjoint ids → additive)
     "q_text_df_inc" -> dfOracleSql,
+    "q_text_df_guard" -> dfOracleSql,
 
     // same statistic, maintained by the streamed 3-batch dfIngest replay
     "q_df_ingest_replay" -> dfOracleSql,

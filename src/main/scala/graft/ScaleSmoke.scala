@@ -69,8 +69,22 @@ object ScaleSmoke {
       graft.operators.Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir),
           blockCol = col("label"), threshold = 0.35, maxBlock = None),
-        stagingDir = Some(scratch.toString))
+        stagingDir = Some(scratch.toString),
+        // pinned iterative: this row measures the durable-ROUND path's
+        // growth; the fast path has its own row below
+        smallGraphThreshold = 0L)
     }),
+    // r11: the small-graph fast path on the SAME input as cc_staged —
+    // the threshold-handoff evidence: while the canonical pair set stays
+    // under the threshold the whole convergence is one bounded driver
+    // union-find (cost ≈ the canon materialization it shares with the
+    // iterative path), and past it the cost continues on cc_staged's
+    // iterative curve. No cliff: both paths pay the same canon
+    // materialize+count first, the gate only picks what runs AFTER it.
+    "cc_fast" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.connectedComponents(
+        Dedup.embeddingPairs(Tables.embeddings(s, dir),
+          blockCol = col("label"), threshold = 0.35, maxBlock = None))),
     // r9: incremental CC — a bounded delta (pairs touching the 200
     // smallest vec_ids, ~constant as the corpus grows) folded into a
     // standing label table that grows 10× per step. The fold converges
@@ -118,6 +132,7 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

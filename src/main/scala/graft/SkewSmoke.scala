@@ -69,6 +69,7 @@ object SkewSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the dense_topk case stresses the REWRITTEN plan, not the window
       .withExtensions(new GraftExtensions)

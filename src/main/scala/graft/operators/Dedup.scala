@@ -65,7 +65,9 @@ object Dedup {
     * ingestion pipeline persists between batches — 8 bytes per corpus doc,
     * ~0.8 TB of index for 10¹¹ docs — so that deduplicating a new batch
     * ([[incrementalExact]]) never rescans corpus text, only joins this
-    * narrow relation. Same 64-bit-collision trade as [[exact]]. */
+    * narrow relation. Same 64-bit-collision trade as [[exact]].
+    * Appending a batch assumes each doc id arrives ONCE — front-door an
+    * at-least-once source through [[guardReingest]]. */
   def hashIndex(corpus: DataFrame, keyCol: String = "text"): DataFrame =
     corpus.select(xxhash64(col(keyCol)).as("key_hash")).distinct()
 
@@ -86,6 +88,30 @@ object Dedup {
     delta.groupBy(xxhash64(col(keyCol)).as("key_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .join(index, Seq("key_hash"), "left_anti")
+
+  /** Re-ingest guard — the front door that upholds the DISJOINT-ID
+    * contract every standing-index fold depends on ([[hashIndex]],
+    * [[signatureIndex]], [[TextAnalysis.incrementalDf]],
+    * [[TextAnalysis.postingsIndex]]): drop delta rows whose id the corpus
+    * has already ingested, by anti-joining against a persisted id roster
+    * (any relation carrying the ingested ids — the base corpus itself, a
+    * survivor table, or a dedicated 8-byte-per-doc id list).
+    *
+    * Why it exists: the folds are ADDITIVE (df counts sum, postings
+    * append, hash/signature rows union), so re-delivering a doc id —
+    * an at-least-once source replaying a batch, an upstream backfill —
+    * silently double-counts instead of erroring. Routing every delta
+    * through this guard makes the folds idempotent under redelivery:
+    * re-ingested rows are dropped, fresh rows pass untouched (the
+    * unguarded failure mode and this recovery are locked in
+    * TextAnalysisSpec; the df face is hash-gated as `q_text_df_guard`).
+    *
+    * Scale: an anti-join on narrow ids only — the delta side is one
+    * batch, so the roster probe broadcasts the delta's id partitions or
+    * sort-merges on the 8-byte key; corpus text is never read. */
+  def guardReingest(delta: DataFrame, roster: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    delta.join(roster.select(col(idCol)), Seq(idCol), "left_anti")
 
   /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
     * text) then near-duplicates found by MinHash+LSH, keeping each pair's
@@ -132,11 +158,30 @@ object Dedup {
     val pairs = minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
       stagingDir = stagingDir)
-    val losers = Graph.connectedComponents(pairs, stagingDir = stagingDir)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+    survivorsFromLabels(exactSurvivors,
+      Graph.connectedComponents(pairs, stagingDir = stagingDir), idCol)
   }
+
+  /** Derive the surviving documents from a CC label table — the shared
+    * final step of [[dedupCorpusCC]] and of any incremental pipeline
+    * holding the standing labels from [[dedupCorpusCCInc]]: a doc loses
+    * iff it appears in the label table with a component other than itself
+    * (`id =!= component` ⇒ a smaller doc leads its transitive cluster);
+    * docs absent from the pair graph are implicitly singleton survivors
+    * (the [[Graph.connectedComponents]] convention).
+    *
+    * `exactSurvivors` is the exact-dedup survivor set the labels were
+    * mined over — for the incremental path, corpus survivors ∪ delta
+    * batch survivors (see `q_dedup_corpus_inc`).
+    *
+    * Scale: the loser side is O(near-dup docs) narrow ids — typically a
+    * small fraction of the corpus — so the anti-join broadcasts or
+    * shuffles only ids, never text. */
+  def survivorsFromLabels(exactSurvivors: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    exactSurvivors.join(
+      labels.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Incremental [[dedupCorpusCC]]: fold ONE ingest batch into the
     * standing dedup state without rescanning or re-converging the corpus.
@@ -227,7 +272,8 @@ object Dedup {
     * re-signing the corpus — at 100 TB the index is a few hundred bytes per
     * doc vs re-reading the text. Same (k, bands, rowsPerBand) must be used
     * on both sides; id spaces must be disjoint (caller contract, same as
-    * [[incrementalExact]]). */
+    * [[incrementalExact]] — enforceable at the front door via
+    * [[guardReingest]]). */
   def signatureIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame =

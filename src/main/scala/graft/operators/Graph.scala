@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed connected components over an undirected edge set — the
   * principled clustering step for transitive near-duplicate groups (the
@@ -40,6 +41,105 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** Hard ceiling on the effective [[connectedComponents]]
+    * `smallGraphThreshold`: even a caller asking for a bigger fast-path
+    * window never converts the distributed convergence into an unbounded
+    * driver collect. 1M canonical edge rows (two ids each) is tens of MB
+    * on the driver — the same bounded-collect class as PQ codebook
+    * training, and the largest graph where one local union-find still
+    * beats ~log² rounds of Spark job scheduling. */
+  val MaxSmallGraphThreshold: Long = 1000000L
+
+  /** Id types whose DRIVER ordering provably matches Spark's `min`/
+    * `least` ordering — the precondition for the small-graph fast path,
+    * whose labels must equal the iterative path's min-reachable-id labels
+    * value-for-value. Integral types order identically everywhere;
+    * strings are compared as UTF-8 bytes ([[driverCC]] uses
+    * [[UTF8String]]) because Java's `String.compareTo` is UTF-16
+    * code-unit order, which diverges from Spark's UTF-8 byte order for
+    * supplementary characters (locked by a GraphSpec vector). Anything
+    * else (decimal, date, binary, …) falls through to the iterative
+    * path rather than risk a label-value mismatch. */
+  private[graft] def driverOrderable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Driver-local connected components over an already-collected
+    * canonical edge set (≤ [[MaxSmallGraphThreshold]] rows by
+    * construction): union-find with path halving, then one pass labeling
+    * every node with the MINIMUM id reachable from it — the exact output
+    * contract of the iterative path (and of [[incrementalCC]]'s merge
+    * algebra, which depends on label VALUES being min node ids, not just
+    * on partition structure). Returns a local relation `(id, component)`
+    * with the same column names/types as the iterative path; self-loop
+    * rows label their node as its own singleton, same as there. */
+  private[graft] def driverCC(spark: SparkSession, edges: Array[Row],
+      idType: DataType): DataFrame = {
+    val ord: Ordering[Any] = idType match {
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+      }
+      case _ => new Ordering[Any] {
+        private def asLong(x: Any): Long = x match {
+          case b: Byte  => b.toLong
+          case s: Short => s.toLong
+          case i: Int   => i.toLong
+          case l: Long  => l
+          case other => throw new IllegalArgumentException(
+            s"driverCC: unexpected id value class ${other.getClass}")
+        }
+        def compare(a: Any, b: Any): Int =
+          java.lang.Long.compare(asLong(a), asLong(b))
+      }
+    }
+
+    // intern ids to dense indices
+    val index = new java.util.HashMap[Any, Integer](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any](edges.length)
+    def intern(x: Any): Int = {
+      val got = index.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; index.put(x, i); ids += x; i }
+    }
+    val us = new Array[Int](edges.length)
+    val vs = new Array[Int](edges.length)
+    var k = 0
+    while (k < edges.length) {
+      us(k) = intern(edges(k).get(0)); vs(k) = intern(edges(k).get(1)); k += 1
+    }
+
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    k = 0
+    while (k < edges.length) {
+      val (ra, rb) = (find(us(k)), find(vs(k)))
+      if (ra != rb) parent(ra) = rb
+      k += 1
+    }
+
+    // min reachable id per root, then label every node by its root's min
+    val minOf = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minOf(r) == null || ord.lt(ids(i), minOf(r))) minOf(r) = ids(i)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Row](n)
+    i = 0
+    while (i < n) { out.add(Row(ids(i), minOf(find(i)))); i += 1 }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
+  }
+
   /** Component label (= minimum reachable id) for every node that appears
     * in `edges`. Output: (id, component); nodes absent from the edge set
     * are the caller's to union in as their own singleton components.
@@ -68,7 +168,11 @@ object Graph {
     *   as PQ codebook training. The count that takes the decision reads
     *   the already-materialized canonical set (one cheap metadata-ish
     *   scan), never the caller's mining lineage. Set 0 to force the
-    *   iterative path (specs do, to pin its semantics independently). */
+    *   iterative path (specs do, to pin its semantics independently;
+    *   the catalog keeps `q_cc_components_staged` pinned there so the
+    *   distributed convergence stays under the oracle gate forever).
+    *   Capped at [[MaxSmallGraphThreshold]] regardless of the argument —
+    *   the fast path can never become an unbounded driver collect. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 50,
       stagingDir: Option[String] = None,
@@ -97,8 +201,9 @@ object Graph {
     // mining lineage — and on a hit the whole multi-round convergence
     // below collapses into one driver-local union-find
     val idType = canon.schema("u").dataType
-    if (smallGraphThreshold > 0 && driverOrderable(idType) &&
-        canon.count() <= smallGraphThreshold) {
+    val effThreshold = math.min(smallGraphThreshold, MaxSmallGraphThreshold)
+    if (effThreshold > 0 && driverOrderable(idType) &&
+        canon.count() <= effThreshold) {
       val labels = driverCC(spark, canon.collect(), idType)
       // nothing references the staged canonical set anymore (the labels
       // are a local relation) — retire it now instead of at caller-delete

@@ -142,7 +142,10 @@ object TextAnalysis {
     * O(corpus) explode happens only at index build.
     *
     * Equals `dfIndex(base ∪ delta)` exactly (property-tested in
-    * TextAnalysisSpec); hash-gated end-to-end as `q_text_df_inc`. */
+    * TextAnalysisSpec); hash-gated end-to-end as `q_text_df_inc`.
+    * The additive merge silently DOUBLE-COUNTS a re-delivered doc id —
+    * front-door at-least-once sources through [[Dedup.guardReingest]]
+    * (guarded face hash-gated as `q_text_df_guard`). */
   def incrementalDf(index: DataFrame, delta: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     index.select(col("term"), col("df"))
@@ -364,7 +367,9 @@ object TextAnalysis {
     * scoring then prunes to the touched buckets. Under the disjoint-id
     * ingest contract the index is APPEND-ONLY: folding a delta batch is
     * `index.unionByName(postingsIndex(delta))` — no merge aggregation at
-    * all, which is why no dedicated incremental operator exists for it. */
+    * all, which is why no dedicated incremental operator exists for it.
+    * A re-delivered doc id would duplicate its postings rows — front-door
+    * at-least-once sources through [[Dedup.guardReingest]]. */
   def postingsIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))

@@ -12,9 +12,26 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 class GraphSpec extends SparkSuite {
   import spark.implicits._
 
+  // smallGraphThreshold = 0 pins the ITERATIVE large-star/small-star
+  // path: every small fixture here would otherwise silently exercise only
+  // the driver-local fast path (default threshold 100k). The fast path
+  // has its own ≡-iterative property tests below.
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("id_a", "id_b"),
+      smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+
+  private def fastCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.connectedComponents(edges.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
+
+  /** True iff `df` came out of the driver-local fast path (a local
+    * relation); the iterative path's leaves are checkpoint/staging scans. */
+  private def usedFastPath(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+  }
 
   /** Local union-find reference. */
   private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -60,9 +77,10 @@ class GraphSpec extends SparkSuite {
       // long path forces many rounds — exercises the stage/drop rotation
       val edges = ((0L until 149L).map(i => (i, i + 1)) ++
         Seq((500L, 501L), (600L, 600L))).toDF("id_a", "id_b")
-      val default = Graph.connectedComponents(edges)
+      val default = Graph.connectedComponents(edges, smallGraphThreshold = 0L)
         .as[(Long, Long)].collect().toMap
-      val staged = Graph.connectedComponents(edges, stagingDir = Some(dir))
+      val staged = Graph.connectedComponents(edges, stagingDir = Some(dir),
+        smallGraphThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       assert(staged == default, "staged CC must equal the localCheckpoint path")
       val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
@@ -133,6 +151,71 @@ class GraphSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       ()
     }
+  }
+
+  test("property: fast path ≡ iterative path, label values included") {
+    // random graphs with self-loop-only nodes (singletons) and duplicate /
+    // reversed edges — the full row set must match, label VALUES included
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 30)
+      m <- Gen.chooseNum(1, 50)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) // a == b allowed: self-loops stay in
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(edgeGen) { edges =>
+      fastCC(edges) == cc(edges)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fast path string ids: UTF-8 byte order, not Java UTF-16 order") {
+    // U+FFFF ("￿") < U+1F600 ("😀") in UTF-8 byte order (Spark's
+    // UTF8String / the oracle's binary collation), but the REVERSE holds
+    // in Java String.compareTo (UTF-16 code units: D83D < FFFF). The fast
+    // path must agree with Spark, so the component label here is "￿".
+    val edges = Seq(("￿", "😀"), ("b", "a"), ("c", "c"))
+    def run(thr: Long): Map[String, String] =
+      Graph.connectedComponents(edges.toDF("id_a", "id_b"),
+        smallGraphThreshold = thr).as[(String, String)].collect().toMap
+    val fast = run(1000L)
+    assert(fast == run(0L), "fast ≡ iterative for string ids")
+    assert(fast("😀") == "￿",
+      "supplementary char must NOT win the min under UTF-8 order")
+    assert(fast == Map("￿" -> "￿", "😀" -> "￿",
+      "a" -> "a", "b" -> "a", "c" -> "c"))
+  }
+
+  test("threshold boundary: ≤ canonical count → local relation, below → iterative") {
+    // canonical set of (1,2),(2,1),(2,3),(3,3) = {(2,1),(3,2),(3,3)}: 3 rows
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L)).toDF("id_a", "id_b")
+    val at = Graph.connectedComponents(edges, smallGraphThreshold = 3L)
+    val below = Graph.connectedComponents(edges, smallGraphThreshold = 2L)
+    assert(usedFastPath(at), "count == threshold must take the fast path")
+    assert(!usedFastPath(below), "count > threshold must stay iterative")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    assert(at.as[(Long, Long)].collect().toMap == expected)
+    assert(below.as[(Long, Long)].collect().toMap == expected)
+  }
+
+  test("threshold is capped: Long.MaxValue request still bounded, same labels") {
+    val edges = Seq((7L, 3L), (3L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges, smallGraphThreshold = Long.MaxValue)
+    assert(usedFastPath(got), "small graph under a huge threshold: fast path")
+    assert(got.as[(Long, Long)].collect().toMap ==
+      Map(7L -> 3L, 3L -> 3L, 5L -> 3L, 9L -> 9L))
+  }
+
+  test("fast path refuses non-orderable id types (stays iterative)") {
+    // decimal ids: driver ordering is not certified → iterative path even
+    // though the graph is tiny
+    val edges = Seq((BigDecimal(1), BigDecimal(2))).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges)
+    assert(!usedFastPath(got))
+    assert(got.count() == 2L)
   }
 
   test("random graphs match a local union-find reference") {

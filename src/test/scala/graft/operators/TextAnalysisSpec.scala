@@ -179,6 +179,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows(TextAnalysis.incrementalDf(idx, d1.filter($"doc_id" < 0L))) == rows(idx))
   }
 
+  test("guardReingest: redelivered ids dropped, fold idempotent; unguarded double-counts") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("join", "hash", "scan", "row", "filter")
+    def doc(id: Long) =
+      (id, Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val base = (0L until 15L).map(doc).toDF("doc_id", "text")
+    val fresh = (100L until 108L).map(doc).toDF("doc_id", "text")
+    // an at-least-once source redelivers 5 base docs alongside the fresh ones
+    val redelivered = base.filter($"doc_id" < 5L).unionByName(fresh)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"term").as[(String, Long)].collect().toSeq
+
+    val idx = TextAnalysis.dfIndex(base)
+    val truth = rows(TextAnalysis.dfIndex(base.unionByName(fresh)))
+    // guarded fold: roster hits dropped → exactly the disjoint-fold result
+    val guarded = TextAnalysis.incrementalDf(idx,
+      Dedup.guardReingest(redelivered, base))
+    assert(rows(guarded) == truth)
+    // the failure mode the guard exists for: unguarded fold double-counts
+    // df for terms of the redelivered docs
+    assert(rows(TextAnalysis.incrementalDf(idx, redelivered)) != truth,
+      "unguarded re-ingest must deviate (else this guard face tests nothing)")
+    // disjoint delta passes through the guard untouched
+    assert(Dedup.guardReingest(fresh, base).count() == fresh.count())
+    // guarding the SAME batch twice is idempotent: second fold is identity
+    val again = TextAnalysis.incrementalDf(guarded,
+      Dedup.guardReingest(redelivered, base.unionByName(redelivered)))
+    assert(rows(again) == truth)
+  }
+
   test("postingsIndex/bm25FromIndex: served scores bit-equal to bm25 from raw text") {
     val df = Seq(
       (1L, "join join join scan filter"),

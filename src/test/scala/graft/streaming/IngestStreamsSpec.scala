@@ -174,6 +174,45 @@ class IngestStreamsSpec extends SparkSuite {
     // and the signature index kept growing
     assert(spark.read.parquet(s"$indexDir/signatures")
       .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L, 6L))
+
+    // compaction of the DEDUP index (hashes + signatures subdirs): one
+    // compacted partition each, content-identical read-back — the
+    // signature-index leg of the compactIndex contract (the embed/IVF leg
+    // has its own case below)
+    val compacted = s"$dir/idx2"
+    IngestStreams.compactIndex(spark, indexDir, compacted)
+    for (sub <- Seq("hashes", "signatures")) {
+      val c = spark.read.parquet(s"$compacted/$sub")
+      assert(c.select($"batch_key").distinct().as[String].collect()
+        .toSeq == Seq("compacted"), s"$sub must fold to one partition")
+    }
+    assert(spark.read.parquet(s"$compacted/signatures")
+      .select($"doc_id", $"sh", $"sig").as[(Long, Seq[Long], Seq[Long])]
+      .collect().toSet ==
+      spark.read.parquet(s"$indexDir/signatures")
+        .select($"doc_id", $"sh", $"sig").as[(Long, Seq[Long], Seq[Long])]
+        .collect().toSet, "signature rows survive compaction verbatim")
+    assert(spark.read.parquet(s"$compacted/hashes")
+        .select($"key_hash").as[Long].collect().sorted.toSeq ==
+      spark.read.parquet(s"$indexDir/hashes")
+        .select($"key_hash").as[Long].collect().sorted.toSeq,
+      "hash rows survive compaction verbatim")
+    // a fresh ingest against the COMPACTED index still rejects dups and
+    // mines pairs vs the standing corpus (resume caveat: new checkpoint)
+    val src3 = MemoryStream[(Long, String)]
+    val q3 = IngestStreams.dedupIngest(src3.toDF().toDF("doc_id", "text"),
+      compacted, outDir, s"$dir/ckpt3", minhash = Some(mh))
+    src3.addData((7L, base), (8L, base.replace("dog", "cat")))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(s"$compacted/hashes").count() >
+      spark.read.parquet(s"$indexDir/hashes").count() - 1,
+      "compacted index keeps accepting batches")
+    assert(spark.read.parquet(s"$compacted/signatures")
+      .select($"doc_id").as[Long].collect().toSet.contains(8L),
+      "fresh admit lands in the compacted index")
+    assert(!spark.read.parquet(outDir).select($"doc_id").as[Long]
+      .collect().contains(7L), "exact dup still rejected post-compaction")
   }
 
   test("embedIngest: durable IVF index, train-once centroids, ANN recall from index") {
