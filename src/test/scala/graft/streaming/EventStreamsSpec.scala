@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stream-stream windowed join semantics (Kafka Streams KStream-KStream
+  * join class — JoinWindows matching, grace-period lateness, left join's
+  * no-match emission) via MemoryStream micro-batches.
+  */
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("inner interval join matches the batch time-range join row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp, String)]
+    val actIn = MemoryStream[(Long, Timestamp, String)]
+    val errs = errIn.toDF().toDF("err_user", "err_ts", "err_kind")
+    val acts = actIn.toDF().toDF("user_id", "ts", "action")
+    val q = EventStreams.intervalJoin(errs, acts,
+      leftKey = "err_user", rightKey = "user_id",
+      leftTs = "err_ts", rightTs = "ts",
+      before = "0 seconds", after = "30 minutes",
+      watermarkDelay = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_inner")
+      .option("checkpointLocation", tmpDir("ckpt-ij"))
+      .start()
+    try {
+      // user 1: error at t=10, actions at t=20 (in window), t=50 (past it),
+      // t=5 (before it — JoinWindows before=0 excludes earlier rights);
+      // user 2: action at t=15 but no error → inner drops it
+      errIn.addData((1L, ts(10), "oom"))
+      actIn.addData((1L, ts(20), "retry"), (1L, ts(50), "login"),
+        (1L, ts(5), "click"), (2L, ts(15), "login"))
+      q.processAllAvailable()
+      val got = spark.table("ij_inner")
+        .select("err_user", "err_kind", "action").as[(Long, String, String)]
+        .collect().toSet
+      assert(got == Set((1L, "oom", "retry")))
+
+      // the batch join over the SAME rows and the SAME condition agrees —
+      // the stream-stream operator is the batch interval join plus state
+      val be = Seq((1L, ts(10), "oom")).toDF("err_user", "err_ts", "err_kind")
+      val ba = Seq((1L, ts(20), "retry"), (1L, ts(50), "login"),
+        (1L, ts(5), "click"), (2L, ts(15), "login"))
+        .toDF("user_id", "ts", "action")
+      val batch = be.join(ba,
+        col("err_user") === col("user_id") &&
+          col("ts") >= col("err_ts") && col("ts") <= col("err_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("err_user", "err_kind", "action").as[(Long, String, String)]
+        .collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("watermark evicts join state: a too-late right row never joins") {
+    implicit val sqlCtx = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp, String)]
+    val actIn = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.intervalJoin(
+      errIn.toDF().toDF("err_user", "err_ts", "err_kind"),
+      actIn.toDF().toDF("user_id", "ts", "action"),
+      leftKey = "err_user", rightKey = "user_id",
+      leftTs = "err_ts", rightTs = "ts",
+      before = "0 seconds", after = "30 minutes",
+      watermarkDelay = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_late")
+      .option("checkpointLocation", tmpDir("ckpt-ij-late"))
+      .start()
+    try {
+      errIn.addData((1L, ts(10), "oom"))
+      actIn.addData((9L, ts(10), "noise"))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the error's window: the left
+      // row's state (err_ts=10, window end 40, watermark horizon 45) is
+      // eviction-eligible everywhere
+      errIn.addData((8L, ts(500), "late-err"))
+      actIn.addData((9L, ts(500), "noise2"))
+      q.processAllAvailable()
+      // a matching action arrives NOW but with an in-window event time —
+      // it is late beyond the grace period, so it must NOT join (Kafka
+      // Streams: past the window's grace, the join state is gone)
+      actIn.addData((1L, ts(20), "too-late-retry"))
+      q.processAllAvailable()
+      assert(spark.table("ij_late").isEmpty)
+    } finally q.stop()
+  }
+
+  test("left-outer emits the null-padded row once the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp, String)]
+    val actIn = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.intervalJoin(
+      errIn.toDF().toDF("err_user", "err_ts", "err_kind"),
+      actIn.toDF().toDF("user_id", "ts", "action"),
+      leftKey = "err_user", rightKey = "user_id",
+      leftTs = "err_ts", rightTs = "ts",
+      before = "0 seconds", after = "30 minutes",
+      watermarkDelay = "5 minutes", joinType = "left_outer")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_outer")
+      .option("checkpointLocation", tmpDir("ckpt-ij-outer"))
+      .start()
+    try {
+      // user 1 error matched in-window; user 3 error never matched
+      errIn.addData((1L, ts(10), "oom"), (3L, ts(12), "disk"))
+      actIn.addData((1L, ts(20), "retry"))
+      q.processAllAvailable()
+      // matched row emits immediately; unmatched row must WAIT (a match
+      // could still arrive) — the KS left join's timing contract
+      val early = spark.table("ij_outer")
+        .select("err_user", "action").as[(Long, Option[String])].collect().toSet
+      assert(early == Set((1L, Some("retry"))))
+
+      // push the watermark past user 3's window end + delay on both sides
+      errIn.addData((8L, ts(500), "wm"))
+      actIn.addData((9L, ts(500), "wm"))
+      q.processAllAvailable()
+      actIn.addData((9L, ts(501), "wm2")) // second batch so the horizon propagates to state
+      q.processAllAvailable()
+      val fin = spark.table("ij_outer")
+        .select("err_user", "action").as[(Long, Option[String])].collect().toSet
+      assert(fin == Set((1L, Some("retry")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("shared column names are refused up front") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Long, Timestamp)].toDF().toDF("user_id", "ts")
+    val b = MemoryStream[(Long, Timestamp)].toDF().toDF("user_id", "ts2")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(a, b, "user_id", "user_id", "ts", "ts2")
+    }
+    assert(e.getMessage.contains("user_id"))
+  }
+}
