@@ -528,6 +528,23 @@ object ExtQueries {
         .orderBy(col("id"))
     }),
 
+    // quality survivor policy under the SAME exact pair graph + recursive-
+    // CTE closure as q_cc_components: per transitive cluster keep the
+    // member maximizing (score, then lowest id) — score here a
+    // deterministic proxy (vec_id % 7) since the fixture has no quality
+    // column; the policy arithmetic is what's under the gate
+    "q_cc_best_survivors" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.survivorsFromLabelsBy(
+        emb.select(col("vec_id"), col("label")),
+        Graph.connectedComponents(
+          Dedup.embeddingPairs(emb, blockCol = col("label"),
+            threshold = 0.35, maxBlock = None)),
+        ordCol = col("vec_id") % 7, idCol = "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // corpus dedup with exactly-one-survivor-per-transitive-cluster
     // semantics (CC over minhash pairs — sketch-seeded → rows-only;
     // selection semantics locked in DedupSpec/GraphSpec)
@@ -754,6 +771,15 @@ object ExtQueries {
     "q_mix_shares" -> ((s, dir) =>
       graft.operators.Sampling.mixToShares(
         Tables.documents(s, dir), col("lang"), mixWeights, col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // temperature (α = 0.5) mixing: shares ∝ n^α derived from the data —
+    // α pinned to the sqrt path so every rate op is IEEE-correctly-rounded
+    // in both engines (the operator's engine-portability contract)
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, dir), col("lang"), alpha = 0.5, col("doc_id"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
@@ -1444,6 +1470,20 @@ object ExtQueries {
          |ORDER BY d.doc_id""".stripMargin
     },
 
+    // α = 0.5 temperature mixing: the Σw-free rate derivation re-stated
+    // verbatim — every op correctly rounded (sqrt/div/mul/round), so the
+    // thresholds agree bit-for-bit with the Spark side
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT g, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        |s AS (SELECT min(CAST(n AS DOUBLE) / w) AS mn FROM j),
+        |thr AS (SELECT g, CAST(round(least(1.0, mn * w / CAST(n AS DOUBLE))
+        |          * 4294967296.0) AS BIGINT) AS t FROM j, s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.g
+        |WHERE t >= 4294967296 OR
+        |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < printf('%08x', t)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // same thresholds as the Spark side, rendered from the SAME map; "g"
     // is the keep-all sentinel (above every 8-char hex string)
     "q_mix_sample" -> {
@@ -1881,6 +1921,35 @@ object ExtQueries {
         |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // same closure, then the quality survivor policy: per component keep
+    // arg-max((id % 7), then lowest id); docs outside the pair graph
+    // survive untouched
+    "q_cc_best_survivors" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |        >= 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |best AS (SELECT component, id AS keep_id FROM (
+        |    SELECT component, id, row_number() OVER (
+        |      PARTITION BY component ORDER BY (id % 7) DESC, id ASC) AS rn
+        |    FROM comp) WHERE rn = 1),
+        |losers AS (SELECT id FROM comp
+        |           WHERE id NOT IN (SELECT keep_id FROM best))
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY e.vec_id""".stripMargin,
 
     // staged twin: identical semantics (durable rounds), identical oracle
     "q_cc_components_staged" ->

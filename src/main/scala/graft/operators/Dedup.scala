@@ -183,6 +183,37 @@ object Dedup {
       labels.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[survivorsFromLabels]] with a QUALITY survivor policy: per transitive
+    * cluster keep the candidate maximizing `(ordCol, then lowest id)`
+    * instead of the lowest id — the production near-dup rule when a
+    * quality signal exists (keep the longest / highest-scored member of
+    * each duplicate cluster; the min-id rule keeps whichever crawled
+    * first). Exact duplicates are policy-blind (identical text ⇒ identical
+    * score) — this lever only exists at the cluster level, which is why it
+    * lives here and not in [[exact]].
+    *
+    * Deterministic: the arg-max key is `(ord, −id)` — a total order per
+    * candidate — so ties on the score can't make survivor choice depend on
+    * partitioning.
+    *
+    * Scale: same never-shuffle-the-corpus shape as [[survivorsFromLabels]]
+    * — only LABELED docs (pair-graph nodes, O(near-dup docs)) are scored:
+    * the ord lookup joins the label table against the candidates on narrow
+    * ids, the per-component arg-max aggregates O(labels) rows with
+    * map-side combine, and the corpus pays one id anti-join at the end.
+    * Docs outside the pair graph survive without being touched. */
+  def survivorsFromLabelsBy(candidates: DataFrame, labels: DataFrame,
+      ordCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val labeled = labels.select(col("id").as(idCol), col("component"))
+      .join(candidates.select(col(idCol), ordCol.as("__ord")), Seq(idCol))
+    val best = labeled.groupBy(col("component"))
+      .agg(max_by(col(idCol), struct(col("__ord"), col(idCol) * lit(-1L)))
+        .as("keep_id"))
+    val losers = labeled.select(col(idCol))
+      .join(best.select(col("keep_id").as(idCol)), Seq(idCol), "left_anti")
+    candidates.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Incremental [[dedupCorpusCC]]: fold ONE ingest batch into the
     * standing dedup state without rescanning or re-converging the corpus.
     * Composes the three standing relations an incremental pipeline

@@ -134,6 +134,49 @@ object Sampling {
       .drop("g", "t")
   }
 
+  /** Temperature-scaled mixing — the multilingual-LM α-sampling rule:
+    * resample so group g's share is proportional to `n_g^alpha` instead of
+    * `n_g` (α < 1 flattens the distribution toward the tail groups — the
+    * published fix for head languages/sources swamping a multilingual or
+    * multi-source pretraining mix; α = 1 is a no-op, α → 0 approaches
+    * equal shares). Unlike [[mixToShares]] the target composition is
+    * DERIVED from the data, so no group list is supplied and no group is
+    * dropped.
+    *
+    * Same largest-feasible-sample construction as [[mixToShares]], with
+    * the normalizing sum algebraically cancelled: with w_g = n_g^α,
+    * rate_g = min_h(n_h / w_h) · w_g / n_g — the arg-min group is kept
+    * whole and every other group meets the α-share exactly. Because the
+    * Σw_g never appears, NO float summation exists anywhere in the rate
+    * derivation: each threshold is a chain of correctly-rounded IEEE
+    * scalar ops on exact integer counts, which is what keeps membership
+    * engine-portable (the oracle re-derives it verbatim). α = 0.5 — the
+    * common published choice — routes through `sqrt`, correctly rounded
+    * per IEEE 754 in every engine; other α use `pow`, whose last-ulp
+    * behavior is libm-specific (fine for pipelines, but the hash-gated
+    * catalog face pins α = 0.5 for that reason).
+    *
+    * Scale: identical to [[mixToShares]] — one partial-agg count, a
+    * broadcast of the per-group thresholds, map-side membership filter. */
+  def temperatureMix(df: DataFrame, groupCol: Column, alpha: Double,
+      idCol: Column): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n"))
+    val wCol = if (alpha == 0.5) sqrt(col("n").cast("double"))
+      else pow(col("n").cast("double"), lit(alpha))
+    val weighted = counts.withColumn("w", wCol)
+    val mn = weighted.agg(min(col("n").cast("double") / col("w")).as("mn"))
+    val thr = weighted.crossJoin(mn)
+      .withColumn("t", round(least(lit(1.0d),
+        col("mn") * col("w") / col("n").cast("double")) * lit(4294967296.0d))
+        .cast("long"))
+      .select(col("g"), col("t"))
+    df.join(broadcast(thr), groupCol === col("g"))
+      .filter(col("t") >= lit(4294967296L) ||
+        hexUniform(idCol) < format_string("%08x", col("t")))
+      .drop("g", "t")
+  }
+
   /** Exact global `ntile(k)` over `(scoreCol, tieCol)` WITHOUT a global
     * sort: quality-decile stratification for curriculum/mixing decisions.
     *

@@ -121,6 +121,27 @@ class DedupSpec extends SparkSuite {
     assert(viaCC.subsetOf(onePass))
   }
 
+  test("survivorsFromLabelsBy: per-cluster arg-max policy, ties to min id, absent docs survive") {
+    // label table: cluster {1,2,3} (component 1), cluster {4,5}
+    // (component 4), singleton {6}; docs 7, 8 never entered the pair graph
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("id", "component")
+    val cand = Seq((1L, 10), (2L, 30), (3L, 30), (4L, 5), (5L, 5), (6L, 1),
+      (7L, 0), (8L, 99)).toDF("doc_id", "score")
+    val kept = Dedup.survivorsFromLabelsBy(cand, labels, col("score"))
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster 1: max score 30 shared by {2,3} → min id 2 wins;
+    // cluster 4: tie {4,5} → 4; singleton 6 survives; 7, 8 untouched
+    assert(kept == Set(2L, 4L, 6L, 7L, 8L))
+
+    // constant score degenerates to the min-id policy == survivorsFromLabels
+    val minId = Dedup.survivorsFromLabels(cand, labels)
+      .select($"doc_id").as[Long].collect().toSet
+    val constOrd = Dedup.survivorsFromLabelsBy(cand, labels, lit(0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(constOrd == minId)
+  }
+
   test("stagingDir: parquet-staged diamond gives identical outputs, staged tables on disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft-staging").toString
     try {

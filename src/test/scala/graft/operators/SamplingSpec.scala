@@ -101,6 +101,35 @@ class SamplingSpec extends SparkSuite {
         .select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix: α=1 is a no-op, α=0.5 flattens toward tail groups") {
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // α = 1: w = n so every rate is exactly 1 — identity sample
+    val id1 = Sampling.temperatureMix(docs, col("lang"), 1.0, col("doc_id"))
+    assert(id1.count() == docs.count())
+    // α = 0.5: smallest group (arg-min n/w = n^0.5) kept whole; achieved
+    // composition tracks p_g ∝ sqrt(n_g) within Bernoulli noise
+    val mixed = Sampling.temperatureMix(docs, col("lang"), 0.5, col("doc_id"))
+    val counts = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val smallest = full.keys.minBy(full)
+    assert(counts(smallest) == full(smallest), "rarest group kept whole")
+    val sumW = full.values.map(math.sqrt(_).toDouble).sum
+    val kept = counts.values.sum.toDouble
+    full.keys.foreach { g =>
+      val achieved = counts.getOrElse(g, 0L) / kept
+      val target = math.sqrt(full(g).toDouble) / sumW
+      assert(math.abs(achieved - target) < 0.10,
+        s"$g achieved=$achieved target=$target")
+    }
+    // flattening: the kept head/tail ratio shrinks vs the raw corpus
+    val head = full.keys.maxBy(full)
+    assert(counts(head).toDouble / counts(smallest) <
+      full(head).toDouble / full(smallest))
+    // deterministic membership
+    assert(mixed.select($"doc_id").as[Long].collect().toSet ==
+      Sampling.temperatureMix(docs, col("lang"), 0.5, col("doc_id"))
+        .select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("scoreStrata: identical to a window ntile on (score, tie)") {
     val scored = graft.operators.TextAnalysis.qualityScore(docs)
       .select($"doc_id", $"quality")

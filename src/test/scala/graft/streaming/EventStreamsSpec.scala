@@ -60,6 +60,15 @@ class EventStreamsSpec extends SparkSuite {
         .select("err_user", "err_kind", "action").as[(Long, String, String)]
         .collect().toSet
       assert(got == batch)
+
+      // plan guard: the equi-key became the symmetric hash join's key —
+      // NOT a nested-loop over state (the shape the operator's 100 TB
+      // contract rules out); the time range rides as the residual
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("StreamingSymmetricHashJoin"), exec.take(2000))
+      assert(exec.contains("err_user"), "equi-key missing from the join keys")
     } finally q.stop()
   }
 
