@@ -553,6 +553,16 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // keep-longest survivor policy end-to-end (survivorOrd = n_chars):
+    // sketch-seeded pairs → rows-only by contract; the policy arithmetic
+    // itself is hash-gated on exact pairs as q_cc_best_survivors, and
+    // constant-ord ≡ min-id is spec-locked in DedupSpec
+    "q_dedup_corpus_best" -> ((s, dir) =>
+      Dedup.dedupCorpusCC(Tables.documents(s, dir),
+        survivorOrd = Some(col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // the incremental end-to-end face of the same operator: STANDING
     // exact/signature/label state over a base partition (built once per
     // fixture dir — a standing index is built once and read many times,

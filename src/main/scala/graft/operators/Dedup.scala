@@ -149,17 +149,26 @@ object Dedup {
     * O(log² n) extra rounds over the PAIR set (see
     * [[Graph.connectedComponents]]); pairs are tiny relative to the
     * corpus, so the rounds never rescan documents. */
+  /** @param survivorOrd when set, the per-cluster survivor maximizes
+    *   `(survivorOrd, then lowest id)` via [[survivorsFromLabelsBy]]
+    *   (keep-longest/keep-best-scored policy) instead of the default
+    *   lowest id — exact dedup within the cluster is policy-blind either
+    *   way (identical text ⇒ identical score). */
   def dedupCorpusCC(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.8, stagingDir: Option[String] = None): DataFrame = {
+      threshold: Double = 0.8, stagingDir: Option[String] = None,
+      survivorOrd: Option[Column] = None): DataFrame = {
     val exactSurvivors = stage(docs.join(
       exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
       stagingDir, "exact_survivors")
     val pairs = minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
       stagingDir = stagingDir)
-    survivorsFromLabels(exactSurvivors,
-      Graph.connectedComponents(pairs, stagingDir = stagingDir), idCol)
+    val labels = Graph.connectedComponents(pairs, stagingDir = stagingDir)
+    survivorOrd match {
+      case Some(ord) => survivorsFromLabelsBy(exactSurvivors, labels, ord, idCol)
+      case None      => survivorsFromLabels(exactSurvivors, labels, idCol)
+    }
   }
 
   /** Derive the surviving documents from a CC label table — the shared

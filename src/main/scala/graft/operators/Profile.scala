@@ -92,4 +92,34 @@ object Profile {
           .as("top1_share"),
         concat_ws(",", col("__top")).as("top_keys"))
   }
+
+  /** Free pipeline telemetry: attach named rule counters to a DataFrame
+    * via `observe` — per-rule violation counts (and the total row count)
+    * are collected AS the plan's existing action runs, with zero extra
+    * scan. The expectations pattern: a quality gate that REPORTS what it
+    * would drop costs a second corpus pass if done as a separate
+    * aggregation query; as observed metrics it rides the write/count the
+    * pipeline already pays — at 100 TB that second pass is the entire
+    * price of observability, and this makes it zero.
+    *
+    * `rules` are boolean pass-predicates (same shape as
+    * [[TextAnalysis.qualityRules]]' columns); each metric counts the rows
+    * FAILING its rule. Read the metrics from the returned [[Observation]]
+    * AFTER an action: `obs.get("failed_<name>")`. Works on batch plans;
+    * for streams use the same `observe` call and read
+    * `QueryProgressEvent.progress.observedMetrics` per micro-batch.
+    *
+    * The returned DataFrame is the input unchanged (observe is a no-op
+    * pass-through node) — this instruments, it does not filter; compose
+    * with `.filter(allRules)` downstream as usual. */
+  def observed(df: DataFrame, name: String,
+      rules: Map[String, Column]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observed: at least one rule")
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      rules.toSeq.sortBy(_._1).map { case (n, pass) =>
+        count(when(!pass, 1)).as(s"failed_$n")
+      }
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -119,6 +119,12 @@ class DedupSpec extends SparkSuite {
     assert(onePass == Set(1L, 2L, 9L), s"one-pass keeps local minima: $onePass")
     assert(viaCC == Set(1L, 9L), s"CC keeps one per cluster: $viaCC")
     assert(viaCC.subsetOf(onePass))
+
+    // survivorOrd flips the policy: maximize doc_id → the cluster
+    // {1,2,3} keeps 3 instead of 1; the singleton is untouched
+    val best = Dedup.dedupCorpusCC(docs, survivorOrd = Some($"doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(best == Set(3L, 9L), s"keep-max policy: $best")
   }
 
   test("survivorsFromLabelsBy: per-cluster arg-max policy, ties to min id, absent docs survive") {

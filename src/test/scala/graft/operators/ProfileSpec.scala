@@ -71,4 +71,19 @@ class ProfileSpec extends SparkSuite {
     assert(got.columns.toSeq == Seq("column", "n_nonnull", "n_null",
       "n_distinct", "min_num", "max_num", "min_str", "max_str"))
   }
+
+  test("observed: rule counters ride the existing action, rows pass through") {
+    val df = Seq((1L, "ok text here", 5), (2L, "", 0), (3L, "short", -1),
+      (4L, "fine", 2)).toDF("id", "text", "score")
+    val (instrumented, obs) = Profile.observed(df, "gate", Map(
+      "nonempty" -> (length($"text") > 0),
+      "score_pos" -> ($"score" > 0)))
+    // pass-through: same rows, no filtering
+    assert(instrumented.count() == 4)
+    // metrics were collected by THAT count action — no extra job needed
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("failed_nonempty") == 1L) // id 2
+    assert(m("failed_score_pos") == 2L) // ids 2, 3
+  }
 }
