@@ -130,6 +130,28 @@ class SamplingSpec extends SparkSuite {
         .select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix: general-α membership equals the rate rule re-derived by hand") {
+    // the catalog face pins α = 0.5 (sqrt); this locks the pow path: for
+    // α = 0.3, recompute every per-group threshold driver-side with the
+    // SAME op order (min(n/n^α) · n^α / n) and replay the md5 rule row by
+    // row — membership must agree exactly
+    val alpha = 0.3
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val mn = full.values.map(n => n.toDouble / math.pow(n.toDouble, alpha)).min
+    val thr: Map[String, String] = full.map { case (g, n) =>
+      val rate = math.min(1.0, mn * math.pow(n.toDouble, alpha) / n.toDouble)
+      val t = math.round(rate * 4294967296.0d)
+      g -> (if (t >= 4294967296L) "g" else f"$t%08x")
+    }
+    val expected = docs.select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string")), 1, 8).as("h"))
+      .as[(Long, String, String)].collect()
+      .filter { case (_, g, h) => h < thr(g) }.map(_._1).toSet
+    val got = Sampling.temperatureMix(docs, col("lang"), alpha, col("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("scoreStrata: identical to a window ntile on (score, tie)") {
     val scored = graft.operators.TextAnalysis.qualityScore(docs)
       .select($"doc_id", $"quality")
