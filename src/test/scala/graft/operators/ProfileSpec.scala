@@ -86,4 +86,30 @@ class ProfileSpec extends SparkSuite {
     assert(m("failed_nonempty") == 1L) // id 2
     assert(m("failed_score_pos") == 2L) // ids 2, 3
   }
+
+  test("observed: streaming side reads the same counters from QueryProgress") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // same observe call as batch, no Observation handle on a stream: the
+    // per-batch metrics surface in StreamingQueryProgress.observedMetrics
+    val instrumented = in.toDF().toDF("id", "text")
+      .observe("gate", count(lit(1)).as("n_rows"),
+        count(when(!(length($"text") > 0), 1)).as("failed_nonempty"))
+    val q = instrumented.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("obs_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-obs").toString)
+      .start()
+    try {
+      in.addData((1L, "ok"), (2L, ""), (3L, "also ok"))
+      q.processAllAvailable()
+      val om = q.lastProgress.observedMetrics
+      assert(om.containsKey("gate"), s"observedMetrics: $om")
+      val row = om.get("gate")
+      assert(row.getAs[Long]("n_rows") == 3L)
+      assert(row.getAs[Long]("failed_nonempty") == 1L)
+    } finally q.stop()
+  }
 }
