@@ -30,6 +30,25 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(p.contains("xxhash64"), "group key must be the 8-byte hash")
   }
 
+  test("q_mix_temperature: corpus membership is a broadcast join, filter stays map-side") {
+    val p = plan("q_mix_temperature")
+    // the per-group threshold relation broadcasts onto the corpus scan —
+    // a sort-merge membership join would shuffle the whole corpus for a
+    // handful of thresholds
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast:\n${p.take(2000)}")
+    assert(p.contains("md5"), "membership predicate must ride the joined rows")
+  }
+
+  test("q_cc_best_survivors: policy arg-max aggregates labels, corpus never shuffles for scoring") {
+    val p = plan("q_cc_best_survivors")
+    // per-component survivor = max_by partial+final over the LABEL rows
+    assert(p.contains("max_by") || p.contains("MaxBy"),
+      s"arg-max aggregate missing:\n${p.take(2000)}")
+    // final survivor filter is an anti-join on ids
+    assert(p.contains("LeftAnti"), "survivors must derive via an id anti-join")
+  }
+
   test("q_dedup_minhash: no window in the skew guard, signatures persisted once") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("Window"),
