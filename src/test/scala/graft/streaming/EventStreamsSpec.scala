@@ -144,6 +144,84 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: watermark sealing rescues the out-of-order conversion") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.funnelStages(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      steps = Seq("view", "click"), watermarkDelay = "5 minutes")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_ooo")
+      .option("checkpointLocation", tmpDir("ckpt-funnel-ooo"))
+      .start()
+    try {
+      // the trap: the click ARRIVES a batch before the view it follows in
+      // event time. A fold-on-arrival DP would skip the click (stage 0
+      // empty at its processing time) and never converge; the sealed DP
+      // must count the conversion.
+      in.addData((1L, "click", ts(20)))
+      q.processAllAvailable()
+      in.addData((1L, "view", ts(18)), (99L, "noise", ts(100)))
+      q.processAllAvailable()
+      // watermark is now 95; the next batch fires user 1's seal timeout
+      in.addData((99L, "noise", ts(101)))
+      q.processAllAvailable()
+      in.addData((99L, "noise", ts(102)))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ooo")
+        .filter($"user_id" === 1L)
+        .agg(max($"t0"), max($"t1")).as[(Option[Long], Option[Long])].head()
+      assert(rows._1.contains(18L * 60000000L), s"t0: $rows")
+      assert(rows._2.contains(20L * 60000000L), s"t1: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: multi-batch adversarial feed equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // deterministic pseudo-random event log: 30 users, events scattered
+    // over 100 minutes, fed to the stream in REVERSE time order across
+    // batches (max out-of-order pressure), watermark wide enough that
+    // nothing is late-dropped mid-feed
+    val rnd = new scala.util.Random(42)
+    val types = steps ++ Seq("noise")
+    val events = (1 to 300).map { _ =>
+      (rnd.nextInt(30).toLong + 1L, types(rnd.nextInt(types.size)),
+        ts(rnd.nextInt(100) + 1))
+    }
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.funnelStages(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      steps = steps, watermarkDelay = "2 hours")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_par")
+      .option("checkpointLocation", tmpDir("ckpt-funnel-par"))
+      .start()
+    try {
+      events.sortBy(-_._3.getTime).grouped(100).foreach { batch =>
+        in.addData(batch: _*); q.processAllAvailable()
+      }
+      // seal everything: sentinel far in the future, extra batches so the
+      // advanced watermark reaches the timeout pass
+      in.addData((999L, "noise", ts(100000)))
+      q.processAllAvailable()
+      in.addData((999L, "noise", ts(100001)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_par").filter($"user_id" =!= 999L)
+        .groupBy($"user_id")
+        .agg(max($"t0").as("t0"), max($"t1").as("t1"), max($"t2").as("t2"))
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().filter(_._2.nonEmpty).toSet
+      val batchDf = events.toDF("user_id", "event_type", "ts")
+        .withColumn("ts", unix_micros($"ts"))
+      val want = graft.operators.Funnel.stages(batchDf, steps)
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("shared column names are refused up front") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Timestamp)].toDF().toDF("user_id", "ts")
