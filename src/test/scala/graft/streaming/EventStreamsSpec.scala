@@ -222,6 +222,70 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("inner interval join: randomized multi-batch feed equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 60).map(i =>
+      (rnd.nextInt(8).toLong + 1L, ts(rnd.nextInt(100) + 1), s"L$i"))
+    val rights = (1 to 120).map(i =>
+      (rnd.nextInt(8).toLong + 1L, ts(rnd.nextInt(100) + 1), s"R$i"))
+    val lIn = MemoryStream[(Long, Timestamp, String)]
+    val rIn = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.intervalJoin(
+      lIn.toDF().toDF("l_user", "l_ts", "l_tag"),
+      rIn.toDF().toDF("r_user", "r_ts", "r_tag"),
+      leftKey = "l_user", rightKey = "r_user",
+      leftTs = "l_ts", rightTs = "r_ts",
+      before = "10 minutes", after = "25 minutes",
+      watermarkDelay = "2 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_fuzz")
+      .option("checkpointLocation", tmpDir("ckpt-ij-fuzz"))
+      .start()
+    try {
+      // adversarial interleave: reverse-time batches, sides alternating
+      lefts.sortBy(-_._2.getTime).grouped(20).zipAll(
+        rights.sortBy(-_._2.getTime).grouped(40), Nil, Nil).foreach {
+        case (lb, rb) =>
+          if (lb.nonEmpty) lIn.addData(lb: _*)
+          if (rb.nonEmpty) rIn.addData(rb: _*)
+          q.processAllAvailable()
+      }
+      val got = spark.table("ij_fuzz").select("l_tag", "r_tag")
+        .as[(String, String)].collect().toSet
+      val want = lefts.toDF("l_user", "l_ts", "l_tag").join(
+        rights.toDF("r_user", "r_ts", "r_tag"),
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 25 MINUTES"))
+        .select("l_tag", "r_tag").as[(String, String)].collect().toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("funnel fold: conversion window gates stages, t0 is never re-chosen") {
+    import EventStreams.BufEv
+    // within = 10: view@5, click@12 (Δ7 ok), purchase@20 (Δ15 too late)
+    val t = Array[Option[Long]](None, None, None)
+    EventStreams.foldFunnel(t,
+      Seq(BufEv(0, 5L), BufEv(1, 12L), BufEv(2, 20L)), within = Some(10L))
+    assert(t.toSeq == Seq(Some(5L), Some(12L), None))
+    // a later view@15 would put purchase@20 in window, but greedy t0
+    // stays at 5 — the standard windowed-funnel semantic
+    val t2 = Array[Option[Long]](None, None, None)
+    EventStreams.foldFunnel(t2,
+      Seq(BufEv(0, 5L), BufEv(0, 15L), BufEv(1, 12L), BufEv(2, 20L)),
+      within = Some(10L))
+    assert(t2.toSeq == Seq(Some(5L), Some(12L), None))
+    // equal-ts events fold step-ascending (the batch sort order): a view
+    // and click at the same instant do NOT chain (strict > required)
+    val t3 = Array[Option[Long]](None, None, None)
+    EventStreams.foldFunnel(t3,
+      Seq(BufEv(1, 5L), BufEv(0, 5L), BufEv(1, 6L)), within = None)
+    assert(t3.toSeq == Seq(Some(5L), Some(6L), None))
+  }
+
   test("shared column names are refused up front") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Long, Timestamp)].toDF().toDF("user_id", "ts")
