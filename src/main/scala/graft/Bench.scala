@@ -69,14 +69,15 @@ object Bench {
       val ts = timesOf(name, fn)
       var lo = ts.min
       var hi = ts.max
-      // outlier re-run, BOTH directions: a min-of-N more than 3× the
-      // previous round's value — or under a third of it — is far outside
-      // the documented same-code swing on this machine. Re-time once
-      // before reporting so a one-off GC/IO stall can't manufacture a
-      // phantom regression, and record that the re-run happened (the
-      // `retimed` field below) so the judged signal is never silently
-      // smoothed in either direction.
-      prior.get(name).filter(p => p > 0.0 && (lo > 3.0 * p || lo * 3.0 < p))
+      // outlier re-run, BOTH directions: a min-of-N more than 2× the
+      // previous round's value — or under half of it — is at the edge of
+      // the documented same-code swing on this machine (r11 showed 2-2.5×
+      // drift passing un-retimed at the old 3× trigger and landing in the
+      // judged artifact). Re-time once before reporting so a one-off
+      // GC/IO stall can't manufacture a phantom regression, and record
+      // that the re-run happened (the `retimed` field below) so the
+      // judged signal is never silently smoothed in either direction.
+      prior.get(name).filter(p => p > 0.0 && (lo > 2.0 * p || lo * 2.0 < p))
         .foreach { p =>
           retimed ::= s"$name:${sec3(lo)}(prior ${sec3(p)})"
           val ts2 = timesOf(name, fn)
@@ -84,7 +85,7 @@ object Bench {
           // phantom regression. Fast direction: the re-run's own min — a
           // one-off phantom SPEEDUP must reproduce to be kept, otherwise
           // keeping the global min would enshrine it as the judged number
-          lo = if (lo > 3.0 * p) math.min(lo, ts2.min) else ts2.min
+          lo = if (lo > 2.0 * p) math.min(lo, ts2.min) else ts2.min
           hi = math.max(hi, ts2.max)
         }
       (name, lo, hi)

@@ -116,9 +116,15 @@ object Profile {
       rules: Map[String, Column]): (DataFrame, org.apache.spark.sql.Observation) = {
     require(rules.nonEmpty, "observed: at least one rule")
     val obs = org.apache.spark.sql.Observation(name)
+    // NULL-safe failure counting: a rule predicate over null data (e.g.
+    // `length(text) > 0` on a null text) evaluates to NULL, and `!NULL`
+    // is still NULL — `count(when(!pass, 1))` would then count the row
+    // neither as passing nor failing, silently UNDER-counting violations
+    // on exactly the rows a quality gate most wants to flag. Coalescing
+    // the pass-predicate to false first makes NULL read as a failure.
     val metrics = count(lit(1)).as("n_rows") +:
       rules.toSeq.sortBy(_._1).map { case (n, pass) =>
-        count(when(!pass, 1)).as(s"failed_$n")
+        count(when(!coalesce(pass, lit(false)), 1)).as(s"failed_$n")
       }
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }

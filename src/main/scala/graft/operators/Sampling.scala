@@ -171,7 +171,11 @@ object Sampling {
         col("mn") * col("w") / col("n").cast("double")) * lit(4294967296.0d))
         .cast("long"))
       .select(col("g"), col("t"))
-    df.join(broadcast(thr), groupCol === col("g"))
+    // null-SAFE equality (<=>): the groupBy upstream forms a count group
+    // for a NULL groupCol, and the no-group-dropped contract above must
+    // hold for it too — a plain === membership join is null-rejecting and
+    // would silently drop every NULL-group row on the way back.
+    df.join(broadcast(thr), groupCol <=> col("g"))
       .filter(col("t") >= lit(4294967296L) ||
         hexUniform(idCol) < format_string("%08x", col("t")))
       .drop("g", "t")

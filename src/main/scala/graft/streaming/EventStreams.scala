@@ -188,8 +188,6 @@ object EventStreams extends Serializable {
       val wmMicros = state.getCurrentWatermarkMs() * 1000L
       val all = st.buf ++ incoming.map(e => BufEv(e.step, e.ts))
       val (sealedEvs, pending) = all.partition(_.ts < wmMicros)
-      if (sys.env.contains("GRAFT_FUNNEL_DEBUG"))
-        System.err.println(s"[funnel] u=$user wm=$wmMicros in=${all.size} sealed=${sealedEvs.size} pending=${pending.size} timedOut=${state.hasTimedOut}")
       val t = st.times.toArray
       foldFunnel(t, sealedEvs, within)
       state.update(FunnelSt(t.toSeq, pending))

@@ -87,6 +87,20 @@ class ProfileSpec extends SparkSuite {
     assert(m("failed_score_pos") == 2L) // ids 2, 3
   }
 
+  test("observed: NULL rule evaluations count as failures, not nothing") {
+    // the silent-undercount trap: `length(text) > 0` on a NULL text is
+    // NULL, and count(when(!NULL, 1)) would skip the row entirely — the
+    // violation counter must treat un-evaluable as failed
+    val df = Seq((1L, Option("ok")), (2L, None), (3L, Option("")))
+      .toDF("id", "text")
+    val (instrumented, obs) = Profile.observed(df, "nullgate", Map(
+      "nonempty" -> (length($"text") > 0)))
+    assert(instrumented.count() == 3)
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("failed_nonempty") == 2L) // id 2 (NULL rule) AND id 3 (false)
+  }
+
   test("observed: streaming side reads the same counters from QueryProgress") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime

@@ -130,6 +130,30 @@ class SamplingSpec extends SparkSuite {
         .select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix: a NULL group participates — no group is dropped") {
+    // the no-group-dropped contract includes the NULL group: it forms its
+    // own count group upstream, so the membership join back must be
+    // null-safe (a === join would silently drop every NULL-group row)
+    val withNull = docs.withColumn("lang",
+      when($"doc_id" % 7 === 0, lit(null: String)).otherwise($"lang"))
+    val full = withNull.groupBy($"lang").count()
+      .as[(Option[String], Long)].collect().toMap
+    assert(full.contains(None), "fixture must actually have a NULL group")
+    val kept = Sampling.temperatureMix(withNull, col("lang"), 0.5, col("doc_id"))
+      .groupBy($"lang").count().as[(Option[String], Long)].collect().toMap
+    assert(kept.contains(None), s"NULL group dropped: $kept")
+    // and it is sampled by the same rate rule, not just passed through:
+    // within Bernoulli noise of its sqrt-share target
+    val sumW = full.values.map(math.sqrt(_).toDouble).sum
+    val target = math.sqrt(full(None).toDouble) / sumW
+    val achieved = kept(None).toDouble / kept.values.sum
+    assert(math.abs(achieved - target) < 0.15,
+      s"null-group achieved=$achieved target=$target")
+    // α = 1 identity must keep every NULL-group row too
+    assert(Sampling.temperatureMix(withNull, col("lang"), 1.0, col("doc_id"))
+      .count() == withNull.count())
+  }
+
   test("temperatureMix: general-α membership equals the rate rule re-derived by hand") {
     // the catalog face pins α = 0.5 (sqrt); this locks the pow path: for
     // α = 0.3, recompute every per-group threshold driver-side with the

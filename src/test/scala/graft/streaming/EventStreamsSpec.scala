@@ -176,6 +176,48 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: the event-time timeout seals a silent user's buffer") {
+    // the punctuator-analogue claim (SURVEY §2.9): emission must come
+    // from the WATERMARK passing the buffered event, never from the
+    // user's own next activity. User 1 buffers a partial funnel (one
+    // view) and then goes silent except for PRE-watermark noise — which
+    // the step filter drops before the state operator, so user 1's group
+    // receives no further input rows at all. Only other users' traffic
+    // advances event time; the registered event-time timeout must fire
+    // and emit user 1's sealed t0.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.funnelStages(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      steps = Seq("view", "click"), watermarkDelay = "5 minutes")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_timeout")
+      .option("checkpointLocation", tmpDir("ckpt-funnel-timeout"))
+      .start()
+    try {
+      in.addData((1L, "view", ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("funnel_timeout").filter($"user_id" === 1L).isEmpty,
+        "nothing may emit before the watermark seals the view")
+      // user 1's ONLY further activity: noise with an already-pre-watermark
+      // timestamp (filtered out before the state store — it can neither
+      // reach the group nor advance event time past its own staleness);
+      // user 99 is what actually moves the watermark to 95
+      in.addData((1L, "noise", ts(11)), (99L, "noise", ts(100)))
+      q.processAllAvailable()
+      // next batches carry NO user-1 rows of any kind: the only way user
+      // 1 can emit now is the event-time timeout registered on its state
+      in.addData((99L, "noise", ts(101)))
+      q.processAllAvailable()
+      in.addData((99L, "noise", ts(102)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_timeout").filter($"user_id" === 1L)
+        .agg(max($"t0"), max($"t1")).as[(Option[Long], Option[Long])].head()
+      assert(got._1.contains(10L * 60000000L), s"timeout emission missing: $got")
+      assert(got._2.isEmpty, s"t1 must stay unreached: $got")
+    } finally q.stop()
+  }
+
   test("streaming funnel: multi-batch adversarial feed equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
