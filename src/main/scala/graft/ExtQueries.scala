@@ -73,6 +73,29 @@ object ExtQueries {
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
+  /** One oracle for both funnel faces: `q_funnel` (batch DP) and
+    * `q_funnel_stream_replay` (the checkpointed streamed replay of the
+    * same events) project the same sequential-min chain, one CTE per
+    * stage — the streaming machinery must land on the one-shot answer. */
+  private lazy val funnelOracleSql: String = {
+    val Seq(a, b, c) = funnelSteps
+    s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+       |            WHERE event_type = '$a' GROUP BY user_id),
+       |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+       |       FROM events e JOIN s0 USING (user_id)
+       |       WHERE e.event_type = '$b' AND epoch_us(e.ts) > s0.t0
+       |       GROUP BY e.user_id),
+       |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+       |       FROM events e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = '$c' AND epoch_us(e.ts) > s1.t1
+       |       GROUP BY e.user_id)
+       |SELECT CAST(stage AS INT) AS stage, step, n_users FROM (
+       |  SELECT 0 AS stage, '$a' AS step, (SELECT count(*) FROM s0) AS n_users
+       |  UNION ALL SELECT 1, '$b', (SELECT count(*) FROM s1)
+       |  UNION ALL SELECT 2, '$c', (SELECT count(*) FROM s2))
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Shared by q_funnel_window: a deeper chain + a 3-day conversion
     * window in epoch micros (median signup→view latency in the fixture is
     * ~1.8 days, p90 ~6 — the window genuinely expires some users). */
@@ -183,6 +206,152 @@ object ExtQueries {
         dfSrc.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
         dq.processAllAvailable()
       } finally dq.stop()
+      root
+    })
+
+  /** Epoch microseconds of a collected fixture timestamp (getTime carries
+    * ms; getNanos the sub-second part — sub-ms micros are added back). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Deterministic cross-batch scramble for replay feeds: a Knuth-hash
+    * sort key over (event micros, id) — event-time order is destroyed
+    * across batch boundaries (later events land in earlier batches and
+    * vice versa) while the feed stays bit-identical between runs. */
+  private def scrambleKey(us: Long, id: Long): (Long, Long) =
+    ((us * 2654435761L) ^ id, id)
+
+  private val funnelReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the STREAMING funnel end-to-end, once per fixture dir: the
+    * whole events table feeds [[graft.streaming.EventStreams.funnelStages]]
+    * as a real checkpointed MemoryStream query in 3 deterministically
+    * scrambled batches (cross-batch out-of-order everywhere — the
+    * fold-on-arrival trap EventStreamsSpec pins, now under the DuckDB
+    * gate), with `watermarkDelay` wider than the fixture's 30-day span so
+    * the grace period never late-drops a scrambled event (lateness
+    * semantics are spec-locked separately; THIS face checks the
+    * multi-batch stateful machinery equals the batch answer). Far-future
+    * sentinel noise (user −1, filtered before the state store but past
+    * the watermark node) then advances event time so the event-time
+    * timeout seals every user's buffer; per-user UPDATE rows land in
+    * parquet tagged by micro-batch. Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def funnelReplayFixture(s: SparkSession, dir: String): String =
+    funnelReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_funnel_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .as[(Long, String, java.sql.Timestamp)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(tsMicros(r._3), r._1))
+      val maxMs = rows.iterator.map(_._3.getTime).max
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.EventStreams.funnelStages(
+        src.toDF().toDF("user_id", "event_type", "ts"),
+        funnelSteps, watermarkDelay = "45 days")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+          src.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+        // sentinel rounds: watermark must both ADVANCE past every event
+        // (first round) and then re-trigger batches so the registered
+        // event-time timeouts actually fire and emit (later rounds)
+        (0 until 3).foreach { i =>
+          src.addData((-1L, "noise",
+            new java.sql.Timestamp(maxMs + 46L * 86400000L + i * 3600000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      root
+    })
+
+  private val intervalReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the stream-stream interval join end-to-end, once per fixture
+    * dir and once per join type: `view` events (left) and `click` events
+    * (right) feed [[graft.streaming.EventStreams.intervalJoin]] as two
+    * checkpointed MemoryStreams in deterministically scrambled 3-batch
+    * feeds (sides interleaved, cross-batch out-of-order), grace period
+    * wider than the fixture span so scrambling never late-drops a row —
+    * the multi-batch symmetric-hash-join machinery itself is what lands
+    * under the DuckDB gate (the batch range-join restricted to the
+    * window). Far-future sentinels on BOTH sides (disjoint negative keys,
+    * too far apart to join each other) push both watermarks past every
+    * left row's window end so the left-outer face flushes its null-padded
+    * finals. Same first-touch-rebuild + md5(dir)+pid contract as
+    * [[annIndexFixture]]. */
+  private def intervalReplayFixture(s: SparkSession, dir: String): String =
+    intervalReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_interval_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("view", "click"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+      def feed(kind: String) = ev.filter(_._3 == kind).map(r => (r._1, r._2))
+        .sortBy(r => scrambleKey(tsMicros(r._2), r._1))
+      val (views, clicks) = (feed("view"), feed("click"))
+      val maxMs = ev.iterator.map(_._2.getTime).max
+      Seq("inner", "left_outer").foreach { jt =>
+        val lIn =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+        val rIn =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+        val q = graft.streaming.EventStreams.intervalJoin(
+          lIn.toDF().toDF("l_user", "l_ts"),
+          rIn.toDF().toDF("r_user", "r_ts"),
+          leftKey = "l_user", rightKey = "r_user",
+          leftTs = "l_ts", rightTs = "r_ts",
+          before = "10 minutes", after = "25 minutes",
+          watermarkDelay = "45 days", joinType = jt)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", s"$root/$jt")
+          .option("checkpointLocation", s"$root/ckpt_$jt")
+          .start()
+        try {
+          val lb = views.grouped(math.max(1, (views.length + 2) / 3)).toSeq
+          val rb = clicks.grouped(math.max(1, (clicks.length + 2) / 3)).toSeq
+          lb.zipAll(rb, Array.empty[(Long, java.sql.Timestamp)],
+            Array.empty[(Long, java.sql.Timestamp)]).foreach { case (l, r) =>
+            if (l.nonEmpty) lIn.addData(l.toSeq: _*)
+            if (r.nonEmpty) rIn.addData(r.toSeq: _*)
+            q.processAllAvailable()
+          }
+          (0 until 3).foreach { i =>
+            val t = maxMs + 46L * 86400000L + i * 3600000L
+            lIn.addData((-1L, new java.sql.Timestamp(t)))
+            rIn.addData((-2L, new java.sql.Timestamp(t)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       root
     })
 
@@ -913,6 +1082,57 @@ object ExtQueries {
           s"${ingestReplayFixture(s, dir)}/df_index")
         .orderBy(col("term"))),
 
+    // the STREAMING funnel under the oracle gate: the scrambled 3-batch
+    // checkpointed replay (funnelReplayFixture) leaves watermark-sealed
+    // per-user UPDATE rows in parquet; stage times only ever grow (the
+    // greedy DP is monotone), so max-over-updates = each user's final
+    // chain, folded here to the same (stage, step, n_users) shape — which
+    // must equal DuckDB's q_funnel oracle computed over the SAME events
+    // in one batch shot. This is the q_ingest_exact_replay pattern for
+    // the processor-API/state-store rows (SURVEY §2.9): the stateful
+    // streaming machinery itself, not a batch re-derivation, is what the
+    // hard gate checks.
+    "q_funnel_stream_replay" -> ((s, dir) => {
+      val root = funnelReplayFixture(s, dir)
+      val aggCols = funnelSteps.indices.map(i => max(col(s"t$i")).as(s"t$i"))
+      val fin = s.read.parquet(s"$root/updates")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val counts = funnelSteps.indices.map(i =>
+        sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
+      val rows = array(funnelSteps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i).as("stage"), lit(st).as("step"),
+          col(s"n$i").as("n_users")) }: _*)
+      fin.agg(counts.head, counts.tail: _*)
+        .select(explode(rows).as("__e"))
+        .select(col("__e.stage"), col("__e.step"), col("__e.n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // the stream-stream interval join under the oracle gate (inner face):
+    // every (view, click) pair the checkpointed 2-stream scrambled replay
+    // emitted must equal DuckDB's batch range join restricted to the
+    // JoinWindows interval — the KStream-KStream join family's
+    // end-to-end check (SURVEY §2.5 extension row)
+    "q_interval_join_replay" -> ((s, dir) =>
+      s.read.parquet(s"${intervalReplayFixture(s, dir)}/inner")
+        .filter(col("l_user") >= 0)
+        .select(col("l_user"), unix_micros(col("l_ts")).as("l_ts_us"),
+          col("r_user"), unix_micros(col("r_ts")).as("r_ts_us"))
+        .orderBy(col("l_user"), col("l_ts_us"), col("r_ts_us"))),
+
+    // left-outer face: matched rows plus the watermark-flushed null-padded
+    // finals; nulls canonicalized to −1 on BOTH engines (the driver
+    // comparator's pandas path must never meet a nullable int column)
+    "q_interval_join_replay_outer" -> ((s, dir) =>
+      s.read.parquet(s"${intervalReplayFixture(s, dir)}/left_outer")
+        .filter(col("l_user") >= 0)
+        .select(col("l_user"), unix_micros(col("l_ts")).as("l_ts_us"),
+          coalesce(col("r_user"), lit(-1L)).as("r_user"),
+          coalesce(unix_micros(col("r_ts")), lit(-1L)).as("r_ts_us"))
+        .orderBy(col("l_user"), col("l_ts_us"), col("r_ts_us"))),
+
     // synthesize deterministic PII into each doc so the redaction path is
     // exercised (the fixture corpus itself is clean)
     "q_pii_redact" -> ((s, dir) =>
@@ -1381,24 +1601,35 @@ object ExtQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the same sequential-min chain as Funnel.stages, one CTE per stage
-    "q_funnel" -> {
-      val Seq(a, b, c) = funnelSteps
-      s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-         |            WHERE event_type = '$a' GROUP BY user_id),
-         |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
-         |       FROM events e JOIN s0 USING (user_id)
-         |       WHERE e.event_type = '$b' AND epoch_us(e.ts) > s0.t0
-         |       GROUP BY e.user_id),
-         |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
-         |       FROM events e JOIN s1 USING (user_id)
-         |       WHERE e.event_type = '$c' AND epoch_us(e.ts) > s1.t1
-         |       GROUP BY e.user_id)
-         |SELECT CAST(stage AS INT) AS stage, step, n_users FROM (
-         |  SELECT 0 AS stage, '$a' AS step, (SELECT count(*) FROM s0) AS n_users
-         |  UNION ALL SELECT 1, '$b', (SELECT count(*) FROM s1)
-         |  UNION ALL SELECT 2, '$c', (SELECT count(*) FROM s2))
-         |ORDER BY stage""".stripMargin
-    },
+    "q_funnel" -> funnelOracleSql,
+
+    // the streaming replay face answers to the IDENTICAL batch oracle:
+    // the stateful multi-batch machinery must land on the one-shot answer
+    "q_funnel_stream_replay" -> funnelOracleSql,
+
+    // batch range join over the same events, restricted to the
+    // JoinWindows interval — what the streamed symmetric hash join's
+    // append output must equal row-for-row
+    "q_interval_join_replay" ->
+      """SELECT l.user_id AS l_user, epoch_us(l.ts) AS l_ts_us,
+        |       r.user_id AS r_user, epoch_us(r.ts) AS r_ts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        | AND r.ts <= l.ts + INTERVAL 25 MINUTE
+        |WHERE l.event_type = 'view' AND r.event_type = 'click'
+        |ORDER BY l_user, l_ts_us, r_ts_us""".stripMargin,
+
+    "q_interval_join_replay_outer" ->
+      """SELECT l.user_id AS l_user, epoch_us(l.ts) AS l_ts_us,
+        |       coalesce(r.user_id, -1) AS r_user,
+        |       coalesce(epoch_us(r.ts), -1) AS r_ts_us
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        | AND r.ts <= l.ts + INTERVAL 25 MINUTE
+        |ORDER BY l_user, l_ts_us, r_user, r_ts_us""".stripMargin,
 
     // greedy windowed chain, one CTE per stage carrying t0 for the window
     "q_funnel_window" -> funnelWindowSql(windowFunnelSteps, funnelWindowUs),
