@@ -123,19 +123,35 @@ object Dedup {
     * alternative is iterative connected components (log-rounds of joins);
     * the one-pass form is the standard production trade and errs only
     * toward dropping more near-duplicates, never toward keeping one. */
+  /** Audit sink for mined near-dup pairs: when set, the pair relation is
+    * eagerly written to `path` as parquet and downstream consumes the
+    * READ-BACK — so an external auditor (the DuckDB oracle re-deriving
+    * closure + survivor selection) provably sees the exact pairs the
+    * survivors were computed from, not a re-execution that could drift.
+    * One extra narrow write of an O(near-dup pairs) relation — the same
+    * artifact a production pipeline persists for provenance anyway. */
+  private def sinkPairs(pairs: DataFrame, pairsSink: Option[String]): DataFrame =
+    pairsSink match {
+      case Some(path) =>
+        pairs.write.mode("overwrite").parquet(path)
+        pairs.sparkSession.read.parquet(path)
+      case None => pairs
+    }
+
   def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.8, stagingDir: Option[String] = None): DataFrame = {
+      threshold: Double = 0.8, stagingDir: Option[String] = None,
+      pairsSink: Option[String] = None): DataFrame = {
     // staged: the survivor relation is read twice (near-dup mining input
     // AND the final anti-join base) and each read would otherwise redo the
     // exact-dedup scan+agg — same diamond rule as minhashPairs' signatures
     val exactSurvivors = stage(docs.join(
       exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
       stagingDir, "exact_survivors")
-    val nearDupLosers = minhashPairs(exactSurvivors, idCol, textCol,
+    val pairs = sinkPairs(minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
-      stagingDir = stagingDir)
-      .select(col("id_b").as(idCol)).distinct()
+      stagingDir = stagingDir), pairsSink)
+    val nearDupLosers = pairs.select(col("id_b").as(idCol)).distinct()
     exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
@@ -157,13 +173,14 @@ object Dedup {
   def dedupCorpusCC(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8, stagingDir: Option[String] = None,
-      survivorOrd: Option[Column] = None): DataFrame = {
+      survivorOrd: Option[Column] = None,
+      pairsSink: Option[String] = None): DataFrame = {
     val exactSurvivors = stage(docs.join(
       exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
       stagingDir, "exact_survivors")
-    val pairs = minhashPairs(exactSurvivors, idCol, textCol,
+    val pairs = sinkPairs(minhashPairs(exactSurvivors, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
-      stagingDir = stagingDir)
+      stagingDir = stagingDir), pairsSink)
     val labels = Graph.connectedComponents(pairs, stagingDir = stagingDir)
     survivorOrd match {
       case Some(ord) => survivorsFromLabelsBy(exactSurvivors, labels, ord, idCol)
