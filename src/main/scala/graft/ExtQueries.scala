@@ -877,12 +877,18 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF ANN: k-means coarse quantizer + nprobe cell rescan (approximate —
-    // rows-only; recall asserted in SimilaritySpec)
+    // IVF ANN, VALUE-gated: the trained coarse quantizer is staged to an
+    // oracle-visible parquet sink, and DuckDB re-derives cell assignment
+    // (argmin ||c||² − 2·v·c, ties → lower cell), nprobe probing, and the
+    // exact-cosine top-k from the same geometry — the entire IVF read
+    // path is deterministic given the centroids, so the sketch face
+    // itself is now under the hash gate (recall vs brute force stays
+    // in-engine as q_sim_ivf_recall)
     "q_sim_ivf" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4,
+        centroidsSink = Some(oracleStagePath(dir, "q_sim_ivf")))
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1551,7 +1557,40 @@ object ExtQueries {
       "q_dedup_corpus_cc" ->
         corpusDedupOracleSql(s"$root/q_dedup_corpus_cc", "cc"),
       "q_dedup_corpus_best" ->
-        corpusDedupOracleSql(s"$root/q_dedup_corpus_best", "best"))
+        corpusDedupOracleSql(s"$root/q_dedup_corpus_best", "best"),
+      // IVF from the staged quantizer: corpus cell = argmin score (the
+      // kernel's ||c||²−2·v·c form, sequential-sum parity with
+      // list_dot_product — same equivalence q_sim_topk already proves for
+      // the cosine), ties to the lower cell id exactly like the kernel's
+      // strict-< scan; queries probe their nprobe=4 nearest cells; exact
+      // rounded cosine ranks the candidates (cos DESC, vec_id ASC)
+      "q_sim_ivf" ->
+        s"""WITH cents AS (SELECT cell, c FROM read_parquet('$root/q_sim_ivf/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents),
+           |assign AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc WHERE vec_id < 8) WHERE rn <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    round(list_dot_product(q.v, cv.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) *
+           |           sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+           |  FROM probe p JOIN assign a USING (cell)
+           |  JOIN v q ON q.vec_id = p.query_id
+           |  JOIN v cv ON cv.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql

@@ -165,10 +165,17 @@ object Similarity {
     * drops from |corpus| to nprobe·|corpus|/nlist. Deterministic: fixed
     * k-means seed, fixed sample.
     */
+  /** @param centroidsSink when set, the trained coarse quantizer is
+    *   eagerly written to this parquet path as (cell, c double[]) — the
+    *   audit artifact that lets an EXTERNAL engine (the DuckDB oracle)
+    *   re-derive cell assignment, probing, and the exact top-k from the
+    *   same geometry, value-gating the whole IVF read path. A production
+    *   index persists its quantizer anyway (train-once contract). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSample: Int = 10000): DataFrame = {
+      trainSample: Int = 10000,
+      centroidsSink: Option[String] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
     // coarse quantizer: driver-local deterministic Lloyd on a bounded
     // sample (same trainer as the PQ codebooks) — centroids are identical
@@ -179,6 +186,16 @@ object Similarity {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
+    centroidsSink.foreach { path =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+      val rows = cents.zipWithIndex.map { case (cent, i) =>
+        org.apache.spark.sql.Row(i, cent.toSeq) }.toList
+      corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("cell", IntegerType, nullable = false),
+            StructField("c", ArrayType(DoubleType), nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
 
     // Cell assignment via the NearestCells kernel expression — an unrolled
     // literal formulation (nlist × dims plan literals) grows the expression
