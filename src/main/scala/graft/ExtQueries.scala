@@ -851,11 +851,15 @@ object ExtQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // semantic near-dup with LEARNED blocking (k-means multi-probe cells;
-    // kmeans-seeded → rows-only; precision/recall locked in DedupSpec)
+    // semantic near-dup with LEARNED blocking, VALUE-gated: given the
+    // staged k-means quantizer, multi-probe cell assignment, the
+    // block-size guard, candidate pairing and the exact-cosine verify are
+    // all re-derived independently by the DuckDB oracle — blocking recall
+    // vs the unblocked ground truth stays property-tested in DedupSpec
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticPairs(Tables.embeddings(s, dir), threshold = 0.35,
-        nlist = 8, nprobe = 2)
+        nlist = 8, nprobe = 2,
+        centroidsSink = Some(oracleStagePath(dir, "q_dedup_semantic")))
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- similarity search ---------------------------------------------
@@ -1590,7 +1594,36 @@ object ExtQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // SemDeDup face from the staged quantizer: every vector probes its
+      // nprobe=2 nearest cells (same argmin-score rule as IVF), postings
+      // in over-cap cells are dropped exactly like dropOversized (no-op
+      // at fixture scale, mirrored anyway so the guard semantics are
+      // under the gate), vectors sharing ANY cell pair up once
+      // (id_a < id_b), and the exact rounded cosine decides survival
+      "q_dedup_semantic" ->
+        s"""WITH cents AS (SELECT cell, c FROM read_parquet('$root/q_dedup_semantic/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents),
+           |probe AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn <= 2),
+           |sizes AS (SELECT cell, count(*) AS n FROM probe GROUP BY cell),
+           |ok AS (SELECT p.vec_id, p.cell FROM probe p
+           |       JOIN sizes USING (cell) WHERE n <= 10000),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM ok a JOIN ok b USING (cell)
+           |         WHERE a.vec_id < b.vec_id),
+           |scored AS (
+           |  SELECT id_a, id_b,
+           |    round(list_dot_product(x.v, y.v) /
+           |          (sqrt(list_dot_product(x.v, x.v)) *
+           |           sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+           |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
+           |SELECT id_a, id_b, cos FROM scored
+           |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql

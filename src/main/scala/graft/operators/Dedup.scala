@@ -695,10 +695,16 @@ object Dedup {
     * narrow map pass (NearestCells kernel, centroid matrix as expression
     * state); the shuffle carries (cell, id) postings; `maxBlock` caps the
     * per-cell quadratic exactly like [[embeddingPairs]]. */
+  /** @param centroidsSink when set, the learned blocking quantizer is
+    *   persisted as (cell, c double[]) parquet ([[Similarity.writeCentroids]])
+    *   — given the centroids, multi-probe assignment, the block-size
+    *   guard, candidate pairing, and the exact-cosine verify are all
+    *   re-derivable by the DuckDB oracle, value-gating the whole face. */
   def semanticPairs(embs: DataFrame, threshold: Double = 0.95,
       nlist: Int = 16, nprobe: Int = 2, seed: Long = 7L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainSample: Int = 10000, maxBlock: Option[Int] = Some(10000)): DataFrame = {
+      trainSample: Int = 10000, maxBlock: Option[Int] = Some(10000),
+      centroidsSink: Option[String] = None): DataFrame = {
     require(nprobe >= 1 && nlist >= 1, s"nlist=$nlist nprobe=$nprobe")
     // vectors are read three times (cell assignment + both verify sides) —
     // same staging persist as minhashPairsFromShingles' sigd (and the same
@@ -715,6 +721,7 @@ object Dedup {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty input")
     val cents: Array[Array[Double]] = Similarity.lloyd(sample, nlist, iters = 8)
+    centroidsSink.foreach(Similarity.writeCentroids(embs.sparkSession, cents, _))
     val cells = v.select(col(idCol),
       explode(Similarity.nearestCells(col("v"), cents, nprobe)).as("cell"))
       .repartition(col("cell")) // one exchange, read by both candidate sides

@@ -186,16 +186,7 @@ object Similarity {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
-    centroidsSink.foreach { path =>
-      import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
-      val rows = cents.zipWithIndex.map { case (cent, i) =>
-        org.apache.spark.sql.Row(i, cent.toSeq) }.toList
-      corpus.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*),
-          StructType(Seq(StructField("cell", IntegerType, nullable = false),
-            StructField("c", ArrayType(DoubleType), nullable = false))))
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    }
+    centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
 
     // Cell assignment via the NearestCells kernel expression — an unrolled
     // literal formulation (nlist × dims plan literals) grows the expression
@@ -236,6 +227,22 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hit").cast("double") / col("n_exact"), 4))
       .orderBy(col("query_id"))
+  }
+
+  /** Persist a trained centroid matrix as (cell, c double[]) parquet —
+    * the audit artifact that lets an external engine (the DuckDB oracle)
+    * re-derive every centroid-seeded face from the same geometry. Tiny
+    * (nlist·dims doubles), written driver-side in one file. */
+  private[operators] def writeCentroids(sess: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], path: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val rows = cents.zipWithIndex.map { case (cent, i) =>
+      org.apache.spark.sql.Row(i, cent.toSeq) }.toList
+    sess.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("cell", IntegerType, nullable = false),
+          StructField("c", ArrayType(DoubleType), nullable = false))))
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** `nprobe` nearest centroid ids (ascending score, ties → lower id) for an
