@@ -649,18 +649,29 @@ object ExtQueries {
         blockCol = col("lang"), threshold = 0.5, dfCap = Some(10))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // MinHash+LSH candidates (sketch — rows-only; recall vs exact ground
-    // truth asserted in DedupSpec)
-    "q_dedup_minhash" -> ((s, dir) =>
+    // MinHash+LSH candidates, VALUE-gated on everything checkable: the
+    // mined pair set is staged and the oracle recomputes every pair's
+    // Jaccard from raw text (emitting ITS value, so a wrong engine-side
+    // verify can't hash-match) and re-applies the threshold; which pairs
+    // banding surfaces stays in-engine, audited by q_dedup_minhash_recall
+    "q_dedup_minhash" -> ((s, dir) => {
+      val path = oracleStagePath(dir, "q_dedup_minhash")
       Dedup.minhashPairs(Tables.documents(s, dir),
         bands = 32, rowsPerBand = 2, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy(col("id_a"), col("id_b"))
+    }),
 
+    // SimHash pairs, VALUE-gated from the staged signatures: chunking,
+    // the bucket guard, pigeonhole candidate pairing and the hamming
+    // verify are pure integer arithmetic the oracle re-derives exactly —
+    // only the simhash64 kernel itself stays engine-side (SimhashSpec)
     "q_dedup_simhash" -> ((s, dir) =>
       // chunks > maxHamming keeps the pigeonhole guarantee (8 × 8-bit
       // chunks: any pair within hamming 7 shares at least one equal chunk)
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, chunks = 8)
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, chunks = 8,
+        signaturesSink = Some(oracleStagePath(dir, "q_dedup_simhash")))
         .orderBy(col("id_a"), col("id_b"))),
 
     // dedup-sketch recall audit: fraction of the exact (per-lang, uncapped)
@@ -837,18 +848,22 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
-    // incremental NEAR-dup: delta docs vs the standing corpus's persisted
-    // signature index (batch/incremental equivalence property-tested —
-    // sketch-based → rows-only)
+    // incremental NEAR-dup, VALUE-gated like q_dedup_minhash: the oracle
+    // recomputes each staged pair's Jaccard from raw text and re-applies
+    // the threshold PLUS the orientation contract (id_a is a delta doc;
+    // delta-delta pairs appear once as id_a < id_b) — batch/incremental
+    // pair-set equivalence stays property-tested in DedupSpec
     "q_dedup_minhash_inc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val path = oracleStagePath(dir, "q_dedup_minhash_inc")
       Dedup.incrementalMinhash(
         docs.filter(col("doc_id") % 10 >= 7),
         Dedup.signatureIndex(docs.filter(col("doc_id") % 10 < 7)),
         bands = 32, rowsPerBand = 2, threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy(col("id_a"), col("id_b"))
     }),
 
     // semantic near-dup with LEARNED blocking, VALUE-gated: given the
@@ -1549,6 +1564,27 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Minhash-pair oracle: recompute each staged pair's Jaccard from raw
+    * text (the oracle EMITS its own value — an engine-side verify bug
+    * cannot hash-match) and re-apply the unrounded threshold plus any
+    * structural predicate (`extraWhere`, e.g. the incremental face's
+    * orientation contract). */
+  private def pairJaccardOracleSql(pairsPath: String, threshold: Double,
+      extraWhere: String = ""): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct($shinglesSql) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |rawp AS (SELECT id_a, id_b FROM read_parquet('$pairsPath/*.parquet')),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) -
+       |     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jraw
+       |  FROM rawp JOIN d a ON a.doc_id = id_a JOIN d b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, round(jraw, 6) AS jaccard FROM j
+       |WHERE jraw >= $threshold$extraWhere
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Oracle entries whose SQL references per-dir STAGED artifacts (paths
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
   private def dynamicOracleSql: Map[String, String] = {
@@ -1623,7 +1659,37 @@ object ExtQueries {
            |           sqrt(list_dot_product(y.v, y.v))), 6) AS cos
            |  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b)
            |SELECT id_a, id_b, cos FROM scored
-           |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin)
+           |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+      "q_dedup_minhash" ->
+        pairJaccardOracleSql(s"$root/q_dedup_minhash", 0.5),
+      "q_dedup_minhash_inc" ->
+        pairJaccardOracleSql(s"$root/q_dedup_minhash_inc", 0.5,
+          extraWhere =
+            "\n  AND id_a % 10 >= 7 AND (id_b % 10 < 7 OR id_a < id_b)"),
+      // simhash from the staged signatures: 8 × 8-bit chunk postings
+      // ((sim >> 8i) & 255 — arithmetic shift then mask, identical in
+      // both engines), over-cap buckets dropped like dropOversized,
+      // pigeonhole candidates (a < b, any shared chunk), hamming =
+      // popcount of the XOR — every step integer-exact
+      "q_dedup_simhash" ->
+        s"""WITH sig AS (SELECT doc_id, sim
+           |             FROM read_parquet('$root/q_dedup_simhash/*.parquet')),
+           |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           |         (sim >> (CAST(i AS INT) * 8)) & 255 AS chunk_val
+           |       FROM sig, range(0, 8) r(i)),
+           |sizes AS (SELECT chunk_idx, chunk_val, count(*) AS n
+           |          FROM ch GROUP BY 1, 2),
+           |ok AS (SELECT c.doc_id, c.chunk_idx, c.chunk_val FROM ch c
+           |       JOIN sizes USING (chunk_idx, chunk_val) WHERE n <= 1000),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM ok a JOIN ok b USING (chunk_idx, chunk_val)
+           |         WHERE a.doc_id < b.doc_id),
+           |h AS (SELECT id_a, id_b,
+           |        CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+           |      FROM cand JOIN sig x ON x.doc_id = id_a
+           |      JOIN sig y ON y.doc_id = id_b)
+           |SELECT id_a, id_b, hamming FROM h
+           |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql

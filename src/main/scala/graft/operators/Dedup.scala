@@ -464,16 +464,33 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
     * Candidate generation joins on equality of one of `chunks` 16-bit chunks
-    * (pigeonhole guarantee when maxHamming < chunks). */
+    * (pigeonhole guarantee when maxHamming < chunks).
+    *
+    * @param signaturesSink when set, the (id, sim) signature relation is
+    *   eagerly staged to this parquet path and downstream consumes the
+    *   read-back — given the signatures, chunking, the bucket guard,
+    *   candidate pairing and the hamming verify are all integer
+    *   arithmetic an external auditor (the DuckDB oracle) re-derives
+    *   exactly; only the simhash64 kernel itself stays engine-side
+    *   (spec-locked). A production pipeline persists signatures anyway
+    *   (the simhash analogue of [[signatureIndex]]). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 1000,
+      signaturesSink: Option[String] = None): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1L
     // persist for the same diamond reason as minhashPairs' sigd (three
     // consumers, pruning-divergent projections); (id, sim) is 16 bytes/doc
-    val sigs = docs.select(col(idCol),
+    // — a staged sink plays the same materialization role when requested
+    val sigsRaw = docs.select(col(idCol),
       simhash64(hashed(tokens(col(textCol)))).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesSink match {
+      case Some(path) =>
+        sigsRaw.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None =>
+        sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val chunkArray = array((0 until chunks).map(c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit(mask))): _*)
     // same exchange-reuse shape as minhashPairs: one narrow shuffle on the
