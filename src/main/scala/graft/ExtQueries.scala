@@ -886,12 +886,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // hyperplane-LSH ANN (approximate — rows-only; recall asserted in
-    // SimilaritySpec against bruteForceTopK)
+    // hyperplane-LSH ANN, VALUE-gated: the deterministic plane matrix is
+    // staged, and the oracle recomputes every bucket signature (sign of
+    // v·plane_p packed little-endian), the single-probe bucket join, and
+    // the exact-cosine ranking — the whole face is derivable from the
+    // staged geometry (recall vs brute force stays q_sim_lsh_recall)
     "q_sim_ann_lsh" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5, dims = 64,
-        planes = 6)
+        planes = 6,
+        planesSink = Some(oracleStagePath(dir, "q_sim_ann_lsh")))
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -933,13 +937,17 @@ object ExtQueries {
         Similarity.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4))
     }),
 
-    // product-quantization ANN: 8 codebook ints per vector instead of 64
-    // floats — the scan-compression path (codebook-seeded → rows-only;
-    // recall floor in SimilaritySpec)
+    // product-quantization ANN with the refine leg VALUE-gated: the ADC
+    // shortlist is staged (read back into the refine for exact
+    // provenance) and the oracle re-derives the unit-normalization and
+    // the exact-cosine top-5 re-rank from raw vectors — shortlist
+    // membership (the codebook-seeded part) stays in-engine, audited by
+    // q_sim_pq_recall, the same epistemic split as the minhash faces
     "q_sim_pq" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       Similarity.pqTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-        m = 16, ksub = 32, rerank = 8)
+        m = 16, ksub = 32, rerank = 8,
+        shortlistSink = Some(oracleStagePath(dir, "q_sim_pq")))
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1689,7 +1697,60 @@ object ExtQueries {
            |      FROM cand JOIN sig x ON x.doc_id = id_a
            |      JOIN sig y ON y.doc_id = id_b)
            |SELECT id_a, id_b, hamming FROM h
-           |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)
+           |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+      // hyperplane LSH from the staged plane matrix: bucket = packed sign
+      // bits of v·plane_p (integer sum of disjoint powers of two —
+      // order-free), single-probe bucket equality, exact rounded cosine
+      // ranks within the bucket
+      "q_sim_ann_lsh" ->
+        s"""WITH planes AS (SELECT cell AS p, c
+           |                FROM read_parquet('$root/q_sim_ann_lsh/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sig AS (SELECT vec_id,
+           |          CAST(sum(CASE WHEN list_dot_product(v, c) >= 0
+           |                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+           |               AS BIGINT) AS bucket
+           |        FROM v, planes GROUP BY vec_id),
+           |scored AS (
+           |  SELECT sq.vec_id AS query_id, sc.vec_id,
+           |    round(list_dot_product(a.v, b.v) /
+           |          (sqrt(list_dot_product(a.v, a.v)) *
+           |           sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+           |  FROM sig sq JOIN sig sc ON sq.bucket = sc.bucket
+           |   AND sq.vec_id < 8 AND sq.vec_id <> sc.vec_id
+           |  JOIN v a ON a.vec_id = sq.vec_id
+           |  JOIN v b ON b.vec_id = sc.vec_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // PQ refine leg from the staged ADC shortlist: unit-normalize raw
+      // vectors exactly like the engine (x / sqrt(max(Σx², 1e-300)), the
+      // sequential fold list_dot_product mirrors), then the exact rounded
+      // cosine re-rank picks the top 5
+      "q_sim_pq" ->
+        s"""WITH sl AS (SELECT query_id, vec_id
+           |            FROM read_parquet('$root/q_sim_pq/*.parquet')),
+           |raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+           |n AS (SELECT vec_id,
+           |        list_transform(v0, x -> x /
+           |          sqrt(greatest(list_dot_product(v0, v0), 1e-300))) AS v
+           |      FROM raw),
+           |scored AS (
+           |  SELECT s.query_id, s.vec_id,
+           |    round(list_dot_product(q.v, c.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) *
+           |           sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+           |  FROM sl s JOIN n q ON q.vec_id = s.query_id
+           |  JOIN n c ON c.vec_id = s.vec_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql

@@ -87,10 +87,18 @@ object Similarity {
     * are the likeliest homes of near neighbours that landed just across a
     * hyperplane. Corpus rows stay in exactly one bucket, so probing only
     * fans out the (small, broadcast) query side. */
+  /** @param planesSink when set, the deterministic hyperplane matrix is
+    *   persisted as (cell = plane index, c double[]) parquet — given the
+    *   planes, bucket signatures, the bucket join, and the exact-cosine
+    *   ranking are all re-derivable by the DuckDB oracle, value-gating
+    *   the face (single-probe configurations). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
       planes: Int = 8, probes: Int = 1, seed: Long = 7L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesSink: Option[String] = None): DataFrame = {
     require(probes >= 1 && probes <= planes + 1)
+    planesSink.foreach(writeCentroids(corpus.sparkSession,
+      Array.tabulate(planes, dims)((p, d) => planeComponent(p, d, seed)), _))
     val sigOf = (v: Column) => signatureCol(v, dims, planes, seed)
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", sigOf(col("v")))
@@ -359,9 +367,16 @@ object Similarity {
     * scale a narrow id-equi-join touching |queries|·k·rerank vectors, not
     * the corpus. `rerank = 1` disables the refine step (pure ADC ranking);
     * recall is audited in-engine like LSH/IVF ([[recallAudit]]). */
+  /** @param shortlistSink when set, the ADC shortlist (query_id, vec_id)
+    *   is eagerly staged to this parquet path and the refine consumes the
+    *   read-back — the DuckDB oracle then re-derives the exact-cosine
+    *   re-rank over unit-normalized vectors from raw data, value-gating
+    *   the refine leg (shortlist membership stays in-engine, audited by
+    *   the recall twin — the same epistemic split as LSH banding). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, rerank: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding", trainSample: Int = 10000): DataFrame = {
+      vecCol: String = "embedding", trainSample: Int = 10000,
+      shortlistSink: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub")
     // three consumers (training sample, encode pass, shortlist refine) —
@@ -388,7 +403,13 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         Bridge.column(PqAdc(Bridge.expression(col("qv")),
           Bridge.expression(col("code")), new Mat3(codebooks))).as("adc"))
-    val shortlist = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
+    val shortlist0 = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
+    val shortlist = shortlistSink match {
+      case Some(path) =>
+        shortlist0.write.mode("overwrite").parquet(path)
+        corpus.sparkSession.read.parquet(path)
+      case None => shortlist0
+    }
     // refine: exact cosine over the shortlist only — vectors join back by
     // id (narrow; |queries|·k·rerank rows), the corpus is never re-scanned
     // shortlist is bounded (|queries| * k * rerank rows) — broadcast it
