@@ -440,6 +440,13 @@ object ExtQueries {
     * artifacts belong to. Defaults to the driver's correctness SF. */
   @volatile private var oracleStagedFor: String = "/root/testdata/sf0.01"
 
+  /** The ANN-index dir the last q_ann_index run read (pid-suffixed —
+    * recorded at query time so the oracle can read the index's own
+    * postings after this JVM exits; a later process first-touch deletes
+    * only its OWN pid path, never this one). Empty until the face runs →
+    * its dynamic oracle entry is omitted (rows-only fallback). */
+  @volatile private var oracleAnnIndexDir: String = ""
+
   private def oracleStagePath(dir: String, name: String): String = {
     oracleStagedFor = dir
     s"${oracleStageRoot(dir)}/$name"
@@ -974,13 +981,18 @@ object ExtQueries {
     // STANDING-index ANN: build the durable IVF+PQ index from the batch
     // fixture (train-once quantizers, batch-key partition — exactly what
     // embedIngest leaves behind), then answer via annFromIndex's
-    // ADC-over-pruned-columns read path (rows-only; seeded by the trained
-    // quantizers. recall floor asserted in IngestStreamsSpec)
+    // ADC-over-pruned-columns read path. The refine leg is VALUE-gated:
+    // the ADC shortlist is staged, and the oracle re-derives the
+    // exact-cosine top-5 from the index's own stored unit vectors plus
+    // the raw queries (shortlist membership stays under
+    // q_ann_index_recall, the established epistemic split)
     "q_ann_index" -> ((s, dir) => {
       val idx = annIndexFixture(s, dir)
+      oracleAnnIndexDir = idx
       graft.streaming.IngestStreams.annFromIndex(s, idx,
         Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 5,
-        nprobe = 4, rerank = 8)
+        nprobe = 4, rerank = 8,
+        shortlistSink = Some(oracleStagePath(dir, "q_ann_index")))
         .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1597,7 +1609,37 @@ object ExtQueries {
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
   private def dynamicOracleSql: Map[String, String] = {
     val root = oracleStageRoot(oracleStagedFor)
-    Map(
+    // standing-index refine leg: exact cosine between the engine-side
+    // unit-normalized queries (mirrored: x / sqrt(max(Σx², 1e-300))) and
+    // the index's OWN stored unit vectors, re-ranked over the staged
+    // shortlist — only present once q_ann_index has run in this process
+    val annEntry =
+      if (oracleAnnIndexDir.isEmpty) Map.empty[String, String]
+      else Map("q_ann_index" ->
+        s"""WITH sl AS (SELECT query_id, vec_id
+           |            FROM read_parquet('$root/q_ann_index/*.parquet')),
+           |p AS (SELECT vec_id, v
+           |      FROM read_parquet('$oracleAnnIndexDir/postings/*/*.parquet')),
+           |raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+           |        FROM embeddings WHERE vec_id < 8),
+           |qn AS (SELECT vec_id AS query_id,
+           |         list_transform(v0, x -> x /
+           |           sqrt(greatest(list_dot_product(v0, v0), 1e-300))) AS qv
+           |       FROM raw),
+           |scored AS (
+           |  SELECT s.query_id, s.vec_id,
+           |    round(list_dot_product(q.qv, c.v) /
+           |          (sqrt(list_dot_product(q.qv, q.qv)) *
+           |           sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+           |  FROM sl s JOIN qn q USING (query_id)
+           |  JOIN p c ON c.vec_id = s.vec_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    annEntry ++ Map(
       "q_dedup_corpus" ->
         corpusDedupOracleSql(s"$root/q_dedup_corpus", "onepass"),
       "q_dedup_corpus_staged" ->

@@ -199,9 +199,16 @@ object IngestStreams {
     * Per-query work is |index|·nprobe/nlist either way; the standing
     * corpus is never re-assigned. Same output contract as
     * [[graft.operators.Similarity.ivfTopK]]. */
+  /** @param shortlistSink when set (ADC branch only), the shortlist
+    *   (query_id, vec_id) is eagerly staged to this parquet path and the
+    *   refine consumes the read-back — the DuckDB oracle then re-derives
+    *   the exact-cosine re-rank from the index's own stored vectors plus
+    *   the raw queries, value-gating the standing-index read path's
+    *   refine leg (shortlist membership stays under the recall twin). */
   def annFromIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerank: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      shortlistSink: Option[String] = None): DataFrame = {
     import graft.functions.TopK
     import org.apache.spark.sql.graftbridge.Bridge
     val cents = loadCentroids(spark, indexDir).getOrElse(
@@ -233,10 +240,16 @@ object IngestStreams {
             Bridge.column(graft.operators.PqAdc(Bridge.expression(col("qv")),
               Bridge.expression(col("code")),
               new graft.operators.Mat3(books))).as("adc"))
-        val shortlist = adc.groupBy(col("query_id"))
+        val shortlist0 = adc.groupBy(col("query_id"))
           .agg(TopK.topKByOrd(col("vec_id"), col("adc"), col("vec_id"),
             k * math.max(1, rerank)).as("__ids"))
           .select(col("query_id"), explode(col("__ids")).as("vec_id"))
+        val shortlist = shortlistSink match {
+          case Some(path) =>
+            shortlist0.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          case None => shortlist0
+        }
         val refined = postings.select(col(idCol).as("vec_id"), col("v"))
           .join(broadcast(shortlist), Seq("vec_id"))
           .join(broadcast(q.select(col("query_id"), col("qv")).distinct()),
