@@ -447,6 +447,12 @@ object ExtQueries {
     * its dynamic oracle entry is omitted (rows-only fallback). */
   @volatile private var oracleAnnIndexDir: String = ""
 
+  /** The corpus-inc fixture root the last q_dedup_corpus_inc run used
+    * (pid-suffixed, same post-exit-readability argument as
+    * [[oracleAnnIndexDir]]) — lets the oracle consume the STANDING state
+    * (base survivors, base CC labels) the fold started from. */
+  @volatile private var oracleCorpusIncDir: String = ""
+
   private def oracleStagePath(dir: String, name: String): String = {
     oracleStagedFor = dir
     s"${oracleStageRoot(dir)}/$name"
@@ -796,11 +802,14 @@ object ExtQueries {
     // Delta ids are shifted strictly above base ids (the min-id survivor
     // contract the operator documents), so union-corpus exact survivors
     // = base survivors ∪ incrementalExact survivors of the delta — no
-    // full-corpus re-scan. Sketch-seeded → rows-only; inc ≡ batch parity
-    // over the unioned corpus (labels AND survivors) is property-tested
-    // in DedupSpec.
+    // full-corpus re-scan. VALUE-gated: the oracle consumes the standing
+    // state as data (base survivors + labels parquet), re-verifies the
+    // staged delta pairs from raw text, and recomputes the merged
+    // closure + survivors — the incremental FOLD is under the hash gate;
+    // inc ≡ batch parity stays property-tested in DedupSpec.
     "q_dedup_corpus_inc" -> ((s, dir) => {
       val fx = corpusIncFixture(s, dir)
+      oracleCorpusIncDir = fx
       val (bands, rows, thr) = (32, 2, 0.5)
       val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 >= 9)
         .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -815,7 +824,8 @@ object ExtQueries {
       val updated = Dedup.dedupCorpusCCInc(delta, hashIdx,
         s.read.parquet(s"$fx/sig_idx"), s.read.parquet(s"$fx/labels"),
         bands = bands, rowsPerBand = rows, threshold = thr,
-        deltaUniq = Some(deltaSurv))
+        deltaUniq = Some(deltaSurv),
+        pairsSink = Some(oracleStagePath(dir, "q_dedup_corpus_inc")))
       Dedup.survivorsFromLabels(
         s.read.parquet(s"$fx/base_surv")
           .unionByName(deltaSurv.select(col("doc_id"), col("lang"), col("source"))),
@@ -1639,7 +1649,61 @@ object ExtQueries {
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-    annEntry ++ Map(
+    // incremental corpus-dedup fold: the oracle consumes the STANDING
+    // state as data (base survivors + base CC labels — persisted parquet,
+    // exactly what a production pipeline trusts between batches),
+    // re-verifies the staged delta pairs from raw text, re-derives the
+    // delta's exact survivors (min shifted id per text, minus texts the
+    // base partition holds), and recomputes the merged closure + survivor
+    // anti-join independently — the FOLD is what's under the gate
+    val incEntry =
+      if (oracleCorpusIncDir.isEmpty) Map.empty[String, String]
+      else Map("q_dedup_corpus_inc" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT doc_id, list_distinct($shinglesSql) AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |delta AS (SELECT doc_id + 1000000 AS doc_id, text, lang, source
+           |          FROM documents WHERE doc_id % 10 >= 9),
+           |dsurv AS (SELECT min(doc_id) AS doc_id, text FROM delta GROUP BY text),
+           |dsurv2 AS (
+           |  SELECT s.doc_id, dd.lang, dd.source FROM dsurv s
+           |  JOIN delta dd ON dd.doc_id = s.doc_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM documents c
+           |                    WHERE c.doc_id % 10 < 9 AND c.text = s.text)),
+           |bsurv AS (SELECT doc_id, lang, source
+           |          FROM read_parquet('$oracleCorpusIncDir/base_surv/*.parquet')),
+           |lab AS (SELECT id, component
+           |        FROM read_parquet('$oracleCorpusIncDir/labels/*.parquet')),
+           |rawp AS (SELECT id_a, id_b FROM read_parquet(
+           |           '${oracleStageRoot(oracleStagedFor)}/q_dedup_corpus_inc/*.parquet')),
+           |vp AS (SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b,
+           |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |      (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) -
+           |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jraw
+           |    FROM rawp
+           |    JOIN d a ON a.doc_id =
+           |      (CASE WHEN id_a >= 1000000 THEN id_a - 1000000 ELSE id_a END)
+           |    JOIN d b ON b.doc_id =
+           |      (CASE WHEN id_b >= 1000000 THEN id_b - 1000000 ELSE id_b END))
+           |  WHERE jraw >= 0.5),
+           |edges AS (
+           |  SELECT id AS u, component AS v FROM lab
+           |  UNION SELECT component, id FROM lab
+           |  UNION SELECT id_a, id_b FROM vp
+           |  UNION SELECT id_b, id_a FROM vp),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM edges
+           |  UNION
+           |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           |losers AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+           |allsurv AS (SELECT doc_id, lang, source FROM bsurv
+           |            UNION ALL SELECT doc_id, lang, source FROM dsurv2)
+           |SELECT doc_id, lang, source FROM allsurv
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin)
+    annEntry ++ incEntry ++ Map(
       "q_dedup_corpus" ->
         corpusDedupOracleSql(s"$root/q_dedup_corpus", "onepass"),
       "q_dedup_corpus_staged" ->

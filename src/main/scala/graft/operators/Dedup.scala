@@ -268,12 +268,18 @@ object Dedup {
     * table is streamed twice and never shuffled, and the only iterative
     * work is the O(delta) contracted label graph — each batch costs
     * O(delta + affected components), not O(corpus). */
+  /** @param pairsSink when set, the delta's mined near-dup pairs are
+    *   staged and the CC fold consumes the read-back ([[sinkPairs]]) —
+    *   together with the persisted standing state (labels, survivors)
+    *   this lets the DuckDB oracle re-verify the pairs from raw text and
+    *   recompute the whole incremental fold independently. */
   def dedupCorpusCCInc(delta: DataFrame, hashIdx: DataFrame,
       sigIndex: DataFrame, prevLabels: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000,
       stagingDir: Option[String] = None,
-      deltaUniq: Option[DataFrame] = None): DataFrame = {
+      deltaUniq: Option[DataFrame] = None,
+      pairsSink: Option[String] = None): DataFrame = {
     // exact-unique delta docs: batch-internal survivors minus corpus keys;
     // staged — read by the signature pass AND (via pairs) the CC rounds.
     // A pipeline that has already run [[incrementalExact]] on this batch
@@ -283,8 +289,8 @@ object Dedup {
     val uniq = stage(deltaUniq.getOrElse(delta.join(
       incrementalExact(delta, hashIdx, textCol, idCol).select(col(idCol)),
       Seq(idCol), "left_semi")), stagingDir, "inc_exact_survivors")
-    val pairs = incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
-      bands, rowsPerBand, threshold, maxBucket)
+    val pairs = sinkPairs(incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
+      bands, rowsPerBand, threshold, maxBucket), pairsSink)
     Graph.incrementalCC(prevLabels, pairs, srcCol = "id_a", dstCol = "id_b",
       stagingDir = stagingDir)
   }
