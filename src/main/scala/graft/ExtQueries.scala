@@ -355,6 +355,61 @@ object ExtQueries {
       root
     })
 
+  private val sessionReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay STREAMING sessionization end-to-end, once per fixture dir:
+    * the whole events table feeds [[graft.operators.Sessionize.stream]]
+    * (Spark-native `session_window` state merge, append mode) as a real
+    * checkpointed MemoryStream query in 3 deterministically scrambled
+    * batches — cross-batch out-of-order session FRAGMENTS that the
+    * engine's state store must merge across micro-batches, which is
+    * exactly the machinery this face puts under the DuckDB gate (the
+    * batch two-pass window oracle of q_sessionize). `watermarkDelay`
+    * wider than the fixture span so scrambling never late-drops an event
+    * (lateness semantics stay spec-locked); far-future sentinel noise
+    * (user −1) then pushes the watermark past every real session's close
+    * so append mode seals them all. Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def sessionReplayFixture(s: SparkSession, dir: String): String =
+    sessionReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_session_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"))
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .as[(Long, java.sql.Timestamp)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(tsMicros(r._2), r._1))
+      val maxMs = rows.iterator.map(_._2.getTime).max
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      val q = graft.operators.Sessionize.stream(
+        src.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        gap = "30 minutes", watermarkDelay = "45 days")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$root/sessions")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+          src.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+        (0 until 3).foreach { i =>
+          src.addData((-1L,
+            new java.sql.Timestamp(maxMs + 46L * 86400000L + i * 3600000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      root
+    })
+
   private val corpusIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -492,6 +547,16 @@ object ExtQueries {
       |ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
       |END""".stripMargin
 
+  /** Karp–Rabin fold in DuckDB, mirroring TextFunctions.polyHash: per-code-
+    * point split, `(h·1000003 + cp) mod 1e9+7` seeded at 0 (the
+    * `list_prepend`; `list_filter` drops the `['']` artifact an empty
+    * string splits into). */
+  private def polyFoldSql(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(regexp_split_to_array($x, ''), ch -> ch <> ''),
+       |    ch -> CAST(unicode(ch) AS BIGINT))),
+       |  (a, b) -> (a * 1000003 + b) % 1000000007)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis --------------------------------------------------
@@ -530,10 +595,14 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // fingerprints (xxhash64-based — rows-only; determinism in ScalaTest)
+    // fingerprints, VALUE-gated via the engine-portable Karp–Rabin
+    // columns: the oracle recomputes the full-text rolling hash and the
+    // min-shingle rolling fingerprint from raw text with the same
+    // (B, M) fold — the xxhash64 twins stay engine-side, determinism
+    // locked in TextAnalysisSpec
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))
-        .select(col("doc_id"), col("fp_full"), col("fp_min_shingle"))
+        .select(col("doc_id"), col("fp_roll"), col("fp_roll_min"))
         .orderBy(col("doc_id"))),
 
     // TF-IDF: top-3 terms per document (doc_id < 10), deterministic
@@ -692,7 +761,11 @@ object ExtQueries {
     // verifies candidates with the same exact Jaccard over the same shingle
     // hashes, so misses are purely banding misses — at bands=32 r=2 the
     // J ≥ 0.5 detection probability is ~0.9999, making recall a stable 1.0
-    // that collapses if signatures/banding break (rows-only; one row)
+    // that collapses if signatures/banding break. VALUE-gated: the sketch
+    // pair set is staged, the oracle independently recomputes the exact
+    // lang-blocked pair set from raw text and the overlap fraction —
+    // banding membership stays engine-side, but the exact leg and the
+    // recall number are hash-gated
     "q_dedup_minhash_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // ONE shingle pass feeds both pipelines (Dedup.shingled contract):
@@ -701,10 +774,14 @@ object ExtQueries {
       val sh = Dedup.shingled(docs.withColumn("block", col("lang")),
         extraCols = Seq("block"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val path = oracleStagePath(dir, "q_dedup_minhash_recall")
+      Dedup.minhashPairsFromShingles(sh, bands = 32, rowsPerBand = 2,
+        threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(path)
       Dedup.pairRecallAudit(
         Dedup.ngramJaccardPairsFromShingles(sh, threshold = 0.5, dfCap = None),
-        Dedup.minhashPairsFromShingles(sh, bands = 32, rowsPerBand = 2,
-          threshold = 0.5))
+        s.read.parquet(path))
     }),
 
     // end-to-end corpus dedup, VALUE-gated: the mined minhash pair set is
@@ -933,17 +1010,22 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // sketch-recall audits: exact-vs-approx overlap per query, computed
-    // in-engine on the SAME configs as the q_sim_ann_lsh / q_sim_ivf
-    // catalog entries — a broken sketch collapses `recall` here even when
-    // the sketch query itself still returns rows (rows-only; the recall
-    // floor is asserted in SimilaritySpec)
+    // sketch-recall audits, VALUE-gated end-to-end: exact-vs-approx
+    // overlap per query, computed in-engine on the SAME configs as the
+    // q_sim_ann_lsh / q_sim_ivf catalog entries. The sketch geometry is
+    // staged under the audit's OWN name and the oracle re-derives BOTH
+    // legs independently — the brute-force top-k from raw vectors and
+    // the sketch top-k from the staged planes/centroids — then recomputes
+    // the per-query overlap, so the recall NUMBER itself is now under the
+    // DuckDB hash gate (a broken sketch, a broken exact leg, or a broken
+    // audit join all collapse it)
     "q_sim_lsh_recall" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val qs = embs.filter(col("vec_id") < 8)
       Similarity.recallAudit(
         Similarity.bruteForceTopK(embs, qs, k = 5),
-        Similarity.lshTopK(embs, qs, k = 5, dims = 64, planes = 6))
+        Similarity.lshTopK(embs, qs, k = 5, dims = 64, planes = 6,
+          planesSink = Some(oracleStagePath(dir, "q_sim_lsh_recall"))))
     }),
 
     "q_sim_ivf_recall" -> ((s, dir) => {
@@ -951,7 +1033,8 @@ object ExtQueries {
       val qs = embs.filter(col("vec_id") < 8)
       Similarity.recallAudit(
         Similarity.bruteForceTopK(embs, qs, k = 5),
-        Similarity.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4))
+        Similarity.ivfTopK(embs, qs, k = 5, nlist = 16, nprobe = 4,
+          centroidsSink = Some(oracleStagePath(dir, "q_sim_ivf_recall"))))
     }),
 
     // product-quantization ANN with the refine leg VALUE-gated: the ADC
@@ -969,23 +1052,33 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ-family recall audits, VALUE-gated on everything derivable: the
+    // ADC shortlist is staged under the audit's own name, and the oracle
+    // recomputes the exact-cosine refine from it plus the brute-force
+    // exact leg from raw vectors, then the per-query overlap — shortlist
+    // MEMBERSHIP stays engine-side (the codebook-seeded part), the same
+    // epistemic split as q_sim_pq itself, but a broken shortlist now
+    // collapses an oracle-checked recall value instead of a spec floor
     "q_sim_pq_recall" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val qs = embs.filter(col("vec_id") < 8)
       Similarity.recallAudit(
         Similarity.bruteForceTopK(embs, qs, k = 5),
-        Similarity.pqTopK(embs, qs, k = 5, m = 16, ksub = 32, rerank = 8))
+        Similarity.pqTopK(embs, qs, k = 5, m = 16, ksub = 32, rerank = 8,
+          shortlistSink = Some(oracleStagePath(dir, "q_sim_pq_recall"))))
     }),
 
     // IVF-PQ: coarse cells bound WHICH rows score, PQ codes bound what
-    // each row costs, exact refine on the shortlist (rows-only)
+    // each row costs, exact refine on the shortlist — same staged-
+    // shortlist value gate as q_sim_pq_recall
     "q_sim_ivfpq_recall" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val qs = embs.filter(col("vec_id") < 8)
       Similarity.recallAudit(
         Similarity.bruteForceTopK(embs, qs, k = 5),
         Similarity.ivfPqTopK(embs, qs, k = 5, nlist = 8, nprobe = 4,
-          m = 16, ksub = 32, rerank = 8))
+          m = 16, ksub = 32, rerank = 8,
+          shortlistSink = Some(oracleStagePath(dir, "q_sim_ivfpq_recall"))))
     }),
 
     // STANDING-index ANN: build the durable IVF+PQ index from the batch
@@ -1009,15 +1102,21 @@ object ExtQueries {
 
     // recall audit of the standing-index read path against the exact
     // brute force on the same (corpus, queries, k) — collapses if index
-    // build, ADC shortlist, or parquet pruning break (rows-only)
+    // build, ADC shortlist, or parquet pruning break. VALUE-gated like
+    // q_sim_pq_recall: the index read path's ADC shortlist is staged, the
+    // oracle re-derives its refine from the index's own stored unit
+    // vectors plus the brute-force leg from raw vectors, and recomputes
+    // the overlap
     "q_ann_index_recall" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val qs = embs.filter(col("vec_id") < 8)
       val idx = annIndexFixture(s, dir)
+      oracleAnnIndexDir = idx
       Similarity.recallAudit(
         Similarity.bruteForceTopK(embs, qs, k = 5),
         graft.streaming.IngestStreams.annFromIndex(s, idx, qs, k = 5,
-          nprobe = 4, rerank = 8))
+          nprobe = 4, rerank = 8,
+          shortlistSink = Some(oracleStagePath(dir, "q_ann_index_recall"))))
     }),
 
     // deterministic stratified sampling on the md5 rule — EXACT membership
@@ -1224,6 +1323,22 @@ object ExtQueries {
           coalesce(col("r_user"), lit(-1L)).as("r_user"),
           coalesce(unix_micros(col("r_ts")), lit(-1L)).as("r_ts_us"))
         .orderBy(col("l_user"), col("l_ts_us"), col("r_ts_us"))),
+
+    // STREAMING sessionization under the oracle gate: the checkpointed
+    // 3-batch scrambled replay's sealed sessions, summarized per user
+    // exactly like the batch face — hash-gated against q_sessionize's own
+    // two-pass window oracle, so the engine's cross-batch session_window
+    // state merge must equal the batch answer end-to-end (the
+    // session-window extension row, SURVEY §2.9; streaming ≡ batch is
+    // additionally property-fuzzed in PropertiesSpec)
+    "q_sessionize_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${sessionReplayFixture(s, dir)}/sessions")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events_total"))
+        .orderBy(col("user_id"))),
 
     // synthesize deterministic PII into each doc so the redaction path is
     // exercised (the fixture corpus itself is clean)
@@ -1615,6 +1730,57 @@ object ExtQueries {
        |WHERE jraw >= $threshold$extraWhere
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Similarity-recall oracle: brute-force exact top-5 ids per query
+    * (q_sim_topk's derivation, reduced to membership), a face-specific
+    * sketch CTE chain that must end in a relation `sk(query_id, vec_id)`,
+    * then the per-query overlap — the exact shape of
+    * [[graft.operators.Similarity.recallAudit]] (n_exact, left-joined
+    * n_hit coalesced to 0, recall rounded to 4). */
+  private def simRecallOracleSql(sketchCte: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_dot_product(q.v, c.v) /
+       |              (sqrt(list_dot_product(q.v, q.v)) *
+       |               sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+       |        c.vec_id) AS rn
+       |    FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id) t
+       |  WHERE rn <= 5),
+       |$sketchCte,
+       |ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+       |nh AS (SELECT e.query_id, count(*) AS n_hit
+       |       FROM ex e JOIN sk s ON s.query_id = e.query_id
+       |        AND s.vec_id = e.vec_id
+       |       GROUP BY e.query_id)
+       |SELECT ne.query_id, ne.n_exact,
+       |  CAST(coalesce(nh.n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / ne.n_exact, 4) AS recall
+       |FROM ne LEFT JOIN nh ON nh.query_id = ne.query_id
+       |ORDER BY ne.query_id""".stripMargin
+
+  /** Sketch CTE for the PQ-family recall audits: exact-cosine top-5
+    * re-rank of the staged ADC shortlist over unit-normalized raw vectors
+    * (the q_sim_pq refine derivation, reduced to membership). */
+  private def pqRefineSketchCte(slPath: String): String =
+    s"""sl AS (SELECT query_id, vec_id FROM read_parquet('$slPath/*.parquet')),
+       |n AS (SELECT vec_id,
+       |        list_transform(v, x -> x /
+       |          sqrt(greatest(list_dot_product(v, v), 1e-300))) AS u
+       |      FROM v),
+       |skscored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(list_dot_product(q.u, c.u) /
+       |          (sqrt(list_dot_product(q.u, q.u)) *
+       |           sqrt(list_dot_product(c.u, c.u))), 6) AS cos
+       |  FROM sl s JOIN n q ON q.vec_id = s.query_id
+       |  JOIN n c ON c.vec_id = s.vec_id),
+       |sk AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rn FROM skscored) t
+       |  WHERE rn <= 5)""".stripMargin
+
   /** Oracle entries whose SQL references per-dir STAGED artifacts (paths
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
   private def dynamicOracleSql: Map[String, String] = {
@@ -1648,7 +1814,31 @@ object ExtQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        // recall of the standing-index read path: sketch top-5 = refine of
+        // the staged shortlist over the index's OWN stored unit vectors
+        // (queries mirrored engine-normalized); exact leg = brute force
+        // from raw embeddings; overlap recomputed per query
+        "q_ann_index_recall" -> simRecallOracleSql(
+          s"""sl AS (SELECT query_id, vec_id
+             |       FROM read_parquet('$root/q_ann_index_recall/*.parquet')),
+             |p AS (SELECT vec_id, v AS u
+             |      FROM read_parquet('$oracleAnnIndexDir/postings/*/*.parquet')),
+             |qn AS (SELECT vec_id AS query_id,
+             |         list_transform(v, x -> x /
+             |           sqrt(greatest(list_dot_product(v, v), 1e-300))) AS qv
+             |       FROM v WHERE vec_id < 8),
+             |skscored AS (
+             |  SELECT s.query_id, s.vec_id,
+             |    round(list_dot_product(q.qv, c.u) /
+             |          (sqrt(list_dot_product(q.qv, q.qv)) *
+             |           sqrt(list_dot_product(c.u, c.u))), 6) AS cos
+             |  FROM sl s JOIN qn q USING (query_id)
+             |  JOIN p c ON c.vec_id = s.vec_id),
+             |sk AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, vec_id) AS rn FROM skscored) t
+             |  WHERE rn <= 5)""".stripMargin))
     // incremental corpus-dedup fold: the oracle consumes the STANDING
     // state as data (base survivors + base CC labels — persisted parquet,
     // exactly what a production pipeline trusts between batches),
@@ -1856,7 +2046,91 @@ object ExtQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // LSH recall: sketch top-5 fully re-derived from the staged plane
+      // matrix (bucket signatures + single-probe join + exact rounded
+      // cosine — the q_sim_ann_lsh derivation reduced to membership),
+      // exact leg from raw vectors, overlap recomputed per query
+      "q_sim_lsh_recall" -> simRecallOracleSql(
+        s"""planes AS (SELECT cell AS p, c
+           |           FROM read_parquet('$root/q_sim_lsh_recall/*.parquet')),
+           |sig AS (SELECT vec_id,
+           |          CAST(sum(CASE WHEN list_dot_product(v, c) >= 0
+           |                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+           |               AS BIGINT) AS bucket
+           |        FROM v, planes GROUP BY vec_id),
+           |skscored AS (
+           |  SELECT sq.vec_id AS query_id, sc.vec_id,
+           |    round(list_dot_product(a.v, b.v) /
+           |          (sqrt(list_dot_product(a.v, a.v)) *
+           |           sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+           |  FROM sig sq JOIN sig sc ON sq.bucket = sc.bucket
+           |   AND sq.vec_id < 8 AND sq.vec_id <> sc.vec_id
+           |  JOIN v a ON a.vec_id = sq.vec_id
+           |  JOIN v b ON b.vec_id = sc.vec_id),
+           |sk AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS rn FROM skscored) t
+           |  WHERE rn <= 5)""".stripMargin),
+      // IVF recall: sketch top-5 re-derived from the staged coarse
+      // quantizer (argmin cell assignment + nprobe probing + exact
+      // rounded cosine — the q_sim_ivf derivation reduced to membership)
+      "q_sim_ivf_recall" -> simRecallOracleSql(
+        s"""cents AS (SELECT cell, c
+           |          FROM read_parquet('$root/q_sim_ivf_recall/*.parquet')),
+           |cellsc AS (SELECT vec_id, cell,
+           |             list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |           FROM v, cents),
+           |assign AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM cellsc) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM cellsc WHERE vec_id < 8) WHERE rn <= 4),
+           |skscored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    round(list_dot_product(q.v, cv.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) *
+           |           sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+           |  FROM probe p JOIN assign a USING (cell)
+           |  JOIN v q ON q.vec_id = p.query_id
+           |  JOIN v cv ON cv.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id),
+           |sk AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS rn FROM skscored) t
+           |  WHERE rn <= 5)""".stripMargin),
+      // PQ / IVF-PQ recall: sketch top-5 = exact refine of each audit's
+      // own staged ADC shortlist (unit-normalized, the q_sim_pq refine
+      // derivation); shortlist membership stays engine-side
+      "q_sim_pq_recall" -> simRecallOracleSql(
+        pqRefineSketchCte(s"$root/q_sim_pq_recall")),
+      "q_sim_ivfpq_recall" -> simRecallOracleSql(
+        pqRefineSketchCte(s"$root/q_sim_ivfpq_recall")),
+      // minhash banding recall: the exact lang-blocked uncapped pair set
+      // is recomputed from raw text (the q_dedup_ngram_jaccard
+      // derivation), the staged sketch pair set is consumed as data, and
+      // the overlap fraction is recomputed — the exact shape of
+      // Dedup.pairRecallAudit (n_exact=0 → recall 1.0)
+      "q_dedup_minhash_recall" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, list_distinct($shinglesSql) AS sh
+           |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+           |ex AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           |        >= 0.5),
+           |skp AS (SELECT id_a, id_b
+           |        FROM read_parquet('$root/q_dedup_minhash_recall/*.parquet')),
+           |ne AS (SELECT count(*) AS n_exact FROM ex),
+           |nh AS (SELECT count(*) AS n_hit FROM ex JOIN skp USING (id_a, id_b))
+           |SELECT ne.n_exact, nh.n_hit,
+           |  CASE WHEN ne.n_exact = 0 THEN 1.0
+           |       ELSE round(CAST(nh.n_hit AS DOUBLE) / ne.n_exact, 4)
+           |  END AS recall
+           |FROM ne, nh""".stripMargin)
   }
 
   def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql
@@ -2016,6 +2290,10 @@ object ExtQueries {
     // the streaming replay face answers to the IDENTICAL batch oracle:
     // the stateful multi-batch machinery must land on the one-shot answer
     "q_funnel_stream_replay" -> funnelOracleSql,
+
+    // streaming session_window replay answers to the batch sessionize
+    // oracle (same per-user summary, same 30-minute gap)
+    "q_sessionize_stream_replay" -> CoreQueries.oracleSql("q_sessionize"),
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's
@@ -2490,6 +2768,15 @@ object ExtQueries {
          |                               ORDER BY tfidf DESC, term) AS rank
          |  FROM scored) t
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, ${polyFoldSql("text")} AS fp_roll FROM t),
+         |shl AS (SELECT doc_id, unnest($shinglesSql) AS s FROM t),
+         |m AS (SELECT doc_id, min(${polyFoldSql("s")}) AS fp_roll_min
+         |      FROM shl GROUP BY doc_id)
+         |SELECT f.doc_id, f.fp_roll, m.fp_roll_min
+         |FROM f JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (

@@ -75,6 +75,34 @@ object TextFunctions {
   /** 64-bit hash per array element (each string hashed exactly once). */
   def hashed(arr: Column): Column = transform(arr, s => xxhash64(s))
 
+  /** Karp–Rabin polynomial rolling hash over a string's Unicode code
+    * points: `h ← (h·B + cp) mod M` with B = 1000003, M = 1e9+7 — the
+    * textbook rolling fingerprint. Unlike `xxhash64` the fold is
+    * engine-portable integer arithmetic (no engine-private mixing), so an
+    * external SQL engine reproduces it exactly from `unicode(char)` code
+    * points — which is what puts the fingerprint catalog face under the
+    * DuckDB hash gate. All intermediates stay < 2⁵¹ (h < M ≈ 2³⁰,
+    * B ≈ 2²⁰), so strict-overflow engines compute it without wrapping. */
+  def polyHash(text: Column): Column =
+    Bridge.column(PolyHash(Bridge.expression(text)))
+
+  /** [[polyHash]] per array element (mirror of [[hashed]]). */
+  def polyHashed(arr: Column): Column = transform(arr, s => polyHash(s))
+
+  /** Kernel for [[PolyHash]] — iterates CODE POINTS (not UTF-16 units) so
+    * the fold matches engines that split strings per code point. */
+  def polyHashKernel(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 1000003L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Word n-gram shingle HASHES computed directly from per-token hashes —
     * no shingle strings are ever materialized. Each token is hashed once
     * (`xxhash64` inside one `transform`), then [[ShingleHashes]] combines
@@ -224,6 +252,22 @@ object TextFunctions {
 }
 
 /** `nfc_normalize(text)` → STRING in Unicode Normalization Form C. */
+/** `poly_hash(text)` → LONG Karp–Rabin rolling hash (engine-portable). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.polyHashKernel(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.polyHashKernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

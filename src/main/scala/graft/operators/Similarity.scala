@@ -432,7 +432,8 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
       rerank: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding", trainSample: Int = 10000): DataFrame = {
+      vecCol: String = "embedding", trainSample: Int = 10000,
+      shortlistSink: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1,
       s"nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub")
@@ -464,7 +465,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         Bridge.column(PqAdc(Bridge.expression(col("qv")),
           Bridge.expression(col("code")), new Mat3(codebooks))).as("adc"))
-    val shortlist = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
+    val shortlist0 = shortlistPerQuery(scored, "adc", k * math.max(1, rerank))
+    // same staged-sink contract as [[pqTopK]]: the refine consumes the
+    // read-back so the oracle-visible shortlist is exactly what refined
+    val shortlist = shortlistSink match {
+      case Some(path) =>
+        shortlist0.write.mode("overwrite").parquet(path)
+        corpus.sparkSession.read.parquet(path)
+      case None => shortlist0
+    }
     // shortlist is bounded (|queries| * k * rerank rows) — broadcast it
     // into the persisted corpus scan so the refine never sort-merge-joins
     val refined = c.select(col("vec_id"), col("v"))

@@ -198,11 +198,23 @@ object TextAnalysis {
 
   /** Document fingerprints: full-text hash + min-shingle (winnowing-style)
     * rolling fingerprint — identical for exact dups, stable under small
-    * whitespace changes (full) / any single-shingle change (min). */
+    * whitespace changes (full) / any single-shingle change (min).
+    *
+    * Two hash families, same structure:
+    *  - `fp_full` / `fp_min_shingle` — xxhash64 (64-bit, the production
+    *    collision-resistance choice; engine-private mixing);
+    *  - `fp_roll` / `fp_roll_min` — Karp–Rabin polynomial rolling hash
+    *    ([[graft.functions.TextFunctions.polyHash]]): engine-portable
+    *    integer arithmetic an external SQL engine reproduces exactly,
+    *    which is what puts the fingerprint catalog face under the DuckDB
+    *    value gate. Both are one narrow pass, no shuffle. */
   def fingerprint(docs: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
-    val sh = hashed(shingles(tokens(col(textCol)), k))
+    val shs = shingles(tokens(col(textCol)), k)
     docs.withColumn("fp_full", xxhash64(col(textCol)))
-      .withColumn("fp_min_shingle", array_min(sh))
+      .withColumn("fp_min_shingle", array_min(hashed(shs)))
+      .withColumn("fp_roll", graft.functions.TextFunctions.polyHash(col(textCol)))
+      .withColumn("fp_roll_min",
+        array_min(graft.functions.TextFunctions.polyHashed(shs)))
   }
 
   /** [[contamination]] with a Bloom-filter prefilter on the benchmark

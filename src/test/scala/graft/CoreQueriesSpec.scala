@@ -17,22 +17,22 @@ class CoreQueriesSpec extends SparkSuite {
   }
 
   test("approx distinct: HLL estimate within rsd bounds of the exact twin") {
-    // q_approx_distinct is rows-only (sketch estimates are engine-specific);
-    // this bounds it against the hash-checked exact variant so a broken
-    // sketch path can't hide behind the rows-only contract
-    import org.apache.spark.sql.functions.col
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
-      .select(col("event_type"), col("approx_users"))
-    val exact = SparkEntry.queries("q_distinct_agg")(spark, sf0001)
-      .select(col("event_type"), col("n_users"))
-    val joined = approx.join(exact, "event_type")
-      .select(col("approx_users").cast("double"), col("n_users").cast("double"))
+    // the catalog face asserts |approx − exact| ≤ 5%·exact as a hash-gated
+    // boolean; this spec checks the same claim in-process (every group ok)
+    // plus the raw estimate-vs-exact drift at the face's rsd=0.01
+    import org.apache.spark.sql.functions._
+    val face = SparkEntry.queries("q_approx_distinct")(spark, sf0001).collect()
+    assert(face.nonEmpty)
+    face.foreach(r => assert(r.getAs[Boolean]("approx_ok"),
+      s"sketch drifted beyond the 5% contract: $r"))
+    val joined = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).cast("double").as("a"),
+        countDistinct(col("user_id")).cast("double").as("e"))
       .collect()
-    assert(joined.nonEmpty)
     joined.foreach { r =>
-      val (a, e) = (r.getDouble(0), r.getDouble(1))
-      // default rsd is 5%; 3σ + slack for small groups
-      assert(math.abs(a - e) <= math.max(0.2 * e, 3.0),
+      val (a, e) = (r.getAs[Double]("a"), r.getAs[Double]("e"))
+      assert(math.abs(a - e) <= math.max(0.05 * e, 3.0),
         s"approx=$a exact=$e drifted beyond sketch bounds")
     }
   }

@@ -50,7 +50,14 @@ class PlanInvariantsSpec extends SparkSuite {
   }
 
   test("q_dedup_minhash: no window in the skew guard, signatures persisted once") {
-    val p = plan("q_dedup_minhash")
+    // the catalog face now returns the STAGED pair parquet read-back (the
+    // oracle value gate), so the mining plan is inspected directly — the
+    // same (docs, bands, rows, threshold) call the face stages from
+    val mined = graft.operators.Dedup.minhashPairs(
+      graft.Tables.documents(spark, sf0001),
+      bands = 32, rowsPerBand = 2, threshold = 0.5)
+    val p = mined.queryExecution.executedPlan.toString + "\n" +
+      mined.queryExecution.optimizedPlan.toString
     assert(!p.contains("Window"),
       "skew guard must be partial-agg + anti-join, never a window over the bucket")
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),

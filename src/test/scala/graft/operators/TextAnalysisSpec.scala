@@ -272,6 +272,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp2 == fp.values.map(_._1).toSet)
   }
 
+  test("fingerprint: Karp–Rabin roll matches the reference fold, both granularities") {
+    // independent fold (foldLeft over code points) — the kernel must equal
+    // it, and "abc" pins the cross-engine golden the DuckDB mirror computes
+    def ref(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((h, c) => (h * 1000003L + c) % 1000000007L)
+    assert(ref("abc") == 679322266L)
+    val df = Seq((1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "abc"), (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(df)
+      .select($"doc_id", $"fp_roll", $"fp_roll_min")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(2L)._1 == 679322266L)
+    assert(got(1L)._1 == ref("The quick brown fox jumps over the lazy dog"))
+    // min-shingle: lowercased word-3-gram strings, poly-hashed, min
+    def shingles(s: String): Seq[String] = {
+      val t = s.toLowerCase.split("\\s+").toSeq
+      if (t.length < 3) Seq(t.mkString(" ")) else t.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    for (id <- Seq(1L, 2L, 3L)) {
+      val text = Map(1L -> "The quick brown fox jumps over the lazy dog",
+        2L -> "abc", 3L -> "a b c d e f g")(id)
+      assert(got(id)._2 == shingles(text).map(ref).min, s"doc $id")
+    }
+  }
+
   test("contaminationBloom: output-identical to exact contamination, any fpp") {
     val docs = graft.Tables.documents(spark, sf0001)
     val bench = docs.filter($"doc_id" < 20)
