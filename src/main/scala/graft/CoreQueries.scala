@@ -448,6 +448,36 @@ object CoreQueries {
           count(col("value")).as("n"))
         .orderBy(col("event_type"))),
 
+    // approx-quantile sketch (percentile_approx / QuantileSummaries),
+    // VALUE-gated on its rank-error CONTRACT like q_approx_distinct: the
+    // sketch value itself is engine-specific, so the face recomputes the
+    // approx value's EXACT rank in-engine and asserts the documented
+    // |rank − p·n| ≤ n/accuracy bound (±1 row for floor/ceil) as a
+    // boolean the oracle pins to true; the exact p50 rides along for the
+    // oracle's independent quantile_cont recomputation. The rank check is
+    // one extra broadcast-join aggregate — the audit face's cost.
+    "q_approx_percentile" -> ((s, dir) => {
+      val acc = 1000
+      val eps = 1.0 / acc
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(acc)).as("ap50"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50_exact"),
+          count(col("value")).as("n"))
+      ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("at_or_below"),
+          first(col("p50_exact")).as("p50_exact"),
+          first(col("n")).as("n"))
+        .select(col("event_type"), col("n"), col("p50_exact"),
+          (col("below").cast("double") <= (lit(0.5) + eps) * col("n") + 1.0 &&
+            col("at_or_below").cast("double") >= (lit(0.5) - eps) * col("n") - 1.0)
+            .as("p50_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pivot (wide aggregation): per-user event counts by type. Pivot values
     // pinned explicitly — at scale an unpinned pivot needs a pre-pass to
     // collect the value set.
@@ -812,6 +842,14 @@ object CoreQueries {
         |round(quantile_cont(value, 0.5), 6) AS p50,
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |count(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the quantile-sketch contract gate: exact count + exact median
+    // recomputed independently, the rank-error claim asserted as a literal
+    "q_approx_percentile" ->
+      """SELECT event_type, count(value) AS n,
+        |round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |true AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_rollup" ->

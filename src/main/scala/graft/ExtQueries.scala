@@ -1153,6 +1153,20 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // epoch-based UPSAMPLING (the published LLM data-mix spec: "2.5
+    // epochs of source X") — copy COUNTS and extra-copy MEMBERSHIP both
+    // hash-checked: integer repeats plus the md5-threshold fractional
+    // copy are fully oracle-derivable. Factors are binary-exact fractions
+    // so neither engine's decimal/double literal parsing can perturb the
+    // threshold; 'es' is deliberately absent (the dropped-group arm)
+    "q_mix_epochs" -> ((s, dir) =>
+      graft.operators.Sampling.epochsMix(
+        Tables.documents(s, dir), col("lang"),
+        Map("en" -> 0.75, "de" -> 2.5, "fr" -> 1.0, "zh" -> 3.25),
+        col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // exact global ntile(10) by (quality, doc_id) without a global sort —
     // oracle is DuckDB's native ntile, a genuinely different formulation
     "q_quality_strata" -> ((s, dir) =>
@@ -2402,6 +2416,31 @@ object ExtQueries {
     // α = 0.5 temperature mixing: the Σw-free rate derivation re-stated
     // verbatim — every op correctly rounded (sqrt/div/mul/round), so the
     // thresholds agree bit-for-bit with the Spark side
+    // epoch mixing: CAST ... AS DOUBLE pins the CASE literals to the same
+    // IEEE doubles Spark's map literal carries (DuckDB would otherwise
+    // parse them as DECIMAL and round the threshold differently); the
+    // copy expansion is a per-row range() unnest
+    "q_mix_epochs" ->
+      """WITH e AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0.75 WHEN 'de' THEN 2.5
+        |                   WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 3.25 END
+        |         AS DOUBLE) AS ep
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(ep) AS BIGINT) +
+        |    CASE WHEN CAST(round((ep - floor(ep)) * 4294967296.0) AS BIGINT)
+        |               >= 4294967296
+        |           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |              printf('%08x',
+        |                CAST(round((ep - floor(ep)) * 4294967296.0) AS BIGINT))
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM e WHERE ep IS NOT NULL)
+        |SELECT doc_id, lang, unnest(range(0, n)) AS epoch
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
         |j AS (SELECT g, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),

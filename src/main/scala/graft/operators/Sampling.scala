@@ -181,6 +181,45 @@ object Sampling {
       .drop("g", "t")
   }
 
+  /** Epoch-based mixing — UPSAMPLING with replacement, the data-mix spec
+    * published LLM pretraining recipes are written in ("2.3 epochs of
+    * source X"): every row of group g appears `floor(e_g)` times, plus one
+    * more copy iff `hexUniform(id) < frac(e_g)` — the same deterministic
+    * md5 hex-threshold membership as the downsampling family, so repeated
+    * runs and external engines agree on WHICH rows carry the extra copy,
+    * not merely how many. The output adds `epoch` (0-based copy index) so
+    * downstream sharding/shuffling can spread the copies. Groups absent
+    * from `epochs` are dropped (the [[mixToShares]] contract); `e_g = 0`
+    * drops the group. Repeat factors are sanity-capped at 16: real mix
+    * specs are single digits, and an unchecked constant multiplies the
+    * corpus unbounded.
+    *
+    * Scale: NO aggregate and NO join anywhere — the per-group factor is a
+    * plan-time map literal, so the whole operator is one narrow map-side
+    * projection + explode; at 100 TB the copies stream from the scan
+    * directly into the downstream shuffle/write without any extra pass
+    * (contrast [[mixToShares]]/[[temperatureMix]], which need one count
+    * aggregate because their rates are data-derived). */
+  def epochsMix(df: DataFrame, groupCol: Column, epochs: Map[String, Double],
+      idCol: Column): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e >= 0.0 && e <= 16.0),
+      s"epoch factors must be in [0, 16], got $epochs")
+    val m = typedLit(epochs)
+    val e = element_at(m, groupCol.cast("string"))
+    val base = floor(e).cast("long")
+    // frac < 1 ⇒ t < 2³² always; the t ≥ 2³² keep-all arm below is kept
+    // anyway so the mixToShares membership shape (and its oracle SQL)
+    // carries over verbatim
+    val t = round((e - floor(e)) * lit(4294967296.0d)).cast("long")
+    val extra = when(t >= lit(4294967296L) ||
+      hexUniform(idCol) < format_string("%08x", t), 1L).otherwise(0L)
+    df.withColumn("__n",
+        when(e.isNotNull, base + extra).otherwise(lit(0L)))
+      .filter(col("__n") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
+  }
+
   /** Exact global `ntile(k)` over `(scoreCol, tieCol)` WITHOUT a global
     * sort: quality-decile stratification for curriculum/mixing decisions.
     *

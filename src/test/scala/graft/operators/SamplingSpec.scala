@@ -176,6 +176,45 @@ class SamplingSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("epochsMix: copy counts and fractional membership re-derived by hand") {
+    val epochs = Map("en" -> 0.75, "de" -> 2.5, "fr" -> 1.0, "zh" -> 3.25)
+    val out = Sampling.epochsMix(docs, col("lang"), epochs, col("doc_id"))
+      .select($"doc_id", $"lang", $"epoch").as[(Long, String, Long)].collect()
+    // per-row replay of the contract: n = floor(e) + (md5 rule), epochs
+    // are exactly 0..n-1
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val all = docs.select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string")), 1, 8).as("h"))
+      .as[(Long, String, String)].collect()
+    all.foreach { case (id, g, h) =>
+      epochs.get(g) match {
+        case None => assert(!perDoc.contains(id), s"dropped-group doc $id leaked")
+        case Some(e) =>
+          val t = math.round((e - math.floor(e)) * 4294967296.0d)
+          val expect = math.floor(e).toLong +
+            (if (t >= 4294967296L || h < f"$t%08x") 1L else 0L)
+          assert(perDoc.getOrElse(id, Seq.empty) == (0L until expect),
+            s"doc $id ($g, e=$e): got ${perDoc.get(id)}, want 0 until $expect")
+      }
+    }
+    // es is absent from the spec map: every es row must be gone
+    assert(out.forall(_._2 != "es"))
+    // integral epochs replicate exactly — fr rows appear once, epoch 0
+    assert(out.filter(_._2 == "fr").forall(_._3 == 0L))
+    // determinism
+    val again = Sampling.epochsMix(docs, col("lang"), epochs, col("doc_id"))
+      .select($"doc_id", $"lang", $"epoch").as[(Long, String, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // scale shape: no aggregate, no join — one narrow projection + explode
+    val p = Sampling.epochsMix(docs, col("lang"), epochs, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"epochsMix must stay map-side:\n${p.take(1500)}")
+    intercept[IllegalArgumentException] {
+      Sampling.epochsMix(docs, col("lang"), Map("en" -> 17.0), col("doc_id"))
+    }
+  }
+
   test("scoreStrata: identical to a window ntile on (score, tie)") {
     val scored = graft.operators.TextAnalysis.qualityScore(docs)
       .select($"doc_id", $"quality")
