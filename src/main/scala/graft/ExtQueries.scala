@@ -410,6 +410,107 @@ object ExtQueries {
       root
     })
 
+  private val dailyAvgReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the reference's CORE aggregation surface (A1/M3 daily
+    * average, the KTable changelog) end-to-end, once per fixture dir:
+    * events feed the SAME [[graft.operators.WeatherOps.dailyAverage]]
+    * `exact = true` operator the batch face runs, as an update-mode
+    * checkpointed MemoryStream aggregation in 3 deterministically
+    * scrambled batches. The decimal-backed sum is the load-bearing
+    * choice: state merges are exact-integer, so the streamed final
+    * average is BIT-identical to the one-shot batch answer no matter how
+    * the feed is split — which is what lets the streaming aggregation
+    * machinery itself sit under q_a1_daily_avg's DuckDB oracle (a
+    * double-sum avg would diverge by reassociation on real data; see the
+    * CellBuf scaladoc). Same first-touch-rebuild + md5(dir)+pid contract
+    * as [[annIndexFixture]]. */
+  private def dailyAvgReplayFixture(s: SparkSession, dir: String): String =
+    dailyAvgReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_dailyavg_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(tsMicros(r._2), r._1))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val readings = src.toDF().toDF("user_id", "ts", "value")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("tmp_f", col("value"))
+        .withColumn("tmp_c", (col("value") - 32.0d) * 5.0d / 9.0d)
+      val q = graft.operators.WeatherOps.dailyAverage(readings,
+        keyCols = Seq("user_id"), dateCol = "day", exact = true)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
+  private val latestReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the KTable-materialization surface (C1 latest-per-key, the
+    * reference's `toTable` contract) end-to-end, once per fixture dir:
+    * every event feeds [[graft.streaming.WeatherStreams.latestPerKeyStream]]
+    * (arbitrary-state `mapGroupsWithState`, update mode) as a real
+    * checkpointed MemoryStream in 3 deterministically scrambled batches —
+    * cross-batch ordinal regressions everywhere, so the no-regression
+    * state rule (an older event_id arriving later must NOT overwrite) is
+    * what lands under the DuckDB gate: the face reduces the update
+    * changelog to its final row per key and answers to q_c1_latest's
+    * batch window oracle. Same first-touch-rebuild + md5(dir)+pid path
+    * contract as [[annIndexFixture]]. */
+  private def latestReplayFixture(s: SparkSession, dir: String): String =
+    latestReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_latest_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .as[(Long, Long, String, Double)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(r._2, r._1))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Double)]
+      val q = graft.streaming.WeatherStreams.latestPerKeyStream(
+        src.toDS().map { case (u, e, t, v) => (u, e, (t, v)) })
+        .toDF("user_id", "event_id", "payload")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.select(col("user_id"), col("event_id"),
+            col("payload._1").as("event_type"), col("payload._2").as("value"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val corpusIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1337,6 +1438,37 @@ object ExtQueries {
           coalesce(col("r_user"), lit(-1L)).as("r_user"),
           coalesce(unix_micros(col("r_ts")), lit(-1L)).as("r_ts_us"))
         .orderBy(col("l_user"), col("l_ts_us"), col("r_ts_us"))),
+
+    // the reference's CORE aggregation (A1/M3 daily average) under the
+    // oracle gate as a streamed changelog: final update per (user, day)
+    // from the checkpointed scrambled replay must be BIT-identical to the
+    // one-shot batch answer — the decimal-exact sum makes cross-batch
+    // state merges order-independent, so this face proves the streaming
+    // aggregation machinery, not just the operator algebra
+    "q_daily_avg_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${dailyAvgReplayFixture(s, dir)}/updates")
+        .groupBy(col("user_id"), col("day"))
+        .agg(max_by(struct(col("avg_tmp_f"), col("avg_tmp_c")),
+          col("batch_id")).as("f"))
+        .select(col("user_id"), col("day"),
+          col("f.avg_tmp_f").as("avg_f"), col("f.avg_tmp_c").as("avg_c"))
+        .orderBy(col("user_id"), col("day"))),
+
+    // the KTable-materialization surface (C1 toTable/latest-per-key)
+    // under the oracle gate: the update-mode changelog of the
+    // checkpointed scrambled replay, reduced to its final row per key
+    // (max batch_id — one emission per touched key per micro-batch),
+    // must equal the batch window oracle exactly; cross-batch ordinal
+    // regressions make the no-regression state rule the thing checked
+    "q_latest_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${latestReplayFixture(s, dir)}/updates")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          col("batch_id")).as("f"))
+        .select(col("user_id"), col("f.event_id"), col("f.event_type"),
+          col("f.value"))
+        .orderBy(col("user_id"))),
 
     // STREAMING sessionization under the oracle gate: the checkpointed
     // 3-batch scrambled replay's sealed sessions, summarized per user
@@ -2308,6 +2440,13 @@ object ExtQueries {
     // streaming session_window replay answers to the batch sessionize
     // oracle (same per-user summary, same 30-minute gap)
     "q_sessionize_stream_replay" -> CoreQueries.oracleSql("q_sessionize"),
+
+    // the latest-per-key replay answers to the C1 batch window oracle:
+    // the changelog's final row per key IS the KTable's materialized view
+    "q_latest_stream_replay" -> CoreQueries.oracleSql("q_c1_latest"),
+
+    // the daily-average replay answers to the A1 batch oracle verbatim
+    "q_daily_avg_stream_replay" -> CoreQueries.oracleSql("q_a1_daily_avg"),
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's
