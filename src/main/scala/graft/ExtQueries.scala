@@ -673,6 +673,18 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    // TRAINED quality classifier (the learned-filter slot), VALUE-gated
+    // from the staged weights: the oracle recomputes the four rounded
+    // features from raw text (the proven q_text_quality arithmetic) and
+    // the fixed-shape dot product + keep decision — only the bounded
+    // logistic-regression trainer stays engine-side, the staged-quantizer
+    // epistemic split
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+        weightsSink = Some(oracleStagePath(dir, "q_quality_classifier")))
+        .select(col("doc_id"), col("z_quality"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // language-ID (stopword/CJK heuristic — oracle-checked: the scoring is
     // deterministic SQL (stopword counts + argmax + CJK regex); semantics
     // additionally locked by TextAnalysisSpec on hand-written sentences)
@@ -1219,6 +1231,32 @@ object ExtQueries {
           nprobe = 4, rerank = 8,
           shortlistSink = Some(oracleStagePath(dir, "q_ann_index_recall"))))
     }),
+
+    // topic-cluster assignment (the cluster-then-balance recipe's first
+    // half), VALUE-gated from the staged quantizer: the oracle re-derives
+    // every cell assignment (argmin ‖c‖² − 2·v·c, ties → lower cell) —
+    // only the bounded-sample Lloyd trainer stays engine-side, the same
+    // epistemic split as q_sim_ivf
+    "q_cluster_assign" -> ((s, dir) =>
+      Similarity.clusterAssign(Tables.embeddings(s, dir), nlist = 8,
+        centroidsSink = Some(oracleStagePath(dir, "q_cluster_assign")))
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))),
+
+    // the composition the operator exists for: cluster-BALANCED corpus
+    // mixing — epoch factors applied per semantic cluster instead of per
+    // metadata group; assignment AND copy membership both re-derived by
+    // the oracle (staged centroids + the md5 hex-threshold rule)
+    "q_cluster_balance" -> ((s, dir) =>
+      graft.operators.Sampling.epochsMix(
+        Similarity.clusterAssign(Tables.embeddings(s, dir), nlist = 8,
+          centroidsSink = Some(oracleStagePath(dir, "q_cluster_balance"))),
+        col("cluster"),
+        Map("0" -> 2.0, "1" -> 0.5, "2" -> 1.25, "3" -> 1.0,
+          "4" -> 0.75, "5" -> 2.5, "6" -> 0.25, "7" -> 1.5),
+        col("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("epoch"))
+        .orderBy(col("vec_id"), col("epoch"))),
 
     // deterministic stratified sampling on the md5 rule — EXACT membership
     // is hash-checked by the oracle (rate/nesting properties in SamplingSpec)
@@ -2193,6 +2231,78 @@ object ExtQueries {
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // quality classifier from the staged weights: features recomputed
+      // from raw text (the q_text_quality arithmetic, rounded to 6
+      // BEFORE the dot product exactly like the engine), z as the same
+      // left-associated multiply-add chain, keep on the unrounded z
+      "q_quality_classifier" ->
+        s"""WITH wts AS (
+           |  SELECT max(CASE WHEN i = 0 THEN w END) AS w0,
+           |         max(CASE WHEN i = 1 THEN w END) AS w1,
+           |         max(CASE WHEN i = 2 THEN w END) AS w2,
+           |         max(CASE WHEN i = 3 THEN w END) AS w3,
+           |         max(CASE WHEN i = 4 THEN w END) AS w4
+           |  FROM read_parquet('$root/q_quality_classifier/*.parquet')),
+           |f AS (
+           |  SELECT doc_id,
+           |    round(CAST(len(list_filter(toks, t -> list_contains($stopSql, t))) AS DOUBLE)
+           |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS f1,
+           |    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS f2,
+           |    round(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS f3,
+           |    round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |      / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS f4
+           |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+           |z AS (SELECT doc_id,
+           |        ((((w0 + w1 * f1) + w2 * f2) + w3 * f3) + w4 * f4) AS zr
+           |      FROM f, wts)
+           |SELECT doc_id, round(zr, 6) AS z_quality, zr > 0 AS keep
+           |FROM z ORDER BY doc_id""".stripMargin,
+      // cluster assignment from the staged quantizer — the q_sim_ivf
+      // assign CTE, exported as a first-class face
+      "q_cluster_assign" ->
+        s"""WITH cents AS (SELECT cell, c
+           |               FROM read_parquet('$root/q_cluster_assign/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents)
+           |SELECT vec_id, cluster FROM (
+           |  SELECT vec_id, cell AS cluster, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY s, cell) AS rn FROM sc) t
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // cluster-balanced epoch mix: assignment re-derived from the staged
+      // quantizer, then the q_mix_epochs copy rule keyed by cluster
+      "q_cluster_balance" ->
+        s"""WITH cents AS (SELECT cell, c
+           |               FROM read_parquet('$root/q_cluster_balance/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents),
+           |a AS (SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cell AS cluster, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY s, cell) AS rn FROM sc) t
+           |  WHERE rn = 1),
+           |e AS (SELECT vec_id, cluster,
+           |    CAST(CASE cluster WHEN 0 THEN 2.0 WHEN 1 THEN 0.5
+           |      WHEN 2 THEN 1.25 WHEN 3 THEN 1.0 WHEN 4 THEN 0.75
+           |      WHEN 5 THEN 2.5 WHEN 6 THEN 0.25 WHEN 7 THEN 1.5 END
+           |      AS DOUBLE) AS ep
+           |  FROM a),
+           |n AS (SELECT vec_id, cluster,
+           |    CAST(floor(ep) AS BIGINT) +
+           |    CASE WHEN CAST(round((ep - floor(ep)) * 4294967296.0) AS BIGINT)
+           |               >= 4294967296
+           |           OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
+           |              printf('%08x',
+           |                CAST(round((ep - floor(ep)) * 4294967296.0) AS BIGINT))
+           |         THEN 1 ELSE 0 END AS nc
+           |  FROM e WHERE ep IS NOT NULL)
+           |SELECT vec_id, cluster, unnest(range(0, nc)) AS epoch
+           |FROM n WHERE nc > 0
+           |ORDER BY vec_id, epoch""".stripMargin,
       // LSH recall: sketch top-5 fully re-derived from the staged plane
       // matrix (bucket signatures + single-probe join + exact rounded
       // cosine — the q_sim_ann_lsh derivation reduced to membership),

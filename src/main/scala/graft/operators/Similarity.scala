@@ -298,6 +298,33 @@ object Similarity {
   /** Unit-normalize an ARRAY<DOUBLE> column (dot == cosine afterwards),
     * with the norm scalar materialized BEFORE the HOF lambda (the
     * EmbeddingPrep re-evaluation trap). */
+  /** Topic-cluster assignment — the k-means cell per vector, as a
+    * first-class column: the primitive of CLUSTER-BALANCED corpus mixing
+    * (balance pretraining data across semantic clusters instead of
+    * metadata groups — the cluster-then-balance recipe; SemDeDup's
+    * blocking is the same geometry used for dedup). Train the coarse
+    * quantizer on a bounded sample (deterministic driver-local Lloyd,
+    * the IVF/PQ trainer), then assign every vector its nearest cell in
+    * ONE narrow map-side pass — no shuffle, no join; at 100 TB the
+    * cluster column streams out of the scan. Compose the emitted
+    * `cluster` with [[graft.operators.Sampling.mixToShares]] /
+    * [[graft.operators.Sampling.epochsMix]] for the balancing step.
+    * `centroidsSink` stages the quantizer so an external engine re-derives
+    * every assignment (argmin ‖c‖² − 2·v·c, ties → lower cell). */
+  def clusterAssign(corpus: DataFrame, nlist: Int = 16,
+      vecCol: String = "embedding", trainSample: Int = 10000,
+      seedIdCol: String = "vec_id",
+      centroidsSink: Option[String] = None): DataFrame = {
+    val withV = corpus.withColumn("__v", asDouble(col(vecCol)))
+    val sample = withV.orderBy(col(seedIdCol)).limit(trainSample)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents = lloyd(sample, nlist, iters = 8)
+    centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
+    withV.withColumn("cluster", element_at(nearestCells(col("__v"), cents, 1), 1))
+      .drop("__v")
+  }
+
   private def unit(df: DataFrame, in: Column, out: String): DataFrame =
     df.withColumn("__n2", aggregate(in, lit(0.0d), (a, x) => a + x * x))
       .withColumn(out, transform(in, x => x / sqrt(greatest(col("__n2"), lit(1e-300)))))

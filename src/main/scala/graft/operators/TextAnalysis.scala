@@ -74,6 +74,93 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Per-doc rounded feature vector shared by [[qualityClassifier]]'s
+    * trainer and scorer (and mirrored verbatim by the oracle SQL):
+    * stopword hit-rate, chars-per-token, punctuation load, digit load —
+    * each rounded to 6 decimals so every engine's dot product starts from
+    * identical doubles. */
+  private def classifierFeatures(textCol: String): Seq[Column] = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    Seq(
+      round(matches(toks, "en").cast("double") / greatest(nTok, lit(1.0d)), 6),
+      round(length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+        greatest(nTok, lit(1.0d)), 6),
+      round(regexp_count(col(textCol), lit("\\p{Punct}")).cast("double") /
+        greatest(length(col(textCol)).cast("double"), lit(1.0d)), 6),
+      round(regexp_count(col(textCol), lit("[0-9]")).cast("double") /
+        greatest(length(col(textCol)).cast("double"), lit(1.0d)), 6))
+  }
+
+  /** TRAINED quality classifier — the learned-filter slot of a
+    * pretraining pipeline (the GPT-3/LLaMA-class "quality classifier
+    * scored over the whole corpus"), built fully deterministic and
+    * engine-auditable:
+    *
+    *  - features: the four rounded per-doc ratios of
+    *    [[classifierFeatures]] (their arithmetic is the oracle-proven
+    *    q_text_quality feature set);
+    *  - weak labels: the rule-based [[qualityScore]] ≥ 0.5 over a
+    *    bounded ordered sample — the self-training shape; production
+    *    swaps in human labels or a reference corpus without touching the
+    *    machinery;
+    *  - trainer: driver-local full-batch logistic-regression gradient
+    *    descent, fixed iterations/learning rate on ≤ `trainSample` rows
+    *    — deterministic on any cluster (the Lloyd-trainer contract);
+    *    ONLY training is driver-side, scoring stays distributed;
+    *  - scorer: z = (((w₀ + w₁f₁) + w₂f₂) + …) as one fixed-shape
+    *    left-associated column expression — bit-identical in any IEEE
+    *    engine given the staged weights, so `keep = z > 0` has no
+    *    boundary risk, and the sigmoid (monotone) never enters the
+    *    gated path.
+    *
+    * `weightsSink` stages (i, w) so an external engine re-derives every
+    * z and keep decision from raw text — only the trainer stays
+    * engine-side (the staged-quantizer epistemic split). */
+  def qualityClassifier(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", trainSample: Int = 10000,
+      iters: Int = 300, lr: Double = 0.5,
+      weightsSink: Option[String] = None): DataFrame = {
+    val feats = classifierFeatures(textCol)
+    val sample = qualityScore(docs, textCol)
+      .withColumn("__f", array(feats: _*))
+      .orderBy(col(idCol)).limit(trainSample)
+      .select(col("__f"), (col("quality") >= 0.5d).cast("int").as("__y"))
+      .collect().map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    require(sample.nonEmpty, "empty corpus")
+    val d = feats.length
+    val w = new Array[Double](d + 1) // w(0) = bias
+    val n = sample.length.toDouble
+    var it = 0
+    while (it < iters) {
+      val g = new Array[Double](d + 1)
+      sample.foreach { case (f, y) =>
+        var z = w(0); var j = 0
+        while (j < d) { z += w(j + 1) * f(j); j += 1 }
+        val err = 1.0d / (1.0d + math.exp(-z)) - y
+        g(0) += err; j = 0
+        while (j < d) { g(j + 1) += err * f(j); j += 1 }
+      }
+      var j = 0
+      while (j <= d) { w(j) -= lr * g(j) / n; j += 1 }
+      it += 1
+    }
+    weightsSink.foreach { path =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+      val rows = w.zipWithIndex.map { case (wi, i) =>
+        org.apache.spark.sql.Row(i, wi) }.toList
+      docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("i", IntegerType, nullable = false),
+            StructField("w", DoubleType, nullable = false))))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    val z = feats.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, j)) => acc + lit(w(j + 1)) * f
+    }
+    docs.withColumn("z_quality", round(z, 6)).withColumn("keep", z > 0.0d)
+  }
+
   /** Stopword-profile language ID with CJK short-circuit; deterministic
     * alphabetical-descending tie-break via lexicographic struct max. */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {

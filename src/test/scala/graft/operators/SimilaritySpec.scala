@@ -264,4 +264,37 @@ class SimilaritySpec extends SparkSuite {
         s"identical PQ subtrees must share one exchange:\n${p.take(2500)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("clusterAssign: total, deterministic, geometrically nearest, map-side only") {
+    val a = Similarity.clusterAssign(embs, nlist = 8)
+    // every vector gets exactly one cluster; ids survive untouched
+    assert(a.count() == embs.count())
+    assert(a.select($"cluster").distinct().count() <= 8)
+    // determinism (fixed sample + fixed Lloyd)
+    val m1 = a.select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val m2 = Similarity.clusterAssign(embs, nlist = 8)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(m1 == m2)
+    // nearest-centroid by hand for a few rows against the IVF assignment
+    // rule (argmin ||c||² − 2·v·c, ties → lower cell) via ivfTopK's own
+    // staged centroids: re-derive from a fresh staged sink
+    val sink = java.nio.file.Files.createTempDirectory("cents").toString
+    Similarity.clusterAssign(embs, nlist = 8, centroidsSink = Some(sink))
+    val cents = spark.read.parquet(sink)
+      .select($"cell", $"c").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).take(20)
+    vecs.foreach { case (id, v) =>
+      val best = cents.zipWithIndex.minBy { case (cvec, i) =>
+        (cvec.map(x => x * x).sum - 2.0 * cvec.zip(v).map(p => p._1 * p._2).sum, i)
+      }._2
+      assert(m1(id) == best, s"vec $id: got ${m1(id)}, nearest $best")
+    }
+    // scale shape: one narrow projection — no exchange, no join
+    val p = Similarity.clusterAssign(embs, nlist = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"clusterAssign must stay map-side:\n${p.take(1500)}")
+  }
 }

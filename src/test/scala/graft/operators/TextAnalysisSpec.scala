@@ -297,6 +297,35 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("qualityClassifier: deterministic, learns the rule gate, staged weights score") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val sink = java.nio.file.Files.createTempDirectory("qc_wts").toString
+    val out = TextAnalysis.qualityClassifier(docs, weightsSink = Some(sink))
+      .select($"doc_id", $"z_quality", $"keep")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length == docs.count())
+    // determinism: fixed sample + fixed-iteration trainer
+    val out2 = TextAnalysis.qualityClassifier(docs)
+      .select($"doc_id", $"z_quality", $"keep")
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // the self-trained classifier must substantially agree with its weak
+    // labels (rule-based quality >= 0.5) — a broken trainer or scorer
+    // collapses this well below chance-level structure
+    val rule = TextAnalysis.qualityScore(docs)
+      .select($"doc_id", ($"quality" >= 0.5).as("y"))
+      .as[(Long, Boolean)].collect().toMap
+    val agree = out.count { case (id, _, keep) => keep == rule(id) }
+    assert(agree.toDouble / out.length >= 0.7,
+      s"classifier agrees with weak labels on only $agree/${out.length}")
+    // keep is exactly the sign of z (no separate thresholding drift)
+    out.foreach { case (id, z, keep) =>
+      if (math.abs(z) > 1e-6) assert(keep == (z > 0), s"doc $id: z=$z keep=$keep") }
+    // staged weights: 5 rows (bias + 4 features), finite
+    val w = spark.read.parquet(sink).as[(Int, Double)].collect().sortBy(_._1)
+    assert(w.map(_._1).toSeq == (0 to 4) && w.forall(p => !p._2.isNaN))
+  }
+
   test("contaminationBloom: output-identical to exact contamination, any fpp") {
     val docs = graft.Tables.documents(spark, sf0001)
     val bench = docs.filter($"doc_id" < 20)
