@@ -319,7 +319,7 @@ object ExtQueries {
         .sortBy(r => scrambleKey(tsMicros(r._2), r._1))
       val (views, clicks) = (feed("view"), feed("click"))
       val maxMs = ev.iterator.map(_._2.getTime).max
-      Seq("inner", "left_outer").foreach { jt =>
+      Seq("inner", "left_outer", "full_outer").foreach { jt =>
         val lIn =
           org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
         val rIn =
@@ -1477,6 +1477,19 @@ object ExtQueries {
           coalesce(unix_micros(col("r_ts")), lit(-1L)).as("r_ts_us"))
         .orderBy(col("l_user"), col("l_ts_us"), col("r_ts_us"))),
 
+    // full-outer face (the KS JoinWindows outerJoin): matched rows plus
+    // BOTH sides' watermark-flushed null-padded finals — sentinel keys
+    // are negative on either side, so one coalesce filter drops them
+    "q_interval_join_replay_full" -> ((s, dir) =>
+      s.read.parquet(s"${intervalReplayFixture(s, dir)}/full_outer")
+        .filter(coalesce(col("l_user"), lit(0L)) >= 0 &&
+          coalesce(col("r_user"), lit(0L)) >= 0)
+        .select(coalesce(col("l_user"), lit(-1L)).as("l_user"),
+          coalesce(unix_micros(col("l_ts")), lit(-1L)).as("l_ts_us"),
+          coalesce(col("r_user"), lit(-1L)).as("r_user"),
+          coalesce(unix_micros(col("r_ts")), lit(-1L)).as("r_ts_us"))
+        .orderBy(col("l_user"), col("l_ts_us"), col("r_user"), col("r_ts_us"))),
+
     // the reference's CORE aggregation (A1/M3 daily average) under the
     // oracle gate as a streamed changelog: final update per (user, day)
     // from the checkpointed scrambled replay must be BIT-identical to the
@@ -2577,6 +2590,18 @@ object ExtQueries {
         |       coalesce(epoch_us(r.ts), -1) AS r_ts_us
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
         |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        | AND r.ts <= l.ts + INTERVAL 25 MINUTE
+        |ORDER BY l_user, l_ts_us, r_user, r_ts_us""".stripMargin,
+
+    "q_interval_join_replay_full" ->
+      """SELECT coalesce(l.user_id, -1) AS l_user,
+        |       coalesce(epoch_us(l.ts), -1) AS l_ts_us,
+        |       coalesce(r.user_id, -1) AS r_user,
+        |       coalesce(epoch_us(r.ts), -1) AS r_ts_us
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+        |FULL JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts - INTERVAL 10 MINUTE
         | AND r.ts <= l.ts + INTERVAL 25 MINUTE

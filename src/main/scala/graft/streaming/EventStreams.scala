@@ -63,8 +63,8 @@ object EventStreams extends Serializable {
       before: String = "0 seconds", after: String = "1 hour",
       watermarkDelay: String = "10 minutes",
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer").contains(joinType),
-      s"intervalJoin: joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"intervalJoin: joinType must be inner, left_outer or full_outer, got $joinType")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "intervalJoin: rename the sides apart first — shared column names " +
         s"${left.columns.toSet.intersect(right.columns.toSet).mkString(", ")}")
