@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingPrep, Funnel, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -69,6 +69,40 @@ object ExtQueries {
        |           FROM (SELECT doc_id, $toksSql AS toks FROM documents))
        |SELECT term, count(DISTINCT doc_id) AS df
        |FROM t GROUP BY term ORDER BY term""".stripMargin
+
+  /** q_pagerank oracle: [[graft.operators.Graph.pageRank]]'s scaled-
+    * integer recurrence unrolled one CTE per round over the identical
+    * customer→supplier edge set — every step (`//` integral division,
+    * BIGINT sums) is exact, so the gate is bit-for-bit, not
+    * tolerance-based. The explicit CASTs keep DuckDB's sum() (which
+    * widens BIGINT → HUGEINT) in the same int64 domain Spark computes in. */
+  private lazy val pageRankOracleSql: String = {
+    val scale = "1000000000000"
+    def roundCte(i: Int): String =
+      s"""pr$i AS (
+         |  SELECT nd.id,
+         |    CAST((15 * ($scale // c.n)) // 100
+         |      + (85 * (CAST(coalesce(s.insum, 0) AS BIGINT) + d.dang // c.n)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes nd
+         |  CROSS JOIN c
+         |  CROSS JOIN (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+         |              FROM pr${i - 1} p LEFT JOIN outd o ON p.id = o.id
+         |              WHERE o.id IS NULL) d
+         |  LEFT JOIN (SELECT e.v AS id, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
+         |             FROM e JOIN pr${i - 1} p ON e.u = p.id
+         |                    JOIN outd o ON e.u = o.id
+         |             GROUP BY e.v) s ON nd.id = s.id)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |outd AS (SELECT u AS id, count(*) AS od FROM e GROUP BY u),
+       |c AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT id, $scale // (SELECT n FROM c) AS pr FROM nodes),
+       |""".stripMargin +
+      (1 to 5).map(roundCte).mkString(",\n") +
+      "\nSELECT id, pr AS pr_scaled FROM pr5 ORDER BY id"
+  }
 
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
@@ -1045,6 +1079,31 @@ object ExtQueries {
         smallGraphThreshold = 0L)
         .orderBy(col("id"))),
 
+    // exact-arithmetic PageRank over the who-buys-from-whom bipartite
+    // graph (customer → supplier via order lines; suppliers are dangling
+    // sinks, so the dangling-mass redistribution is live, not decorative).
+    // The scaled-integer contract (Graph.pageRank scaladoc) is what makes
+    // a 5-round power iteration hash-gateable: the oracle unrolls the
+    // identical integer recurrence one CTE per round
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst")),
+        rounds = 5)
+        .orderBy(col("id"))),
+
+    // entity resolution: near-identical names within edit distance 1 via
+    // two-pass blocked comparison (prefix + reversed-prefix, length-
+    // banded, maxBlock straggler guard) — the oracle re-derives blocks,
+    // guard, candidates, AND each pair's levenshtein independently, so
+    // the whole recall/guard contract is value-gated, not just the verify
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      Fuzzy.blockedLevenshtein(Tables.customer(s, dir), col("c_custkey"),
+        col("c_name"), maxDist = 1, prefixLen = 15, maxBlock = Some(10000))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // staged one-pass corpus dedup (signatures + survivors as parquet
     // staging tables — the 100 TB configuration), VALUE-gated against the
     // same independently recomputed one-pass oracle as q_dedup_corpus
@@ -1308,6 +1367,17 @@ object ExtQueries {
 
     // exact global ntile(10) by (quality, doc_id) without a global sort —
     // oracle is DuckDB's native ntile, a genuinely different formulation
+    // deterministic systematic PPS draw (100 picks proportional to doc
+    // length, with replacement): the two-phase distributed prefix sum +
+    // the integer pick rule are both re-derived by the oracle's window
+    // cumsum — Σ n_picks = k is part of the gated value set
+    "q_sample_pps" -> ((s, dir) =>
+      graft.operators.Sampling.ppsSystematic(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("n_picks"))
+        .orderBy(col("doc_id"))),
+
     "q_quality_strata" -> ((s, dir) =>
       graft.operators.Sampling.scoreStrata(
         TextAnalysis.qualityScore(Tables.documents(s, dir))
@@ -2676,6 +2746,26 @@ object ExtQueries {
         |  CAST(sum(greatest(0, least(g, l1 - s + 1))) AS BIGINT) AS total_bytes
         |FROM f GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
 
+    // systematic PPS: window cumsum + the identical integer pick rule
+    // (all operands non-negative, so `//` floor == Spark `div` truncate);
+    // the CASTs pin DuckDB's HUGEINT-widening sums back to int64
+    "q_sample_pps" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |c AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM d),
+        |cum AS (SELECT doc_id, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a
+        |  FROM d),
+        |p AS (SELECT doc_id, a, a + n_chars AS b,
+        |  w // 100 AS stride, (w // 100) // 2 AS strt, w FROM cum CROSS JOIN c),
+        |picks AS (SELECT doc_id,
+        |  CAST(least(100, CASE WHEN b <= strt THEN 0 ELSE (b - strt - 1) // stride + 1 END)
+        |     - least(100, CASE WHEN a <= strt THEN 0 ELSE (a - strt - 1) // stride + 1 END)
+        |   AS BIGINT) AS n_picks
+        |  FROM p WHERE w >= 100)
+        |SELECT doc_id, n_picks FROM picks WHERE n_picks >= 1
+        |ORDER BY doc_id""".stripMargin,
+
     // per-stratum md5 membership, thresholds rendered from the SAME map
     "q_sample_stratified" -> {
       val thrValues = strataRates.toSeq.sorted.map { case (g, r) =>
@@ -3152,6 +3242,29 @@ object ExtQueries {
         |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id)
         |SELECT id, min(r) AS component FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    "q_pagerank" -> pageRankOracleSql,
+
+    // both blocking passes, the HAVING straggler guard, candidate
+    // generation, and the levenshtein verify re-derived end to end —
+    // CAST to INT mirrors Spark's levenshtein return type
+    "q_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
+        |p1 AS (SELECT id, k, substring(k, 1, 15) AS bk, length(k) // 2 AS lb FROM c),
+        |p2 AS (SELECT id, k, substring(reverse(k), 1, 15) AS bk, length(k) // 2 AS lb FROM c),
+        |ok1 AS (SELECT bk, lb FROM p1 GROUP BY bk, lb HAVING count(*) <= 10000),
+        |ok2 AS (SELECT bk, lb FROM p2 GROUP BY bk, lb HAVING count(*) <= 10000),
+        |k1 AS (SELECT p1.* FROM p1 JOIN ok1 USING (bk, lb)),
+        |k2 AS (SELECT p2.* FROM p2 JOIN ok2 USING (bk, lb)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |  FROM k1 a JOIN k1 b ON a.bk = b.bk AND a.lb = b.lb AND a.id < b.id
+        |  WHERE levenshtein(a.k, b.k) <= 1
+        |  UNION
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.lb = b.lb AND a.id < b.id
+        |  WHERE levenshtein(a.k, b.k) <= 1)
+        |SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     // incremental face: base-partition labels + delta edges must land on
     // the full recompute exactly — identical oracle by construction

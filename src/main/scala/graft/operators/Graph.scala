@@ -330,6 +330,106 @@ object Graph {
     *   caller's pair-mining pipeline — without truncation each of its
     *   consumers would re-mine the delta (the [[Staging]] diamond rule).
     */
+  /** Exact-arithmetic PageRank over a directed edge set — fixed-round
+    * power iteration with the classic damping/dangling-mass treatment
+    * (Page, Brin, Motwani, Winograd 1999; the MapReduce formulation of
+    * Malewicz et al.'s Pregel paper, SIGMOD 2010), expressed entirely in
+    * scaled INTEGER arithmetic so the result is bit-portable across
+    * engines (the same reproducibility contract as
+    * [[Sampling.hexUniform]]'s md5 rule): a float formulation's
+    * per-vertex Σ contributions would be summation-order-dependent —
+    * different between two Spark runs, let alone Spark vs an external
+    * auditor.
+    *
+    * Contract (every step exactly defined, no floats anywhere):
+    *  - ranks live in units of `scale` (default 10¹²): `pr₀ = scale div N`
+    *  - per round, with `out(u)` = out-degree over the DISTINCT edge set:
+    *      contrib(u→v) = pr(u) div out(u)
+    *      dangShare    = (Σ_{out(u)=0} pr(u)) div N
+    *      pr′(v) = (15 · (scale div N)) div 100
+    *             + (85 · (Σ_{u→v} contrib + dangShare)) div 100
+    *    i.e. damping d = 0.85 as the exact rational 85/100. Integral
+    *    division discards sub-unit remainders, so total mass decays by
+    *    < N units per round — at the default scale that is relative
+    *    error < N·10⁻¹² per round, irrelevant for ranking and a price
+    *    happily paid for cross-engine exactness (the float-vs-integer
+    *    drift bound is property-tested in GraphSpec).
+    *
+    * Scale design (the 100 TB story): the classic Pregel shape —
+    *  - `rounds` is FIXED (default 5), not convergence-driven: the cost
+    *    is exactly `rounds` × (one broadcast-or-shuffle join of the
+    *    O(N)-row rank table against the edge set + one map-side-combined
+    *    sum per destination). No driver-side data beyond Staging paths;
+    *  - the canonical edge set and out-degrees are staged ONCE and
+    *    re-read every round (they never change); only the narrow two-
+    *    column rank table is rewritten per round, truncating the join
+    *    lineage that would otherwise re-execute from the scan each round
+    *    (same rationale as [[connectedComponents]]'s per-round staging);
+    *  - the dangling-mass Σ rides the SAME plan as the contribution sum
+    *    via a 1-row cross-join broadcast (no extra driver action per
+    *    round);
+    *  - `scale` must exceed the node count or every rank truncates to 0
+    *    (guarded); at web scale pass a larger scale (units are arbitrary).
+    *
+    * Output: `(id, pr_scaled: long)` — callers wanting a probability
+    * divide by `scale` themselves (kept integral here so the catalog
+    * face hash-gates exactly).
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      rounds: Int = 5, scale: Long = 1000000000000L,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+
+    // canonical distinct edge set: out-degree and contributions must
+    // count each (u, v) once. Staged — read every round by two consumers.
+    val canonRaw = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct()
+    val canon = Staging.stage(canonRaw, stagingDir, "pr_edges")
+    val nodes = Staging.stage(
+      canon.select(col("u").as("id")).union(canon.select(col("v").as("id"))).distinct(),
+      stagingDir, "pr_nodes")
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    require(scale >= n, s"pageRank: scale=$scale must be >= node count $n")
+    val outDeg = Staging.stage(
+      canon.groupBy(col("u").as("id")).agg(count(lit(1)).as("od")),
+      stagingDir, "pr_outdeg")
+
+    val base = (15L * (scale / n)) / 100L
+    var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
+    var prevRoundPath: Option[String] = None
+    var round = 0
+    while (round < rounds) {
+      // dangling mass: one 1-row aggregate, broadcast via cross join —
+      // stays inside the round's single job, no separate driver action
+      val dang = pr.join(outDeg.select(col("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      // contributions: edges join ranks+degrees on the source, then one
+      // map-side-combined integer sum per destination
+      val contrib = canon
+        .join(pr.select(col("id").as("u"), col("pr")), Seq("u"))
+        .join(outDeg.select(col("id").as("u"), col("od")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(sum(expr("pr div od")).as("insum"))
+      val nextRaw = nodes
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(base) + expr(s"(85 * (coalesce(insum, 0L) + (dang div ${n}L))) div 100"))
+            .as("pr"))
+      pr = stagingDir match {
+        case Some(dir) =>
+          val (staged, path) = Staging.stageAt(nextRaw, dir, "pr_round")
+          prevRoundPath.foreach(Staging.drop(spark, _))
+          prevRoundPath = Some(path)
+          staged
+        case None => nextRaw.localCheckpoint()
+      }
+      round += 1
+    }
+    pr.select(col("id"), col("pr").as("pr_scaled"))
+  }
+
   def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
       idCol: String = "id", compCol: String = "component",
       srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,

@@ -361,4 +361,92 @@ object Sampling {
       .select(explode(col("__top")).as("__e"))
       .select(col("__e.*"))
   }
+
+  /** Distributed exclusive prefix sum: append `cumCol` = Σ of `valueCol`
+    * over all rows strictly before this one in `orderCol` order.
+    *
+    * A bare `Window.orderBy(orderCol)` computes the same thing in ONE
+    * task (Spark's no-partition-spec window collapses the data — the
+    * single-task-window anti-pattern this repo's plan audits hunt). This
+    * is the classic two-phase scan instead:
+    *  1. range-repartition by `orderCol` and cumsum WITHIN each range
+    *     partition (a partitioned window — parallel);
+    *  2. lift each partition's total to the driver (≤ shuffle-partition-
+    *     count rows — the bounded-collect class), prefix-fold them, and
+    *     broadcast the per-partition offsets back onto the rows.
+    * Partition boundaries come from range-sampling and vary run to run,
+    * but the result never does: local cumsum + that partition's offset
+    * telescopes to the global prefix regardless of where the cuts fall.
+    *
+    * `orderCol` values must be UNIQUE (they define the order; a tie would
+    * make "strictly before" ambiguous) and `valueCol` integral — integer
+    * sums are exact and associative, which is what makes the two-phase
+    * reassociation legal (a float version would drift by reassociation).
+    */
+  def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
+      cumCol: String = "cum_before"): DataFrame = {
+    val spark = df.sparkSession
+    val nb = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nb, orderCol)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__local",
+      coalesce(sum(valueCol.cast("long")).over(w), lit(0L)))
+    // per-partition totals: tiny (≤ nb rows), prefix-folded on the driver
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(valueCol.cast("long")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => pid -> off }.toMap
+    val offCol = element_at(typedLit(offsets), col("__pid"))
+    local.withColumn(cumCol, col("__local") + coalesce(offCol, lit(0L)))
+      .drop("__pid", "__local")
+  }
+
+  /** Deterministic systematic probability-proportional-to-size sampling
+    * (the classic PPS/systematic design from survey statistics — Madow's
+    * method): lay every row's integer weight end to end along a line in
+    * `orderCol` order, then take `k` equally-spaced selection points
+    * `p_j = stride/2 + j·stride` (stride = `W div k`). A row is drawn
+    * once per point falling inside its weight interval — heavy rows can
+    * be drawn multiple times (sampling WITH replacement, the
+    * upsampling-friendly form, same contract as [[epochsMix]]'s copies).
+    *
+    * Everything is integer arithmetic on exact sums, so the sample is
+    * bit-portable across engines (no RNG: the fixed mid-stride start is
+    * the deterministic twin of the textbook random start — reproducible
+    * pipelines beat incremental variance here, same stance as
+    * [[hexUniform]]). Exactly `k` picks total, Σ n_picks = k, rows with
+    * zero weight never drawn.
+    *
+    * Scale: one [[prefixSum]] (two-phase, no single-task window) + a
+    * narrow map-side pick computation. Output: the input row plus
+    * `n_picks ≥ 1` for selected rows only.
+    */
+  def ppsSystematic(df: DataFrame, orderCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val withCum = prefixSum(df, orderCol, weightCol)
+    // W and the derived stride/start ride a 1-row broadcast cross join —
+    // no driver action, stays one plan
+    val tot = withCum.agg(sum(weightCol.cast("long")).as("__w"))
+    // picks in [a, b) = f(b) − f(a), f(x) = #selection points < x =
+    // min(k, x <= start ? 0 : (x − start − 1) div stride + 1) — every
+    // operand non-negative, so truncating (Spark div) and flooring
+    // (external //) integer division agree
+    def f(x: String): Column =
+      least(lit(k.toLong), when(col(x) <= col("__start"), lit(0L))
+        .otherwise(expr(s"($x - __start - 1) div __stride + 1")))
+    withCum.crossJoin(broadcast(tot))
+      .filter(col("__w") >= k) // k > W would make stride 0 — empty, not divide-by-zero
+      .withColumn("__stride", expr(s"__w div ${k}L"))
+      .withColumn("__start", expr("__stride div 2"))
+      .withColumn("__a", col("cum_before"))
+      .withColumn("__b", col("cum_before") + weightCol.cast("long"))
+      .withColumn("n_picks", f("__b") - f("__a"))
+      .filter(col("n_picks") >= 1)
+      .drop("__w", "__stride", "__start", "__a", "__b", "cum_before")
+  }
 }

@@ -242,4 +242,103 @@ class GraphSpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- pageRank ----
+
+  private def pr(edges: Seq[(Long, Long)], rounds: Int = 5,
+      scale: Long = 1000000000000L): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), rounds = rounds, scale = scale)
+      .as[(Long, Long)].collect().toMap
+
+  /** Local reference of the exact integer contract in the scaladoc. */
+  private def prRef(edges: Seq[(Long, Long)], rounds: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val canon = edges.distinct
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val out = canon.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val base = (15L * (scale / n)) / 100L
+    var p = nodes.map(_ -> scale / n).toMap
+    (1 to rounds).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(p).sum
+      val dshare = dang / n
+      val insum = canon.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => p(e._1) / out(e._1)).sum
+      }
+      p = nodes.map(v => v -> (base + (85L * (insum.getOrElse(v, 0L) + dshare)) / 100L)).toMap
+    }
+    p
+  }
+
+  test("pageRank: hand graph matches the integer-contract reference") {
+    // 1 → 2 → 3, 3 → 1, 4 dangling receiver of 1; includes a cycle and
+    // a dangling node so both mass paths are live
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    assert(pr(edges) == prRef(edges, 5))
+  }
+
+  test("pageRank: duplicate edges don't change the result (canonical set)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L))
+    assert(pr(edges ++ edges ++ edges) == pr(edges))
+  }
+
+  test("pageRank: sinks of a star concentrate rank; mass decays < N per round") {
+    val scale = 1000000000000L
+    val edges = (1L to 10L).map(u => (u, 99L)) // everyone points at 99
+    val got = pr(edges, rounds = 5, scale = scale)
+    assert(got(99L) > got(1L) * 5, s"hub should dominate: $got")
+    val mass = got.values.sum
+    val n = 11L
+    // each round loses < n units to integral division, over 5 rounds
+    assert(mass <= scale && mass >= scale - 5 * n * 100, s"mass=$mass")
+  }
+
+  test("pageRank: integer contract tracks float PageRank within drift bound") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (u, es) => u -> es.size }
+    var fp = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 5).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(fp).sum
+      val insum = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => fp(e._1) / out(e._1)).sum
+      }
+      fp = nodes.map(v => v -> (0.15 / n + 0.85 * (insum.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    val scale = 1000000000000L
+    val got = pr(edges)
+    nodes.foreach { v =>
+      val int = got(v).toDouble / scale
+      // per-round truncation loses < 1/scale·(rounds·2) relative mass per
+      // node plus the float model's own rounding — generous envelope
+      assert(math.abs(int - fp(v)) < 1e-6,
+        s"node $v: integer=$int float=${fp(v)}")
+    }
+  }
+
+  test("pageRank: stagingDir path yields identical ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-stg").toString
+    try {
+      val staged = Graph.pageRank(edges.toDF("src", "dst"), rounds = 4,
+        stagingDir = Some(dir)).as[(Long, Long)].collect().toMap
+      assert(staged == pr(edges, rounds = 4))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
+  test("pageRank: guards — empty graph and scale < N refuse loudly") {
+    intercept[IllegalArgumentException] {
+      pr(Seq((1L, 2L)), scale = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"))
+        .collect()
+    }
+  }
 }

@@ -316,4 +316,50 @@ class SamplingSpec extends SparkSuite {
     assert(p.contains("topk_by_ord") && !p.contains("Window"),
       s"bottom-k must plan the TopK aggregate:\n${p.take(1500)}")
   }
+
+  test("prefixSum: equals the single-partition window reference, any partitioning") {
+    val rows = (1L to 500L).map(i => (i * 3, (i % 7) + 1)) // unique, gappy order keys
+    val df = rows.toDF("id", "w").repartition(13)
+    val got = Sampling.prefixSum(df, col("id"), col("w"))
+      .select($"id", $"cum_before").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, w) =>
+      assert(got(id) == acc, s"id=$id: got ${got(id)}, want $acc")
+      acc += w
+    }
+    // no single-task window: the cumsum window must be PARTITIONED (by
+    // the range-partition id), never a global empty-partition-spec window
+    val plan = Sampling.prefixSum(df, col("id"), col("w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"window must partition by __pid:\n${plan.take(800)}")
+  }
+
+  test("ppsSystematic: exactly k picks, PPS-proportional, zero weights never drawn") {
+    val rows = Seq((1L, 1000L), (2L, 10L), (3L, 0L), (4L, 990L)) ++
+      (10L to 200L).map(i => (i, 5L))
+    val df = rows.toDF("id", "w").repartition(7)
+    val k = 50
+    val got = Sampling.ppsSystematic(df, col("id"), col("w"), k)
+      .select($"id", $"n_picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == k, s"sum of picks must be exactly k: $got")
+    assert(!got.contains(3L), "zero-weight row drawn")
+    // row 1 holds 1000/2955 of the mass → expect ≈ k·w/W picks
+    val W = rows.map(_._2).sum.toDouble
+    assert(math.abs(got(1L) - k * 1000L / W) <= 1.0, s"got(1)=${got(1L)}")
+    assert(got(1L) > 1L, "heavy row must be drawn with replacement (multiple picks)")
+  }
+
+  test("ppsSystematic: deterministic across partitionings; empty when W < k") {
+    val rows = (1L to 300L).map(i => (i, (i % 11) + 1))
+    val a = Sampling.ppsSystematic(rows.toDF("id", "w").repartition(1),
+      col("id"), col("w"), 40).select($"id", $"n_picks")
+      .as[(Long, Long)].collect().toSet
+    val b = Sampling.ppsSystematic(rows.toDF("id", "w").repartition(23),
+      col("id"), col("w"), 40).select($"id", $"n_picks")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val tiny = Seq((1L, 2L), (2L, 3L)).toDF("id", "w")
+    assert(Sampling.ppsSystematic(tiny, col("id"), col("w"), 100).count() == 0)
+  }
 }
