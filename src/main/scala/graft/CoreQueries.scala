@@ -348,6 +348,20 @@ object CoreQueries {
           col("value"))
         .orderBy(col("user_id"), col("tick_us"))),
 
+    // Linear-interpolation resample (the gap-FILL twin of q_ts_resample):
+    // both surrounding observations ride one union + one exchange (two
+    // frames over the same window sort), and the interpolation itself is
+    // a fixed-shape IEEE-double expression the oracle evaluates verbatim
+    "q_ts_interp" -> ((s, dir) =>
+      graft.operators.TimeSeries.interpolate(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"),
+          col("event_id")),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        ordCol = "event_id", step = expr("interval 1 day"))
+        .select(col("user_id"), unix_micros(col("tick")).as("tick_us"),
+          col("value"))
+        .orderBy(col("user_id"), col("tick_us"))),
+
     // Top-k per group as a k-bounded AGGREGATE (functions.TopK): map-side
     // partial top-k ships at most k entries per (partition, group) instead
     // of window-sorting every row — same result as q_topk_window by
@@ -740,6 +754,37 @@ object CoreQueries {
         |FROM grid g ASOF LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND o.ts <= g.tick
         |ORDER BY g.user_id, tick_us""".stripMargin,
+
+    // backward leg = DuckDB's native backward ASOF (inclusive), forward
+    // leg = a strict forward ASOF (o.ts > tick) — mirroring the operator's
+    // inclusive-backward/exclusive-forward frame semantics; the CASE and
+    // the double expression are copied shape-for-shape from the engine
+    "q_ts_interp" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, CAST(arg_max(value, event_id) AS DOUBLE) AS value
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id, ts),
+        |bounds AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi
+        |           FROM events GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS tick
+        |         FROM bounds),
+        |prev AS (
+        |  SELECT g.user_id, g.tick, o.value AS pv, epoch_us(o.ts) AS ptu
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND o.ts <= g.tick),
+        |nxt AS (
+        |  SELECT g.user_id, g.tick, o.value AS nv, epoch_us(o.ts) AS ntu
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND o.ts > g.tick)
+        |SELECT p.user_id, epoch_us(p.tick) AS tick_us,
+        |  CASE WHEN p.ptu IS NULL THEN n.nv
+        |       WHEN n.ntu IS NULL THEN p.pv
+        |       ELSE p.pv + (n.nv - p.pv) *
+        |         (CAST(epoch_us(p.tick) - p.ptu AS DOUBLE) /
+        |          CAST(n.ntu - p.ptu AS DOUBLE))
+        |  END AS value
+        |FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.tick = n.tick
+        |ORDER BY p.user_id, tick_us""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_orderpriority,

@@ -66,4 +66,57 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got.count(_._1 == "b") == 1)
     assert(got.forall(_._2 > 0), "forward fill always finds a value")
   }
+
+  test("interpolate: exact hits, midpoints, trailing hold, leading backfill") {
+    val obs = Seq(
+      ("a", ts("2020-01-01 10:00:00"), Some(1.0), 1L),
+      ("a", ts("2020-01-01 12:00:00"), Some(3.0), 2L),
+      // null reading at 08:00 extends the grid below the first real obs
+      ("a", ts("2020-01-01 08:00:00"), None, 3L),
+      // null reading at 14:00 extends it above the last real obs
+      ("a", ts("2020-01-01 14:00:00"), None, 4L))
+      .toDF("k", "t", "v", "ord")
+    val got = TimeSeries.interpolate(obs, "k", "t", "v", "ord",
+      expr("interval 1 hour"))
+      .orderBy($"tick")
+      .select(date_format($"tick", "HH:mm").as("hm"), $"v")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("08:00", Some(1.0)), ("09:00", Some(1.0)),  // leading backfill
+      ("10:00", Some(1.0)),                        // exact hit
+      ("11:00", Some(2.0)),                        // midpoint of 1 and 3
+      ("12:00", Some(3.0)),                        // exact hit
+      ("13:00", Some(3.0)), ("14:00", Some(3.0)))) // trailing hold
+  }
+
+  test("interpolate: all-null key yields null values; ratio is time-weighted") {
+    val obs = Seq(
+      ("n", ts("2020-01-01 00:00:00"), None: Option[Double], 1L),
+      ("n", ts("2020-01-02 00:00:00"), None: Option[Double], 2L),
+      ("w", ts("2020-01-01 00:00:00"), Some(0.0), 3L),
+      ("w", ts("2020-01-05 00:00:00"), Some(4.0), 4L))
+      .toDF("k", "t", "v", "ord")
+    val got = TimeSeries.interpolate(obs, "k", "t", "v", "ord",
+      expr("interval 1 day"))
+      .select($"k", date_format($"tick", "MM-dd").as("d"), $"v")
+      .as[(String, String, Option[Double])].collect()
+    assert(got.filter(_._1 == "n").forall(_._3.isEmpty))
+    val w = got.filter(_._1 == "w").map(r => r._2 -> r._3.get).toMap
+    // 1 unit per day: the 25%/50%/75% points of the [0,4] span
+    assert(w == Map("01-01" -> 0.0, "01-02" -> 1.0, "01-03" -> 2.0,
+      "01-04" -> 3.0, "01-05" -> 4.0))
+  }
+
+  test("interpolate: deterministic across partitionings, ties by ordinal") {
+    val obs = (1L to 300L).map { i =>
+      ("k", ts(f"2020-01-01 ${i % 24}%02d:00:00"), Some(i.toDouble), i)
+    }
+    val a = TimeSeries.interpolate(obs.toDF("k", "t", "v", "ord").repartition(1),
+      "k", "t", "v", "ord", expr("interval 1 hour"))
+      .select($"tick", $"v").as[(java.sql.Timestamp, Double)].collect().toSet
+    val b = TimeSeries.interpolate(obs.toDF("k", "t", "v", "ord").repartition(17),
+      "k", "t", "v", "ord", expr("interval 1 hour"))
+      .select($"tick", $"v").as[(java.sql.Timestamp, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
