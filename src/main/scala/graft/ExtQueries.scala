@@ -752,6 +752,16 @@ object ExtQueries {
         .select(col("doc_id"), col("fp_roll"), col("fp_roll_min"))
         .orderBy(col("doc_id"))),
 
+    // DSIR importance selection (target = English slice): hashed-unigram
+    // log-ratio scores as exact integers; the staged ratio table carries
+    // its own (t_cnt, r_cnt) evidence, which the oracle recomputes from
+    // raw text before consuming the ln column — see the epistemic ledger
+    "q_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(Tables.documents(s, dir),
+        targetPred = col("lang") === "en", m = 50,
+        ratiosSink = Some(oracleStagePath(dir, "q_dsir_select")))
+        .orderBy(col("doc_id"))),
+
     // TF-IDF: top-3 terms per document (doc_id < 10), deterministic
     // (rounded-score, term) ranking.
     "q_text_tfidf" -> ((s, dir) => {
@@ -2161,6 +2171,34 @@ object ExtQueries {
            |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY doc_id""".stripMargin)
     annEntry ++ incEntry ++ Map(
+      // DSIR: bucketing (Karp–Rabin fold mod 256), per-doc counts, and
+      // BOTH smoothing inputs (t_cnt, r_cnt) recomputed from raw text;
+      // the staged ratio_scaled is consumed only on buckets whose staged
+      // counts equal the recomputation (`ver` join — a mismatch drops
+      // buckets, changes scores, and fails the hash). Engine-side
+      // residue: the ln of two verified rationals (TextAnalysisSpec).
+      "q_dsir_select" ->
+        s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+           |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |tb AS (SELECT doc_id, ${polyFoldSql("term")} % 256 AS bucket FROM t),
+           |c AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY doc_id, bucket),
+           |rawb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r_chk FROM c GROUP BY bucket),
+           |tgtb AS (SELECT bucket, CAST(sum(c.c) AS BIGINT) AS t_chk
+           |         FROM c JOIN documents d USING (doc_id)
+           |         WHERE d.lang = 'en' GROUP BY bucket),
+           |staged AS (SELECT bucket, t_cnt, r_cnt, ratio_scaled
+           |           FROM read_parquet('$root/q_dsir_select/*.parquet')),
+           |ver AS (SELECT s.bucket, s.ratio_scaled FROM staged s
+           |        JOIN rawb ON rawb.bucket = s.bucket AND rawb.r_chk = s.r_cnt
+           |        LEFT JOIN tgtb ON tgtb.bucket = s.bucket
+           |        WHERE coalesce(tgtb.t_chk, 0) = s.t_cnt),
+           |scores AS (SELECT c.doc_id,
+           |             CAST(sum(c.c * v.ratio_scaled) AS BIGINT) AS score
+           |           FROM c JOIN ver v USING (bucket) GROUP BY c.doc_id)
+           |SELECT doc_id, score FROM (
+           |  SELECT doc_id, score, row_number() OVER (
+           |    ORDER BY score DESC, doc_id) AS rn FROM scores) t
+           |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
       "q_dedup_corpus" ->
         corpusDedupOracleSql(s"$root/q_dedup_corpus", "onepass"),
       "q_dedup_corpus_staged" ->

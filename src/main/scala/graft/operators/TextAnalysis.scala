@@ -574,4 +574,73 @@ object TextAnalysis {
         countDistinct(col(sourceCol)).as("n_sources"),
         (count(lit(1)) - countDistinct(xxhash64(col(textCol))))
           .as("n_dup_docs"))
+
+  /** Data selection via importance resampling — the DSIR recipe (Xie,
+    * Santurkar, Ma, Liang: "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023), deterministic variant: score
+    * every document by how much more likely its hashed-unigram profile is
+    * under a TARGET distribution (the docs matching `targetPred` — e.g.
+    * a trusted high-quality slice) than under the RAW corpus
+    * distribution, then keep the top `m`.
+    *
+    *   score(x) = Σ_b c_b(x) · ratio_scaled(b)
+    *   ratio_scaled(b) = round(10⁶ · [ln p̂_tgt(b) − ln p̂_raw(b)])
+    *
+    * with add-one-smoothed bucket probabilities p̂(b) = (cnt_b + 1)/(N + B)
+    * and b = polyHash(token) mod `buckets` — the engine-portable
+    * Karp–Rabin fold, so an external auditor re-derives the bucketing,
+    * the per-doc counts, and both distributions from raw text. The ONLY
+    * engine-side residue is the ln of two verified rationals: the staged
+    * ratio table carries (bucket, t_cnt, r_cnt, ratio_scaled), the
+    * oracle recomputes t_cnt/r_cnt independently and consumes
+    * ratio_scaled only where they agree (a mismatch changes rows → the
+    * hash gate fails), and TextAnalysisSpec recomputes the ln itself.
+    * Scores are integer (counts × scaled log-ratios) — exact, orderable,
+    * bit-portable; selection is total-ordered by (score desc, id asc).
+    *
+    * Scale: ONE token-explode scan feeding a map-side-combinable
+    * (doc, bucket) count; bucket totals are ≤ `buckets` rows (collected —
+    * the bounded codebook class, same as PQ/k-means training); scoring is
+    * a broadcast join of that tiny ratio table back onto the counts; the
+    * top-m is a TakeOrdered, never a global sort. */
+  def dsirSelect(docs: DataFrame, targetPred: Column, m: Int,
+      buckets: Int = 256, idCol: String = "doc_id", textCol: String = "text",
+      ratiosSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(m >= 1 && buckets >= 2, s"need m >= 1, buckets >= 2; got $m, $buckets")
+    val spark = docs.sparkSession
+    // three consumers below (raw totals, target totals, scores) — one
+    // tokenize+count pass, staged ([[Staging]] diamond rule)
+    val perDoc = Staging.stage(
+      docs.select(col(idCol).as("doc_id"), targetPred.as("is_tgt"),
+          explode(tokens(col(textCol))).as("term"))
+        .withColumn("bucket", pmod(polyHash(col("term")), lit(buckets.toLong)))
+        .groupBy(col("doc_id"), col("is_tgt"), col("bucket"))
+        .agg(count(lit(1)).as("c")),
+      stagingDir, "dsir_counts")
+
+    val bucketTab = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("r_cnt"),
+        sum(when(col("is_tgt"), col("c")).otherwise(lit(0L))).as("t_cnt"))
+      .select(col("bucket"), col("t_cnt"), col("r_cnt"))
+      .collect() // ≤ `buckets` rows — bounded codebook class
+    val tTot = bucketTab.map(_.getLong(1)).sum
+    val rTot = bucketTab.map(_.getLong(2)).sum
+    val ratios = bucketTab.map { r =>
+      val lr = math.log((r.getLong(1) + 1.0) / (tTot + buckets.toDouble)) -
+        math.log((r.getLong(2) + 1.0) / (rTot + buckets.toDouble))
+      (r.getLong(0), r.getLong(1), r.getLong(2), math.round(lr * 1e6))
+    }.toIndexedSeq
+    val ratioDf = spark.createDataFrame(ratios)
+      .toDF("bucket", "t_cnt", "r_cnt", "ratio_scaled")
+    ratiosSink.foreach(p =>
+      ratioDf.coalesce(1).write.mode("overwrite").parquet(p))
+
+    perDoc.join(broadcast(ratioDf.select(col("bucket"), col("ratio_scaled"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("ratio_scaled")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(m)
+  }
 }

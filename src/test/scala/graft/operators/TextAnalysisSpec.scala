@@ -383,4 +383,51 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rep("en") == (("en", 3L, 8L, 2.666667, 2L, 1L)))
     assert(rep("de") == (("de", 1L, 2L, 2.0, 1L, 0L)))
   }
+
+  test("dsirSelect: target-like docs outrank raw-like; exact m; deterministic") {
+    // target slice speaks "alpha"; the raw bulk speaks "beta"; probes mix
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha alpha alpha common", true)) ++
+      (11L to 40L).map(i => (i, "beta beta beta common", false)) ++
+      Seq((100L, "alpha alpha common", false),   // raw doc that LOOKS target
+          (101L, "beta beta common", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.dsirSelect(docs, col("is_tgt"), m = 11)
+      .as[(Long, Long)].collect()
+    assert(got.length == 11, s"exactly m rows: ${got.length}")
+    val picked = got.map(_._1).toSet
+    assert((1L to 10L).forall(picked), "every target doc selected")
+    assert(picked.contains(100L), "target-looking raw doc must outrank beta docs")
+    assert(!picked.contains(101L), "beta probe must not make the alpha cut")
+    // determinism across partitionings
+    val again = TextAnalysis.dsirSelect(docs.repartition(13), col("is_tgt"), m = 11)
+      .as[(Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("dsirSelect: staged ratio table carries verified counts and the exact ln") {
+    val docs = Seq(
+      (1L, "x y z", true), (2L, "x x q", false), (3L, "y q q", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    try {
+      TextAnalysis.dsirSelect(docs, col("is_tgt"), m = 3, buckets = 16,
+        ratiosSink = Some(s"$dir/ratios")).collect()
+      val staged = spark.read.parquet(s"$dir/ratios")
+        .as[(Long, Long, Long, Long)].collect()
+      val tTot = staged.map(_._2).sum
+      val rTot = staged.map(_._3).sum
+      assert(rTot == 9L, "raw total = all 9 tokens")
+      assert(tTot == 3L, "target total = the 3 target-doc tokens")
+      staged.foreach { case (_, t, r, scaled) =>
+        val lr = math.log((t + 1.0) / (tTot + 16.0)) -
+          math.log((r + 1.0) / (rTot + 16.0))
+        assert(math.round(lr * 1e6) == scaled,
+          s"ln lock: staged $scaled vs recomputed ${math.round(lr * 1e6)}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
 }
