@@ -545,6 +545,59 @@ object ExtQueries {
       root
     })
 
+  private val dedupStreamReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the watermark-bounded streaming dedup
+    * ([[graft.streaming.WeatherStreams.dedupStream]], Spark's
+    * `dropDuplicatesWithinWatermark` state machinery) end-to-end, once
+    * per fixture dir: every (user_id, event_type) event feeds a real
+    * checkpointed MemoryStream in 3 deterministically scrambled batches —
+    * duplicates of most keys straddle batch boundaries, so the
+    * CROSS-batch dedup state is what's under the gate. The watermark
+    * delay (45 days) exceeds the fixture's event-time span, so no state
+    * is evicted mid-replay and the streamed output must be EXACTLY one
+    * row per distinct key — which is why the face projects only the key
+    * columns: the surviving row's other fields are first-ARRIVAL-
+    * dependent (KS semantics, [[graft.streaming.WeatherStreams.dedupStream]]
+    * scaladoc), the key set is not, and an oracle gate must assert
+    * arrival-order-independent truth. Eviction + re-admission semantics
+    * stay spec-locked in WeatherStreamsSpec. Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def dedupStreamReplayFixture(s: SparkSession, dir: String): String =
+    dedupStreamReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_dedup_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .as[(Long, String, java.sql.Timestamp)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(tsMicros(r._3), r._1))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = graft.streaming.WeatherStreams.dedupStream(
+        src.toDF().toDF("user_id", "event_type", "ts"),
+        keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+        watermarkDelay = "45 days")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$root/dedup")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val corpusIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1600,6 +1653,15 @@ object ExtQueries {
         .select(col("user_id"), col("f.event_id"), col("f.event_type"),
           col("f.value"))
         .orderBy(col("user_id"))),
+
+    // STREAMING dedup under the oracle gate: the checkpointed 3-batch
+    // scrambled replay of dropDuplicatesWithinWatermark must land on
+    // exactly one row per distinct (user_id, event_type) — the cross-
+    // batch dedup-state contract, gated against a trivial-by-design
+    // DISTINCT oracle (the point is the state machinery, not the SQL)
+    "q_dedup_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${dedupStreamReplayFixture(s, dir)}/dedup")
+        .orderBy(col("user_id"), col("event_type"))),
 
     // STREAMING sessionization under the oracle gate: the checkpointed
     // 3-batch scrambled replay's sealed sessions, summarized per user
@@ -2671,6 +2733,11 @@ object ExtQueries {
     // streaming session_window replay answers to the batch sessionize
     // oracle (same per-user summary, same 30-minute gap)
     "q_sessionize_stream_replay" -> CoreQueries.oracleSql("q_sessionize"),
+
+    "q_dedup_stream_replay" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // the latest-per-key replay answers to the C1 batch window oracle:
     // the changelog's final row per key IS the KTable's materialized view
