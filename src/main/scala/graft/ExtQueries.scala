@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -102,6 +102,60 @@ object ExtQueries {
        |""".stripMargin +
       (1 to 5).map(roundCte).mkString(",\n") +
       "\nSELECT id, pr AS pr_scaled FROM pr5 ORDER BY id"
+  }
+
+  /** q_bpe_train oracle: [[graft.operators.Bpe.bpeTrain]]'s recurrence
+    * unrolled one CTE group per round — pair counts (overlaps counted
+    * individually), the (n desc, a, b) arg-max, and the greedy
+    * left-to-right merge via the same gaps-and-islands parity rule. The
+    * MATERIALIZED hints are load-bearing: DuckDB inlines CTEs by
+    * default, and each round references its predecessor several times —
+    * un-materialized, the 6-round chain re-executes exponentially. */
+  private lazy val bpeTrainOracleSql: String = {
+    def roundCte(r: Int): String = {
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+         |      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |      FROM v$p))
+         |  GROUP BY a, b),
+         |best$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |e$r AS MATERIALIZED (SELECT w, cnt, pos, syms[pos] AS s FROM (
+         |    SELECT w, cnt, syms, unnest(generate_series(1, len(syms))) AS pos
+         |    FROM v$p)),
+         |m$r AS MATERIALIZED (SELECT w, cnt, pos, s,
+         |    coalesce(s = (SELECT a FROM best$r) AND
+         |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM best$r),
+         |      false) AS m
+         |  FROM e$r),
+         |g$r AS MATERIALIZED (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY w ORDER BY pos) AS mrn FROM m$r),
+         |x$r AS MATERIALIZED (SELECT *, CASE WHEN m THEN row_number() OVER
+         |           (PARTITION BY w, runkey ORDER BY pos) END AS ridx
+         |         FROM (SELECT *, CASE WHEN m THEN pos - mrn END AS runkey FROM g$r)),
+         |d$r AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, m AND ridx % 2 = 1 AS selected,
+         |      lag(m AND ridx % 2 = 1, 1, false) OVER (PARTITION BY w ORDER BY pos) AS dropped
+         |    FROM x$r)
+         |  WHERE NOT dropped),
+         |v$r AS MATERIALIZED (SELECT w, cnt,
+         |    list(CASE WHEN selected THEN (SELECT a FROM best$r) || (SELECT b FROM best$r)
+         |         ELSE s END ORDER BY pos) AS syms
+         |  FROM d$r GROUP BY w, cnt)""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT w, cnt,
+       |  list_filter(regexp_split_to_array(w, ''), ch -> ch <> '') AS syms FROM words),
+       |""".stripMargin +
+      (1 to 6).map(roundCte).mkString(",\n") + "\n" +
+      (1 to 6).map(r =>
+        s"SELECT $r AS rank, a AS lhs, b AS rhs, n AS pair_count FROM best$r")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
   }
 
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
@@ -804,6 +858,15 @@ object ExtQueries {
       TextAnalysis.fingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fp_roll"), col("fp_roll_min"))
         .orderBy(col("doc_id"))),
+
+    // BPE tokenizer training: the first 6 merge rules learned from the
+    // corpus word-frequency table — the whole driver-coordinated training
+    // loop (pair counts, deterministic arg-max, greedy left-to-right
+    // merge application) lands under the gate; the oracle re-runs the
+    // identical recurrence one MATERIALIZED CTE group per round
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.bpeTrain(Tables.documents(s, dir), merges = 6)
+        .orderBy(col("rank"))),
 
     // DSIR importance selection (target = English slice): hashed-unigram
     // log-ratio scores as exact integers; the staged ratio table carries
@@ -3349,6 +3412,8 @@ object ExtQueries {
         |ORDER BY id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql,
+
+    "q_bpe_train" -> bpeTrainOracleSql,
 
     // both blocking passes, the HAVING straggler guard, candidate
     // generation, and the levenshtein verify re-derived end to end —
