@@ -362,6 +362,56 @@ object CoreQueries {
           col("value"))
         .orderBy(col("user_id"), col("tick_us"))),
 
+    // GROUPING SETS surface (finer than rollup/cube: an explicit lattice
+    // subset) — decimal-exact sums keep the gate bit-stable
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // pivot (wide conditional aggregation) — fixed value list, so the
+    // output schema is static and the oracle mirrors with FILTER aggs
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+        .orderBy(col("l_linestatus"))),
+
+    // lag/lead frame surface: per-customer order-to-order price deltas
+    // (double SUBTRACTION is single-op IEEE — portable, unlike sums)
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // exact distributed median by INDEX (lower median: element at
+    // (n+1) div 2 in (value, key) order) — interpolated medians are not
+    // ULP-portable across engines ((a+b)/2 vs 0.5a+0.5b round
+    // differently), an indexed element is
+    "q_median_exact" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("o_orderpriority"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Top-k per group as a k-bounded AGGREGATE (functions.TopK): map-side
     // partial top-k ships at most k entries per (partition, group) instead
     // of window-sorting every row — same result as q_topk_window by
@@ -785,6 +835,44 @@ object CoreQueries {
         |  END AS value
         |FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.tick = n.tick
         |ORDER BY p.user_id, tick_us""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (l_returnflag = 'A') AS DOUBLE) AS "A",
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (l_returnflag = 'N') AS DOUBLE) AS "N",
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (l_returnflag = 'R') AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_median_exact" ->
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders) t
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_orderpriority,

@@ -111,7 +111,7 @@ object ExtQueries {
     * MATERIALIZED hints are load-bearing: DuckDB inlines CTEs by
     * default, and each round references its predecessor several times —
     * un-materialized, the 6-round chain re-executes exponentially. */
-  private lazy val bpeTrainOracleSql: String = {
+  private lazy val bpeChainSql: String = {
     def roundCte(r: Int): String = {
       val p = r - 1
       s"""p$r AS MATERIALIZED (
@@ -151,12 +151,27 @@ object ExtQueries {
        |v0 AS MATERIALIZED (SELECT w, cnt,
        |  list_filter(regexp_split_to_array(w, ''), ch -> ch <> '') AS syms FROM words),
        |""".stripMargin +
-      (1 to 6).map(roundCte).mkString(",\n") + "\n" +
+      (1 to 6).map(roundCte).mkString(",\n") + "\n"
+  }
+
+  private lazy val bpeTrainOracleSql: String =
+    bpeChainSql +
       (1 to 6).map(r =>
         s"SELECT $r AS rank, a AS lhs, b AS rhs, n AS pair_count FROM best$r")
         .mkString("\nUNION ALL\n") +
       "\nORDER BY rank"
-  }
+
+  /** q_bpe_tokens oracle: the SAME training chain, then token counts off
+    * the final vocab — the relational twin of the engine's bpeTokens
+    * fold, so the apply-side equivalence sits under the hash gate. */
+  private lazy val bpeTokensOracleSql: String =
+    bpeChainSql +
+      """SELECT token, n FROM (
+        |  SELECT s AS token, CAST(sum(cnt) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY sum(cnt) DESC, s) AS rn
+        |  FROM (SELECT cnt, unnest(syms) AS s FROM v6)
+        |  GROUP BY s) t
+        |WHERE rn <= 10 ORDER BY n DESC, token""".stripMargin
 
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
@@ -867,6 +882,24 @@ object ExtQueries {
     "q_bpe_train" -> ((s, dir) =>
       Bpe.bpeTrain(Tables.documents(s, dir), merges = 6)
         .orderBy(col("rank"))),
+
+    // BPE apply side: tokenize the corpus with the 6 learned rules (the
+    // bpeTokens higher-order fold) and take the top-10 tokens by weighted
+    // frequency. The oracle applies the SAME rules via its relational
+    // recurrence (the training chain's final vocab), so fold ≡ relational
+    // application is locked EXTERNALLY here, not just by BpeSpec
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = Bpe.bpeTrain(docs, merges = 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(explode(Bpe.bpeTokens(col("w"), rules)).as("token"), col("cnt"))
+        .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10)
+    }),
 
     // DSIR importance selection (target = English slice): hashed-unigram
     // log-ratio scores as exact integers; the staged ratio table carries
@@ -3414,6 +3447,8 @@ object ExtQueries {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_bpe_train" -> bpeTrainOracleSql,
+
+    "q_bpe_tokens" -> bpeTokensOracleSql,
 
     // both blocking passes, the HAVING straggler guard, candidate
     // generation, and the levenshtein verify re-derived end to end —

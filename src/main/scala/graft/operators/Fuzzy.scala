@@ -58,8 +58,20 @@ object Fuzzy {
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
     val base = df.select(idCol.as("id"), strCol.as("k"))
 
-    def pass(blockKey: Column): DataFrame = {
-      val blocked = base.select(col("id"), col("k"), blockKey.as("bk"),
+    // Each pass blocks on the first `prefixLen` chars of an ORIENTATION of
+    // the string (identity = prefix block; reversed = suffix block). Two
+    // same-block strings share those chars EXACTLY, and Levenshtein is
+    // invariant under stripping a common prefix (and lev(x,y) =
+    // lev(rev x, rev y)) — so the verify compares only the RESIDUAL past
+    // the block key. On realistic keys that turns an O(|s|²) distance over
+    // full strings into one over a few residual chars (~30× less verify
+    // CPU at a 15-of-18-char block), and the candidate shuffle carries the
+    // short residual instead of the whole string. The emitted dist equals
+    // the full-string distance exactly, by the invariance.
+    def pass(oriented: Column): DataFrame = {
+      val blocked = base.select(col("id"),
+        substring(oriented, 1, prefixLen).as("bk"),
+        substring(oriented, prefixLen + 1, Int.MaxValue).as("res"),
         expr(s"CAST(length(k) AS BIGINT) div ${maxDist + 1}").as("lb"))
       val kept = maxBlock match {
         case Some(cap) =>
@@ -69,20 +81,18 @@ object Fuzzy {
           blocked.join(ok, Seq("bk", "lb"))
         case None => blocked
       }
-      val a = kept.select(col("bk"), col("lb"), col("id").as("id_a"), col("k").as("k_a"))
-      val b = kept.select(col("bk"), col("lb"), col("id").as("id_b"), col("k").as("k_b"))
+      val a = kept.select(col("bk"), col("lb"), col("id").as("id_a"), col("res").as("r_a"))
+      val b = kept.select(col("bk"), col("lb"), col("id").as("id_b"), col("res").as("r_b"))
       a.join(b, Seq("bk", "lb"))
         .filter(col("id_a") < col("id_b"))
-        .filter(levenshtein(col("k_a"), col("k_b")) <= maxDist)
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("k_a"), col("k_b")).as("dist"))
+        .withColumn("dist", levenshtein(col("r_a"), col("r_b")))
+        .filter(col("dist") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("dist"))
     }
 
-    val prefixPass = pass(substring(col("k"), 1, prefixLen))
     // reverse-then-prefix rather than a negative-start substring: prefix-
     // from-1 semantics on strings shorter than prefixLen are identical in
     // every engine (whole string), negative starts are not
-    val suffixPass = pass(substring(reverse(col("k")), 1, prefixLen))
-    prefixPass.union(suffixPass).distinct()
+    pass(col("k")).union(pass(reverse(col("k")))).distinct()
   }
 }
