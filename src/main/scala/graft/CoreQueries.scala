@@ -362,6 +362,20 @@ object CoreQueries {
           col("value"))
         .orderBy(col("user_id"), col("tick_us"))),
 
+    // hopping-window aggregation (the Kafka Streams TimeWindows
+    // .of(1d).advanceBy(12h) class): every event lands in size/step = 2
+    // windows; Spark's window() is epoch-aligned, which the oracle
+    // reproduces with integer epoch-micros arithmetic
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+            count(col("value"))).as("avg_value"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("avg_value"))
+        .orderBy(col("w_start_us"), col("event_type"))),
+
     // GROUPING SETS surface (finer than rollup/cube: an explicit lattice
     // subset) — decimal-exact sums keep the gate bit-stable
     "q_grouping_sets" -> ((s, dir) => {
@@ -835,6 +849,22 @@ object CoreQueries {
         |  END AS value
         |FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.tick = n.tick
         |ORDER BY p.user_id, tick_us""".stripMargin,
+
+    // epoch-aligned hopping windows in integer micros: event ts belongs
+    // to windows starting at (ts_us div step - j)·step for j in 0..1,
+    // kept when ts < start + size — exactly Spark's window() assignment
+    "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+        |           WHERE ts IS NOT NULL),
+        |w AS (SELECT ((ts_us // 43200000000) - j) * 43200000000 AS w_start_us,
+        |        event_type, value
+        |      FROM e, unnest([0, 1]) t(j)
+        |      WHERE ts_us < ((ts_us // 43200000000) - j) * 43200000000 + 86400000000
+        |        AND ts_us >= ((ts_us // 43200000000) - j) * 43200000000)
+        |SELECT w_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value
+        |FROM w GROUP BY w_start_us, event_type
+        |ORDER BY w_start_us, event_type""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1238,6 +1238,16 @@ object ExtQueries {
         smallGraphThreshold = 0L)
         .orderBy(col("id"))),
 
+    // exact triangle count over the same similarity-pair graph as
+    // q_cc_components — degree-ordered orientation (wedges only at each
+    // edge's min-order endpoint), every triangle counted exactly once;
+    // the oracle recomputes pairs, degrees, orientation, wedges, and the
+    // closure independently
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangles(
+        Dedup.embeddingPairs(Tables.embeddings(s, dir), blockCol = col("label"),
+          threshold = 0.35, maxBlock = None))),
+
     // exact-arithmetic PageRank over the who-buys-from-whom bipartite
     // graph (customer → supplier via order lines; suppliers are dangling
     // sinks, so the dangling-mass redistribution is live, not decorative).
@@ -3445,6 +3455,35 @@ object ExtQueries {
         |ORDER BY id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql,
+
+    // same pair mining as q_cc_components, then the degree-ordered
+    // triangle algorithm re-derived: canonical edges, degrees, (deg, id)
+    // orientation, source wedges, closing semi-join
+    "q_triangles" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |        >= 0.35),
+        |canon AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+        |          FROM pairs WHERE id_a <> id_b),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM canon UNION ALL SELECT v FROM canon) GROUP BY x),
+        |oriented AS (
+        |  SELECT CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.u ELSE c.v END AS a,
+        |         CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.v ELSE c.u END AS b,
+        |         CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN dv.d ELSE du.d END AS db
+        |  FROM canon c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v),
+        |wedges AS (
+        |  SELECT o1.b, o2.b AS c
+        |  FROM oriented o1 JOIN oriented o2
+        |    ON o1.a = o2.a AND (o1.db, o1.b) < (o2.db, o2.b))
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM wedges w
+        |WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.a = w.b AND o.b = w.c)""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracleSql,
 

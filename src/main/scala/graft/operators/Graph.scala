@@ -430,6 +430,60 @@ object Graph {
     pr.select(col("id"), col("pr").as("pr_scaled"))
   }
 
+  /** Exact global triangle count over an undirected edge set — the
+    * classic degree-ordered orientation algorithm (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    * at each edge's SOURCE, and close them against the oriented edge
+    * set. Each triangle is counted exactly once (at its minimum-order
+    * vertex).
+    *
+    * Why the orientation is the whole scale story: wedge count at a
+    * vertex is quadratic in its out-degree, and orienting by total
+    * order (deg, id) caps every out-degree at O(√|E|) — a star graph's
+    * hub emits ZERO wedges (all its edges point in), where the naive
+    * per-vertex enumeration would emit deg² — so the wedge relation is
+    * O(|E|^1.5) worst-case instead of Σdeg². Three narrow shuffles
+    * total: degree count, wedge self-join on the source, closing
+    * equi-join on (b, c).
+    *
+    * Self-loops and duplicate/reversed edges are canonicalized away.
+    * Output: a single row `(n_triangles: long)`. */
+  def triangles(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val canon = edges.select(
+      least(col(srcCol), col(dstCol)).as("u"),
+      greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("x"))
+      .union(canon.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // orient by (deg, id) total order: a → b iff (d_a, a) < (d_b, b)
+    val withDeg = canon
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // keep the destination's degree: wedge pairs must be ordered by the
+    // SAME (deg, id) total order as the orientation, so the closing edge
+    // (if present) is oriented exactly min→max and ONE semi-join finds it
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+    val o1 = oriented.select(col("a"), col("b"), col("db"))
+    val o2 = oriented.select(col("a").as("a2"), col("b").as("c"), col("db").as("dc"))
+    val wedges = o1.join(o2, col("a") === col("a2") &&
+        (col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c"))))
+      .select(col("b"), col("c"))
+    wedges.join(oriented.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
       idCol: String = "id", compCol: String = "component",
       srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,

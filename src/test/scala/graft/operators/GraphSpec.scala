@@ -332,6 +332,44 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  // ---- triangles ----
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    Graph.triangles(edges.toDF("id_a", "id_b")).as[Long].head()
+
+  /** Local reference: brute-force distinct-node triples. */
+  private def triRef(edges: Seq[(Long, Long)]): Long = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(x, y, z) =>
+      es((x, y)) && es((x, z)) && es((y, z))
+    }
+  }
+
+  test("triangles: hand graphs — triangle, K4, star, path") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == 1L)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) == 4L)
+    assert(tri((1L to 10L).map(i => (0L, i))) == 0L) // star: hub wedges all inbound
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+  }
+
+  test("triangles: duplicates, reversals, self-loops canonicalized away") {
+    val t = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(tri(t ++ t.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))) == 1L)
+  }
+
+  test("triangles: random graphs match the brute-force reference") {
+    val rnd = new scala.util.Random(31)
+    (1 to 8).foreach { _ =>
+      val n = 3 + rnd.nextInt(12)
+      val edges = Seq.fill(2 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(tri(edges) == triRef(edges), s"edges=$edges")
+    }
+  }
+
   test("pageRank: guards — empty graph and scale < N refuse loudly") {
     intercept[IllegalArgumentException] {
       pr(Seq((1L, 2L)), scale = 1L)
