@@ -452,6 +452,25 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
+    // as-of with a TOLERANCE bound (pandas merge_asof(tolerance=...)):
+    // a stale match (> 7 days old) is no match — nulled payload, same
+    // single-exchange union-window plan, no second shuffle
+    "q_asof_tolerance" -> ((s, dir) =>
+      graft.operators.AsOf.joinWithin(
+        Tables.events(s, dir), Tables.orders(s, dir),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightOrd = col("o_orderkey"),
+        tolerance = expr("interval 7 days"), inner = false)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_totalprice"),
+          // o_orderdate reads as TIMESTAMP_NTZ; the UTC session pin makes
+          // the instant reinterpretation equal DuckDB's epoch_us (the
+          // Tables.events convention)
+          unix_micros(col("matched_time").cast("timestamp")).as("matched_us"))
+        .orderBy(col("event_id"))),
+
     // Range (interval) self-join: per error event, the user's activity in
     // the following hour. Equi-prefix on user_id keeps it a hash join with
     // a range residual; at scale, time-bucketing both sides turns the
@@ -912,6 +931,21 @@ object CoreQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+        |  CASE WHEN ok THEN o_totalprice END AS o_totalprice,
+        |  CASE WHEN ok THEN epoch_us(o_orderdate) END AS matched_us
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    o.o_orderdate,
+        |    coalesce(o.o_orderdate + INTERVAL 7 DAY >= e.ts, false) AS ok,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (

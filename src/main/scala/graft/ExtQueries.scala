@@ -565,6 +565,57 @@ object ExtQueries {
       root
     })
 
+  private val hoppingReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the HOPPING-window aggregation (the KS `TimeWindows
+    * .of(1d).advanceBy(12h)` class, q_hopping_window's exact shape) as an
+    * update-mode checkpointed MemoryStream in 3 deterministically
+    * scrambled batches: every event lands in two overlapping windows and
+    * its window's state merges across micro-batches. The streamed
+    * aggregate carries the DECIMAL sum (exact, order-independent), so
+    * the final per-(window, type) state is BIT-identical to the one-shot
+    * batch answer — which lets the whole windowed streaming machinery
+    * answer to q_hopping_window's integer-epoch-micros oracle. Same
+    * first-touch-rebuild + md5(dir)+pid path contract as
+    * [[annIndexFixture]]. */
+  private def hoppingReplayFixture(s: SparkSession, dir: String): String =
+    hoppingReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_hopping_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .filter(col("ts").isNotNull)
+        .as[(Long, String, java.sql.Timestamp, Double)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(tsMicros(r._3), r._1))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+      val q = src.toDF().toDF("event_id", "event_type", "ts", "value")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("dec_sum"),
+          count(col("value")).as("cnt"), count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("dec_sum"), col("cnt"), col("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val latestReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1735,6 +1786,19 @@ object ExtQueries {
     // one-shot batch answer — the decimal-exact sum makes cross-batch
     // state merges order-independent, so this face proves the streaming
     // aggregation machinery, not just the operator algebra
+    // the HOPPING-window streaming surface under the oracle gate: final
+    // per-(window, type) state of the scrambled checkpointed replay
+    // (max batch_id emission), its decimal sum divided exactly as the
+    // batch face does — must equal q_hopping_window's oracle
+    "q_hopping_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${hoppingReplayFixture(s, dir)}/updates")
+        .groupBy(col("w_start_us"), col("event_type"))
+        .agg(max_by(struct(col("dec_sum"), col("cnt"), col("n")),
+          col("batch_id")).as("f"))
+        .select(col("w_start_us"), col("event_type"), col("f.n").as("n"),
+          (col("f.dec_sum").cast("double") / col("f.cnt")).as("avg_value"))
+        .orderBy(col("w_start_us"), col("event_type"))),
+
     "q_daily_avg_stream_replay" -> ((s, dir) =>
       s.read.parquet(s"${dailyAvgReplayFixture(s, dir)}/updates")
         .groupBy(col("user_id"), col("day"))
@@ -2851,6 +2915,8 @@ object ExtQueries {
 
     // the daily-average replay answers to the A1 batch oracle verbatim
     "q_daily_avg_stream_replay" -> CoreQueries.oracleSql("q_a1_daily_avg"),
+
+    "q_hopping_stream_replay" -> CoreQueries.oracleSql("q_hopping_window"),
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's

@@ -73,4 +73,37 @@ object AsOf {
       (lCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
   }
+
+  /** [[join]] with a TOLERANCE bound (pandas `merge_asof(tolerance=…)`
+    * semantics): the carried match only counts if the right row is
+    * within `tolerance` of the left time — a staler match is treated as
+    * NO match (dropped under `inner`, null payload otherwise). The
+    * tolerance check rides the same single-exchange union-window plan:
+    * the carried payload is augmented with the right row's time and the
+    * bound is a post-window predicate, so there is no second shuffle
+    * and never an inequality-join explosion.
+    *
+    * `tolerance` is an interval/duration Column (e.g.
+    * `expr("interval 7 days")`). `rightTimeOut` names the carried
+    * right-time column in the output (callers often want the gap). */
+  def joinWithin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], rightOrd: Column,
+      tolerance: Column, inner: Boolean = true,
+      rightTimeOut: String = "matched_time"): DataFrame = {
+    require(!rightPayload.contains(rightTimeOut),
+      s"rightTimeOut '$rightTimeOut' collides with a payload column")
+    val rightAug = right.withColumn(rightTimeOut, rightTime)
+    val lCols = left.columns.toIndexedSeq
+    val joined = join(left, rightAug, leftKey, rightKey, leftTime,
+      col(rightTimeOut), rightPayload :+ rightTimeOut, rightOrd,
+      inner = false)
+    val inTol = col(rightTimeOut).isNotNull &&
+      col(rightTimeOut) + tolerance >= leftTime
+    val nulled = joined.select(
+      (lCols.map(col) ++ (rightPayload :+ rightTimeOut).map(c =>
+        when(inTol, col(c)).otherwise(lit(null)).as(c))): _*)
+    if (inner) nulled.filter(col(rightTimeOut).isNotNull) else nulled
+  }
 }

@@ -88,6 +88,35 @@ class AsOfSpec extends SparkSuite {
     assert(inner.count() == 3)
   }
 
+  test("joinWithin: stale matches null out (left-outer) or drop (inner)") {
+    val t = Seq(
+      (1L, "A", ts("2020-01-01 10:00:00")),  // quote 1s before → in tolerance
+      (2L, "A", ts("2020-01-01 10:30:00")),  // latest quote 30min old → stale
+      (3L, "B", ts("2020-01-01 09:00:00")))  // no quote at all
+      .toDF("trade_id", "sym", "t")
+    val q = Seq((10L, "A", ts("2020-01-01 09:59:59"), 1.5))
+      .toDF("qid", "sym", "qt", "px")
+    val outer = AsOf.joinWithin(t, q, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 5 minutes"), inner = false)
+      .select($"trade_id", $"qid", $"px", $"matched_time")
+      .as[(Long, Option[Long], Option[Double], Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(outer(1L)._2.contains(10L) && outer(1L)._4.nonEmpty)
+    assert(outer(2L)._2.isEmpty && outer(2L)._3.isEmpty && outer(2L)._4.isEmpty,
+      s"stale match must null out: ${outer(2L)}")
+    assert(outer(3L)._2.isEmpty)
+    val inner = AsOf.joinWithin(t, q, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 5 minutes"), inner = true)
+    assert(inner.select($"trade_id").as[Long].collect().toSeq == Seq(1L))
+    // exact boundary: a match exactly `tolerance` old still counts (>=)
+    val boundary = AsOf.joinWithin(t, q, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 1 second"), inner = true)
+    assert(boundary.select($"trade_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("matches the naive inequality-join formulation on fixture data") {
     val ev = graft.Tables.events(spark, sf0001)
     val ord = graft.Tables.orders(spark, sf0001)
