@@ -452,6 +452,38 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
+    // salted join under the oracle gate: the skew-mitigation rewrite's
+    // output must be IDENTICAL to the plain equi-join — so the oracle is
+    // simply the unsalted join. Aggregated per segment (decimal-exact) to
+    // keep the checked relation small while covering every joined row
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("c_custkey"), col("value"))
+      graft.operators.Skew.saltedJoin(ev, Tables.customer(s, dir),
+          keyCol = "c_custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+            count(col("value"))).as("avg_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // RANGE-frame window (value-range, not row-count): each order joined
+    // with the count/sum of the SAME customer's orders in the preceding
+    // 30 days — integer epoch-micros bounds, portable across engines
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-30L * 86400L * 1000000L, 0L)
+      Tables.orders(s, dir)
+        .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_30d"),
+          (sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+            .cast("double") / count(lit(1)).over(w)).as("avg_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // as-of with a TOLERANCE bound (pandas merge_asof(tolerance=...)):
     // a stale match (> 7 days old) is no match — nulled payload, same
     // single-exchange union-window plan, no second shuffle
@@ -931,6 +963,24 @@ object CoreQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+        |    AS avg_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_30d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        epoch_us(o_orderdate) AS ts_us FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us
+        |             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_asof_tolerance" ->
       """SELECT event_id, user_id,
