@@ -388,9 +388,9 @@ object CoreQueries {
         ORDER BY l_returnflag, l_linestatus""")
     }),
 
-    // pivot (wide conditional aggregation) — fixed value list, so the
-    // output schema is static and the oracle mirrors with FILTER aggs
-    "q_pivot" -> ((s, dir) =>
+    // second pivot face — SUM pivot over a fixed value list (q_pivot is
+    // the count pivot); decimal-exact, null cells where no rows
+    "q_pivot_quantity" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
@@ -925,7 +925,7 @@ object CoreQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q_pivot" ->
+    "q_pivot_quantity" ->
       """SELECT l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
         |    FILTER (l_returnflag = 'A') AS DOUBLE) AS "A",

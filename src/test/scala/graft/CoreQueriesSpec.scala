@@ -10,10 +10,19 @@ class CoreQueriesSpec extends SparkSuite {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- qs.keySet}")
+    // a key in both sub-catalogs would silently shadow one of the two
+    // implementations under `++` (found the hard way: a second q_pivot)
+    val dup = CoreQueries.queries.keySet intersect ExtQueries.queries.keySet
+    assert(dup.isEmpty, s"catalog key collision across sub-maps: $dup")
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
       assert(n >= 0, name)
     }
+    // every catalog query must be value-gated — the rows-only era is
+    // over. Checked AFTER the run loop: three oracles are dynamic (their
+    // SQL embeds staged paths recorded when the query executes)
+    assert(qs.keySet.subsetOf(SparkEntry.oracleSql.keySet),
+      s"queries without an oracle: ${qs.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
   test("approx distinct: HLL estimate within rsd bounds of the exact twin") {
