@@ -423,7 +423,11 @@ object Graph {
           prevRoundPath.foreach(Staging.drop(spark, _))
           prevRoundPath = Some(path)
           staged
-        case None => nextRaw.localCheckpoint()
+        // lazy: there is no per-round action (unlike CC's convergence
+        // signature), so eager would schedule one materialization job per
+        // round — the caller's single final action materializes the whole
+        // checkpoint chain round by round instead
+        case None => nextRaw.localCheckpoint(eager = false)
       }
       round += 1
     }
