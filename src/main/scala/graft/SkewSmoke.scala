@@ -50,6 +50,18 @@ object SkewSmoke {
       graft.operators.Sampling.scoreStrata(
         hotScore(d.select(col("doc_id")), pct), col("score"), col("doc_id"),
         k = 10)),
+    // r12: a hot NAME (identical string on pct% of rows → one giant
+    // block in BOTH passes) against blockedLevenshtein's maxBlock guard —
+    // unguarded, the hot block is a |hot|² candidate explosion; guarded,
+    // it is dropped entirely and wall time stays flat
+    "fuzzy" -> ((d: DataFrame, pct: Int) => {
+      val named = d.select(col("doc_id"),
+        when(pmod(xxhash64(col("doc_id")), lit(100L)) < pct,
+          lit("all rights reserved boilerplate entity name"))
+          .otherwise(md5(col("doc_id").cast("string"))).as("name"))
+      graft.operators.Fuzzy.blockedLevenshtein(named, col("doc_id"),
+        col("name"), maxDist = 1, prefixLen = 4, maxBlock = Some(200))
+    }),
     // r8: dense_rank()<=k through the RewriteWindowTopK distinct-key leg
     // (the session installs GraftExtensions below, and the firing is
     // asserted before timing) — a dominant score value must collapse in
