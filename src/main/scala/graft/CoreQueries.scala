@@ -686,6 +686,33 @@ object CoreQueries {
     // per group — still a bounded sketch at any scale) keeps the 5% claim
     // true with margin at every fixture SF; the default rsd=0.05 misses
     // it at sf0.1 (observed 6.4% on one group).
+    // Count-Min-Sketch contract gate (the HLL/quantile pattern): the
+    // sketch binary is collected once (one row — bounded), each of the
+    // few distinct keys is estimated driver-side, and the face emits the
+    // CMS guarantees as hash-gated booleans — never-underestimate
+    // (structural) and over-estimate ≤ ⌈eps·N⌉ (holds deterministically
+    // with margin at every fixture SF at eps=0.001) — against exact
+    // counts the oracle recomputes independently
+    "q_approx_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val skBytes = ev.agg(count_min_sketch(col("event_type"),
+          lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      val est = exact.select(col("event_type")).collect() // ≤ #distinct types
+        .map(r => (r.getString(0), cms.estimateCount(r.getString(0))))
+      val estDf = s.createDataFrame(est.toIndexedSeq).toDF("event_type", "cms_est")
+      exact.join(estDf, "event_type")
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("total"))))
+        .select(col("event_type"), col("n_exact"),
+          (col("cms_est") >= col("n_exact")).as("cms_never_under"),
+          (col("cms_est") <= col("n_exact") + ceil(col("total") * 0.001))
+            .as("cms_within_eps"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -1063,6 +1090,11 @@ object CoreQueries {
 
     // the sketch-contract gate: exact leg recomputed independently, the
     // ≤5%-relative-error claim asserted as a literal (see the query's doc)
+    "q_approx_freq" ->
+      """SELECT event_type, count(*) AS n_exact,
+        |true AS cms_never_under, true AS cms_within_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_approx_distinct" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS exact_users,
         |true AS approx_ok

@@ -25,6 +25,17 @@ class CoreQueriesSpec extends SparkSuite {
       s"queries without an oracle: ${qs.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
+  test("approx freq: CMS never underestimates; over-estimate within eps·N") {
+    val face = SparkEntry.queries("q_approx_freq")(spark, sf0001).collect()
+    assert(face.nonEmpty)
+    face.foreach { r =>
+      assert(r.getAs[Boolean]("cms_never_under"),
+        s"CMS structural lower bound violated: $r")
+      assert(r.getAs[Boolean]("cms_within_eps"),
+        s"CMS drifted beyond eps·N: $r")
+    }
+  }
+
   test("approx distinct: HLL estimate within rsd bounds of the exact twin") {
     // the catalog face asserts |approx − exact| ≤ 5%·exact as a hash-gated
     // boolean; this spec checks the same claim in-process (every group ok)
