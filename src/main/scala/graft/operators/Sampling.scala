@@ -378,6 +378,15 @@ object Sampling {
     * but the result never does: local cumsum + that partition's offset
     * telescopes to the global prefix regardless of where the cuts fall.
     *
+    * Plan note: Catalyst does not know `spark_partition_id()` IS the
+    * range partitioning, so ENSURE_REQUIREMENTS inserts a hash exchange
+    * on `__pid` before the window — physically a second narrow shuffle
+    * whose rows are already co-located. The declarative form is kept
+    * anyway (codegen'd window, no imperative per-partition scan); if
+    * that exchange ever matters at scale, a `mapPartitions` running
+    * cumsum over the sorted range partitions drops it at the cost of
+    * leaving whole-stage codegen.
+    *
     * `orderCol` values must be UNIQUE (they define the order; a tie would
     * make "strictly before" ambiguous) and `valueCol` integral — integer
     * sums are exact and associative, which is what makes the two-phase
