@@ -665,6 +665,60 @@ object ExtQueries {
       root
     })
 
+  private val enrichReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the reference's CORE J1 stream-table enrichment join
+    * (`WeatherHotelsApp.java:134-142`'s KStream⋈KTable, the
+    * [[graft.streaming.WeatherStreams.enrichStream]] face) end-to-end,
+    * once per fixture dir: the dimension stream (customers ≙ addresses)
+    * feeds the real foreachBatch stream-static join in 3 deterministically
+    * scrambled batches against the SAME aggregated history snapshot the
+    * batch face joins; landed rows across batches must equal the one-shot
+    * batch join under q_j1_enrich's oracle (each stream row meets the same
+    * static table whatever batch it rides — the arrival-order-independent
+    * truth). Same first-touch-rebuild + md5(dir)+pid contract as
+    * [[annIndexFixture]]. */
+  private def enrichReplayFixture(s: SparkSession, dir: String): String =
+    enrichReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_enrich_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val hist = CoreQueries.history(s, dir).withColumnRenamed("user_id", "key")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .as[(Long, String)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(r._1 * 2654435761L, r._1))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      // enrichStream pins Trigger.AvailableNow — so the replay runs the
+      // PRODUCTION restart pattern: one AvailableNow run per arriving
+      // batch, all sharing the checkpoint (exactly-once across restarts
+      // via recorded offsets), instead of one long-lived query
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*)
+        val q = graft.streaming.WeatherStreams.enrichStream(
+          src.toDF().toDF("c_custkey", "c_name")
+            .withColumn("key", col("c_custkey")),
+          () => hist, s"$root/ckpt") { out =>
+          out.select(col("c_custkey"), col("c_name"), col("n_days"), col("history"))
+            .write.mode("append").parquet(s"$root/joined")
+        }
+        q.awaitTermination()
+      } finally {
+        hist.unpersist()
+        ()
+      }
+      root
+    })
+
   private val bpeRulesBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
@@ -1802,6 +1856,14 @@ object ExtQueries {
     // one-shot batch answer — the decimal-exact sum makes cross-batch
     // state merges order-independent, so this face proves the streaming
     // aggregation machinery, not just the operator algebra
+    // the reference's CORE J1 enrichment join, STREAMED, under the
+    // oracle gate: rows landed across the 3 checkpointed AvailableNow
+    // restarts must equal the one-shot batch join (q_j1_enrich's oracle)
+    "q_enrich_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${enrichReplayFixture(s, dir)}/joined")
+        .select(col("c_custkey"), col("c_name"), col("n_days"), col("history"))
+        .orderBy(col("c_custkey"))),
+
     // the HOPPING-window streaming surface under the oracle gate: final
     // per-(window, type) state of the scrambled checkpointed replay
     // (max batch_id emission), its decimal sum divided exactly as the
@@ -2933,6 +2995,8 @@ object ExtQueries {
     "q_daily_avg_stream_replay" -> CoreQueries.oracleSql("q_a1_daily_avg"),
 
     "q_hopping_stream_replay" -> CoreQueries.oracleSql("q_hopping_window"),
+
+    "q_enrich_stream_replay" -> CoreQueries.oracleSql("q_j1_enrich"),
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's
