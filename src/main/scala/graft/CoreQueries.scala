@@ -452,6 +452,14 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
+    // market-basket co-occurrence: the 20 most frequent part pairs
+    // sharing an order (support ≥ 2) — per-basket pair generation with
+    // the maxBasket straggler guard mirrored in the oracle's HAVING
+    "q_copurchase" -> ((s, dir) =>
+      graft.operators.Baskets.frequentPairs(Tables.lineitem(s, dir),
+        basketCol = col("l_orderkey"), itemCol = col("l_partkey"),
+        minSupport = 2L, k = 20)),
+
     // salted join under the oracle gate: the skew-mitigation rewrite's
     // output must be IDENTICAL to the plain equi-join — so the oracle is
     // simply the unsalted join. Aggregated per segment (decimal-exact) to
@@ -990,6 +998,19 @@ object CoreQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT b FROM items GROUP BY b HAVING count(*) <= 10000),
+        |kept AS (SELECT items.* FROM items JOIN ok USING (b)),
+        |pairs AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS support
+        |  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY a.i, c.i)
+        |SELECT item_a, item_b, support FROM (
+        |  SELECT *, row_number() OVER (ORDER BY support DESC, item_a, item_b) AS rn
+        |  FROM pairs WHERE support >= 2) t
+        |WHERE rn <= 20 ORDER BY support DESC, item_a, item_b""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

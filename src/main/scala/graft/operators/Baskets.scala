@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining — frequent item PAIRS (the 2-itemset
+  * core of association-rule mining, Agrawal & Srikant's Apriori first
+  * pass): which items appear together in the same basket more than
+  * `minSupport` times.
+  *
+  * Scale design: the pair space is generated per BASKET (self-join on the
+  * basket key with `a < b`), never across the catalog — Σ_b |b|²
+  * comparisons, the same bucketed-not-all-pairs shape as [[Dedup]]'s LSH
+  * and [[Fuzzy]]'s blocks. `maxBasket` is the straggler guard for the
+  * degenerate basket (a mega-order touching half the catalog would emit
+  * |b|²/2 pairs from one task): oversized baskets are dropped entirely,
+  * the [[Dedup.dropOversized]] contract, mirrored in the oracle's HAVING
+  * so the guard semantics sit under the hash gate too. Counting is one
+  * map-side-combinable aggregate; the top-k is a TakeOrdered on the
+  * (support desc, item_a, item_b) total order, never a global sort.
+  */
+object Baskets {
+
+  /** Item pairs co-occurring in ≥ `minSupport` baskets, the `k` most
+    * frequent (ties broken by ascending item ids — deterministic).
+    * Output: `(item_a, item_b, support)` with `item_a < item_b`; a pair
+    * is counted once per basket (membership, not multiplicity). */
+  def frequentPairs(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, k: Int,
+      maxBasket: Option[Int] = Some(10000)): DataFrame = {
+    require(minSupport >= 1 && k >= 1, s"bad params: $minSupport, $k")
+    val items = df.select(basketCol.as("b"), itemCol.as("i")).distinct()
+    val kept = maxBasket match {
+      case Some(cap) =>
+        val ok = items.groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap).select(col("b"))
+        items.join(ok, Seq("b"))
+      case None => items
+    }
+    kept.select(col("b"), col("i").as("item_a"))
+      .join(kept.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+}
