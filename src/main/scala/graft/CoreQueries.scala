@@ -700,9 +700,17 @@ object CoreQueries {
     // CMS guarantees as hash-gated booleans — never-underestimate
     // (structural) and over-estimate ≤ ⌈eps·N⌉ (holds deterministically
     // with margin at every fixture SF at eps=0.001) — against exact
-    // counts the oracle recomputes independently
+    // counts the oracle recomputes independently. The eps bound is a
+    // PROBABILISTIC guarantee (delta = 0.01 per key) made deterministic
+    // here by the pinned seed + pinned fixtures — on THESE corpora the
+    // margin is wide (few distinct keys vs eps=0.001 → collisions
+    // essentially impossible); a new fixture/SF could legitimately flip
+    // it with probability ≤ delta per key, which is a fixture-rotation
+    // note, not an engine bug. Null keys are filtered on BOTH legs
+    // (estimateCount(null) would NPE; the oracle's GROUP BY drops its
+    // null group to match).
     "q_approx_freq" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).filter(col("event_type").isNotNull)
       val skBytes = ev.agg(count_min_sketch(col("event_type"),
           lit(0.001d), lit(0.99d), lit(42)).as("sk"))
         .head().getAs[Array[Byte]](0)
@@ -1114,7 +1122,8 @@ object CoreQueries {
     "q_approx_freq" ->
       """SELECT event_type, count(*) AS n_exact,
         |true AS cms_never_under, true AS cms_within_eps
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS exact_users,

@@ -110,7 +110,13 @@ object ExtQueries {
     * left-to-right merge via the same gaps-and-islands parity rule. The
     * MATERIALIZED hints are load-bearing: DuckDB inlines CTEs by
     * default, and each round references its predecessor several times —
-    * un-materialized, the 6-round chain re-executes exponentially. */
+    * un-materialized, the 6-round chain re-executes exponentially.
+    * Each round's arg-max carries the engine's `n >= 2` stop rule
+    * (`Bpe.bpeTrain` refuses to merge a pair seen once): on a corpus
+    * that exhausts before the last round, best$r goes empty, the merge
+    * becomes a no-op (NULL best ⇒ m false everywhere), and the train
+    * face emits no row for that round — exactly the engine's early
+    * stop, so the gate can't fail spuriously on a small fixture. */
   private lazy val bpeChainSql: String = {
     def roundCte(r: Int): String = {
       val p = r - 1
@@ -120,7 +126,8 @@ object ExtQueries {
          |      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
          |      FROM v$p))
          |  GROUP BY a, b),
-         |best$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |best$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+         |  WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
          |e$r AS MATERIALIZED (SELECT w, cnt, pos, syms[pos] AS s FROM (
          |    SELECT w, cnt, syms, unnest(generate_series(1, len(syms))) AS pos
          |    FROM v$p)),

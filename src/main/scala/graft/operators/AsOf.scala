@@ -94,6 +94,11 @@ object AsOf {
       rightTimeOut: String = "matched_time"): DataFrame = {
     require(!rightPayload.contains(rightTimeOut),
       s"rightTimeOut '$rightTimeOut' collides with a payload column")
+    // the left side keeps ALL its columns in the output, so a left column
+    // named rightTimeOut would silently produce a duplicate/ambiguous
+    // column in the post-join select — fail loudly instead
+    require(!left.columns.contains(rightTimeOut),
+      s"rightTimeOut '$rightTimeOut' collides with a left column")
     val rightAug = right.withColumn(rightTimeOut, rightTime)
     val lCols = left.columns.toIndexedSeq
     val joined = join(left, rightAug, leftKey, rightKey, leftTime,

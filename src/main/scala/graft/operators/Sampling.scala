@@ -378,6 +378,18 @@ object Sampling {
     * but the result never does: local cumsum + that partition's offset
     * telescopes to the global prefix regardless of where the cuts fall.
     *
+    * The windowed relation is MATERIALIZED ([[Staging.stage]]) before the
+    * totals collect: the range partitioner samples its bounds per
+    * execution (seeded by the per-execution RDD id), so an unmaterialized
+    * diamond could collect totals for one set of bounds and compute the
+    * output rows under another — exec-1 offsets applied to exec-2
+    * partition ids would silently corrupt `cumCol` once the bound sample
+    * is non-exhaustive (> ~100 rows per partition). Same rule, and same
+    * fix, as [[scoreStrata]]'s numbered relation; once `__pid`/`__local`
+    * are materialized columns, any re-read partitioning is correct.
+    * Default is `persist(MEMORY_AND_DISK)`; at 100 TB pass `stagingDir`
+    * ([[Staging]] contract) for a durable parquet staging table.
+    *
     * Plan note: Catalyst does not know `spark_partition_id()` IS the
     * range partitioning, so ENSURE_REQUIREMENTS inserts a hash exchange
     * on `__pid` before the window — physically a second narrow shuffle
@@ -393,15 +405,18 @@ object Sampling {
     * reassociation legal (a float version would drift by reassociation).
     */
   def prefixSum(df: DataFrame, orderCol: Column, valueCol: Column,
-      cumCol: String = "cum_before"): DataFrame = {
+      cumCol: String = "cum_before", stagingDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val nb = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(nb, orderCol)
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged.withColumn("__local",
-      coalesce(sum(valueCol.cast("long")).over(w), lit(0L)))
+    // materialized: totals (collected below) and the returned rows MUST
+    // read the same __pid assignment — see the scaladoc's diamond note
+    val local = Staging.stage(ranged.withColumn("__local",
+      coalesce(sum(valueCol.cast("long")).over(w), lit(0L))),
+      stagingDir, "prefix_sum_local")
     // per-partition totals: tiny (≤ nb rows), prefix-folded on the driver
     val totals = local.groupBy(col("__pid"))
       .agg(sum(valueCol.cast("long")).as("__t"))
@@ -435,9 +450,9 @@ object Sampling {
     * `n_picks ≥ 1` for selected rows only.
     */
   def ppsSystematic(df: DataFrame, orderCol: Column, weightCol: Column,
-      k: Int): DataFrame = {
+      k: Int, stagingDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val withCum = prefixSum(df, orderCol, weightCol)
+    val withCum = prefixSum(df, orderCol, weightCol, stagingDir = stagingDir)
     // W and the derived stride/start ride a 1-row broadcast cross join —
     // no driver action, stays one plan
     val tot = withCum.agg(sum(weightCol.cast("long")).as("__w"))

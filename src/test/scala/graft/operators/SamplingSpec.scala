@@ -335,6 +335,33 @@ class SamplingSpec extends SparkSuite {
       s"window must partition by __pid:\n${plan.take(800)}")
   }
 
+  test("prefixSum: consistent when the range sample is NON-exhaustive (ADVICE r13)") {
+    // 20k rows >> rangeExchange sample (~100/partition): the range
+    // partitioner's boundaries now come from a genuine sample and vary
+    // per execution. The staged windowed relation (prefix_sum_local)
+    // guarantees the collected per-partition totals and the returned
+    // rows read ONE partitioning — without it, exec-1 offsets applied to
+    // exec-2 partition ids silently corrupt cum_before in this regime.
+    val n = 20000L
+    val rows = (1L to n).map(i => (i * 7 % (n * 7 + 1), (i % 5) + 1))
+    val df = rows.toDF("id", "w").repartition(32)
+    val got = Sampling.prefixSum(df, col("id"), col("w"))
+      .select($"id", $"cum_before").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, w) =>
+      assert(got(id) == acc, s"id=$id: got ${got(id)}, want $acc")
+      acc += w
+    }
+    // durable-staging twin: same values through the parquet staging path
+    Staging.withDir(spark, java.nio.file.Files
+      .createTempDirectory("graft-prefix-sum").toString) { dir =>
+      val staged = Sampling.prefixSum(df, col("id"), col("w"),
+        stagingDir = Some(dir))
+        .select($"id", $"cum_before").as[(Long, Long)].collect().toMap
+      assert(staged == got)
+    }
+  }
+
   test("ppsSystematic: exactly k picks, PPS-proportional, zero weights never drawn") {
     val rows = Seq((1L, 1000L), (2L, 10L), (3L, 0L), (4L, 990L)) ++
       (10L to 200L).map(i => (i, 5L))
