@@ -138,21 +138,60 @@ object Dedup {
       case None => pairs
     }
 
+  /** @param preStaged standing sketch state a pipeline persists anyway —
+    *   see [[PreStagedSketch]] for the contract. */
   def dedupCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8, stagingDir: Option[String] = None,
-      pairsSink: Option[String] = None): DataFrame = {
+      pairsSink: Option[String] = None,
+      preStaged: Option[PreStagedSketch] = None): DataFrame = {
     // staged: the survivor relation is read twice (near-dup mining input
     // AND the final anti-join base) and each read would otherwise redo the
     // exact-dedup scan+agg — same diamond rule as minhashPairs' signatures
-    val exactSurvivors = stage(docs.join(
-      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
-      stagingDir, "exact_survivors")
-    val pairs = sinkPairs(minhashPairs(exactSurvivors, idCol, textCol,
-      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
-      stagingDir = stagingDir), pairsSink)
+    val (exactSurvivors, minePairs) =
+      corpusMiningLegs(docs, idCol, textCol, bands, rowsPerBand, threshold,
+        stagingDir, preStaged)
+    val pairs = sinkPairs(minePairs, pairsSink)
     val nearDupLosers = pairs.select(col("id_b").as(idCol)).distinct()
     exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+
+  /** Standing sketch state for the corpus-dedup entry points: the
+    * exact-dedup survivor id set and the [[signatureIndex]]-shaped
+    * (id, sh, sig) relation over the SAME corpus — both artifacts a
+    * production pipeline persists at ingest anyway ([[hashIndex]] /
+    * [[signatureIndex]] scaladocs). Handing them in skips the two
+    * full-text passes (hash + shingle/sign) a cold run pays; the values
+    * must equal the default computation (true by construction when both
+    * were produced by these kernels over the same corpus — the
+    * [[dedupCorpusCCInc]] `deltaUniq` contract, generalized). */
+  final case class PreStagedSketch(survivorIds: DataFrame, signatures: DataFrame)
+
+  /** Shared mining front of [[dedupCorpus]]/[[dedupCorpusCC]]: the staged
+    * exact-survivor relation and the (lazy) mined near-dup pair set. */
+  private def corpusMiningLegs(docs: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int, threshold: Double,
+      stagingDir: Option[String],
+      preStaged: Option[PreStagedSketch]): (DataFrame, DataFrame) = {
+    val survIds = preStaged.map(_.survivorIds.select(col(idCol)))
+      .getOrElse(exact(docs, textCol, idCol).select(col(idCol)))
+    val exactSurvivors = stage(docs.join(survIds, Seq(idCol), "left_semi"),
+      stagingDir, "exact_survivors")
+    val pairs = preStaged match {
+      case Some(ps) =>
+        // signatures cover the whole corpus; the survivor semi-join
+        // narrows them to the mining population (identical text ⇒
+        // identical sh/sig, so slicing ≡ recomputing over survivors)
+        minhashPairsFromShingles(
+          ps.signatures.join(exactSurvivors.select(col(idCol)),
+            Seq(idCol), "left_semi"),
+          idCol, bands, rowsPerBand, threshold, stagingDir = stagingDir)
+      case None =>
+        minhashPairs(exactSurvivors, idCol, textCol,
+          bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
+          stagingDir = stagingDir)
+    }
+    (exactSurvivors, pairs)
   }
 
   /** Corpus dedup with EXACT transitive-cluster semantics: connected
@@ -174,13 +213,12 @@ object Dedup {
       textCol: String = "text", bands: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.8, stagingDir: Option[String] = None,
       survivorOrd: Option[Column] = None,
-      pairsSink: Option[String] = None): DataFrame = {
-    val exactSurvivors = stage(docs.join(
-      exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi"),
-      stagingDir, "exact_survivors")
-    val pairs = sinkPairs(minhashPairs(exactSurvivors, idCol, textCol,
-      bands = bands, rowsPerBand = rowsPerBand, threshold = threshold,
-      stagingDir = stagingDir), pairsSink)
+      pairsSink: Option[String] = None,
+      preStaged: Option[PreStagedSketch] = None): DataFrame = {
+    val (exactSurvivors, minePairs) =
+      corpusMiningLegs(docs, idCol, textCol, bands, rowsPerBand, threshold,
+        stagingDir, preStaged)
+    val pairs = sinkPairs(minePairs, pairsSink)
     val labels = Graph.connectedComponents(pairs, stagingDir = stagingDir)
     survivorOrd match {
       case Some(ord) => survivorsFromLabelsBy(exactSurvivors, labels, ord, idCol)
@@ -339,8 +377,8 @@ object Dedup {
     * [[guardReingest]]). */
   def signatureIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame =
-    shingled(docs, idCol, textCol, k)
+      rowsPerBand: Int = 4, extraCols: Seq[String] = Nil): DataFrame =
+    shingled(docs, idCol, textCol, k, extraCols)
       .withColumn("sig", minhashSig(col("sh"), bands * rowsPerBand))
 
   /** Near-dup pairs of DELTA documents against a standing corpus's
@@ -362,7 +400,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
-    val dSig = signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand)
+    // a delta already carrying (sh, sig) — e.g. sliced from a staged
+    // signatureIndex — skips the re-sign (same contract note as
+    // [[minhashPairsFromShingles]]'s sig fast path)
+    val dSig = (if (delta.columns.contains("sig"))
+        delta.select(col(idCol), col("sh"), col("sig"))
+      else signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // BOTH sides persist, not just the delta: the index relation has the
     // same consumer diamond (postings + both verify joins, and the bucket
@@ -407,7 +450,14 @@ object Dedup {
   }
 
   /** [[minhashPairs]] over a precomputed [[shingled]] relation (column
-    * `sh`: sorted distinct shingle hashes per `idCol`). */
+    * `sh`: sorted distinct shingle hashes per `idCol`). If the input
+    * ALSO carries a `sig` column (a [[signatureIndex]]-shaped relation —
+    * e.g. a staged standing index), the minhash kernel is skipped and
+    * the precomputed signatures are used as-is; the caller contract is
+    * the [[signatureIndex]] one (same kernel, length = bands ·
+    * rowsPerBand), which holds by construction for anything this module
+    * produced. At 100 TB this is the difference between re-signing the
+    * corpus per dedup job and reading the standing index. */
   def minhashPairsFromShingles(shingledDocs: DataFrame, idCol: String = "doc_id",
       bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8, maxBucket: Int = 1000,
@@ -429,8 +479,11 @@ object Dedup {
     // (Spark ML's handlePersistence unpersists after its action for the
     // same reason — a lazy-DataFrame API has no post-action hook to do it
     // for you).
-    val sigd = stage(shingledDocs.select(col(idCol), col("sh"))
-      .withColumn("sig", minhashSig(col("sh"), numHashes)),
+    val sigd = stage(
+      if (shingledDocs.columns.contains("sig"))
+        shingledDocs.select(col(idCol), col("sh"), col("sig"))
+      else shingledDocs.select(col(idCol), col("sh"))
+        .withColumn("sig", minhashSig(col("sh"), numHashes)),
       stagingDir, "signatures")
 
     // band_j = hash of the j-th signature slice → bucket key (bands is a
