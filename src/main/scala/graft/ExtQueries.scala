@@ -729,6 +729,57 @@ object ExtQueries {
       root
     })
 
+  private val j2ReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the reference's J2 TABLE-TABLE left join
+    * (`MyStream.java:168-173`) as STREAMING state maintenance, once per
+    * fixture dir: one tagged changelog MemoryStream feeds
+    * [[graft.streaming.IngestStreams.tableJoinIngest]] as a real
+    * checkpointed query in 3 deterministically scrambled batches. The
+    * dimension side arrives as TWO versions per customer — a planted
+    * stale row (ord 1, mangled name) and the real row (ord 2) — scrambled
+    * so stale versions routinely arrive AFTER their replacement and in
+    * later batches: the arg-max-ord upsert rule is what's under the gate.
+    * The fact side arrives as raw event rows whose per-key counts fold
+    * additively across batches. The final snapshot (max batch_id) must
+    * equal the one-shot batch join — q_j2_left's oracle verbatim. Same
+    * first-touch-rebuild + md5(dir)+pid path contract as
+    * [[annIndexFixture]]. */
+  private def j2ReplayFixture(s: SparkSession, dir: String): String =
+    j2ReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_j2_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dims = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name")).as[(Long, String)].collect()
+        .flatMap { case (k, n) =>
+          Seq(("dim", k, 1L, n + " (stale)"), ("dim", k, 2L, n))
+        }
+      val facts = Tables.events(s, dir).select(col("user_id"))
+        .filter(col("user_id").isNotNull).as[Long].collect()
+        .zipWithIndex.map { case (u, i) => ("fact", u, 0L, "") }
+      val scrambled = (dims ++ facts).zipWithIndex
+        .sortBy { case ((_, k, ord, _), i) =>
+          scrambleKey(k * 131L + ord * 7L, i.toLong)
+        }.map(_._1)
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, String)]
+      val q = graft.streaming.IngestStreams.tableJoinIngest(
+        src.toDF().toDF("side", "key", "ord", "name"),
+        s"$root/dim", s"$root/fact", s"$root/joined", s"$root/ckpt")
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val bpeRulesBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
@@ -937,6 +988,7 @@ object ExtQueries {
     latestReplayFixture(s, dir)
     enrichReplayFixture(s, dir)
     dedupStreamReplayFixture(s, dir)
+    j2ReplayFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -1981,6 +2033,21 @@ object ExtQueries {
     // the reference's CORE J1 enrichment join, STREAMED, under the
     // oracle gate: rows landed across the 3 checkpointed AvailableNow
     // restarts must equal the one-shot batch join (q_j1_enrich's oracle)
+    // the reference's J2 table-table LEFT join, STREAMED, under the
+    // oracle gate: the final snapshot of the maintained two-sided state
+    // (arg-max-ord dim upserts ⟕ additive fact counts, 3 scrambled
+    // checkpointed batches with stale dim versions planted across batch
+    // boundaries) must equal the one-shot batch join — q_j2_left's
+    // oracle verbatim
+    "q_j2_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${j2ReplayFixture(s, dir)}/joined")
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("name"), col("n_events")),
+          col("batch_id")).as("f"))
+        .select(col("key").as("c_custkey"), col("f.name").as("c_name"),
+          col("f.n_events").as("n_events"))
+        .orderBy(col("c_custkey"))),
+
     "q_enrich_stream_replay" -> ((s, dir) =>
       s.read.parquet(s"${enrichReplayFixture(s, dir)}/joined")
         .select(col("c_custkey"), col("c_name"), col("n_days"), col("history"))
@@ -3119,6 +3186,10 @@ object ExtQueries {
     "q_hopping_stream_replay" -> CoreQueries.oracleSql("q_hopping_window"),
 
     "q_enrich_stream_replay" -> CoreQueries.oracleSql("q_j1_enrich"),
+
+    // the streamed J2 replay answers to the batch left-join oracle
+    // verbatim: final maintained state ≡ one-shot table-table join
+    "q_j2_stream_replay" -> CoreQueries.oracleSql("q_j2_left"),
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's

@@ -470,6 +470,63 @@ object IngestStreams {
       .write.mode("overwrite").partitionBy("batch_key").parquet(outDir)
   }
 
+  /** Streaming maintenance of the reference's J2 TABLE-TABLE left join
+    * (`MyStream.java:168-173`: KTable ⟕ KTable): both sides are standing
+    * keyed state kept fresh from ONE tagged changelog stream, and each
+    * micro-batch emits the join snapshot. Spark's stream-stream joins
+    * require event-time bounds a KTable changelog doesn't have, so the
+    * Spark-native seam is the same foreachBatch standing-state pattern
+    * as [[dedupIngest]]/[[dfIngest]] — append-only batch-keyed parquet
+    * state + read-time reduction, never a read-modify-write:
+    *
+    *  - rows with `side = "dim"` are (key, ord, name) dimension UPSERTS:
+    *    the standing value per key is the arg-max-`ord` row (latest-wins
+    *    with the no-regression rule — a stale version arriving LATE, or
+    *    in a later batch, never overwrites; `ord` must be unique per
+    *    key, the [[WeatherStreams.latestPerKeyStream]] contract);
+    *  - rows with `side = "fact"` are fact-event arrivals counted per
+    *    key: the standing aggregate is the additive read-time sum of
+    *    per-batch deltas (the [[dfIngest]] df shape).
+    *
+    * Per batch, the CURRENT standing dim left-joins the standing counts
+    * and the snapshot lands batch-keyed in `outDir` with a `batch_id`
+    * column — the changelog of join results; the latest batch's rows are
+    * the current table. Exactly-once everywhere via the
+    * [[batchKey]]+dynamic-partition-overwrite contract: a crash-and-
+    * replay of batch N deterministically rewrites batch N's state AND
+    * snapshot partitions. Gated end-to-end as `q_j2_stream_replay`
+    * (3-batch scrambled feed with stale dim versions planted across
+    * batch boundaries) against q_j2_left's batch oracle.
+    *
+    * Scale: per batch one narrow write per side plus the join of the
+    * standing states; dim/fact state carries (key, ord, name)/(key,
+    * long) rows, never fact payloads. Batch partitions accumulate —
+    * compact with the [[compactDfIndex]] recipe; at 100 TB bucket both
+    * state tables by key hash so the per-batch join prunes, and emit
+    * deltas instead of full snapshots if the table is consumed as a
+    * changelog. */
+  def tableJoinIngest(tagged: DataFrame, dimDir: String, factDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val key = batchKey(checkpointDir, bid)
+        overwriteBatch(batch.filter(col("side") === "dim")
+          .select(col("key"), col("ord"), col("name")), key, dimDir)
+        overwriteBatch(batch.filter(col("side") === "fact")
+          .groupBy(col("key")).agg(count(lit(1)).as("delta")), key, factDir)
+        val spark = batch.sparkSession
+        val dim = spark.read.parquet(dimDir)
+          .groupBy(col("key"))
+          .agg(max_by(col("name"), col("ord")).as("name"))
+        val counts = spark.read.parquet(factDir)
+          .groupBy(col("key")).agg(sum(col("delta")).as("n_events"))
+        overwriteBatch(dim.join(counts, Seq("key"), "left")
+          .withColumn("batch_id", lit(bid)), key, outDir)
+        ()
+      }
+      .start()
+
   /** Offsets to pin when resuming a stream on a NEW checkpoint — the
     * compact-then-resume recipe (the [[compactIndex]] resume caveat) made
     * mechanical: reads the OLD checkpoint's commit log, finds the last

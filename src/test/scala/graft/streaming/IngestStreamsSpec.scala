@@ -63,6 +63,49 @@ class IngestStreamsSpec extends SparkSuite {
     assert(out2 == Set(1L, 2L, 5L, 8L), s"got $out2")
   }
 
+  test("tableJoinIngest: two-sided state, stale upsert never regresses, left-join parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("tjoin").toString
+
+    val src = MemoryStream[(String, Long, Long, String)]
+    val q = IngestStreams.tableJoinIngest(
+      src.toDF().toDF("side", "key", "ord", "name"),
+      s"$dir/dim", s"$dir/fact", s"$dir/joined", s"$dir/ckpt")
+
+    // batch 0: the REAL v2 rows for keys 1,2 arrive FIRST + some facts
+    src.addData(("dim", 1L, 2L, "alice"), ("dim", 2L, 2L, "bob"),
+      ("fact", 1L, 0L, ""), ("fact", 1L, 0L, ""), ("fact", 9L, 0L, ""))
+    q.processAllAvailable()
+    // batch 1: the stale v1 rows arrive LATE (must NOT overwrite), a new
+    // key 3 appears stale-first, more facts fold in
+    src.addData(("dim", 1L, 1L, "alice (stale)"), ("dim", 2L, 1L, "bob (stale)"),
+      ("dim", 3L, 1L, "carol (stale)"), ("fact", 2L, 0L, ""))
+    q.processAllAvailable()
+    // batch 2: key 3's real row lands; one more fact for key 1
+    src.addData(("dim", 3L, 2L, "carol"), ("fact", 1L, 0L, ""))
+    q.processAllAvailable()
+    q.stop()
+
+    val fin = spark.read.parquet(s"$dir/joined")
+      .groupBy($"key")
+      .agg(max_by(struct($"name", $"n_events"), $"batch_id").as("f"))
+      .select($"key", $"f.name", $"f.n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // key 1: 3 facts; key 2: 1 fact; key 3: none (null ⇒ -1 here);
+    // key 9's facts have no dim row → absent (left join keeps dim side)
+    assert(fin == Set((1L, "alice", 3L), (2L, "bob", 1L),
+      (3L, "carol", -1L)), s"got $fin")
+
+    // intermediate snapshot after batch 1 must reflect the no-regression
+    // rule (stale arrivals changed nothing for keys 1,2) and carol-stale
+    val mid = spark.read.parquet(s"$dir/joined")
+      .filter($"batch_id" === 1L)
+      .select($"key", $"name").as[(Long, String)].collect().toMap
+    assert(mid(1L) == "alice" && mid(2L) == "bob" &&
+      mid(3L) == "carol (stale)")
+  }
+
   test("dfIngest: streamed df index equals batch dfIndex; compaction sum-preserving; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("dfingest").toString
