@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   *    boilerplate title shared by millions) — the same straggler guard
   *    contract as `Dedup.dropOversized`, mirrored in the oracle as a
   *    HAVING clause so the gate covers the guard too;
-  *  - the length band (`length div (maxDist+1)`) is sound pruning for
-  *    SAME-band pairs — strings with |len(a)−len(b)| > maxDist can never
-  *    be within maxDist — but, like all banding, quantized: a pair
-  *    straddling a band boundary with len-diff ≤ maxDist is a recall
-  *    (not precision) loss, measured in FuzzySpec;
+  *  - the length band (`length div (maxDist+1)`) prunes pairs whose
+  *    lengths can't be within maxDist — and is NOT quantized: every
+  *    record anchors in its own band and PROBES its band plus the band
+  *    above (the IVF multi-probe shape), so a qualifying pair (len-diff
+  *    ≤ maxDist ⇒ band-diff ≤ 1) always meets in the longer record's
+  *    band. Before r13 only same-band pairs met, which silently lost
+  *    EVERY indel pair whose longer length is a band-boundary multiple
+  *    — measured at 0% deletion recall on even-length names
+  *    (tools/FuzzyProbe, SCALE.md "Fuzzy blocking recall dial");
   *  - everything before the verify is narrow map-side column derivation;
   *    the verify itself runs only on co-bucketed candidates.
   *
@@ -73,21 +77,38 @@ object Fuzzy {
         substring(oriented, 1, prefixLen).as("bk"),
         substring(oriented, prefixLen + 1, Int.MaxValue).as("res"),
         expr(s"CAST(length(k) AS BIGINT) div ${maxDist + 1}").as("lb"))
-      val kept = maxBlock match {
+      // anchor side: each record once, in its own band. Probe side: each
+      // record in its band AND the band above — a qualifying pair's
+      // band-diff is ≤ 1 (len-diff ≤ maxDist < band width), so it always
+      // meets in the LONGER record's band, whatever side of a band
+      // boundary the two lengths fall on. Probe rows double one side of
+      // the join; anchor stays single, so a cell's work is
+      // |anchor|·|probe|, not |probe|².
+      val anchor = blocked.withColumn("cell", col("lb"))
+      val probeRows = blocked.withColumn("cell", col("lb"))
+        .unionByName(blocked.withColumn("cell", col("lb") + 1))
+      val (a0, b0) = maxBlock match {
         case Some(cap) =>
-          val ok = blocked.groupBy(col("bk"), col("lb"))
+          // guard on the PROBE cell (a superset of the anchor cell), so
+          // the cap bounds every cell's join to cap² — dropped cells
+          // drop from BOTH sides, mirrored in the oracle's HAVING
+          val ok = probeRows.groupBy(col("bk"), col("cell"))
             .agg(count(lit(1)).as("cnt"))
-            .filter(col("cnt") <= cap).select(col("bk"), col("lb"))
-          blocked.join(ok, Seq("bk", "lb"))
-        case None => blocked
+            .filter(col("cnt") <= cap).select(col("bk"), col("cell"))
+          (anchor.join(ok, Seq("bk", "cell")),
+            probeRows.join(ok, Seq("bk", "cell")))
+        case None => (anchor, probeRows)
       }
-      val a = kept.select(col("bk"), col("lb"), col("id").as("id_a"), col("res").as("r_a"))
-      val b = kept.select(col("bk"), col("lb"), col("id").as("id_b"), col("res").as("r_b"))
-      a.join(b, Seq("bk", "lb"))
-        .filter(col("id_a") < col("id_b"))
+      val a = a0.select(col("bk"), col("cell"), col("id").as("id_a"), col("res").as("r_a"))
+      val b = b0.select(col("bk"), col("cell"), col("id").as("id_b"), col("res").as("r_b"))
+      a.join(b, Seq("bk", "cell"))
+        .filter(col("id_a") =!= col("id_b"))
         .withColumn("dist", levenshtein(col("r_a"), col("r_b")))
         .filter(col("dist") <= maxDist)
-        .select(col("id_a"), col("id_b"), col("dist"))
+        // canonical orientation + the trailing distinct collapse the two
+        // orientations / double meetings of same-band pairs
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
     }
 
     // reverse-then-prefix rather than a negative-start substring: prefix-

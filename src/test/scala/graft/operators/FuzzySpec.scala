@@ -38,10 +38,28 @@ class FuzzySpec extends SparkSuite {
 
   test("length band never loses pairs within maxDist of equal-band lengths") {
     // len 8 and len 9 with maxDist=1: bands 8//2=4 and 9//2=4 — same band,
-    // pair found (the band is sound for these; boundary-straddling lengths
-    // are the documented quantization loss)
+    // pair found
     val got = pairs(Seq(1L -> "abcdefgh", 2L -> "abcdefghi"))
     assert(got == Set((1L, 2L, 1)))
+  }
+
+  test("band-boundary indel pairs are found (the r13 probe hole)") {
+    // len 9 and len 10 with maxDist=1: bands 9//2=4 and 10//2=5 — a pair
+    // STRADDLING the band boundary, which the pre-r13 same-band join lost
+    // entirely (FuzzyProbe measured 0% deletion recall on even-length
+    // names). The probe-band-above rule meets it in the longer record's
+    // band.
+    val got = pairs(Seq(1L -> "abcdefghi", 2L -> "abcdefghij"))
+    assert(got == Set((1L, 2L, 1)))
+    // deletion at the head: suffix pass, same straddle
+    val got2 = pairs(Seq(1L -> "abcdefghij", 2L -> "bcdefghij"))
+    assert(got2 == Set((1L, 2L, 1)))
+    // full planted-deletion recall on even-length id-style names
+    val base = (0L until 50L).map(i => i -> f"Customer#$i%09d")
+    val dels = (0L until 50L).map(i => (1000L + i) -> f"Customer#$i%09d".init)
+    val got3 = pairs(base ++ dels, prefixLen = 8)
+    assert((0L until 50L).forall(i => got3.contains((i, 1000L + i, 1))),
+      s"every deletion twin must pair: ${got3.size} pairs")
   }
 
   test("maxBlock guard drops oversized blocks entirely (both passes)") {

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Compute both bench-vs-baseline ratios from the artifacts in place.
+
+Usage: python3 tools/baseline_ratio.py [bench_metric.json]
+
+The operative performance baseline is the ROUND-1 driver bench
+(BENCH_r01.json: 39.45 s over the then-51-query catalog at sf0.1).
+The catalog has since tripled, so two ratios matter:
+
+  raw        = current total over ALL catalog queries / r1 total
+               (what a naive reading of the 2x gate computes -- drifts
+               upward mechanically as coverage grows)
+  comparable = current total over EXACTLY the r1 51 queries / r1 total
+               (like-for-like: the number that detects real regression)
+
+Also prints any r1 query >2x its own r1 time in the current run
+(per-face regression check) and the r1 queries missing from the
+current catalog (renames would silently shrink the comparable subset).
+
+Dev/judge tooling -- driver-side python, not part of the engine.
+"""
+import json
+import re
+import sys
+
+
+def r1_baseline(path="BENCH_r01.json"):
+    with open(path) as f:
+        tail = json.load(f)["tail"]
+    m = re.search(r'\{"metric".*', tail, re.S)
+    line = m.group(0).strip().split("\n")[0]
+    return json.loads(line)
+
+
+def main():
+    metric_path = sys.argv[1] if len(sys.argv) > 1 else "bench_metric.json"
+    with open(metric_path) as f:
+        cur = json.load(f)
+    base = r1_baseline()
+    bq, cq = base["queries"], cur["queries"]
+
+    raw = cur["value"] / base["value"]
+    shared = {q: cq[q] for q in bq if q in cq}
+    missing = sorted(set(bq) - set(cq))
+    comparable = sum(shared.values()) / base["value"]
+    slow = {q: (cq[q], bq[q]) for q in shared if cq[q] > 2.0 * bq[q]}
+
+    print(f"r1 baseline : {base['value']:.2f} s over {len(bq)} queries")
+    print(f"current run : {cur['value']:.2f} s over {len(cq)} queries"
+          f"  ({metric_path})")
+    print(f"raw ratio        (all {len(cq)} / r1 total)     : {raw:.2f}x")
+    print(f"comparable ratio ({len(shared)} shared / r1 total): "
+          f"{comparable:.2f}x")
+    if missing:
+        print(f"WARNING: r1 queries missing from current catalog: {missing}")
+    if slow:
+        print("r1 queries >2x their own r1 time:")
+        for q, (now, then) in sorted(slow.items(), key=lambda x: -x[1][0]):
+            print(f"  {q}: {now:.2f} s (r1 {then:.2f} s)")
+    else:
+        print("no shared query exceeds 2x its r1 time")
+    env = cur.get("env")
+    if env:
+        print(f"machine phase: load_start={env.get('load_start','?')}"
+              f"  load_end={env.get('load_end','?')}")
+
+
+if __name__ == "__main__":
+    main()
