@@ -180,6 +180,47 @@ object ExtQueries {
         |  GROUP BY s) t
         |WHERE rn <= 10 ORDER BY n DESC, token""".stripMargin
 
+  /** Shared by q_kcore's Spark and oracle sides: the peel threshold and
+    * the fixed round budget (the [[graft.operators.Graph.kCorePeel]]
+    * contract — rounds is a budget, convergence is a gated OUTPUT). The
+    * graph is the customer–supplier bipartite graph sparsified to
+    * high-quantity lines so the peel actually removes ~half the nodes at
+    * every fixture SF (probed: k=4 keeps 82/160 nodes at sf0.001, fixed
+    * point reached within round 1 — extra rounds are gated no-ops). */
+  private val (kCoreK, kCoreRounds) = (4, 3)
+
+  /** q_kcore oracle: [[graft.operators.Graph.kCorePeel]]'s exact
+    * recurrence unrolled one CTE group per round — deg₀ over the
+    * canonical undirected edge set, aliveᵢ = {deg ≥ k}, degᵢ₊₁ within
+    * the alive-induced subgraph — all integer set algebra, so the gate
+    * is exact. `converged` is asserted literally true: the fixture
+    * reaches its fixed point inside the budget at every SF (probed), so
+    * a broken peel OR a wrongly-computed flag both flip the hash.
+    * MATERIALIZED because each alive CTE is read twice per round. */
+  private lazy val kCoreOracleSql: String = {
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""alive$i AS MATERIALIZED (SELECT id FROM d$p WHERE deg >= $kCoreK),
+         |live$i AS MATERIALIZED (SELECT e.a, e.b FROM e
+         |  JOIN alive$i x ON e.a = x.id JOIN alive$i y ON e.b = y.id),
+         |d$i AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS id FROM live$i UNION ALL SELECT b FROM live$i)
+         |  GROUP BY id)""".stripMargin
+    }
+    s"""WITH raw AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity >= 45),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       |  FROM raw WHERE u <> v),
+       |d0 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+       |""".stripMargin +
+      (1 to kCoreRounds).map(roundCte).mkString(",\n") +
+      s"\nSELECT id, deg, true AS converged FROM d$kCoreRounds" +
+      s" WHERE deg >= $kCoreK ORDER BY id"
+  }
+
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
@@ -1552,6 +1593,21 @@ object ExtQueries {
           .select(col("o_custkey").as("src"),
             (col("l_suppkey") + lit(1000000L)).as("dst")),
         rounds = 5)
+        .orderBy(col("id"))),
+
+    // fixed-round k-core peel over the sparsified customer–supplier
+    // graph (the dense-subgraph extraction a data pipeline runs to find
+    // heavily-interconnected entities); every round's set algebra AND
+    // the fixed-point flag are under the hash gate (the oracle unrolls
+    // the identical recurrence and asserts converged literally)
+    "q_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(
+        Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") >= 45)
+          .select(col("o_custkey").as("id_a"),
+            (col("l_suppkey") + lit(1000000L)).as("id_b")),
+        k = kCoreK, rounds = kCoreRounds)
         .orderBy(col("id"))),
 
     // entity resolution: near-identical names within edit distance 1 via
@@ -3794,6 +3850,8 @@ object ExtQueries {
         |ORDER BY id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql,
+
+    "q_kcore" -> kCoreOracleSql,
 
     // same pair mining as q_cc_components, then the degree-ordered
     // triangle algorithm re-derived: canonical edges, degrees, (deg, id)

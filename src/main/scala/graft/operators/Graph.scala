@@ -494,6 +494,88 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-round k-core PEEL over an undirected edge set — `rounds`
+    * synchronized iterations of the classic peeling step (Seidman,
+    * "Network structure and minimum degree", 1983; the Pregel/Batagelj-
+    * Zaveršnik bulk-synchronous form): starting from all nodes alive,
+    * each round computes every alive node's degree within the alive
+    * subgraph and removes nodes with degree < k. After enough rounds the
+    * alive set IS the k-core (the maximal subgraph with min degree ≥ k);
+    * like [[pageRank]], `rounds` is a FIXED budget, not a convergence
+    * loop — the operator's contract is exactly "R peel rounds", which is
+    * what makes it hash-gateable (the oracle unrolls the identical set
+    * algebra one CTE per round), and the returned `converged` flag says
+    * whether round R removed anything (false ⇒ the result is already
+    * the true k-core; peeling is monotone so extra rounds are no-ops).
+    *
+    * Scale (the [[pageRank]] skeleton): the canonical edge set is staged
+    * once; per round, two semi-joins of the edges against the alive id
+    * set (narrow ids — broadcast-sized long before the edges are) + one
+    * map-side-combined degree count; only the narrow (id, deg) alive
+    * table is rewritten per round, truncating lineage via per-round
+    * staging (durable parquet with `stagingDir`, lazy localCheckpoint
+    * otherwise). Worst-case rounds to full convergence is the
+    * degeneracy-ordering depth; in practice a handful suffice — and the
+    * flag makes "did it?" a queryable fact rather than a hope.
+    *
+    * Exact recurrence (what the oracle unrolls): deg₀ = full degree in
+    * the canonical edge set; aliveᵢ = {v : degᵢ(v) ≥ k};
+    * degᵢ₊₁ = degree within the aliveᵢ-induced subgraph. Output after R
+    * rounds: `(id, deg, converged)` for every node of alive_R — i.e.
+    * deg_R(v) ≥ k — with `converged` (constant across rows) true iff
+    * alive_R is a fixed point (round R removed nothing and left no
+    * degree under k), in which case the output IS the k-core. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 4,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      stagingDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val canon = Staging.stage(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      stagingDir, "kcore_edges")
+    // round 0: every endpoint alive with its full degree
+    def degreesOf(live: DataFrame): DataFrame =
+      live.select(col("a").as("id")).union(live.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var alive = degreesOf(canon)
+    var prevPath: Option[String] = None
+    var removedLast = true
+    var round = 0
+    while (round < rounds) {
+      val keep = alive.filter(col("deg") >= k).select(col("id"))
+      val live = canon
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+      val nextRaw = degreesOf(live)
+      val (next, path) = stagingDir match {
+        case Some(dir) =>
+          val (staged, p) = Staging.stageAt(nextRaw, dir, "kcore_round")
+          (staged, Some(p))
+        case None => (nextRaw.localCheckpoint(eager = false), None)
+      }
+      // convergence check on the LAST round only (two extra counts, not
+      // per round): the output is a fixed point iff the final recount
+      // kept every kept node (none lost all its edges) AND left no
+      // degree under k for the closing filter to remove. Runs BEFORE the
+      // previous round's staging table is dropped — `alive` still reads
+      // that path.
+      if (round == rounds - 1) {
+        val keptAll = next.count() == alive.filter(col("deg") >= k).count()
+        val allOverK = next.filter(col("deg") < k).count() == 0L
+        removedLast = !(keptAll && allOverK)
+      }
+      prevPath.foreach(Staging.drop(spark, _))
+      prevPath = path
+      alive = next
+      round += 1
+    }
+    alive.filter(col("deg") >= k)
+      .select(col("id"), col("deg"), lit(!removedLast).as("converged"))
+  }
+
   def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
       idCol: String = "id", compCol: String = "component",
       srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,

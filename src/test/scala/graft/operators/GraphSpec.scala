@@ -270,6 +270,52 @@ class GraphSpec extends SparkSuite {
     p
   }
 
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int,
+      stagingDir: Option[String] = None): (Map[Long, Long], Boolean) = {
+    import spark.implicits._
+    val out = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k, rounds,
+      stagingDir = stagingDir)
+      .as[(Long, Long, Boolean)].collect()
+    (out.map(r => r._1 -> r._2).toMap, out.headOption.forall(_._3))
+  }
+
+  test("kCorePeel: triangle with pendants — 2-core is the triangle, converged") {
+    // triangle 1-2-3, pendants 4 (off 1) and 5 (off 4): peel removes 5
+    // then 4 — a genuine two-round CASCADE
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L))
+    val (core, conv) = kcore(edges, k = 2, rounds = 3)
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L) && conv, s"$core $conv")
+    // insufficient budget: after 1 round the closing filter already
+    // trims node 4 (its recount within {1,2,3,4} is 1), but node 1's
+    // reported degree still counts the dead 1–4 edge (deg 3, the
+    // documented deg_R-within-alive_{R-1} recurrence) and the flag must
+    // say NOT converged — the recount wasn't re-verified as a fixed point
+    val (partial, conv1) = kcore(edges, k = 2, rounds = 1)
+    assert(partial == Map(1L -> 3L, 2L -> 2L, 3L -> 2L) && !conv1,
+      s"$partial $conv1")
+  }
+
+  test("kCorePeel: path graph peels from the ends; empty core converges") {
+    // path 1-2-3-4-5-6: the 2-core of any tree is empty; each round
+    // removes the current endpoints, needing 3 rounds to empty
+    val path = (1L to 5L).map(i => (i, i + 1))
+    val (core, conv) = kcore(path, k = 2, rounds = 4)
+    assert(core.isEmpty && conv, s"$core $conv")
+    val (mid, convMid) = kcore(path, k = 2, rounds = 1)
+    assert(mid.nonEmpty && !convMid, s"$mid $convMid")
+  }
+
+  test("kCorePeel: duplicate/reversed/self-loop edges are canonicalized; staged twin equal") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 1L))
+    val (a, convA) = kcore(edges, k = 2, rounds = 2)
+    assert(a == Map(1L -> 2L, 2L -> 2L, 3L -> 2L) && convA)
+    Staging.withDir(spark, java.nio.file.Files
+      .createTempDirectory("kcore-stg").toString) { d =>
+      val (b, convB) = kcore(edges, k = 2, rounds = 2, stagingDir = Some(d))
+      assert(b == a && convB == convA)
+    }
+  }
+
   test("pageRank: hand graph matches the integer-contract reference") {
     // 1 → 2 → 3, 3 → 1, 4 dangling receiver of 1; includes a cycle and
     // a dangling node so both mass paths are live
