@@ -550,10 +550,18 @@ object Graph {
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
       val nextRaw = degreesOf(live)
+      // lineage truncation per round — except the LAST round on the
+      // default path: nothing iterates on it, so a persist (lineage
+      // kept, plan stays inspectable) lets the convergence count and
+      // the caller's final action share one materialization instead of
+      // paying a checkpoint no one builds on
       val (next, path) = stagingDir match {
         case Some(dir) =>
           val (staged, p) = Staging.stageAt(nextRaw, dir, "kcore_round")
           (staged, Some(p))
+        case None if round == rounds - 1 =>
+          (nextRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            None)
         case None => (nextRaw.localCheckpoint(eager = false), None)
       }
       // convergence check on the LAST round only (two extra counts, not

@@ -64,6 +64,36 @@ class PlanInvariantsSpec extends SparkSuite {
       "minhash signatures must be materialized once (diamond persist)")
   }
 
+  test("fixture-backed dedup faces: standing state read, corpus text never re-scanned") {
+    // r13 shared-fixture contract: these faces consume the staged
+    // signature index / pair graph, so their plans must read parquet
+    // fixtures — NOT re-scan documents/embeddings text for re-mining
+    // (the 100 TB standing-state shape the fixtures model)
+    val pNgram = plan("q_dedup_ngram_jaccard")
+    assert(pNgram.contains("graft_dedup_sketch"),
+      s"ngram face must read the staged sketch:\n${pNgram.take(1500)}")
+    assert(!pNgram.contains("documents.parquet"),
+      "shingles come from the standing index, not a corpus re-scan")
+    // q_triangles consumes the fixture directly (no lineage truncation
+    // hides the scan — q_cc_components' small-graph fast path collapses
+    // to a LocalTableScan at spec SF, so the scan is asserted here)
+    val pTri = plan("q_triangles")
+    assert(pTri.contains("graft_emb_pairs"),
+      s"triangles must read the staged pair graph:\n${pTri.take(1500)}")
+    assert(!pTri.contains("embeddings.parquet"),
+      "pair mining must not be re-run by the graph faces")
+  }
+
+  test("q_kcore: per-round peel is semi-joins + partial aggregation, no window") {
+    val p = plan("q_kcore")
+    assert(p.contains("LeftSemi"),
+      s"alive-set restriction must be a semi-join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "degree counting must never be a window")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"),
+      "degree count must be a hash aggregate (map-side combine)")
+  }
+
   test("q_dense_topk: distinct-key rewrite fires on the catalog query") {
     // the Verify/Bench sessions install GraftExtensions; replicate with
     // the same rule object so the CATALOG spelling (not just the spec
