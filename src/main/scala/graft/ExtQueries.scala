@@ -2239,6 +2239,13 @@ object ExtQueries {
 
     // one-pass column profile (pipeline observability): exact distincts so
     // the DuckDB oracle hash-matches
+    // equi-width distribution audit: every bin emitted (gaps included),
+    // fixed-shape IEEE bin arithmetic re-run verbatim by the oracle
+    "q_histogram" -> ((s, dir) =>
+      Profile.histogram(Tables.lineitem(s, dir), col("l_quantity"),
+        lo = 1.0, hi = 50.0, buckets = 10)
+        .orderBy(col("bucket"))),
+
     "q_profile" -> ((s, dir) =>
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value", "event_type"))
         .orderBy(col("column"))),
@@ -3186,6 +3193,23 @@ object ExtQueries {
          |  CAST(coalesce(o.n_oov, 0) AS DOUBLE) /
          |    greatest(CAST(d.n_tokens AS DOUBLE), 1.0) AS oov_rate
          |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the identical fixed-shape IEEE bin expression, every bin emitted
+    // via the generate_series spine (empty bins = 0)
+    "q_histogram" ->
+      """WITH x AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |           WHERE CAST(l_quantity AS DOUBLE) >= 1.0
+        |             AND CAST(l_quantity AS DOUBLE) <= 50.0),
+        |b AS (SELECT CAST(least(9, floor((v - 1.0) * 10 / (50.0 - 1.0)))
+        |             AS BIGINT) AS bucket FROM x),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+        |SELECT CAST(g.bucket AS BIGINT) AS bucket,
+        |  1.0 + g.bucket * (50.0 - 1.0) / 10 AS lo_edge,
+        |  1.0 + (g.bucket + 1) * (50.0 - 1.0) / 10 AS hi_edge,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c ON g.bucket = c.bucket
+        |ORDER BY bucket""".stripMargin,
 
     // top-k keys re-derived with ORDER BY count DESC, key ASC (binary
     // string collation == the TopK string-tie contract)

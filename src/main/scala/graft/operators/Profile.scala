@@ -93,6 +93,46 @@ object Profile {
         concat_ws(",", col("__top")).as("top_keys"))
   }
 
+  /** Equi-width histogram over a numeric column — the distribution
+    * snapshot a pipeline audit reads before choosing filters or strata:
+    * `buckets` equal-width bins over [lo, hi], EVERY bin emitted
+    * (including empty ones — gaps are the signal), rows outside the
+    * range dropped (profile them separately via [[profile]]'s min/max,
+    * which is how lo/hi get chosen).
+    *
+    * Bin assignment is `least(buckets−1, floor((x − lo) · buckets /
+    * (hi − lo)))` over doubles — a fixed-shape IEEE expression evaluated
+    * in the same operation order by any engine (the
+    * [[TimeSeries.interpolate]] bit-portability stance), with the
+    * closed upper edge folded into the last bin (the standard
+    * equi-width convention).
+    *
+    * Scale: one scan + one map-side-combined count per bin (≤ `buckets`
+    * groups), then a broadcast left join against the `buckets`-row bin
+    * spine. Nothing driver-side, nothing proportional to the data.
+    *
+    * Output: `(bucket, lo_edge, hi_edge, n)`, bucket 0-based. */
+  def histogram(df: DataFrame, valueCol: Column, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val spark = df.sparkSession
+    val x = valueCol.cast("double")
+    val counts = df.filter(x >= lo && x <= hi)
+      .select(least(lit((buckets - 1).toLong),
+        floor((x - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * (lit(hi) - lit(lo)) / lit(buckets))
+          .as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * (lit(hi) - lit(lo)) / lit(buckets))
+          .as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Free pipeline telemetry: attach named rule counters to a DataFrame
     * via `observe` — per-rule violation counts (and the total row count)
     * are collected AS the plan's existing action runs, with zero extra

@@ -41,6 +41,25 @@ class ProfileSpec extends SparkSuite {
     assert(math.abs(got("tag") - 2L) <= 1)
   }
 
+  test("histogram: exact bins, empty bins emitted, edges closed correctly") {
+    // values 0..10 over [0, 10] in 5 bins of width 2: 0,1→b0; 2,3→b1;
+    // …; 8,9→b4; AND the closed top edge 10→b4 (the last-bin fold)
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val got = Profile.histogram(df, col("v"), lo = 0.0, hi = 10.0, buckets = 5)
+      .orderBy($"bucket")
+      .select($"bucket", $"lo_edge", $"hi_edge", $"n")
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 5L))
+    assert(got.map(_._4) == Seq(2L, 2L, 2L, 2L, 3L), s"$got")
+    assert(got.head == ((0L, 0.0, 2.0, 2L)))
+    assert(got.last == ((4L, 8.0, 10.0, 3L)))
+    // out-of-range rows dropped; empty bins still present with n = 0
+    val sparse = Seq(-5.0, 0.5, 9.5, 99.0).toDF("v")
+    val g2 = Profile.histogram(sparse, col("v"), 0.0, 10.0, 5)
+      .orderBy($"bucket").select($"bucket", $"n").as[(Long, Long)].collect()
+    assert(g2.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
   test("keySkew: counts, hottest key, deterministic top-k list, no window") {
     import org.apache.spark.sql.functions.col
     val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b")).toDF("k")
