@@ -1887,6 +1887,16 @@ object ExtQueries {
 
     // exact global ntile(10) by (quality, doc_id) without a global sort —
     // oracle is DuckDB's native ntile, a genuinely different formulation
+    // deterministic contrastive negative sampling (k=4 draws per query
+    // over the embeddings table, self/same-label draws dropped): the
+    // md5-prefix draw index, the distributed rank numbering, and the
+    // exclusion rule are all re-derived by the oracle
+    "q_negative_sample" -> ((s, dir) =>
+      graft.operators.Sampling.negativeSample(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        col("vec_id"), col("label"), k = 4)
+        .orderBy(col("query_id"), col("j"))),
+
     // deterministic systematic PPS draw (100 picks proportional to doc
     // length, with replacement): the two-phase distributed prefix sum +
     // the integer pick rule are both re-derived by the oracle's window
@@ -3377,6 +3387,27 @@ object ExtQueries {
         |FROM f GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
 
     // systematic PPS: window cumsum + the identical integer pick rule
+    // rank numbering re-derived by row_number (driver-scale stand-in for
+    // the engine's distributed prefixSum), draw index by the identical
+    // md5-prefix integer, exclusions by the same three-valued predicates
+    "q_negative_sample" ->
+      """WITH c AS (SELECT vec_id, label FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT vec_id, label,
+        |        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS idx
+        |      FROM c),
+        |q AS (SELECT vec_id AS qid, label AS qlab,
+        |        unnest(generate_series(0, 3)) AS j FROM c),
+        |d AS (SELECT qid, qlab, CAST(j AS INT) AS j,
+        |        CAST(('0x' || substring(md5(CAST(qid AS VARCHAR) || ':' ||
+        |          CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % (SELECT n FROM n) AS draw
+        |      FROM q)
+        |SELECT d.qid AS query_id, d.j, r.vec_id AS neg_id
+        |FROM d JOIN r ON d.draw = r.idx
+        |WHERE r.label <> d.qlab AND r.vec_id <> d.qid
+        |ORDER BY query_id, j""".stripMargin,
+
     // (all operands non-negative, so `//` floor == Spark `div` truncate);
     // the CASTs pin DuckDB's HUGEINT-widening sums back to int64
     "q_sample_pps" ->

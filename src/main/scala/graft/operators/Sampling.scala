@@ -429,6 +429,51 @@ object Sampling {
       .drop("__pid", "__local")
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training pairs —
+    * for every row (as query), up to `k` pseudo-random negatives drawn
+    * from the whole table, excluding self and same-label rows (the
+    * in-batch-negatives data-prep step of contrastive/embedding
+    * training, made reproducible): draw j of query q indexes the
+    * candidate ranked `hexIndex(q:j) mod N`, where hexIndex is the
+    * engine-portable md5-prefix integer (the [[hexUniform]] family —
+    * any SQL engine re-derives exactly which negatives were drawn).
+    *
+    * Draws that land on self or a same-label candidate are DROPPED, not
+    * re-drawn — so a query yields at most `k` negatives (expected loss
+    * is the query's label share; callers needing exactly k draw a
+    * padded k' and keep the first k per query). Rows with a NULL label
+    * yield no negatives (label inequality is three-valued — documented,
+    * mirrored by the oracle).
+    *
+    * Scale: candidate ranks come from [[prefixSum]]'s two-phase
+    * distributed numbering (no single-task window — the oracle's
+    * `row_number()` equivalent is driver-scale only); the ×k expansion
+    * is map-side; one narrow hash join on the rank index resolves
+    * draws; N rides a 1-row broadcast. Nothing quadratic, nothing
+    * driver-side.
+    *
+    * Output: `(query_id, j, neg_id)`, one row per surviving draw. */
+  def negativeSample(candidates: DataFrame, idCol: Column, labelCol: Column,
+      k: Int, stagingDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = candidates.select(idCol.as("__id"), labelCol.as("__lab"))
+    val ranked = prefixSum(base, col("__id"), lit(1L), cumCol = "__idx",
+      stagingDir = stagingDir)
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val draws = base
+      .select(col("__id").as("query_id"), col("__lab").as("__qlab"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .crossJoin(broadcast(tot))
+      .withColumn("__draw",
+        conv(substring(md5(concat(col("query_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 8), 16, 10).cast("long") % col("__n"))
+    draws.join(ranked.select(col("__idx").as("__draw"),
+        col("__id").as("neg_id"), col("__lab").as("__nlab")), Seq("__draw"))
+      .filter(col("__nlab") =!= col("__qlab") &&
+        col("neg_id") =!= col("query_id"))
+      .select(col("query_id"), col("j"), col("neg_id"))
+  }
+
   /** Deterministic systematic probability-proportional-to-size sampling
     * (the classic PPS/systematic design from survey statistics — Madow's
     * method): lay every row's integer weight end to end along a line in

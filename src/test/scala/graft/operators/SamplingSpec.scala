@@ -362,6 +362,30 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("negativeSample: deterministic draws, self/same-label excluded, ≤ k per query") {
+    val rows = (0L until 60L).map(i => (i, s"lab${i % 3}"))
+    val df = rows.toDF("id", "lab")
+    val got = Sampling.negativeSample(df, col("id"), col("lab"), k = 4)
+      .as[(Long, Int, Long)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.values.forall(_.length <= 4), "at most k draws survive")
+    assert(got.nonEmpty && byQ.size > 30, s"most queries get negatives: ${byQ.size}")
+    val lab = rows.toMap
+    got.foreach { case (q, _, n) =>
+      assert(n != q && lab(n) != lab(q), s"excluded draw survived: ($q, $n)")
+    }
+    // deterministic across partitionings
+    val again = Sampling.negativeSample(df.repartition(13), col("id"),
+      col("lab"), k = 4).as[(Long, Int, Long)].collect().toSet
+    assert(again == got.toSet)
+    // null-label queries and candidates never pair
+    val withNull = (rows :+ ((99L, null.asInstanceOf[String])))
+      .toDF("id", "lab")
+    val g2 = Sampling.negativeSample(withNull, col("id"), col("lab"), k = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(!g2.exists(r => r._1 == 99L || r._3 == 99L))
+  }
+
   test("ppsSystematic: exactly k picks, PPS-proportional, zero weights never drawn") {
     val rows = Seq((1L, 1000L), (2L, 10L), (3L, 0L), (4L, 990L)) ++
       (10L to 200L).map(i => (i, 5L))
