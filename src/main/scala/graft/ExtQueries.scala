@@ -3948,27 +3948,29 @@ object ExtQueries {
       """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
         |p1 AS (SELECT id, k, substring(k, 1, 15) AS bk, length(k) // 2 AS lb FROM c),
         |p2 AS (SELECT id, k, substring(reverse(k), 1, 15) AS bk, length(k) // 2 AS lb FROM c),
-        |pr1 AS (SELECT id, k, bk, lb AS cell FROM p1
-        |        UNION ALL SELECT id, k, bk, lb + 1 AS cell FROM p1),
-        |pr2 AS (SELECT id, k, bk, lb AS cell FROM p2
-        |        UNION ALL SELECT id, k, bk, lb + 1 AS cell FROM p2),
+        |pr1 AS (SELECT id, k, bk, lb, lb AS cell FROM p1
+        |        UNION ALL SELECT id, k, bk, lb, lb + 1 AS cell FROM p1),
+        |pr2 AS (SELECT id, k, bk, lb, lb AS cell FROM p2
+        |        UNION ALL SELECT id, k, bk, lb, lb + 1 AS cell FROM p2),
         |ok1 AS (SELECT bk, cell FROM pr1 GROUP BY bk, cell HAVING count(*) <= 10000),
         |ok2 AS (SELECT bk, cell FROM pr2 GROUP BY bk, cell HAVING count(*) <= 10000),
-        |a1 AS (SELECT p1.id, p1.k, p1.bk, p1.lb AS cell FROM p1
+        |a1 AS (SELECT p1.id, p1.k, p1.bk, p1.lb, p1.lb AS cell FROM p1
         |       JOIN ok1 ON p1.bk = ok1.bk AND p1.lb = ok1.cell),
         |b1 AS (SELECT pr1.* FROM pr1 JOIN ok1 USING (bk, cell)),
-        |a2 AS (SELECT p2.id, p2.k, p2.bk, p2.lb AS cell FROM p2
+        |a2 AS (SELECT p2.id, p2.k, p2.bk, p2.lb, p2.lb AS cell FROM p2
         |       JOIN ok2 ON p2.bk = ok2.bk AND p2.lb = ok2.cell),
         |b2 AS (SELECT pr2.* FROM pr2 JOIN ok2 USING (bk, cell)),
         |pairs AS (
         |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
         |         CAST(levenshtein(a.k, b.k) AS INT) AS dist
-        |  FROM a1 a JOIN b1 b ON a.bk = b.bk AND a.cell = b.cell AND a.id <> b.id
+        |  FROM a1 a JOIN b1 b ON a.bk = b.bk AND a.cell = b.cell
+        |   AND ((a.lb = b.lb AND a.id < b.id) OR a.lb > b.lb)
         |  WHERE levenshtein(a.k, b.k) <= 1
         |  UNION
         |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
         |         CAST(levenshtein(a.k, b.k) AS INT) AS dist
-        |  FROM a2 a JOIN b2 b ON a.bk = b.bk AND a.cell = b.cell AND a.id <> b.id
+        |  FROM a2 a JOIN b2 b ON a.bk = b.bk AND a.cell = b.cell
+        |   AND ((a.lb = b.lb AND a.id < b.id) OR a.lb > b.lb)
         |  WHERE levenshtein(a.k, b.k) <= 1)
         |SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b""".stripMargin,
 

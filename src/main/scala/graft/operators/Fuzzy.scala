@@ -99,14 +99,22 @@ object Fuzzy {
             probeRows.join(ok, Seq("bk", "cell")))
         case None => (anchor, probeRows)
       }
-      val a = a0.select(col("bk"), col("cell"), col("id").as("id_a"), col("res").as("r_a"))
-      val b = b0.select(col("bk"), col("cell"), col("id").as("id_b"), col("res").as("r_b"))
+      val a = a0.select(col("bk"), col("cell"), col("lb").as("lb_a"),
+        col("id").as("id_a"), col("res").as("r_a"))
+      val b = b0.select(col("bk"), col("cell"), col("lb").as("lb_b"),
+        col("id").as("id_b"), col("res").as("r_b"))
       a.join(b, Seq("bk", "cell"))
-        .filter(col("id_a") =!= col("id_b"))
+        // orientation pruning BEFORE the verify: a same-band pair meets
+        // in both orientations (each record anchors once and probes its
+        // own band) — keep one by id order; a cross-band pair meets
+        // exactly once, with the higher-band record as the anchor
+        // (probe emitted lb+1 = anchor's lb) — keep it whatever the id
+        // order says. Halves the verify work vs a bare id_a =!= id_b.
+        .filter((col("lb_a") === col("lb_b") && col("id_a") < col("id_b")) ||
+          col("lb_a") > col("lb_b"))
         .withColumn("dist", levenshtein(col("r_a"), col("r_b")))
         .filter(col("dist") <= maxDist)
-        // canonical orientation + the trailing distinct collapse the two
-        // orientations / double meetings of same-band pairs
+        // canonical orientation (cross-band pairs can arrive id-reversed)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
     }
