@@ -770,6 +770,55 @@ object ExtQueries {
       root
     })
 
+  private val hllReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay STREAMED sketch-state maintenance, once per fixture dir: an
+    * update-mode streaming aggregation carries the HLL++ sketch
+    * (`approx_count_distinct`) per event type across 3 deterministically
+    * scrambled checkpointed batches — the sketch's partial state merges
+    * in the state store across micro-batches, which is the machinery
+    * under the gate. The estimate itself is engine-specific, so the face
+    * follows the q_approx_distinct contract pattern: emit the exact
+    * per-type cardinality (oracle-recomputable) plus the |approx −
+    * exact| ≤ 5% claim as a hash-gated boolean — a sketch whose state
+    * merged wrongly across batches blows the bound and flips the bit.
+    * Same first-touch-rebuild + md5(dir)+pid path contract as
+    * [[annIndexFixture]]. */
+  private def hllReplayFixture(s: SparkSession, dir: String): String =
+    hllReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_hll_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .as[(Long, String, Long)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(r._1 * 2654435761L, r._3))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+      val q = src.toDF().toDF("event_id", "event_type", "user_id")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val j2ReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1030,6 +1079,7 @@ object ExtQueries {
     enrichReplayFixture(s, dir)
     dedupStreamReplayFixture(s, dir)
     j2ReplayFixture(s, dir)
+    hllReplayFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -2099,6 +2149,26 @@ object ExtQueries {
     // the reference's CORE J1 enrichment join, STREAMED, under the
     // oracle gate: rows landed across the 3 checkpointed AvailableNow
     // restarts must equal the one-shot batch join (q_j1_enrich's oracle)
+    // streamed HLL sketch-state maintenance under the oracle gate: the
+    // final update per type (max batch_id) from the 3-batch scrambled
+    // checkpointed replay must estimate the exact cardinality (computed
+    // batch-side here, recomputed independently by the oracle) within
+    // the rsd contract — cross-batch sketch-state merge is what's gated
+    "q_approx_distinct_stream_replay" -> ((s, dir) => {
+      val fin = s.read.parquet(s"${hllReplayFixture(s, dir)}/updates")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("approx_users"), col("batch_id")).as("approx_users"))
+      val exact = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(fin, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // the reference's J2 table-table LEFT join, STREAMED, under the
     // oracle gate: the final snapshot of the maintained two-sided state
     // (arg-max-ord dim upserts ⟕ additive fact counts, 3 scrambled
@@ -3280,6 +3350,16 @@ object ExtQueries {
     // the streamed J2 replay answers to the batch left-join oracle
     // verbatim: final maintained state ≡ one-shot table-table join
     "q_j2_stream_replay" -> CoreQueries.oracleSql("q_j2_left"),
+
+    // exact cardinalities recomputed independently; the contract bit is
+    // asserted literally (rsd=0.01 sketch vs a 5% bound — wide margin,
+    // and a wrong cross-batch state merge flips it)
+    "q_approx_distinct_stream_replay" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |true AS approx_ok
+        |FROM events
+        |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // batch range join over the same events, restricted to the
     // JoinWindows interval — what the streamed symmetric hash join's
