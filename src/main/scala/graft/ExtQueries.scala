@@ -1752,6 +1752,18 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // all-pairs approximate kNN graph (every vector's top-5 neighbours,
+    // IVF-blocked with a SHUFFLE candidate join — queries = corpus, so
+    // nothing broadcasts; nprobe=3 of 8 cells, the measured-recall
+    // dial): given the staged quantizer the oracle
+    // re-derives assignment, probing, the cell join, and the per-query
+    // top-k independently
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5,
+        nlist = 8, nprobe = 3,
+        centroidsSink = Some(oracleStagePath(dir, "q_knn_graph")))
+        .orderBy(col("query_id"), col("rank"))),
+
     // sketch-recall audits, VALUE-gated end-to-end: exact-vs-approx
     // overlap per query, computed in-engine on the SAME configs as the
     // q_sim_ann_lsh / q_sim_ivf catalog entries. The sketch geometry is
@@ -2882,6 +2894,38 @@ object ExtQueries {
            |      ORDER BY cos DESC, vec_id) AS INT) AS rank
            |  FROM scored) t
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // kNN graph from the staged quantizer: assignment = argmin score
+      // (ties → lower cell), EVERY vector probes its 2 nearest of 8
+      // cells, candidates join on cell, exact rounded cosine + the
+      // (cos DESC, vec_id ASC) top-5 per query
+      "q_knn_graph" ->
+        s"""WITH cents AS (SELECT cell, c FROM read_parquet('$root/q_knn_graph/*.parquet')),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents),
+           |assign AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn <= 3),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    round(list_dot_product(q.v, cv.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) *
+           |           sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+           |  FROM probe p JOIN assign a USING (cell)
+           |  JOIN v q ON q.vec_id = p.query_id
+           |  JOIN v cv ON cv.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       // SemDeDup face from the staged quantizer: every vector probes its
       // nprobe=2 nearest cells (same argmin-score rule as IVF), postings
       // in over-cap cells are dropped exactly like dropOversized (no-op

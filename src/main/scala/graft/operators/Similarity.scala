@@ -214,6 +214,51 @@ object Similarity {
     topKPerQuery(scored, "cos", k)
   }
 
+  /** Approximate ALL-PAIRS kNN graph — every corpus vector gets its top-k
+    * neighbours (the semantic-clustering / curation / SemDeDup-adjacent
+    * graph a training pipeline mines once and analyzes many times, e.g.
+    * with [[Graph.connectedComponents]] / [[Graph.kCorePeel]]).
+    *
+    * Same IVF geometry as [[ivfTopK]] — train-once coarse quantizer,
+    * corpus bucketed to its primary cell, every vector as a query probes
+    * its `nprobe` nearest cells — but the candidate join is a SHUFFLE
+    * join on the cell id, NOT [[ivfTopK]]'s broadcast of the probed query
+    * relation: with queries = corpus, both sides are corpus-sized, and a
+    * broadcast would ship the whole corpus to every executor. Per-cell
+    * work is |cell| · (probes landing there); the per-query top-k is the
+    * k-bounded heap aggregate (never a window sort). A (query, vec) pair
+    * meets at most once (the vector lives in exactly one primary cell),
+    * so no dedup pass is needed.
+    *
+    * Output: (query_id, rank, vec_id, cos) — rank 1-based by
+    * (cos DESC, vec_id ASC), ≤ k rows per query. Recall vs brute force
+    * is the [[recallAudit]] of the same config; `centroidsSink` stages
+    * the quantizer for external (oracle) re-derivation. */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 7L, idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 10000,
+      centroidsSink: Option[String] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val sample = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
+    centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
+    // staged: the (vec_id, v, cell) relation feeds BOTH join sides — an
+    // unmaterialized diamond would run the assignment kernel twice
+    val bucketed = c.withColumn("cell",
+        element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("cell", explode(Similarity.nearestCells(col("qv"), cents, nprobe)))
+    val scored = bucketed.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    topKPerQuery(scored, "cos", k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Recall audit: per-query overlap of an approximate top-k result with
     * the exact top-k on the same (corpus, queries, k) — the in-engine
     * health number for a sketch. If someone breaks LSH bucketing or IVF

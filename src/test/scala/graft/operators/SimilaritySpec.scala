@@ -81,6 +81,34 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf1.groupBy(_._1).values.forall(_.size <= 5))
   }
 
+  test("knnGraph: every vector gets neighbours, pairs meet once, recall floor, deterministic") {
+    val got = Similarity.knnGraph(embs, k = 5, nlist = 8, nprobe = 3)
+    val rows = got.select($"query_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    val n = embs.count()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == n, s"all-pairs: every vector is a query (${byQ.size}/$n)")
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 5 && rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_._3).distinct.length == rs.length, "a pair must meet once")
+    }
+    assert(!rows.exists(r => r._1 == r._3), "self excluded")
+    // recall vs brute force over ALL queries — the blocking must find
+    // most true neighbours at nprobe=3 of 8 cells on clustered fixtures
+    // (measured 0.50 at nprobe=2 on this fixture — the recall dial)
+    val exact = Similarity.bruteForceTopK(embs, embs, k = 5)
+    val rec = Similarity.recallAudit(exact, got)
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(rec >= 0.6, s"mean recall $rec under the floor")
+    // deterministic across partitionings
+    val again = Similarity.knnGraph(
+      graft.Tables.embeddings(spark, sf0001).repartition(17), k = 5,
+      nlist = 8, nprobe = 3)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(again == rows.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
   test("recallAudit: exact self-audit is 1.0, LSH audit beats the random floor") {
     val queries = embs.filter($"vec_id" < 8)
     val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
