@@ -452,6 +452,32 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
+    // FORWARD as-of (merge_asof direction='forward'): for each event,
+    // the customer's next order at-or-after that instant — same
+    // single-exchange union-window plan, time scan reversed
+    "q_asof_forward" -> ((s, dir) =>
+      graft.operators.AsOf.joinForward(
+        Tables.events(s, dir), Tables.orders(s, dir),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightOrd = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))),
+
+    // NEAREST as-of (merge_asof direction='nearest'): closest order in
+    // absolute time, exact ties to the backward match — one exchange,
+    // two in-place window sorts, micros gap compare
+    "q_asof_nearest" -> ((s, dir) =>
+      graft.operators.AsOf.joinNearest(
+        Tables.events(s, dir), Tables.orders(s, dir),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightOrd = col("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))),
+
     // market-basket co-occurrence: the 20 most frequent part pairs
     // sharing an order (support ≥ 2) — per-basket pair generation with
     // the maxBasket straggler guard mirrored in the oracle's HAVING
@@ -1060,6 +1086,32 @@ object CoreQueries {
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // forward: earliest at-or-after, same-instant ties to the highest
+    // ordinal (o_orderkey DESC) — the joinForward contract
+    "q_asof_forward" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // nearest: min |gap| over ALL the user's orders; gap ties prefer the
+    // backward (at-or-before) side; same-instant ties the highest
+    // ordinal — exactly the two-champion rule joinNearest implements
+    "q_asof_nearest" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           abs(epoch_us(e.ts) -
+        |               epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+        |           CASE WHEN epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |                     <= epoch_us(e.ts) THEN 0 ELSE 1 END,
+        |           o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->

@@ -31,7 +31,29 @@ object AsOf {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       rightPayload: Seq[String], rightOrd: Column,
-      inner: Boolean = true): DataFrame = {
+      inner: Boolean = true): DataFrame =
+    joinDir(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightOrd, inner, forward = false)
+
+  /** FORWARD as-of (pandas `merge_asof(direction='forward')`): for each
+    * left row, the EARLIEST right row with `rightTime >= leftTime` on the
+    * same key — the same single-exchange union-window plan as [[join]]
+    * with the scan order reversed (right rows still sort before left
+    * rows at equal time, so `>=` is inclusive; same-instant right ties
+    * resolve to the highest `rightOrd`, the [[join]] contract). */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], rightOrd: Column,
+      inner: Boolean = true): DataFrame =
+    joinDir(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayload, rightOrd, inner, forward = true)
+
+  private def joinDir(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], rightOrd: Column,
+      inner: Boolean, forward: Boolean): DataFrame = {
     val lCols = left.columns
     val l = left.select(
       leftKey.as("__k"), leftTime.as("__t"),
@@ -59,9 +81,12 @@ object AsOf {
       .filter(col("__k").isNotNull && col("__t").isNotNull)
 
     // right rows first at equal time (side 0 < 1); among same-time right
-    // rows the highest ordinal lands last → it is what `last` carries
+    // rows the highest ordinal lands last → it is what `last` carries.
+    // Forward direction reverses the TIME scan only: the side/ord
+    // tie-breaks keep the identical equal-time semantics.
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__ord").asc_nulls_last)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side"), col("__ord").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
@@ -69,6 +94,74 @@ object AsOf {
       .filter(col("__side") === 1)
 
     val matched = if (inner) carried.filter(col("__asof").isNotNull) else carried
+    matched.select(
+      (lCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
+  }
+
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`): for each
+    * left row, whichever of the backward champion (latest right ≤ t) and
+    * the forward champion (earliest right ≥ t) is CLOSER in absolute
+    * time; an exact tie — including a right row AT the left instant,
+    * which both directions claim — resolves to the backward match.
+    * Same-instant right ties resolve to the highest `rightOrd` first,
+    * exactly like [[join]]/[[joinForward]].
+    *
+    * Plan: ONE key exchange feeding TWO windows over opposite time
+    * sorts (Catalyst re-sorts in place — the hash partitioning is
+    * already satisfied, so no second shuffle), then a narrow gap
+    * comparison in epoch micros. Times may be DATE/TIMESTAMP (converted
+    * via an internal timestamp cast) or any numeric castable to long.
+    *
+    * `inner = false` keeps left rows with no right row at all. */
+  def joinNearest(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      rightPayload: Seq[String], rightOrd: Column,
+      inner: Boolean = true): DataFrame = {
+    val lCols = left.columns
+    def us(t: Column, df: DataFrame, probe: Column): Column =
+      df.select(probe).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.DateType |
+             _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(t.cast("timestamp"))
+        case _ => t.cast("long")
+      }
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField("__rt",
+          org.apache.spark.sql.types.LongType))
+    val l = left.select(
+      leftKey.as("__k"), leftTime.as("__t"),
+      us(leftTime, left, leftTime).as("__tus"),
+      lit(1).as("__side"), lit(null).cast("long").as("__ord"),
+      struct(lCols.toIndexedSeq.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val r = right.select(
+      rightKey.as("__k"), rightTime.as("__t"),
+      lit(null).cast("long").as("__tus"),
+      lit(0).as("__side"), rightOrd.cast("long").as("__ord"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      struct(rightPayload.map(col) :+
+        us(rightTime, right, rightTime).as("__rt"): _*).as("__r"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+    def w(desc: Boolean) = Window.partitionBy(col("__k"))
+      .orderBy(if (desc) col("__t").desc else col("__t").asc,
+        col("__side"), col("__ord").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(w(desc = false)))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(w(desc = true)))
+      .filter(col("__side") === 1)
+    val gapB = col("__tus") - col("__b.__rt")
+    val gapF = col("__f.__rt") - col("__tus")
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .otherwise(when(gapF < gapB, col("__f")).otherwise(col("__b")))
+    val chosen = carried.withColumn("__asof", pick)
+    val matched = if (inner) chosen.filter(col("__asof").isNotNull) else chosen
     matched.select(
       (lCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => col(s"__asof.$c").as(c))): _*)

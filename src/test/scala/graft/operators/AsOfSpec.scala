@@ -28,6 +28,44 @@ class AsOfSpec extends SparkSuite {
     leftTime = col("t"), rightTime = col("qt"),
     rightPayload = Seq("qid", "px"), rightOrd = col("qid"), inner = inner)
 
+  test("joinForward: earliest at-or-after; inclusive equal time; inner drops unmatched") {
+    val got = AsOf.joinForward(trades, quotes,
+      leftKey = col("sym"), rightKey = col("sym"),
+      leftTime = col("t"), rightTime = col("qt"),
+      rightPayload = Seq("qid", "px"), rightOrd = col("qid"))
+      .select($"trade_id", $"qid", $"px").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((101L, 2.0)))  // 10:00:05 → next quote at :07
+    assert(got(2L) == ((102L, 3.0)))  // 10:00:10 → quote at :11
+    assert(got(3L) == ((103L, 9.0)))  // equal time is inclusive forward too
+    assert(!got.contains(4L))
+    // left-outer keeps C with null payload
+    val outer = AsOf.joinForward(trades, quotes,
+      col("sym"), col("sym"), col("t"), col("qt"),
+      Seq("qid", "px"), col("qid"), inner = false)
+      .filter($"trade_id" === 4L).select($"qid").collect()
+    assert(outer.length == 1 && outer.head.isNullAt(0))
+  }
+
+  test("joinNearest: closest wins, gap ties go backward, equal-instant claimed backward") {
+    val got = AsOf.joinNearest(trades, quotes,
+      leftKey = col("sym"), rightKey = col("sym"),
+      leftTime = col("t"), rightTime = col("qt"),
+      rightPayload = Seq("qid", "px"), rightOrd = col("qid"))
+      .select($"trade_id", $"qid", $"px").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((101L, 2.0)))  // :05 — forward :07 (gap 2) beats :01 (gap 4)
+    assert(got(2L) == ((102L, 3.0)))  // :10 — forward :11 (gap 1) beats :07 (gap 3)
+    assert(got(3L) == ((103L, 9.0)))  // exact instant
+    assert(!got.contains(4L))
+    // a symmetric tie resolves to the backward match
+    val t2 = Seq((9L, "A", ts("2020-01-01 10:00:09"))).toDF("trade_id", "sym", "t")
+    val tie = AsOf.joinNearest(t2, quotes, col("sym"), col("sym"),
+      col("t"), col("qt"), Seq("qid"), col("qid"))
+      .select($"qid").as[Long].head()
+    assert(tie == 101L, "gap 2 both ways: backward (:07) must win")
+  }
+
   test("as-of picks the latest right row at-or-before each left time") {
     val got = run(inner = true)
       .select($"trade_id", $"qid", $"px").as[(Long, Long, Double)]
