@@ -1325,6 +1325,15 @@ object ExtQueries {
         ratiosSink = Some(oracleStagePath(dir, "q_dsir_select")))
         .orderBy(col("doc_id"))),
 
+    // bigram-LM quality scoring (the KenLM/CCNet perplexity-filter
+    // shape, deterministic): the staged B×B model carries count
+    // evidence the oracle re-derives from raw text before trusting the
+    // scaled-ln column; per-doc sums are exact integers
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir), buckets = 64,
+        modelSink = Some(oracleStagePath(dir, "q_lm_score")))
+        .orderBy(col("doc_id"))),
+
     // TF-IDF: top-3 terms per document (doc_id < 10), deterministic
     // (rounded-score, term) ranking.
     "q_text_tfidf" -> ((s, dir) => {
@@ -2860,6 +2869,37 @@ object ExtQueries {
       // counts equal the recomputation (`ver` join — a mismatch drops
       // buckets, changes scores, and fails the hash). Engine-side
       // residue: the ln of two verified rationals (TextAnalysisSpec).
+      // bigram-LM scoring from the staged model: per-doc bucket-bigram
+      // counts re-derived from raw text (same Karp–Rabin fold, same
+      // adjacent pairing), the model's c12/c1 evidence recomputed
+      // independently, ln_scaled consumed only where they agree, and
+      // the integer sums recomputed exactly
+      "q_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |bg AS (SELECT doc_id,
+           |         ${polyFoldSql("toks[i]")} % 64 AS b1,
+           |         ${polyFoldSql("toks[i + 1]")} % 64 AS b2
+           |       FROM (SELECT doc_id, toks,
+           |               unnest(generate_series(1, len(toks) - 1)) AS i
+           |             FROM t)),
+           |c AS (SELECT doc_id, b1, b2, count(*) AS c FROM bg
+           |      GROUP BY doc_id, b1, b2),
+           |corpus AS (SELECT b1, b2, CAST(sum(c) AS BIGINT) AS c12_chk
+           |           FROM c GROUP BY b1, b2),
+           |uni AS (SELECT b1, CAST(sum(c12_chk) AS BIGINT) AS c1_chk
+           |        FROM corpus GROUP BY b1),
+           |staged AS (SELECT b1, b2, c12, c1, ln_scaled
+           |           FROM read_parquet('$root/q_lm_score/*.parquet')),
+           |ver AS (SELECT s.b1, s.b2, s.ln_scaled FROM staged s
+           |        LEFT JOIN corpus ON corpus.b1 = s.b1 AND corpus.b2 = s.b2
+           |        LEFT JOIN uni ON uni.b1 = s.b1
+           |        WHERE coalesce(corpus.c12_chk, 0) = s.c12
+           |          AND coalesce(uni.c1_chk, 0) = s.c1)
+           |SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(c.c * v.ln_scaled) AS BIGINT) AS ll_scaled
+           |FROM c JOIN ver v ON c.b1 = v.b1 AND c.b2 = v.b2
+           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
       "q_dsir_select" ->
         s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
            |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),

@@ -575,6 +575,88 @@ object TextAnalysis {
         (count(lit(1)) - countDistinct(xxhash64(col(textCol))))
           .as("n_dup_docs"))
 
+  /** Perplexity-style quality scoring via a bucketed BIGRAM language
+    * model — the KenLM/CCNet-shaped filter (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets", LREC 2020) made
+    * deterministic and auditable: train an add-one-smoothed bigram LM
+    * over hashed token buckets on the corpus itself, then score every
+    * document by its total log-likelihood under that model. Documents
+    * whose token transitions are unlike the corpus (mojibake, tag soup,
+    * word salad) score low; a real pipeline trains on a trusted slice
+    * and thresholds, which is this operator with `docs` = trusted and a
+    * second scoring pass — here train == score, the self-perplexity
+    * audit shape.
+    *
+    *   ll_scaled(x)  = Σ_{(b1,b2) ∈ bigrams(x)} c_{b1,b2}(x) · ln_scaled(b1,b2)
+    *   ln_scaled     = round(10⁶ · ln[(c12 + 1)/(c1 + B)])
+    *
+    * with b = polyHash(token) mod `buckets` (the [[dsirSelect]]
+    * Karp–Rabin portability contract). The model is the COMPLETE B×B
+    * grid — every cell materialized with its smoothed conditional, so
+    * scoring never misses — built driver-side from the ≤ B² collected
+    * bigram totals (the bounded-codebook class; keep `buckets` modest).
+    * The staged model carries (b1, b2, c12, c1, ln_scaled) evidence: an
+    * auditor recomputes c12/c1 from raw text and consumes ln_scaled
+    * only where they agree, so the only engine-side residue is the ln
+    * of verified rationals (the [[dsirSelect]] gate pattern;
+    * TextAnalysisSpec recomputes the ln itself). Scores are integers —
+    * exact, orderable, bit-portable.
+    *
+    * Output: (doc_id, n_bigrams, ll_scaled) for every doc with ≥ 1
+    * bigram (≥ 2 tokens). Callers rank by ll_scaled/n_bigrams (mean
+    * log-likelihood) — emitted as the exact integer pair so no float
+    * division enters the gate.
+    *
+    * Scale: ONE tokenize scan — bucket projection and adjacent-pair
+    * zipping are narrow HOFs — into a map-side-combinable
+    * (doc, b1, b2) count; the model is a B²-row broadcast; nothing
+    * driver-side scales with the corpus. */
+  def lmScore(docs: DataFrame, buckets: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text", modelSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024] (B^2 rows collect), got $buckets")
+    val spark = docs.sparkSession
+    val bArr = transform(tokens(col(textCol)),
+      t => pmod(polyHash(t), lit(buckets.toLong)))
+    // adjacent pairs: zip the bucket array with itself shifted by one —
+    // all narrow; docs with < 2 tokens yield no pairs and drop out
+    val perDoc = Staging.stage(
+      docs.select(col(idCol).as("doc_id"), bArr.as("b"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("b"), lit(1), greatest(size(col("b")) - 1, lit(0))),
+          slice(col("b"), lit(2), greatest(size(col("b")) - 1, lit(0))),
+          (x, y) => struct(x.as("b1"), y.as("b2")))).as("p"))
+        .groupBy(col("doc_id"), col("p.b1").as("b1"), col("p.b2").as("b2"))
+        .agg(count(lit(1)).as("c")),
+      stagingDir, "lm_counts")
+    val tab = perDoc.groupBy(col("b1"), col("b2"))
+      .agg(sum(col("c")).as("c12"))
+      .collect() // ≤ B² rows — bounded codebook class
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uni = tab.groupBy(_._1._1).map { case (b1, xs) =>
+      b1 -> xs.values.sum
+    }
+    val grid = for {
+      b1 <- 0L until buckets.toLong
+      b2 <- 0L until buckets.toLong
+    } yield {
+      val c12 = tab.getOrElse((b1, b2), 0L)
+      val c1 = uni.getOrElse(b1, 0L)
+      val ln = math.log((c12 + 1.0) / (c1 + buckets.toDouble))
+      (b1, b2, c12, c1, math.round(ln * 1e6))
+    }
+    val model = spark.createDataFrame(grid.toIndexedSeq)
+      .toDF("b1", "b2", "c12", "c1", "ln_scaled")
+    modelSink.foreach(p =>
+      model.coalesce(1).write.mode("overwrite").parquet(p))
+    perDoc.join(broadcast(model.select(col("b1"), col("b2"), col("ln_scaled"))),
+        Seq("b1", "b2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("ln_scaled")).as("ll_scaled"))
+  }
+
   /** Data selection via importance resampling — the DSIR recipe (Xie,
     * Santurkar, Ma, Liang: "Data Selection for Language Models via
     * Importance Resampling", NeurIPS 2023), deterministic variant: score

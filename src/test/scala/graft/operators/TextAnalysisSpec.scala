@@ -384,6 +384,54 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rep("de") == (("de", 1L, 2L, 2.0, 1L, 0L)))
   }
 
+  test("lmScore: fluent docs outscore word salad; short docs drop; deterministic") {
+    // the corpus's dominant transition pattern is "the cat sat"-like
+    // chains; doc 100 repeats transitions the model never concentrates
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((100L, "mat the on cat sat zz"), (101L, "zz qq ww ee rr tt"))
+    val docs = (fluent ++ salad ++ Seq((200L, "single"))).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, buckets = 32)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(200L), "a one-token doc has no bigrams")
+    assert(got(1L)._1 == 5L, "5 bigrams in a 6-token doc")
+    // compare MEAN log-likelihood (scores are exact integer pairs)
+    def mean(id: Long) = got(id)._2.toDouble / got(id)._1
+    assert(mean(1L) > mean(101L),
+      s"fluent ${mean(1L)} must beat salad ${mean(101L)}")
+    // determinism across partitionings
+    val again = TextAnalysis.lmScore(docs.repartition(13), buckets = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got.map { case (id, (n, ll)) => (id, n, ll) }.toSet)
+  }
+
+  test("lmScore: staged model is the complete grid with verified counts and exact ln") {
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    try {
+      val got = TextAnalysis.lmScore(docs, buckets = 8,
+        modelSink = Some(s"$dir/model"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val staged = spark.read.parquet(s"$dir/model")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(staged.length == 64, "complete 8x8 grid")
+      assert(staged.map(_._3).sum == 4L, "3 + 1 corpus bigrams")
+      staged.foreach { case (b1, b2, c12, c1, scaled) =>
+        val ln = math.log((c12 + 1.0) / (c1 + 8.0))
+        assert(math.round(ln * 1e6) == scaled, s"ln lock at ($b1,$b2)")
+      }
+      // per-row unigram evidence is consistent: c1 = sum of its row's c12
+      staged.groupBy(_._1).foreach { case (b1, rows) =>
+        assert(rows.map(_._4).distinct.length == 1)
+        assert(rows.head._4 == rows.map(_._3).sum, s"c1 mismatch at $b1")
+      }
+      // hand-check doc 2: exactly one bigram
+      assert(got(2L)._2 == 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("dsirSelect: target-like docs outrank raw-like; exact m; deterministic") {
     // target slice speaks "alpha"; the raw bulk speaks "beta"; probes mix
     val docs = (
