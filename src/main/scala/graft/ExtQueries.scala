@@ -1802,6 +1802,25 @@ object ExtQueries {
         centroidsSink = Some(oracleStagePath(dir, "q_knn_graph")))
         .orderBy(col("query_id"), col("rank"))),
 
+    // retrieval-eval metrics (recall@k / MRR / nDCG@k components) over
+    // the exact top-5 of 8 query vectors, relevance = same label: every
+    // emitted number is an exact integer (rational metrics as their
+    // components, log discounts as shared scaled-integer literals), so
+    // the oracle re-derives ranks, relevance, hits, and both DCG sums
+    "q_rank_metrics" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val ranked = Similarity.bruteForceTopK(embs,
+        embs.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("id"))
+      val relevant = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(embs.select(col("vec_id").as("id"), col("label")),
+          col("ql") === col("label") && col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id"))
+      graft.operators.Eval.rankingMetrics(ranked, relevant, k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // sketch-recall audits, VALUE-gated end-to-end: exact-vs-approx
     // overlap per query, computed in-engine on the SAME configs as the
     // q_sim_ann_lsh / q_sim_ivf catalog entries. The sketch geometry is
@@ -4247,6 +4266,50 @@ object ExtQueries {
         |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
         |      >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ranks re-derived like q_sim_topk, relevance = same label, and the
+    // SAME scaled-integer discount literals rendered from one Scala map
+    // (Eval.discounts/idealPrefix — one definition, two renderings)
+    "q_rank_metrics" -> {
+      val disc = graft.operators.Eval.discounts(5)
+      val ideal = graft.operators.Eval.idealPrefix(5)
+      val discSql = (1 to 5).map(r => s"WHEN ${r} THEN ${disc(r)}")
+        .mkString("CASE rank ", " ", " END")
+      val idealSql = (0 to 5).map(n => s"WHEN ${n} THEN ${ideal(n)}")
+        .mkString("CASE least(n_rel, 5) ", " ", " END")
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    round(list_dot_product(q.v, c.v) /
+         |          (sqrt(list_dot_product(q.v, q.v)) *
+         |           sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |ranked AS (SELECT query_id, id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, id) AS rank FROM scored) t WHERE rank <= 5),
+         |rel AS (SELECT q.vec_id AS query_id, c.vec_id AS id
+         |        FROM v q JOIN v c ON q.label = c.label
+         |         AND q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM rel GROUP BY query_id),
+         |hits AS (SELECT r.query_id,
+         |           CAST(count(*) AS BIGINT) AS n_rel_at_k,
+         |           CAST(min(r.rank) AS BIGINT) AS first_rel_rank,
+         |           CAST(sum($discSql) AS BIGINT) AS dcg_scaled
+         |         FROM ranked r
+         |         WHERE EXISTS (SELECT 1 FROM rel
+         |                       WHERE rel.query_id = r.query_id
+         |                         AND rel.id = r.id)
+         |         GROUP BY r.query_id)
+         |SELECT n.query_id, n.n_rel,
+         |  CAST(coalesce(h.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+         |  CAST(coalesce(h.first_rel_rank, -1) AS BIGINT) AS first_rel_rank,
+         |  CAST(coalesce(h.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+         |  CAST($idealSql AS BIGINT) AS idcg_scaled
+         |FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id
+         |ORDER BY n.query_id""".stripMargin
+    },
 
     "q_sim_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
