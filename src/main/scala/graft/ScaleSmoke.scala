@@ -85,6 +85,19 @@ object ScaleSmoke {
       graft.operators.Graph.connectedComponents(
         Dedup.embeddingPairs(Tables.embeddings(s, dir),
           blockCol = col("label"), threshold = 0.35, maxBlock = None))),
+    // r13: fixed-round k-core peel over the customer–supplier graph
+    // (edge mining included — lineitem grows 100× across the sweep):
+    // per round the cost is two narrow id semi-joins + one degree
+    // aggregate over the edge set, so the step ratio must track the
+    // edge count linearly, never re-assemble neighborhoods
+    "kcore" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.kCorePeel(
+        Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") >= 45)
+          .select(col("o_custkey").as("id_a"),
+            (col("l_suppkey") + lit(1000000L)).as("id_b")),
+        k = 4, rounds = 3)),
     // r9: incremental CC — a bounded delta (pairs touching the 200
     // smallest vec_ids, ~constant as the corpus grows) folded into a
     // standing label table that grows 10× per step. The fold converges
