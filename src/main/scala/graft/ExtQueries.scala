@@ -1334,6 +1334,19 @@ object ExtQueries {
         modelSink = Some(oracleStagePath(dir, "q_lm_score")))
         .orderBy(col("doc_id"))),
 
+    // distribution drift (PSI evidence) of doc length between the 'en'
+    // slice and the rest: counts and the exact diff numerator are
+    // re-derived independently by the oracle; the scaled-ln column is
+    // consumed only where the count evidence matches (the DSIR pattern)
+    "q_drift" -> ((s, dir) => {
+      val path = oracleStagePath(dir, "q_drift")
+      Profile.histogramDrift(Tables.documents(s, dir),
+        isA = coalesce(col("lang") === "en", lit(false)),
+        valueCol = col("n_chars"), lo = 0.0, hi = 600.0, buckets = 12)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy(col("bucket"))
+    }),
+
     // TF-IDF: top-3 terms per document (doc_id < 10), deterministic
     // (rounded-score, term) ranking.
     "q_text_tfidf" -> ((s, dir) => {
@@ -2888,6 +2901,39 @@ object ExtQueries {
       // counts equal the recomputation (`ver` join — a mismatch drops
       // buckets, changes scores, and fails the hash). Engine-side
       // residue: the ln of two verified rationals (TextAnalysisSpec).
+      // drift table from the staged evidence: bin assignment, per-slice
+      // counts, totals, and the exact diff numerator all re-derived
+      // (the oracle emits ITS diff_num, so a wrong engine value can't
+      // hash-match); ln_scaled consumed only where the counts agree
+      "q_drift" ->
+        s"""WITH x AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+           |             coalesce(lang = 'en', false) AS a
+           |           FROM documents
+           |           WHERE CAST(n_chars AS DOUBLE) >= 0.0
+           |             AND CAST(n_chars AS DOUBLE) <= 600.0),
+           |b AS (SELECT CAST(least(11, floor((v - 0.0) * 12 / (600.0 - 0.0)))
+           |             AS BIGINT) AS bucket, a FROM x),
+           |c AS (SELECT bucket,
+           |        CAST(count(*) FILTER (a) AS BIGINT) AS na_chk,
+           |        CAST(count(*) FILTER (NOT a) AS BIGINT) AS nb_chk
+           |      FROM b GROUP BY bucket),
+           |tot AS (SELECT CAST(coalesce(sum(na_chk), 0) AS BIGINT) AS nA,
+           |               CAST(coalesce(sum(nb_chk), 0) AS BIGINT) AS nB
+           |        FROM c),
+           |g AS (SELECT unnest(generate_series(0, 11)) AS bucket),
+           |f AS (SELECT g.bucket, CAST(coalesce(c.na_chk, 0) AS BIGINT) AS na_chk,
+           |        CAST(coalesce(c.nb_chk, 0) AS BIGINT) AS nb_chk
+           |      FROM g LEFT JOIN c ON g.bucket = c.bucket),
+           |staged AS (SELECT bucket, n_a, n_b, diff_num, ln_scaled
+           |           FROM read_parquet('$root/q_drift/*.parquet'))
+           |SELECT s.bucket, s.n_a, s.n_b,
+           |  CAST(f.na_chk * (SELECT nB FROM tot)
+           |     - f.nb_chk * (SELECT nA FROM tot) AS BIGINT) AS diff_num,
+           |  s.ln_scaled
+           |FROM staged s JOIN f ON s.bucket = f.bucket
+           |  AND s.n_a = f.na_chk AND s.n_b = f.nb_chk
+           |ORDER BY s.bucket""".stripMargin,
+
       // bigram-LM scoring from the staged model: per-doc bucket-bigram
       // counts re-derived from raw text (same Karp–Rabin fold, same
       // adjacent pairing), the model's c12/c1 evidence recomputed

@@ -133,6 +133,61 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Distribution DRIFT between two slices of a corpus — the PSI
+    * (population stability index) evidence table a pipeline audits
+    * before trusting that today's crawl looks like yesterday's: both
+    * slices binned by the SAME [[histogram]] assignment, per-bin counts
+    * plus the add-one-smoothed log-ratio
+    *
+    *   ln_scaled(b) = round(10⁶ · [ln((n_a+1)/(N_a+B)) − ln((n_b+1)/(N_b+B))])
+    *
+    * and the exact integer numerator `diff_num = n_a·N_b − n_b·N_a`
+    * (the (p−q) term multiplied through by N_a·N_b — no float enters
+    * the gated table). PSI = Σ_b diff_num(b)·ln_scaled(b) /
+    * (N_a·N_b·10⁶), computed by the caller OUTSIDE the exact table.
+    *
+    * Auditability (the [[TextAnalysis.dsirSelect]] gate pattern): counts
+    * and diff_num are re-derivable from raw data by any engine; the ln
+    * column is engine-side (libm last-ulp differences make a recomputed
+    * round(10⁶·ln) occasionally disagree), so consumers needing an
+    * external gate stage this table and have the auditor verify the
+    * count evidence before trusting the ln column — ProfileSpec
+    * recomputes the ln itself.
+    *
+    * Scale: one scan + a (bucket, slice) map-side-combined count into
+    * ≤ 2B rows, collected (bounded codebook class) for the driver-side
+    * ln; output is the B-row spine. Rows outside [lo, hi] are dropped
+    * on BOTH slices — same contract as [[histogram]].
+    *
+    * Output: (bucket, n_a, n_b, diff_num, ln_scaled), every bin
+    * emitted. */
+  def histogramDrift(df: DataFrame, isA: Column, valueCol: Column,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val spark = df.sparkSession
+    val x = valueCol.cast("double")
+    val counts = df.filter(x >= lo && x <= hi)
+      .select(least(lit((buckets - 1).toLong),
+        floor((x - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))))
+        .as("bucket"), isA.as("a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("n_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap // ≤ buckets rows — bounded codebook class
+    val nA = counts.values.map(_._1).sum
+    val nB = counts.values.map(_._2).sum
+    val rows = (0L until buckets.toLong).map { b =>
+      val (na, nb) = counts.getOrElse(b, (0L, 0L))
+      val ln = math.log((na + 1.0) / (nA + buckets.toDouble)) -
+        math.log((nb + 1.0) / (nB + buckets.toDouble))
+      (b, na, nb, na * nB - nb * nA, math.round(ln * 1e6))
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("bucket", "n_a", "n_b", "diff_num", "ln_scaled")
+  }
+
   /** Free pipeline telemetry: attach named rule counters to a DataFrame
     * via `observe` — per-rule violation counts (and the total row count)
     * are collected AS the plan's existing action runs, with zero extra

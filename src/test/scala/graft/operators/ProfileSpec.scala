@@ -60,6 +60,34 @@ class ProfileSpec extends SparkSuite {
     assert(g2.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
   }
 
+  test("histogramDrift: exact counts and diff numerator, ln lock, identical slices flat") {
+    // slice A concentrated low, slice B concentrated high over [0, 10) in
+    // 2 bins of width 5
+    val df = (Seq.fill(6)(2.0).map((true, _)) ++ Seq.fill(2)(7.0).map((true, _)) ++
+      Seq.fill(3)(2.0).map((false, _)) ++ Seq.fill(9)(7.0).map((false, _)))
+      .toDF("a", "v")
+    val got = Profile.histogramDrift(df, $"a", $"v", 0.0, 10.0, 2)
+      .orderBy($"bucket").as[(Long, Long, Long, Long, Long)].collect()
+    val (nA, nB) = (8L, 12L)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0L, 6L, 3L), (1L, 2L, 9L)))
+    got.foreach { case (b, na, nb, diff, scaled) =>
+      assert(diff == na * nB - nb * nA, s"diff at $b")
+      val ln = math.log((na + 1.0) / (nA + 2.0)) -
+        math.log((nb + 1.0) / (nB + 2.0))
+      assert(math.round(ln * 1e6) == scaled, s"ln lock at $b")
+    }
+    // PSI from the exact table is clearly positive for drifted slices
+    val psi = got.map(r => r._4.toDouble * r._5 / (nA * nB * 1e6)).sum
+    assert(psi > 0.1, s"drifted slices must show PSI > 0.1, got $psi")
+    // identical distributions → every diff_num is 0 and PSI is 0
+    val same = (Seq.fill(5)(2.0) ++ Seq.fill(5)(7.0)).flatMap(v =>
+      Seq((true, v), (false, v))).toDF("a", "v")
+    val flat = Profile.histogramDrift(same, $"a", $"v", 0.0, 10.0, 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(flat.forall(_._4 == 0L), s"identical slices: $flat")
+  }
+
   test("keySkew: counts, hottest key, deterministic top-k list, no window") {
     import org.apache.spark.sql.functions.col
     val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b")).toDF("k")
