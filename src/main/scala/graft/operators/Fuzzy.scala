@@ -112,8 +112,14 @@ object Fuzzy {
         // order says. Halves the verify work vs a bare id_a =!= id_b.
         .filter((col("lb_a") === col("lb_b") && col("id_a") < col("id_b")) ||
           col("lb_a") > col("lb_b"))
-        .withColumn("dist", levenshtein(col("r_a"), col("r_b")))
-        .filter(col("dist") <= maxDist)
+        // THRESHOLD form of the codegen'd verify: the banded DP costs
+        // O(maxDist·|residual|) and aborts early instead of the full
+        // O(|r_a|·|r_b|) matrix — at 100 TB the verify is the hot loop
+        // and most candidates exceed the bound. Returns −1 past the
+        // threshold (so the keep-filter is `>= 0`); for kept pairs the
+        // value equals the exact distance, so the oracle is unchanged.
+        .withColumn("dist", levenshtein(col("r_a"), col("r_b"), maxDist))
+        .filter(col("dist") >= 0)
         // canonical orientation (cross-band pairs can arrive id-reversed)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
