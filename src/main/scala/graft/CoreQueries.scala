@@ -567,6 +567,22 @@ object CoreQueries {
           sum(col("n_events")).as("n_events_total"))
         .orderBy(col("user_id"))),
 
+    // Dynamic-gap sessionization (per-event idle tolerance — error
+    // events close after 5 idle minutes, everything else after 30):
+    // the running-max-end islands rule, Spark's dynamic session_window
+    // semantics in batch form, integer epoch-micros throughout
+    "q_sessionize_dynamic" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionsDynamic(
+        Tables.events(s, dir), keyCol = "user_id", tsCol = "ts",
+        ordCol = "event_id",
+        gapCol = when(col("event_type") === "error", lit(300L * 1000000L))
+          .otherwise(lit(1800L * 1000000L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events_total"))
+        .orderBy(col("user_id"))),
+
     // Existence joins (left_semi / left_anti — no payload duplication).
     "q_semi_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -1129,6 +1145,35 @@ object CoreQueries {
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events_total
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // running-max-end islands: the same summary skeleton as
+    // q_sessionize, with the session break driven by the max of all
+    // preceding events' (ts + per-event gap)
+    "q_sessionize_dynamic" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN max_prev IS NULL OR epoch_us(ts) > max_prev
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      max(epoch_us(ts) + CASE WHEN event_type = 'error'
+        |            THEN 300000000 ELSE 1800000000 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS max_prev
+        |    FROM events)),
         |sess AS (
         |  SELECT user_id,
         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -35,6 +35,38 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** [[assign]] with a PER-EVENT gap (Spark's dynamic `session_window`
+    * semantics, batch form): each event extends its session's close to
+    * `ts + gap(event)`, so the session stays open as long as ANY earlier
+    * member's window still covers the next event — the running-max-end
+    * islands rule, `new session ⟺ ts > max over preceding rows of
+    * (ts + gap)`. With a constant gap the running max collapses to
+    * `prev_ts + gap` (timestamps are sorted) and this reduces EXACTLY to
+    * [[assign]] — property-tested. The canonical use: event types with
+    * different idle tolerances (an error burst sessionizes tighter than
+    * browsing). Integer epoch-micros arithmetic throughout
+    * (engine-portable); one shuffle on the key, the same two-pass window
+    * shape as [[assign]]. */
+  def assignDynamic(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, gapCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val us = unix_micros(col(tsCol))
+    val prevEnd = max(us + gapCol)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevEnd.isNull || us > prevEnd, 1L).otherwise(0L)
+    events.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+  }
+
+  /** Per-session summary over [[assignDynamic]]. */
+  def sessionsDynamic(events: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String, gapCol: Column): DataFrame =
+    assignDynamic(events, keyCol, tsCol, ordCol, gapCol)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+
   /** Streaming sessionization: Spark-native `session_window` (dynamic-gap
     * state merged by the engine) + watermark. Append mode — a session is
     * emitted once the watermark passes its close (start-of-gap + gap), so

@@ -24,6 +24,38 @@ class SessionizeSpec extends SparkSuite {
     assert(sess == Set(("u1", 0L, 3L), ("u1", 1L, 1L), ("u2", 0L, 1L)))
   }
 
+  test("assignDynamic: per-event gaps drive the break; an early long-gap event holds the session open") {
+    // gap: type 'a' tolerates 60 min idle, type 'b' only 5. Event 2 (type
+    // b at 10:10) would CLOSE after 10:15, but event 1's 60-min window
+    // (type a at 10:00) still covers 10:30 — the running-max-end rule
+    // keeps event 3 in session 0. Event 4 arrives past everyone's end.
+    val events = Seq(
+      ("u1", 1L, "a", ts("2020-01-01 10:00:00")),
+      ("u1", 2L, "b", ts("2020-01-01 10:10:00")),
+      ("u1", 3L, "b", ts("2020-01-01 10:30:00")), // past b's end, inside a's
+      ("u1", 4L, "b", ts("2020-01-01 11:30:00"))  // past 10:00+60 too → NEW
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val gap = when($"event_type" === "a", lit(3600L * 1000000L))
+      .otherwise(lit(300L * 1000000L))
+    val got = Sessionize.assignDynamic(events, "user_id", "ts", "event_id", gap)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"$got")
+  }
+
+  test("assignDynamic with a constant gap reduces exactly to assign (property)") {
+    val rnd = new scala.util.Random(11)
+    val events = (0 until 300).map { i =>
+      (s"u${i % 7}", i.toLong,
+        new java.sql.Timestamp(1577872800000L + rnd.nextInt(86400) * 1000L))
+    }.toDF("user_id", "event_id", "ts")
+    val g = 1800L * 1000000L
+    val a = Sessionize.assign(events, "user_id", "ts", "event_id", lit(g))
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    val b = Sessionize.assignDynamic(events, "user_id", "ts", "event_id", lit(g))
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("assign: session ids are contiguous, 0-based, time-ordered per key") {
     val events = (0 until 20).map(i =>
       ("u", i.toLong, ts(f"2020-01-01 ${i / 5}%02d:00:00"))) // hourly gaps every 5
