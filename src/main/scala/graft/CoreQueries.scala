@@ -452,10 +452,37 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
-    // FORWARD as-of (merge_asof direction='forward'): for each event,
-    // the customer's next order at-or-after that instant — same
-    // single-exchange union-window plan, time scan reversed
-    "q_asof_forward" -> ((s, dir) =>
+    // FORWARD as-of (merge_asof direction='forward') on a TIME-
+    // INTERLEAVING fixture: for each error event, the same user's next
+    // purchase at-or-after that instant (the "did the user recover and
+    // convert" funnel primitive) — both sides live in the same January-
+    // 2024 window, so the face gates real forward matches (1.8k rows at
+    // sf0.01), including the carried match TIME (p_us), proving the
+    // reversed scan picks the EARLIEST at-or-after row, not just any.
+    // Same single-exchange union-window plan, time scan reversed.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinForward(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value")),
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTime = col("ts"), rightTime = col("p_ts"),
+        rightPayload = Seq("p_id", "p_ts", "p_value"),
+        rightOrd = col("p_id"))
+        .select(col("event_id"), col("user_id"), col("p_id"),
+          unix_micros(col("p_ts")).as("p_us"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the DISJOINT-domain edge case of the same operator (kept
+    // deliberately: events are all 2024, orders all ≤2001, so no event
+    // ever has a next order — the face pins that the forward join emits
+    // ZERO rows rather than falling back to a stale backward match; the
+    // non-vacuous forward gate is q_asof_forward above)
+    "q_asof_forward_disjoint" -> ((s, dir) =>
       graft.operators.AsOf.joinForward(
         Tables.events(s, dir), Tables.orders(s, dir),
         leftKey = col("user_id"), rightKey = col("o_custkey"),
@@ -465,10 +492,35 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
 
-    // NEAREST as-of (merge_asof direction='nearest'): closest order in
-    // absolute time, exact ties to the backward match — one exchange,
-    // two in-place window sorts, micros gap compare
-    "q_asof_nearest" -> ((s, dir) =>
+    // NEAREST as-of (merge_asof direction='nearest') on the same
+    // interleaving fixture: each error's closest purchase in absolute
+    // time — at sf0.01 the FORWARD champion wins ~840 rows and is the
+    // only candidate for ~130 more (AsOfSpec pins both counts > 0 on
+    // the sf0.001 slice), so the gap compare, the tie-to-backward rule,
+    // and both windows all sit under the hash gate. One exchange, two
+    // in-place window sorts, micros gap compare.
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinNearest(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value")),
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTime = col("ts"), rightTime = col("p_ts"),
+        rightPayload = Seq("p_id", "p_ts", "p_value"),
+        rightOrd = col("p_id"))
+        .select(col("event_id"), col("user_id"), col("p_id"),
+          unix_micros(col("p_ts")).as("p_us"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // nearest on the disjoint-domain fixture (kept as the degenerate
+    // case: with every order before every event, nearest must resolve
+    // to the backward champion for ALL rows — 8k+ rows gate that
+    // degeneracy; the forward-champion path is gated by q_asof_nearest)
+    "q_asof_nearest_disjoint" -> ((s, dir) =>
       graft.operators.AsOf.joinNearest(
         Tables.events(s, dir), Tables.orders(s, dir),
         leftKey = col("user_id"), rightKey = col("o_custkey"),
@@ -477,6 +529,30 @@ object CoreQueries {
         rightOrd = col("o_orderkey"))
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))),
+
+    // forward + tolerance composition (pandas merge_asof(
+    // direction='forward', tolerance=...)): the next purchase counts
+    // only if it lands within 1 day of the error — later conversions
+    // null out (outer), so the face gates the per-direction bound
+    // (leftTime + tol >= matched), not just the forward scan
+    "q_asof_forward_within" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinWithin(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value")),
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTime = col("ts"), rightTime = col("p_ts"),
+        rightPayload = Seq("p_id", "p_value"),
+        rightOrd = col("p_id"),
+        tolerance = expr("interval 1 day"), inner = false,
+        direction = "forward")
+        .select(col("event_id"), col("user_id"), col("p_id"),
+          unix_micros(col("matched_time")).as("p_us"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
 
     // market-basket co-occurrence: the 20 most frequent part pairs
     // sharing an order (support ≥ 2) — per-basket pair generation with
@@ -1104,9 +1180,24 @@ object CoreQueries {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
-    // forward: earliest at-or-after, same-instant ties to the highest
-    // ordinal (o_orderkey DESC) — the joinForward contract
+    // forward: earliest at-or-after on the interleaving events fixture;
+    // same-instant ties to the highest ordinal (p.event_id DESC) — the
+    // joinForward contract; the matched TIME is part of the gated value
     "q_asof_forward" ->
+      """SELECT event_id, user_id, p_id, p_us, p_value FROM (
+        |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+        |         epoch_us(p.ts) AS p_us, p.value AS p_value,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY p.ts ASC, p.event_id DESC) AS rn
+        |  FROM events e JOIN events p
+        |    ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= e.ts
+        |  WHERE e.event_type = 'error') t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // forward over disjoint time domains: provably empty on both engines
+    // (the edge-case pin; the non-vacuous gate is q_asof_forward)
+    "q_asof_forward_disjoint" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
         |         row_number() OVER (PARTITION BY e.event_id
@@ -1115,10 +1206,26 @@ object CoreQueries {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
-    // nearest: min |gap| over ALL the user's orders; gap ties prefer the
-    // backward (at-or-before) side; same-instant ties the highest
+    // nearest: min |gap| over ALL the user's purchases; gap ties prefer
+    // the backward (at-or-before) side; same-instant ties the highest
     // ordinal — exactly the two-champion rule joinNearest implements
     "q_asof_nearest" ->
+      """SELECT event_id, user_id, p_id, p_us, p_value FROM (
+        |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+        |         epoch_us(p.ts) AS p_us, p.value AS p_value,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           abs(epoch_us(e.ts) - epoch_us(p.ts)),
+        |           CASE WHEN epoch_us(p.ts) <= epoch_us(e.ts)
+        |                THEN 0 ELSE 1 END,
+        |           p.event_id DESC) AS rn
+        |  FROM events e JOIN events p
+        |    ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |  WHERE e.event_type = 'error') t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // nearest over disjoint domains: every row must degenerate to the
+    // backward champion (all orders precede all events)
+    "q_asof_nearest_disjoint" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
         |         row_number() OVER (PARTITION BY e.event_id ORDER BY
@@ -1128,6 +1235,27 @@ object CoreQueries {
         |                     <= epoch_us(e.ts) THEN 0 ELSE 1 END,
         |           o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o ON e.user_id = o.o_custkey) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // forward + tolerance: the champion is picked FIRST (earliest
+    // at-or-after), then the bound nulls it if it exceeds 1 day —
+    // exactly the joinWithin(direction='forward') contract; left-outer
+    // keeps every error row
+    "q_asof_forward_within" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN ok THEN p_id END AS p_id,
+        |  CASE WHEN ok THEN p_us END AS p_us,
+        |  CASE WHEN ok THEN p_value END AS p_value
+        |FROM (
+        |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+        |         epoch_us(p.ts) AS p_us, p.value AS p_value,
+        |         coalesce(e.ts + INTERVAL 1 DAY >= p.ts, false) AS ok,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY p.ts ASC, p.event_id DESC) AS rn
+        |  FROM events e LEFT JOIN events p
+        |    ON e.user_id = p.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= e.ts
+        |  WHERE e.event_type = 'error') t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->

@@ -167,14 +167,22 @@ object AsOf {
         rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
   }
 
-  /** [[join]] with a TOLERANCE bound (pandas `merge_asof(tolerance=…)`
-    * semantics): the carried match only counts if the right row is
-    * within `tolerance` of the left time — a staler match is treated as
-    * NO match (dropped under `inner`, null payload otherwise). The
-    * tolerance check rides the same single-exchange union-window plan:
-    * the carried payload is augmented with the right row's time and the
-    * bound is a post-window predicate, so there is no second shuffle
-    * and never an inequality-join explosion.
+  /** [[join]]/[[joinForward]]/[[joinNearest]] with a TOLERANCE bound
+    * (pandas `merge_asof(tolerance=…)` semantics, for all three
+    * `direction`s): the carried match only counts if the right row is
+    * within `tolerance` of the left time — a match outside the bound is
+    * treated as NO match (dropped under `inner`, null payload
+    * otherwise). The tolerance check rides the underlying direction's
+    * single-exchange union-window plan: the carried payload is augmented
+    * with the right row's time and the bound is a post-window predicate,
+    * so there is no second shuffle and never an inequality-join
+    * explosion.
+    *
+    * Note the nearest+tolerance composition matches pandas: the
+    * champion is picked FIRST (closest in absolute time, ties backward)
+    * and the bound applied to it — a left row whose nearest match is
+    * out-of-tolerance gets NO match even if nothing else is in range,
+    * because nothing closer exists by construction.
     *
     * `tolerance` is an interval/duration Column (e.g.
     * `expr("interval 7 days")`). `rightTimeOut` names the carried
@@ -184,7 +192,8 @@ object AsOf {
       leftTime: Column, rightTime: Column,
       rightPayload: Seq[String], rightOrd: Column,
       tolerance: Column, inner: Boolean = true,
-      rightTimeOut: String = "matched_time"): DataFrame = {
+      rightTimeOut: String = "matched_time",
+      direction: String = "backward"): DataFrame = {
     require(!rightPayload.contains(rightTimeOut),
       s"rightTimeOut '$rightTimeOut' collides with a payload column")
     // the left side keeps ALL its columns in the output, so a left column
@@ -194,13 +203,30 @@ object AsOf {
       s"rightTimeOut '$rightTimeOut' collides with a left column")
     val rightAug = right.withColumn(rightTimeOut, rightTime)
     val lCols = left.columns.toIndexedSeq
-    val joined = join(left, rightAug, leftKey, rightKey, leftTime,
-      col(rightTimeOut), rightPayload :+ rightTimeOut, rightOrd,
-      inner = false)
-    val inTol = col(rightTimeOut).isNotNull &&
-      col(rightTimeOut) + tolerance >= leftTime
+    val aug = rightPayload :+ rightTimeOut
+    val joined = direction match {
+      case "backward" => join(left, rightAug, leftKey, rightKey, leftTime,
+        col(rightTimeOut), aug, rightOrd, inner = false)
+      case "forward" => joinForward(left, rightAug, leftKey, rightKey,
+        leftTime, col(rightTimeOut), aug, rightOrd, inner = false)
+      case "nearest" => joinNearest(left, rightAug, leftKey, rightKey,
+        leftTime, col(rightTimeOut), aug, rightOrd, inner = false)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got '$other'")
+    }
+    // per-direction bound, each a one-sided interval predicate except
+    // nearest (|gap| <= tolerance, as the two one-sided checks):
+    //   backward: left - matched <= tol  ⇔  matched + tol >= left
+    //   forward : matched - left <= tol  ⇔  left + tol >= matched
+    val mt = col(rightTimeOut)
+    val inTol = mt.isNotNull && (direction match {
+      case "backward" => mt + tolerance >= leftTime
+      case "forward"  => leftTime + tolerance >= mt
+      case _ => (mt <= leftTime && mt + tolerance >= leftTime) ||
+        (mt >= leftTime && leftTime + tolerance >= mt)
+    })
     val nulled = joined.select(
-      (lCols.map(col) ++ (rightPayload :+ rightTimeOut).map(c =>
+      (lCols.map(col) ++ aug.map(c =>
         when(inTol, col(c)).otherwise(lit(null)).as(c))): _*)
     if (inner) nulled.filter(col(rightTimeOut).isNotNull) else nulled
   }

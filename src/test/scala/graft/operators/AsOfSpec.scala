@@ -155,6 +155,114 @@ class AsOfSpec extends SparkSuite {
     assert(boundary.select($"trade_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("joinWithin direction='forward': bound is matched - left <= tol") {
+    val t = Seq(
+      (1L, "A", ts("2020-01-01 10:00:00")),  // next quote 4min ahead → in tol
+      (2L, "A", ts("2020-01-01 09:00:00")),  // next quote 64min ahead → out
+      (3L, "B", ts("2020-01-01 11:00:00")))  // no quote after at all
+      .toDF("trade_id", "sym", "t")
+    val q = Seq((10L, "A", ts("2020-01-01 10:04:00"), 1.5))
+      .toDF("qid", "sym", "qt", "px")
+    val outer = AsOf.joinWithin(t, q, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 5 minutes"), inner = false,
+      direction = "forward")
+      .select($"trade_id", $"qid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(outer(1L).contains(10L))
+    assert(outer(2L).isEmpty, "out-of-tolerance forward match must null")
+    assert(outer(3L).isEmpty)
+    // boundary: exactly tolerance ahead still counts (>=)
+    val b = AsOf.joinWithin(t, q, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 4 minutes"), inner = true,
+      direction = "forward")
+    assert(b.select($"trade_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("joinWithin direction='nearest': champion first, then |gap| <= tol") {
+    // trade at 10:00; quotes at 09:58 (gap 2min, backward) and 10:03
+    // (gap 3min, forward): nearest champion is the backward quote. With
+    // tol=1min the champion is out of bounds → NO match, even though
+    // nothing closer exists (the pandas composition: bound the champion,
+    // never fall through to the other side).
+    val t = Seq((1L, "A", ts("2020-01-01 10:00:00"))).toDF("trade_id", "sym", "t")
+    val q = Seq(
+      (10L, "A", ts("2020-01-01 09:58:00"), 1.0),
+      (11L, "A", ts("2020-01-01 10:03:00"), 2.0)).toDF("qid", "sym", "qt", "px")
+    def within(tol: String) = AsOf.joinWithin(t, q, col("sym"), col("sym"),
+      col("t"), col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr(tol), inner = false, direction = "nearest")
+      .select($"qid").as[Option[Long]].head()
+    assert(within("interval 2 minutes").contains(10L))
+    assert(within("interval 1 minute").isEmpty)
+    // a forward champion in tolerance also passes the |gap| check
+    val t2 = Seq((2L, "A", ts("2020-01-01 10:02:30"))).toDF("trade_id", "sym", "t")
+    val fwd = AsOf.joinWithin(t2, q, col("sym"), col("sym"),
+      col("t"), col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 1 minute"), inner = false, direction = "nearest")
+      .select($"qid").as[Option[Long]].head()
+    assert(fwd.contains(11L))
+  }
+
+  test("joinWithin rejects an unknown direction") {
+    intercept[IllegalArgumentException] {
+      AsOf.joinWithin(trades, quotes, col("sym"), col("sym"), col("t"),
+        col("qt"), Seq("qid", "px"), col("qid"),
+        tolerance = expr("interval 1 minute"), direction = "sideways")
+    }
+  }
+
+  test("fixture slice: the error→purchase faces are non-vacuous and the " +
+      "nearest forward champion actually wins rows") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val err = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"), $"value".as("p_value"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"p_id").as[(Long, Long)].collect().toMap
+    val fwd = pairs(AsOf.joinForward(err, pur, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("p_id", "p_value"), col("p_id")))
+    val bwd = pairs(AsOf.join(err, pur, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("p_id", "p_value"), col("p_id")))
+    val near = pairs(AsOf.joinNearest(err, pur, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("p_id", "p_value"), col("p_id")))
+    assert(fwd.nonEmpty, "forward face must be non-vacuous on the fixture")
+    // rows where the nearest choice DIFFERS from the backward champion —
+    // the forward champion won the gap compare (or was the only one)
+    val fwdWins = near.count { case (e, p) => !bwd.get(e).contains(p) }
+    assert(fwdWins > 0, "fixture must make the forward champion win rows")
+    // and rows where a backward match exists but forward is closer
+    val gapWins = near.count { case (e, p) =>
+      bwd.contains(e) && bwd(e) != p && fwd.get(e).contains(p) }
+    assert(gapWins > 0, "gap compare must decide rows, not just one-sided presence")
+    // forward-only rows (no backward candidate at all) exercise the
+    // null-champion branch
+    assert(near.keySet.exists(e => !bwd.contains(e)))
+  }
+
+  test("fixture slice: forward matches the naive inequality-join formulation") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val err = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+    val fast = AsOf.joinForward(err, pur, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("p_id"), col("p_id"))
+      .select($"event_id", $"p_id").as[(Long, Long)].collect().toSet
+    val naive = err.join(pur,
+      col("user_id") === col("p_user") && col("p_ts") >= col("ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_id")
+          .orderBy($"p_ts".asc, $"p_id".desc)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"p_id").as[(Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("matches the naive inequality-join formulation on fixture data") {
     val ev = graft.Tables.events(spark, sf0001)
     val ord = graft.Tables.orders(spark, sf0001)
