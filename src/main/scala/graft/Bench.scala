@@ -103,7 +103,9 @@ object Bench {
     val (printed, full) = metricLine(results.map(r => (r._1, r._2)), sfDir,
       maxes = results.map(r => (r._1, r._3)), retimed = retimed.reverse,
       env = Seq(("ts_start", envStart._1), ("load_start", envStart._2),
-        ("ts_end", java.time.Instant.now().toString), ("load_end", loadavg())))
+        ("ts_end", java.time.Instant.now().toString), ("load_end", loadavg())),
+      baseline = r1Baseline().map(b =>
+        baselineBlock(results.map(r => (r._1, r._2)), b._1, b._2)))
     // Two channels: bare stdout (build.sbt routes forked-run output through
     // StdoutOutput, so no sbt log prefix) gets the tail-safe line; the file
     // next to the build always carries the FULL per-query map, for callers
@@ -151,6 +153,65 @@ object Bench {
           .resolve("bench_metric.json")
       }
 
+  /** The operative r1 performance baseline (BASELINE.md policy): total
+    * seconds + per-query map parsed out of `BENCH_r01.json`'s captured
+    * stdout tail, found next to `build.sbt` like [[metricPath]]. Absent
+    * or unparseable → None (the metric line simply omits the baseline
+    * block — other environments have no r1 artifact). */
+  private[graft] def r1Baseline(): Option[(Double, Map[String, Double])] =
+    try {
+      val f = metricPath().getParent.resolve("BENCH_r01.json").toFile
+      if (!f.isFile) None
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val tail = mapper.readTree(f).path("tail").asText()
+        val start = tail.indexOf("{\"metric\"")
+        if (start < 0) None
+        else {
+          val rest = tail.substring(start)
+          val line = rest.takeWhile(_ != '\n').trim
+          val node = mapper.readTree(line)
+          import scala.jdk.CollectionConverters._
+          val qs = node.path("queries").properties().iterator().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          if (qs.isEmpty) None else Some((node.path("value").asDouble(), qs))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** The BASELINE.md adjudication evidence, rendered as the metric
+    * line's `baseline` object (r13 judge directive #2 — the artifact
+    * must carry the governing reading, not just the raw total):
+    *  - `raw_ratio`: all-catalog total / r1 total — drifts upward
+    *    mechanically with catalog growth, kept for continuity;
+    *  - `comparable_ratio`: the r1-subset total / r1 total — the
+    *    like-for-like number the 2× gate governs on;
+    *  - `breaches`: every shared query > 2× its own r1 time (capped at
+    *    8 entries; `breach_count` is always the full count);
+    *  - `r1_missing`: r1 queries absent from the current catalog — a
+    *    rename would otherwise silently shrink the comparable subset.
+    * Mirrors tools/baseline_ratio.py exactly. */
+  private[graft] def baselineBlock(cur: Seq[(String, Double)],
+      baseTotal: Double, base: Map[String, Double]): String = {
+    val curMap = cur.toMap
+    val shared = base.keys.toSeq.filter(curMap.contains)
+    val raw = cur.map(_._2).sum / baseTotal
+    val comparable = shared.map(curMap).sum / baseTotal
+    val breaches = shared
+      .filter(q => base(q) > 0.0 && curMap(q) > 2.0 * base(q))
+      .sortBy(q => -curMap(q))
+      .map(q => s"$q:${sec3(curMap(q))}(r1 ${sec3(base(q))})")
+    val missing = (base.keySet -- curMap.keySet).toSeq.sorted
+    s"""{"r1_total":${sec3(baseTotal)},"r1_n":${base.size},""" +
+      s""""shared_n":${shared.size},"raw_ratio":${sec3(raw)},""" +
+      s""""comparable_ratio":${sec3(comparable)},""" +
+      s""""breach_count":${breaches.size},""" +
+      breaches.take(8).map("\"" + _ + "\"").mkString("\"breaches\":[", ",", "]") +
+      (if (missing.isEmpty) ""
+      else missing.map("\"" + _ + "\"").mkString(""","r1_missing":[""", ",", "]")) +
+      "}"
+  }
+
   /** Previous round's per-query seconds: the full map the last bench run
     * left in `bench_metric.json` (absent/unreadable → no re-run pass). */
   private def priorQueryTimes(): Map[String, Double] =
@@ -188,13 +249,18 @@ object Bench {
   private[graft] def metricLine(results: Seq[(String, Double)], sfDir: String,
       maxBytes: Int = 1900, maxes: Seq[(String, Double)] = Nil,
       retimed: Seq[String] = Nil,
-      env: Seq[(String, String)] = Nil): (String, String) = {
+      env: Seq[(String, String)] = Nil,
+      baseline: Option[String] = None): (String, String) = {
     val total = results.map(_._2).sum
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
         .mkString("{", ",", "}")
+    // the baseline adjudication block rides the STDOUT line too (not just
+    // the file): the driver's BENCH_r{N}.json is the captured tail, and
+    // the 2× gate must be adjudicable from that artifact alone
+    val baseExtra = baseline.fold("")(b => s""","baseline":$b""")
     def line(rs: Seq[(String, Double)], extra: String): String =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec"$extra,"queries":${qmap(rs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec"$baseExtra$extra,"queries":${qmap(rs)},"sf":"$sfDir"}"""
     val fileExtra = (if (maxes.isEmpty) ""
       else s""","queries_max":${qmap(maxes)}""") +
       (if (retimed.isEmpty) ""

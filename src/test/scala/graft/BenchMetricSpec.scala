@@ -70,6 +70,46 @@ class BenchMetricSpec extends AnyFunSuite {
     assert(parsed.path("env").path("ts_end").asText() == "2026-08-13T10:01:00Z")
   }
 
+  test("baseline block: both ratios, capped breach list, and it rides the stdout line") {
+    val base = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 3.0)
+    val cur = Seq("q_a" -> 1.0, "q_b" -> 5.0, "q_new" -> 4.0)
+    val block = Bench.baselineBlock(cur, 6.0, base)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(block)
+    assert(parsed.path("r1_total").asDouble() == 6.0 && parsed.path("r1_n").asInt() == 3)
+    assert(parsed.path("shared_n").asInt() == 2)
+    assert(math.abs(parsed.path("raw_ratio").asDouble() -
+      (1.0 + 5.0 + 4.0) / 6.0) < 0.001)
+    assert(math.abs(parsed.path("comparable_ratio").asDouble() -
+      (1.0 + 5.0) / 6.0) < 0.001)
+    assert(parsed.path("breach_count").asInt() == 1)
+    assert(parsed.path("breaches").get(0).asText() == "q_b:5.000(r1 2.000)")
+    assert(parsed.path("r1_missing").get(0).asText() == "q_gone")
+    // the block lands in BOTH lines — the driver's artifact is the
+    // captured stdout tail, so the gate must be adjudicable from it
+    val (printed, full) = Bench.metricLine(cur, "/sf", baseline = Some(block))
+    assert(printed.contains("\"baseline\":{") && full.contains("\"baseline\":{"))
+    assert(printed.contains("\"comparable_ratio\":"))
+    // and the COMPACT fallback still fits the tail window with a full
+    // breach list attached (worst realistic case)
+    val many = (1 to 300).map(i => f"q_synthetic_query_name_$i%03d" -> 99.9)
+    val bigBase = many.take(51).map { case (k, _) => k -> 1.0 }.toMap
+    val bigBlock = Bench.baselineBlock(many, 39.45, bigBase)
+    val p2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bigBlock)
+    assert(p2.path("breach_count").asInt() == 51 && p2.path("breaches").size() == 8)
+    val (printed2, _) = Bench.metricLine(many, "/sf", baseline = Some(bigBlock))
+    assert(printed2.length <= 1900,
+      s"compact line + baseline block is ${printed2.length} bytes")
+  }
+
+  test("r1Baseline parses the captured r1 artifact in this repo") {
+    // this repo carries BENCH_r01.json — the operative baseline must load
+    val b = Bench.r1Baseline()
+    assert(b.nonEmpty, "BENCH_r01.json should parse")
+    val (total, qs) = b.get
+    assert(math.abs(total - 39.45) < 0.01 && qs.size == 51)
+    assert(qs.contains("q_flagship"))
+  }
+
   test("ms formatting is locale-proof and plain-notation") {
     assert(Bench.sec3(0.0001234) == "0.000")
     assert(Bench.sec3(31.7) == "31.700")
