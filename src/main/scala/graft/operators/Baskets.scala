@@ -24,12 +24,25 @@ object Baskets {
   /** Item pairs co-occurring in ≥ `minSupport` baskets, the `k` most
     * frequent (ties broken by ascending item ids — deterministic).
     * Output: `(item_a, item_b, support)` with `item_a < item_b`; a pair
-    * is counted once per basket (membership, not multiplicity). */
+    * is counted once per basket (membership, not multiplicity).
+    *
+    * The distinct (basket, item) relation feeds THREE consumers — the
+    * oversized-basket guard count and both legs of the pair self-join —
+    * so it is a consumer diamond: without a materialization point
+    * Catalyst recomputes the scan + distinct exchange per branch (3×
+    * the input scan, seen in the audited plan). [[Staging.stage]] is
+    * the shared materialization — executor-local persist by default;
+    * pass `stagingDir` at 100 TB for an explicit parquet staging table
+    * (the [[Dedup.minhashPairsFromShingles]] contract, including the
+    * caller-clears-cache caveat for the default persist path). */
   def frequentPairs(df: DataFrame, basketCol: Column, itemCol: Column,
       minSupport: Long, k: Int,
-      maxBasket: Option[Int] = Some(10000)): DataFrame = {
+      maxBasket: Option[Int] = Some(10000),
+      stagingDir: Option[String] = None): DataFrame = {
     require(minSupport >= 1 && k >= 1, s"bad params: $minSupport, $k")
-    val items = df.select(basketCol.as("b"), itemCol.as("i")).distinct()
+    val items = Staging.stage(
+      df.select(basketCol.as("b"), itemCol.as("i")).distinct(),
+      stagingDir, "basket_items")
     val kept = maxBasket match {
       case Some(cap) =>
         val ok = items.groupBy(col("b")).agg(count(lit(1)).as("n"))

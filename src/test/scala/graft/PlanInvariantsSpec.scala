@@ -84,6 +84,30 @@ class PlanInvariantsSpec extends SparkSuite {
       "pair mining must not be re-run by the graph faces")
   }
 
+  test("q_copurchase: distinct basket-item set materialized once for its three consumers") {
+    // the distinct (basket, item) relation feeds the oversized-basket
+    // guard count AND both self-join legs — unstaged, Catalyst recomputes
+    // the scan + distinct exchange per branch (r13 plan audit: 3× scans
+    // on the top-5 board's cheapest remaining win). Node-level assertion:
+    // every consumer must read the CACHE (InMemoryTableScan), whose
+    // relation computes once by Spark's cache semantics — string-counting
+    // InMemoryRelation would mislead, since each scan reprints the cached
+    // subtree in the plan dump
+    // logical optimizedPlan, not executedPlan: AdaptiveSparkPlanExec is a
+    // leaf for traversal, so physical collect can't see inside AQE
+    val df = SparkEntry.queries("q_copurchase")(spark, sf0001)
+    val rels = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(rels.size >= 3,
+      s"all three consumers must read the cached distinct set, " +
+        s"got ${rels.size} InMemoryRelation(s):\n" +
+        df.queryExecution.optimizedPlan.toString.take(2000))
+    // and they all read the SAME cached relation (one materialization)
+    assert(rels.map(_.cacheBuilder).distinct.size == 1,
+      "consumers must share one cached relation")
+  }
+
   test("q_kcore: per-round peel is semi-joins + partial aggregation, no window") {
     val p = plan("q_kcore")
     assert(p.contains("LeftSemi"),
