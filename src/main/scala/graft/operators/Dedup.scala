@@ -381,6 +381,19 @@ object Dedup {
     shingled(docs, idCol, textCol, k, extraCols)
       .withColumn("sig", minhashSig(col("sh"), bands * rowsPerBand))
 
+  /** Guard for the precomputed-`sig` fast paths: a standing index built
+    * under a DIFFERENT (bands, rowsPerBand) parameterization has the
+    * wrong signature length, and [[bandHashes]] would silently band wrong
+    * slices of it — every bucket key garbage, recall collapsing to ~0
+    * with no error. Fail loudly at the first row instead: the check is a
+    * codegen'd `when` riding the projection (no extra pass, no action). */
+  private def sigChecked(numHashes: Int): Column =
+    when(size(col("sig")) === numHashes, col("sig"))
+      .otherwise(raise_error(concat(
+        lit(s"precomputed sig length != bands*rowsPerBand = $numHashes: got "),
+        size(col("sig")).cast("string"),
+        lit(" — index built under a different (bands, rowsPerBand)"))))
+
   /** Near-dup pairs of DELTA documents against a standing corpus's
     * [[signatureIndex]] AND each other — the incremental form of
     * [[minhashPairs]]. Output: (id_a, id_b, jaccard) where id_a is always a
@@ -404,7 +417,8 @@ object Dedup {
     // signatureIndex — skips the re-sign (same contract note as
     // [[minhashPairsFromShingles]]'s sig fast path)
     val dSig = (if (delta.columns.contains("sig"))
-        delta.select(col(idCol), col("sh"), col("sig"))
+        delta.select(col(idCol), col("sh"),
+          sigChecked(bands * rowsPerBand).as("sig"))
       else signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // BOTH sides persist, not just the delta: the index relation has the
@@ -415,7 +429,8 @@ object Dedup {
     // re-sign the standing corpus, the exact cost this operator exists to
     // avoid (observed as 6× corpus scans in the audited plan). For a
     // parquet-staged index this costs one cheap extra materialization.
-    val iSig = index.select(col(idCol), col("sh"), col("sig"))
+    val iSig = index.select(col(idCol), col("sh"),
+        sigChecked(bands * rowsPerBand).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def postings(sigs: DataFrame, isDelta: Boolean): DataFrame = sigs.select(
       col(idCol),
@@ -481,7 +496,8 @@ object Dedup {
     // for you).
     val sigd = stage(
       if (shingledDocs.columns.contains("sig"))
-        shingledDocs.select(col(idCol), col("sh"), col("sig"))
+        shingledDocs.select(col(idCol), col("sh"),
+          sigChecked(numHashes).as("sig"))
       else shingledDocs.select(col(idCol), col("sh"))
         .withColumn("sig", minhashSig(col("sh"), numHashes)),
       stagingDir, "signatures")

@@ -159,6 +159,12 @@ object Profile {
     * ln; output is the B-row spine. Rows outside [lo, hi] are dropped
     * on BOTH slices — same contract as [[histogram]].
     *
+    * NULL rule: a row whose `isA` predicate evaluates NULL counts on
+    * the B side (the predicate is coalesced to false internally), so
+    * every in-range row lands in exactly one slice — an SQL mirror must
+    * spell the B filter `isA IS DISTINCT FROM true`, not `NOT isA`
+    * (which drops NULL rows entirely).
+    *
     * Output: (bucket, n_a, n_b, diff_num, ln_scaled), every bin
     * emitted. */
   def histogramDrift(df: DataFrame, isA: Column, valueCol: Column,
@@ -170,7 +176,7 @@ object Profile {
     val counts = df.filter(x >= lo && x <= hi)
       .select(least(lit((buckets - 1).toLong),
         floor((x - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))))
-        .as("bucket"), isA.as("a"))
+        .as("bucket"), coalesce(isA, lit(false)).as("a"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("a"), 0L).otherwise(1L)).as("n_b"))

@@ -332,6 +332,33 @@ class DedupSpec extends SparkSuite {
     assert(inc.nonEmpty, "fixture should contain delta-touching near-dups")
   }
 
+  test("precomputed sig under a different parameterization fails loudly, not with 0 recall") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy hound"))
+      .toDF("doc_id", "text")
+    // index signed at 16×4 = 64 hashes, consumed claiming 8×2 = 16: the
+    // band slicer would silently hash wrong slices — the guard must raise
+    // (NOTE 32×2 would NOT trip it: also 64 hashes — the guard is a
+    // length check, the cheapest loud failure for the common mismatch)
+    val idx64 = Dedup.signatureIndex(docs, bands = 16, rowsPerBand = 4)
+    val err = intercept[Exception] {
+      Dedup.minhashPairsFromShingles(idx64, bands = 8, rowsPerBand = 2,
+        threshold = 0.1).count()
+    }
+    assert(err.getMessage.contains("bands*rowsPerBand") ||
+      Option(err.getCause).exists(_.getMessage.contains("bands*rowsPerBand")),
+      s"guard must name the contract: ${err.getMessage}")
+    val err2 = intercept[Exception] {
+      Dedup.incrementalMinhash(docs, idx64, bands = 8, rowsPerBand = 2,
+        threshold = 0.1).count()
+    }
+    assert(err2.getMessage.contains("bands*rowsPerBand") ||
+      Option(err2.getCause).exists(_.getMessage.contains("bands*rowsPerBand")))
+    // matching parameterization still flows through the fast path
+    assert(Dedup.minhashPairsFromShingles(idx64, bands = 16, rowsPerBand = 4,
+      threshold = 0.1).count() >= 1)
+  }
+
   test("dedupCorpusCCInc == batch dedupCorpusCC over the unioned corpus") {
     // standing state over the base partition (ids < delta ids, the
     // min-id survivor contract), then fold the delta batch in

@@ -88,6 +88,18 @@ class ProfileSpec extends SparkSuite {
     assert(flat.forall(_._4 == 0L), s"identical slices: $flat")
   }
 
+  test("histogramDrift: a NULL predicate row counts on the B side, not dropped") {
+    // the documented NULL rule (isA coalesced to false): an SQL mirror
+    // must spell the B filter `a IS DISTINCT FROM true` — `NOT a` would
+    // drop the NULL row and the engines would disagree
+    val df = Seq((Some(true), 2.0), (Some(false), 2.0),
+      (Option.empty[Boolean], 2.0)).toDF("a", "v")
+    val got = Profile.histogramDrift(df, $"a", $"v", 0.0, 10.0, 1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert((got._2, got._3) == ((1L, 2L)),
+      s"NULL predicate must land in n_b: $got")
+  }
+
   test("keySkew: counts, hottest key, deterministic top-k list, no window") {
     import org.apache.spark.sql.functions.col
     val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b")).toDF("k")
