@@ -96,6 +96,127 @@ object Multimodal {
       .drop("media")
   }
 
+  /** REAL image encode — pure-JDK `javax.imageio` PNG (offline-safe, no
+    * external codec). Pixel (x, y) is the deterministic generation rule
+    *   r = (seed+x) mod 256, g = (seed+y) mod 256, b = (seed+x+y) mod 256
+    * so the whole attach→decode round trip is re-derivable — and
+    * oracle-checkable — by ANY engine: PNG is lossless, hence the
+    * DECODED pixel sum must equal the closed-form sum over the rule.
+    * The generation side is test harness; [[decodeImage]] is the real
+    * operator a deployment keeps. */
+  def encodePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (seed + x) % 256
+        val g = (seed + y) % 256
+        val b = (seed + x + y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG/BMP/GIF — whatever the
+    * JDK readers handle): width, height, and the channel-sum pixel
+    * checksum Σ(r+g+b) of the decoded raster. None for bytes no
+    * installed reader accepts (the null-tolerant contract — a corrupt
+    * payload yields null features, never a task failure). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, sum))
+    }
+  }
+
+  /** Attach a REAL PNG payload per row (vs [[attachPayload]]'s fake
+    * bytes): dims and seed are pure integer functions of the id —
+    *   w = id mod 16 + 4, h = (id·7) mod 16 + 4, seed = id mod 256
+    * — so an oracle can recompute the expected decode output without
+    * decoding. Encoding runs batched in `mapPartitions` (the codec-
+    * amortization shape of [[extractFeatures]]); payloads never
+    * shuffle. */
+  def attachPng(ids: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = ids.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 16 + 4).toInt
+          val h = (id * 7 % 16 + 4).toInt
+          val png = encodePng(w, h, (id % 256).toInt)
+          Row(id, Row(png, Row("image/png", w, h)))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Batched REAL decode over a `media` column: `javax.imageio` reads
+    * each payload and emits (id, mime, width, height, px_sum) — width/
+    * height/checksum come from the DECODED raster, never from the meta
+    * struct, so a wrong or skipped decode cannot echo its way through.
+    * Same mapPartitions batch shape as [[extractFeatures]]; undecodable
+    * or null payloads yield null features. */
+  def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol), col("media"))
+    val outSchema = StructType(
+      StructField(idCol, in.schema(idCol).dataType) +: Seq(
+        StructField("mime", StringType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("px_sum", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder/codec init would go here (why batches exist)
+        batch.iterator.map { r =>
+          val id = r.get(0)
+          // positional access (payload=0, meta=1, meta.mime=0): rows from
+          // an encoder round trip may be schema-less GenericRows
+          val payload =
+            if (r.isNullAt(1)) null
+            else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
+          val mime =
+            if (r.isNullAt(1) || r.getStruct(1).isNullAt(1)) null
+            else r.getStruct(1).getStruct(1).getString(0)
+          if (payload == null) Row(id, mime, null, null, null)
+          else decodeImage(payload) match {
+            case Some((w, h, sum)) => Row(id, mime, w, h, sum)
+            case None => Row(id, mime, null, null, null)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Batched decode/feature-extract. Output: doc_id, mime, width, height,
     * n_bytes, crc32, avg_luma. Batch size is the codec-amortization knob. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,

@@ -61,4 +61,50 @@ class MultimodalSpec extends SparkSuite {
     assert(luma == (97 + 98 + 99) / 3.0)
     assert(crc == 891568578L) // CRC32("abc") — standard public test vector
   }
+
+  test("REAL decode: PNG round trip recovers dims and the exact pixel sum") {
+    // closed-form expectation computed independently of the codec path
+    def expectSum(w: Int, h: Int, s: Int): Long =
+      (0 until h).map { y =>
+        (0 until w).map { x =>
+          ((s + x) % 256 + (s + y) % 256 + (s + x + y) % 256).toLong
+        }.sum
+      }.sum
+    val png = Multimodal.encodePng(7, 5, 250) // seed near 256 forces the mod
+    // the bytes are a real PNG (magic header), not a fake
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(Multimodal.decodeImage(png).contains((7, 5, expectSum(7, 5, 250))))
+    // undecodable bytes → None, never a throw
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("attachPng → decodeFeatures: end-to-end over a DataFrame, nulls tolerated") {
+    val ids = Seq(0L, 5L, 260L).toDF("doc_id")
+    val got = Multimodal.decodeFeatures(Multimodal.attachPng(ids))
+      .orderBy($"doc_id")
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 5L, 260L))
+    got.foreach { case (id, mime, w, h, sum) =>
+      assert(mime == "image/png")
+      assert(w == (id % 16 + 4).toInt && h == (id * 7 % 16 + 4).toInt)
+      val s = (id % 256).toInt
+      val want = (0 until h).map(y => (0 until w).map(x =>
+        ((s + x) % 256 + (s + y) % 256 + (s + x + y) % 256).toLong).sum).sum
+      assert(sum == want, s"px_sum for doc $id")
+    }
+    // a corrupt payload yields null features, not a task failure
+    val corruptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, org.apache.spark.sql.Row(
+          "junk".getBytes("UTF-8"),
+          org.apache.spark.sql.Row("image/png", 4, 4))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val nulled = Multimodal.decodeFeatures(corruptDf).head()
+    assert(nulled.getAs[Any]("width") == null &&
+      nulled.getAs[Any]("px_sum") == null)
+  }
 }
