@@ -22,11 +22,20 @@ object Prof {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      println(f"$name%-40s ${runs.map(_._1).min}%8.3f s  n=${runs.head._2}")
+      // every sample, in order: first-iteration stalls (fixture builds,
+      // codegen, GC debt) are visible only in the per-run sequence
+      println(f"$name%-40s ${runs.map(_._1).min}%8.3f s  n=${runs.head._2}" +
+        runs.map(r => f"${r._1}%.3f").mkString("  [", " ", "]"))
     }
 
+    // `name@/some/sf/dir` runs that query against an explicit fixture dir
+    // (simulating Bench's warm-at-sf0.001-then-time-at-sf0.1 sequence)
     qs.foreach { q =>
-      time(q)(graft.SparkEntry.queries(q)(spark, dir).count())
+      val (name, d) = q.split("@") match {
+        case Array(n, over) => (n, over)
+        case _ => (q, dir)
+      }
+      time(q)(graft.SparkEntry.queries(name)(spark, d).count())
     }
     spark.stop()
   }
