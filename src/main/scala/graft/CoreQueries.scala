@@ -554,6 +554,30 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // nearest + tolerance (the pandas composition: the CHAMPION is
+    // bounded — a left row whose closest match exceeds 6h gets NO match
+    // even though nothing closer exists): 385 of 2014 errors in-bound
+    // at sf0.01, so both branches of the |gap| <= tol predicate are
+    // under the hash gate
+    "q_asof_nearest_within" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.joinWithin(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value")),
+        leftKey = col("user_id"), rightKey = col("p_user"),
+        leftTime = col("ts"), rightTime = col("p_ts"),
+        rightPayload = Seq("p_id", "p_value"),
+        rightOrd = col("p_id"),
+        tolerance = expr("interval 6 hours"), inner = false,
+        direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("p_id"),
+          unix_micros(col("matched_time")).as("p_us"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // market-basket co-occurrence: the 20 most frequent part pairs
     // sharing an order (support ≥ 2) — per-basket pair generation with
     // the maxBasket straggler guard mirrored in the oracle's HAVING
@@ -1255,6 +1279,29 @@ object CoreQueries {
         |  FROM events e LEFT JOIN events p
         |    ON e.user_id = p.user_id AND p.event_type = 'purchase'
         |   AND p.ts >= e.ts
+        |  WHERE e.event_type = 'error') t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // nearest + tolerance: champion first (min |gap|, gap ties backward,
+    // same-instant ties highest ordinal), THEN the |gap| <= 6h bound
+    // nulls it — never a fall-through to a farther in-bound row
+    "q_asof_nearest_within" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN ok THEN p_id END AS p_id,
+        |  CASE WHEN ok THEN p_us END AS p_us,
+        |  CASE WHEN ok THEN p_value END AS p_value
+        |FROM (
+        |  SELECT e.event_id, e.user_id, p.event_id AS p_id,
+        |         epoch_us(p.ts) AS p_us, p.value AS p_value,
+        |         coalesce(abs(epoch_us(e.ts) - epoch_us(p.ts))
+        |                  <= 21600000000, false) AS ok,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           abs(epoch_us(e.ts) - epoch_us(p.ts)),
+        |           CASE WHEN epoch_us(p.ts) <= epoch_us(e.ts)
+        |                THEN 0 ELSE 1 END,
+        |           p.event_id DESC) AS rn
+        |  FROM events e LEFT JOIN events p
+        |    ON e.user_id = p.user_id AND p.event_type = 'purchase'
         |  WHERE e.event_type = 'error') t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 

@@ -2678,6 +2678,22 @@ object ExtQueries {
         Multimodal.attachPng(
           Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
             .select(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // REAL decode → transform → decode loop: nearest-neighbor resize on
+    // the DECODED raster (out(x,y) = in(x·w0 div W, y·h0 div H), an
+    // explicit integer-exact loop, then PNG re-encode), features from
+    // re-decoding the resized payload. The oracle recomputes the resized
+    // checksum from the source pixel rule + the same index mapping —
+    // both PNG hops are lossless, so any sampling or codec error
+    // diverges. Same doc_id % 5 subset as q_media_decode
+    "q_media_resize_real" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.resizeImage(
+          Multimodal.attachPng(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+              .select(col("doc_id"))),
+          newWidth = 8, newHeight = 6))
         .orderBy(col("doc_id")))
   )
 
@@ -3808,6 +3824,25 @@ object ExtQueries {
         |SELECT doc_id, 'image/png' AS mime, w AS width, h AS height,
         |  CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // resized checksum from the source rule + the nearest-neighbor index
+    // mapping sx = x*w0 // 8, sy = y*h0 // 6 (integer division, exactly
+    // the engine's explicit loop): v at the SAMPLED source coordinate
+    "q_media_resize_real" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 16 + 4 AS INT) w0,
+        |    CAST((doc_id * 7) % 16 + 4 AS INT) h0,
+        |    CAST(doc_id % 256 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |m AS (SELECT doc_id, s,
+        |    (gx.x * w0) // 8 AS sx, (gy.y * h0) // 6 AS sy
+        |  FROM p, generate_series(0, 7) gx(x), generate_series(0, 5) gy(y)),
+        |px AS (SELECT doc_id,
+        |    ((s + sx) % 256) + ((s + sy) % 256) + ((s + sx + sy) % 256) AS v
+        |  FROM m)
+        |SELECT doc_id, 'image/png' AS mime, 8 AS width, 6 AS height,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // systematic PPS: window cumsum + the identical integer pick rule
     // rank numbering re-derived by row_number (driver-scale stand-in for

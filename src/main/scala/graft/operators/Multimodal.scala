@@ -178,6 +178,61 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL nearest-neighbor resize over a `media` column: decode the
+    * payload (`javax.imageio`), sample `out(x, y) = in(x·w0 div W,
+    * y·h0 div H)` — the integer-exact nearest-neighbor rule, written as
+    * an explicit loop so the mapping is engine-portable rather than
+    * delegated to an interpolating Graphics2D path — and re-encode as
+    * PNG. The meta struct carries the new dimensions; a payload that
+    * fails to decode passes through with null media (the corrupt-row
+    * contract). Composed with [[decodeFeatures]] this closes a real
+    * decode→transform→decode loop whose output an oracle can recompute
+    * from the source pixel rule + the same index mapping (PNG lossless
+    * at both ends). Batched mapPartitions; payloads never shuffle. */
+  def resizeImage(df: DataFrame, newWidth: Int, newHeight: Int,
+      idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
+    require(newWidth > 0 && newHeight > 0, s"bad dims: ${newWidth}x$newHeight")
+    val in = df.select(col(idCol), col("media"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, in.schema(idCol).dataType),
+      StructField("media", mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.get(0)
+          val payload =
+            if (r.isNullAt(1)) null
+            else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
+          val src = if (payload == null) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (src == null) Row(id, null)
+          else {
+            val (w0, h0) = (src.getWidth, src.getHeight)
+            val dst = new java.awt.image.BufferedImage(
+              newWidth, newHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < newHeight) {
+              var x = 0
+              while (x < newWidth) {
+                dst.setRGB(x, y,
+                  src.getRGB(x * w0 / newWidth, y * h0 / newHeight))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Row(id, Row(bos.toByteArray,
+              Row("image/png", newWidth, newHeight)))
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Batched REAL decode over a `media` column: `javax.imageio` reads
     * each payload and emits (id, mime, width, height, px_sum) — width/
     * height/checksum come from the DECODED raster, never from the meta

@@ -79,6 +79,38 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("resizeImage: nearest-neighbor mapping is integer-exact through the PNG hops") {
+    // expectation from the generation rule + the index mapping, computed
+    // with no codec involvement
+    def pixel(s: Int, x: Int, y: Int): Long =
+      ((s + x) % 256 + (s + y) % 256 + (s + x + y) % 256).toLong
+    val (w0, h0, s0, nw, nh) = (10, 9, 251, 4, 3)
+    val want = (0 until nh).map(y => (0 until nw).map(x =>
+      pixel(s0, x * w0 / nw, y * h0 / nh)).sum).sum
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, org.apache.spark.sql.Row(
+          Multimodal.encodePng(w0, h0, s0),
+          org.apache.spark.sql.Row("image/png", w0, h0))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val got = Multimodal.decodeFeatures(Multimodal.resizeImage(src, nw, nh))
+      .as[(Long, String, Int, Int, Long)].head()
+    assert(got == ((0L, "image/png", nw, nh, want)), s"got $got want sum=$want")
+    // a corrupt payload passes through as null media → null features
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(
+          "nope".getBytes("UTF-8"),
+          org.apache.spark.sql.Row("image/png", 4, 4))))),
+      src.schema)
+    val nulled = Multimodal.decodeFeatures(
+      Multimodal.resizeImage(corrupt, nw, nh)).head()
+    assert(nulled.getAs[Any]("px_sum") == null)
+  }
+
   test("attachPng → decodeFeatures: end-to-end over a DataFrame, nulls tolerated") {
     val ids = Seq(0L, 5L, 260L).toDF("doc_id")
     val got = Multimodal.decodeFeatures(Multimodal.attachPng(ids))
