@@ -2443,6 +2443,27 @@ object ExtQueries {
           round(col("scale"), 6).as("scale"))
         .orderBy(col("vec_id"))),
 
+    // matryoshka truncation (keep-first-16 + renormalize): the MRL
+    // storage/latency dial, gated with the same scaled-integer rule as
+    // q_embed_normalize (both engines slice, dot, and divide the same
+    // doubles in the same order)
+    "q_embed_truncate" -> ((s, dir) =>
+      EmbeddingPrep.truncate(Tables.embeddings(s, dir), dim = 16)
+        .select(col("vec_id"),
+          concat_ws("|", transform(col("tvec"),
+            x => round(x * 1000000d).cast("bigint").cast("string"))).as("tvec"))
+        .orderBy(col("vec_id"))),
+
+    // hard-negative mining (contrastive-training negatives: nearest
+    // WRONG-label vectors) — the knnGraph candidate plan with the label
+    // exclusion riding the cell join; staged-quantizer oracle re-derives
+    // assignment, probing, the label filter, and the top-k
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), k = 5,
+        nlist = 8, nprobe = 3,
+        centroidsSink = Some(oracleStagePath(dir, "q_hard_negatives")))
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- end-to-end corpus prep -----------------------------------------
 
     // the whole prep pipeline as ONE declarative plan: exact dedup →
@@ -3211,6 +3232,38 @@ object ExtQueries {
            |  JOIN v q ON q.vec_id = p.query_id
            |  JOIN v cv ON cv.vec_id = a.vec_id
            |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, rank, vec_id, cos FROM (
+           |  SELECT query_id, vec_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // hard negatives from the staged quantizer: the q_knn_graph
+      // derivation (assignment = argmin score, nprobe=3 probing, cell
+      // join, per-query top-5) plus the wrong-label predicate on the
+      // scored candidates — exactly where the engine applies it
+      "q_hard_negatives" ->
+        s"""WITH cents AS (SELECT cell, c FROM read_parquet('$root/q_hard_negatives/*.parquet')),
+           |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sc AS (SELECT vec_id, cell,
+           |         list_dot_product(c, c) - 2 * list_dot_product(v, c) AS s
+           |       FROM v, cents),
+           |assign AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY s, cell) AS rn FROM sc) WHERE rn <= 3),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id,
+           |    round(list_dot_product(q.v, cv.v) /
+           |          (sqrt(list_dot_product(q.v, q.v)) *
+           |           sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+           |  FROM probe p JOIN assign a USING (cell)
+           |  JOIN v q ON q.vec_id = p.query_id
+           |  JOIN v cv ON cv.vec_id = a.vec_id
+           |  WHERE cv.label <> q.label)
            |SELECT query_id, rank, vec_id, cos FROM (
            |  SELECT query_id, vec_id, cos,
            |    CAST(row_number() OVER (PARTITION BY query_id
@@ -4170,6 +4223,18 @@ object ExtQueries {
         |  array_to_string(list_transform(v, x -> CAST(round(
         |    (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 1000000) AS BIGINT)), '|')
         |    AS nvec
+        |FROM n ORDER BY vec_id""".stripMargin,
+
+    // the same normalize derivation over the first-16 slice (1-based
+    // inclusive list_slice == Spark's slice(v, 1, 16))
+    "q_embed_truncate" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(v, x -> CAST(round(
+        |    (CASE WHEN nrm = 0 THEN x ELSE x / nrm END) * 1000000) AS BIGINT)), '|')
+        |    AS tvec
         |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_embed_quantize" ->

@@ -49,6 +49,25 @@ object EmbeddingPrep {
       .drop("__v")
   }
 
+  /** Matryoshka truncation (MRL-style): keep the FIRST `dim`
+    * coordinates and L2-renormalize — the storage/latency dial of
+    * matryoshka-trained embedding models, where a prefix of the vector
+    * is itself a valid lower-capacity embedding. Zero prefixes pass
+    * through as zeros (the [[l2Normalize]] contract); vectors shorter
+    * than `dim` keep their full length (slice semantics). Narrow,
+    * codegen'd, no shuffle. Output column: `tvec`. */
+  def truncate(embs: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = slice(asDouble(col(vecCol)), 1, dim)
+    embs.withColumn("__v", v)
+      .withColumn("__norm", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("tvec",
+        when(col("__norm") === 0.0d, col("__v"))
+          .otherwise(transform(col("__v"), x => x / col("__norm"))))
+      .drop("__v", "__norm")
+  }
+
   /** Inverse of [[quantizeInt8]] (lossy): ARRAY<DOUBLE> `dvec`. */
   def dequantizeInt8(df: DataFrame, qvecCol: String = "qvec",
       scaleCol: String = "scale"): DataFrame =

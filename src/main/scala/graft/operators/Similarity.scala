@@ -259,6 +259,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Hard-negative mining — for every vector, the `k` most-similar
+    * vectors with a DIFFERENT label (the contrastive-training negatives
+    * a DPR/SimCLR-style pipeline mines: close in embedding space, wrong
+    * class). Same IVF-bucketed SHUFFLE candidate plan as [[knnGraph]]
+    * (queries = corpus, nothing broadcasts); the label exclusion is a
+    * narrow predicate on the cell join — labels ride the bucketed rows,
+    * the corpus never re-joins to fetch them. Same-id pairs are excluded
+    * by construction (same id ⇒ same label).
+    *
+    * Output: (query_id, rank, vec_id, cos), rank 1..k by (cos DESC,
+    * vec_id ASC). */
+  def hardNegatives(corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", trainSample: Int = 10000,
+      centroidsSink: Option[String] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("lab"),
+      asDouble(col(vecCol)).as("v"))
+    val sample = c.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
+    centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
+    val bucketed = c.withColumn("cell",
+        element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = c.select(col("vec_id").as("query_id"),
+        col("lab").as("qlab"), col("v").as("qv"))
+      .withColumn("cell", explode(Similarity.nearestCells(col("qv"), cents, nprobe)))
+    val scored = bucketed.join(probed, Seq("cell"))
+      .filter(col("lab") =!= col("qlab"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    topKPerQuery(scored, "cos", k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Recall audit: per-query overlap of an approximate top-k result with
     * the exact top-k on the same (corpus, queries, k) — the in-engine
     * health number for a sketch. If someone breaks LSH bucketing or IVF

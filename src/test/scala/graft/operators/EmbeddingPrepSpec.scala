@@ -43,6 +43,30 @@ class EmbeddingPrepSpec extends SparkSuite {
     }
   }
 
+  test("truncate: prefix slice + renormalize, zero prefix safe, short vectors pass") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f, -7.0f)),  // prefix (3,4) → (0.6, 0.8)
+      (2L, Seq(0.0f, 0.0f, 5.0f)),           // zero prefix → zeros, no NaN
+      (3L, Seq(2.0f))                        // shorter than dim → unchanged shape
+    ).toDF("vec_id", "embedding")
+    val got = EmbeddingPrep.truncate(df, dim = 2)
+      .select($"vec_id", $"tvec").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(got(1L) == Seq(0.6, 0.8))
+    assert(got(2L) == Seq(0.0, 0.0))
+    assert(got(3L) == Seq(1.0)) // single coord renormalizes to ±1
+    // a matryoshka prefix of the normalized full vector ≠ normalize of the
+    // prefix is FALSE — they must coincide (scaling commutes with slicing)
+    val full = EmbeddingPrep.l2Normalize(df.filter($"vec_id" === 1L))
+      .select($"nvec").as[Seq[Double]].head()
+    val prefNorm = {
+      val p = full.take(2)
+      val n = math.sqrt(p.map(x => x * x).sum)
+      p.map(_ / n)
+    }
+    assert(got(1L).zip(prefNorm).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("quantized cosine approximates full-precision cosine on fixture data") {
     val real = graft.Tables.embeddings(spark, sf0001).limit(50)
     val deq = EmbeddingPrep.dequantizeInt8(EmbeddingPrep.quantizeInt8(real))

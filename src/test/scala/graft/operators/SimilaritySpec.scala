@@ -109,6 +109,34 @@ class SimilaritySpec extends SparkSuite {
     assert(again == rows.map(r => (r._1, r._2, r._3)).toSet)
   }
 
+  test("hardNegatives: wrong-label only, full probing equals brute force") {
+    val got = Similarity.hardNegatives(embs, k = 5, nlist = 8, nprobe = 3)
+    val labels = embs.select($"vec_id", $"label").as[(Long, String)]
+      .collect().toMap
+    val rows = got.select($"query_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, v, _) =>
+      assert(labels(q) != labels(v), s"same-label pair ($q, $v) leaked through")
+      assert(q != v)
+    }
+    // with nprobe = nlist every cell is probed → the sketch is EXHAUSTIVE
+    // and must equal the brute-force wrong-label top-5
+    val all = Similarity.hardNegatives(embs, k = 5, nlist = 8, nprobe = 8)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(embs, embs, k = embs.count().toInt)
+      .select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)].collect()
+      .filter { case (q, _, v) => labels(q) != labels(v) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(_._2).take(5).zipWithIndex.map { case ((_, _, v), i) =>
+          (q, i + 1, v) }.toSeq
+      }.toSet
+    assert(all == brute,
+      s"exhaustive probing drifted from brute force: only-got=${(all -- brute).take(3)} " +
+        s"only-brute=${(brute -- all).take(3)}")
+  }
+
   test("recallAudit: exact self-audit is 1.0, LSH audit beats the random floor") {
     val queries = embs.filter($"vec_id" < 8)
     val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
