@@ -2509,6 +2509,21 @@ object ExtQueries {
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value", "event_type"))
         .orderBy(col("column"))),
 
+    // exact winsorization: clamp o_totalprice into the true [p1, p99]
+    // order statistics (integer ppm rank rule, two-phase distributed
+    // rank — never a single-task window), then the per-priority
+    // decimal-exact mean of the clamped column; the oracle re-derives
+    // the rank rule, both cutoffs, and the clamp independently
+    "q_winsorize" -> ((s, dir) =>
+      Profile.winsorize(Tables.orders(s, dir), col("o_totalprice"),
+        ppmLow = 10000L, ppmHigh = 990000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("winsorized")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("avg_w"))
+        .orderBy(col("o_orderpriority"))),
+
     // ---- multimodal -----------------------------------------------------
 
     // Gopher/C4-style boolean rule gate — every rule an auditable exact
@@ -3679,6 +3694,27 @@ object ExtQueries {
         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON g.bucket = c.bucket
         |ORDER BY bucket""".stripMargin,
+
+    // the exact winsorize rule re-derived: rank k = max(1,
+    // (ppm·n + 999999) // 1e6) over ascending o_totalprice (any tie
+    // order — the k-th VALUE of a multiset is unique), clamp, then the
+    // decimal-exact per-priority mean
+    "q_winsorize" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |            WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT o_totalprice,
+        |        row_number() OVER (ORDER BY o_totalprice) AS rnk
+        |      FROM orders WHERE o_totalprice IS NOT NULL),
+        |ks AS (SELECT greatest(1, (10000 * n + 999999) // 1000000) AS klo,
+        |              greatest(1, (990000 * n + 999999) // 1000000) AS khi
+        |       FROM nn),
+        |lo AS (SELECT o_totalprice AS v FROM r, ks WHERE rnk = klo),
+        |hi AS (SELECT o_totalprice AS v FROM r, ks WHERE rnk = khi)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(least(greatest(o_totalprice, lo.v), hi.v)
+        |               AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_w
+        |FROM orders, lo, hi
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // top-k keys re-derived with ORDER BY count DESC, key ASC (binary
     // string collation == the TopK string-tie contract)

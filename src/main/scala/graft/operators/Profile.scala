@@ -194,6 +194,67 @@ object Profile {
       .toDF("bucket", "n_a", "n_b", "diff_num", "ln_scaled")
   }
 
+  /** EXACT order-statistic quantiles — the value at rank
+    * `k = max(1, ceil(ppm·n / 10^6))` (1-based ascending) for each
+    * requested probability, given in PARTS-PER-MILLION so the target
+    * rank is pure integer arithmetic (`(ppm·n + 999999) div 10^6`) that
+    * any engine reproduces bit-exactly; interpolating quantile
+    * definitions are not ULP-portable (the q_median_exact lesson).
+    * Unlike `approx_percentile` this is the true order statistic — the
+    * winsorization / outlier-clipping cutoff a data pipeline wants to
+    * be reproducible across engines and runs.
+    *
+    * Scale: ranking rides [[Sampling.prefixSum]]'s two-phase distributed
+    * scheme (range exchange + per-partition window + broadcast offsets
+    * — never a single-task global window), one extra count job for `n`,
+    * and the cutoff extraction filters |distinct ranks| rows. NULL
+    * values are excluded (SQL aggregate convention). Ties across a
+    * range-partition boundary are safe: any tie order is consistent
+    * with value order, and the k-th VALUE of a multiset is unique.
+    *
+    * Output: (ppm, k, value), one row per requested ppm. */
+  def quantilesExact(df: DataFrame, valueCol: Column,
+      ppms: Seq[Long]): DataFrame = {
+    require(ppms.nonEmpty && ppms.forall(p => p >= 0L && p <= 1000000L),
+      s"ppms must be in [0, 1e6], got $ppms")
+    val spark = df.sparkSession
+    val rows = df.select(valueCol.as("__x")).filter(col("__x").isNotNull)
+    val n = rows.count()
+    require(n > 0, "quantilesExact over an empty (or all-NULL) column")
+    val pk = ppms.distinct.map(p => p -> math.max(1L, (p * n + 999999L) / 1000000L))
+    val ranked = Sampling.prefixSum(rows, col("__x"), lit(1L))
+      .withColumn("__rank", col("cum_before") + lit(1L))
+    val cut = ranked.filter(col("__rank").isin(pk.map(_._2).distinct: _*))
+      .select(col("__rank"), col("__x"))
+    import spark.implicits._
+    val wanted = pk.toDF("ppm", "__rank")
+    wanted.join(cut, Seq("__rank"))
+      .select(col("ppm"), col("__rank").as("k"), col("__x").as("value"))
+  }
+
+  /** Winsorize: clamp `valueCol` into the exact [pLow, pHigh] order-
+    * statistic cutoffs from [[quantilesExact]] (ppm probabilities). The
+    * two cutoffs broadcast as a 1-row relation onto the input — the
+    * clamp itself is a narrow map-side projection, no second shuffle of
+    * the data. Output: input columns + `<out>` (clamped value; NULL
+    * stays NULL). */
+  def winsorize(df: DataFrame, valueCol: Column, ppmLow: Long, ppmHigh: Long,
+      out: String = "winsorized"): DataFrame = {
+    require(ppmLow <= ppmHigh, s"need ppmLow <= ppmHigh, got $ppmLow > $ppmHigh")
+    val cuts = quantilesExact(df, valueCol, Seq(ppmLow, ppmHigh))
+    val lohi = cuts.groupBy().agg(
+      min(when(col("ppm") === ppmLow, col("value"))).as("__lo"),
+      max(when(col("ppm") === ppmHigh, col("value"))).as("__hi"))
+    df.crossJoin(broadcast(lohi))
+      // explicit NULL pass-through: Spark's greatest/least IGNORE nulls
+      // (greatest(NULL, lo) = lo — a NULL value would silently clamp to
+      // the low cutoff), and engines disagree on that rule, so the
+      // operator pins it
+      .withColumn(out, when(valueCol.isNull, lit(null))
+        .otherwise(least(greatest(valueCol, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Free pipeline telemetry: attach named rule counters to a DataFrame
     * via `observe` — per-rule violation counts (and the total row count)
     * are collected AS the plan's existing action runs, with zero extra

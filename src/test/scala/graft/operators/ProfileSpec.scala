@@ -100,6 +100,42 @@ class ProfileSpec extends SparkSuite {
       s"NULL predicate must land in n_b: $got")
   }
 
+  test("quantilesExact: integer ppm rank rule, duplicates, distributed == local") {
+    val df = (1 to 10).map(_.toDouble).toDF("v").repartition(7)
+    val got = Profile.quantilesExact(df, $"v",
+      Seq(0L, 100000L, 500000L, 1000000L))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((1L, 1.0)))        // ppm 0 clamps to rank 1
+    assert(got(100000L) == ((1L, 1.0)))   // ceil(0.1·10) = 1
+    assert(got(500000L) == ((5L, 5.0)))   // ceil(0.5·10) = 5
+    assert(got(1000000L) == ((10L, 10.0)))
+    // duplicate values: the k-th VALUE is unique whatever the tie order
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("v").repartition(3)
+    val med = Profile.quantilesExact(dup, $"v", Seq(500000L))
+      .as[(Long, Long, Double)].head()
+    assert(med == ((500000L, 3L, 2.0)))
+    // NULLs excluded like any SQL aggregate
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(Profile.quantilesExact(withNull, $"v", Seq(1000000L))
+      .as[(Long, Long, Double)].head() == ((1000000L, 2L, 3.0)))
+  }
+
+  test("winsorize: exact cutoffs clamp both tails, NULL passes through") {
+    val df = ((1 to 10).map(x => Some(x.toDouble)) :+ None).toDF("v")
+    val got = Profile.winsorize(df, $"v", ppmLow = 200000L, ppmHigh = 900000L)
+      .select($"v", $"winsorized").as[(Option[Double], Option[Double])]
+      .collect().toMap
+    assert(got(Some(1.0)).contains(2.0))  // low tail clamped up to rank-2 value
+    assert(got(Some(10.0)).contains(9.0)) // high tail clamped down to rank-9
+    assert(got(Some(5.0)).contains(5.0))  // interior untouched
+    assert(got(None).isEmpty, "NULL value must stay NULL")
+    // no second shuffle of the data: the cutoffs broadcast
+    val p = Profile.winsorize(df, $"v", 200000L, 900000L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutoffs must broadcast:\n${p.take(1500)}")
+  }
+
   test("keySkew: counts, hottest key, deterministic top-k list, no window") {
     import org.apache.spark.sql.functions.col
     val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b")).toDF("k")
