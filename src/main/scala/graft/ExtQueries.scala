@@ -822,6 +822,49 @@ object ExtQueries {
       root
     })
 
+  private val mediaReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed media ingest (decode-at-ingest), once per fixture dir: the
+    * q_media_decode doc-id subset arrives as a 3-batch deterministically
+    * scrambled checkpointed MemoryStream, the attach→decode kernels run
+    * INSIDE the streaming plan (narrow mapPartitions stages — payloads
+    * never shuffle, the decode cost rides the ingest scan exactly as a
+    * production pipeline pays it), and the features land in an
+    * append-mode parquet FILE SINK — exactly-once via the sink log, the
+    * standing feature table a media corpus maintains. The
+    * q_media_stream_replay face reads the sink back and must hash-match
+    * q_media_decode's closed-form oracle verbatim. Same
+    * first-touch-rebuild + md5(dir)+pid path contract as
+    * [[annIndexFixture]]. */
+  private def mediaReplayFixture(s: SparkSession, dir: String): String =
+    mediaReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_media_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long].collect()
+      val scrambled = ids.sortBy(id => scrambleKey(id, id))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = Multimodal.decodeFeatures(
+          Multimodal.attachPng(src.toDF().toDF("doc_id")))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/features")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val j2ReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1162,6 +1205,7 @@ object ExtQueries {
     dedupStreamReplayFixture(s, dir)
     j2ReplayFixture(s, dir)
     hllReplayFixture(s, dir)
+    mediaReplayFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -2730,6 +2774,15 @@ object ExtQueries {
             Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
               .select(col("doc_id"))),
           newWidth = 8, newHeight = 6))
+        .orderBy(col("doc_id"))),
+
+    // decode-at-ingest STREAMED: the same subset arrives as a 3-batch
+    // scrambled checkpointed stream, attach→decode run inside the
+    // streaming plan, features land in an append parquet file sink
+    // (exactly-once via the sink log) — the sink read-back must equal
+    // the batch face's closed-form oracle verbatim
+    "q_media_stream_replay" -> ((s, dir) =>
+      s.read.parquet(s"${mediaReplayFixture(s, dir)}/features")
         .orderBy(col("doc_id")))
   )
 
@@ -2801,6 +2854,28 @@ object ExtQueries {
     }
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
+
+  /** The REAL-decode oracle (shared by the batch face and the streamed
+    * replay): width/height/px_sum recomputed from the closed-form pixel
+    * rule (r=(s+x)%256, g=(s+y)%256, b=(s+x+y)%256 over w = id%16+4,
+    * h = id·7%16+4, s = id%256) — PNG is lossless, so equality certifies
+    * the engine decoded the actual raster. The bounded series (0..18)
+    * covers every dim; the x<w / y<h joins scope each doc's pixels. */
+  private val mediaDecodeOracleSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(doc_id % 16 + 4 AS INT) w,
+      |    CAST((doc_id * 7) % 16 + 4 AS INT) h,
+      |    CAST(doc_id % 256 AS INT) s
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |px AS (SELECT doc_id, w, h,
+      |    ((s + gx.x) % 256) + ((s + gy.y) % 256) +
+      |    ((s + gx.x + gy.y) % 256) AS v
+      |  FROM p
+      |  JOIN generate_series(0, 18) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 18) gy(y) ON gy.y < h)
+      |SELECT doc_id, 'image/png' AS mime, w AS width, h AS height,
+      |  CAST(sum(v) AS BIGINT) AS px_sum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   /** The q_fuzzy_pairs* oracle parameterized by the blocking prefix
     * length — ONE derivation for every dial setting (fast pl=15,
@@ -3898,21 +3973,12 @@ object ExtQueries {
     // so equality certifies the decoder read the actual raster. The
     // bounded series (0..18) covers every dim; the x<w / y<h joins
     // scope each doc's pixels.
-    "q_media_decode" ->
-      """WITH p AS (SELECT doc_id,
-        |    CAST(doc_id % 16 + 4 AS INT) w,
-        |    CAST((doc_id * 7) % 16 + 4 AS INT) h,
-        |    CAST(doc_id % 256 AS INT) s
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |px AS (SELECT doc_id, w, h,
-        |    ((s + gx.x) % 256) + ((s + gy.y) % 256) +
-        |    ((s + gx.x + gy.y) % 256) AS v
-        |  FROM p
-        |  JOIN generate_series(0, 18) gx(x) ON gx.x < w
-        |  JOIN generate_series(0, 18) gy(y) ON gy.y < h)
-        |SELECT doc_id, 'image/png' AS mime, w AS width, h AS height,
-        |  CAST(sum(v) AS BIGINT) AS px_sum
-        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "q_media_decode" -> mediaDecodeOracleSql,
+
+    // the STREAMED decode-at-ingest sink must land on the identical
+    // closed-form oracle — one derivation for both the batch face and
+    // the 3-batch checkpointed replay
+    "q_media_stream_replay" -> mediaDecodeOracleSql,
 
     // resized checksum from the source rule + the nearest-neighbor index
     // mapping sx = x*w0 // 8, sy = y*h0 // 6 (integer division, exactly
