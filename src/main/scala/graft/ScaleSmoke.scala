@@ -112,7 +112,15 @@ object ScaleSmoke {
       val fx = ccIncFixture(s, dir)
       graft.operators.Graph.incrementalCC(
         s.read.parquet(s"$fx/labels"), s.read.parquet(s"$fx/delta"))
-    }))
+    }),
+    // r14: exact winsorization — the two-phase distributed rank (range
+    // exchange + per-partition window + broadcast offsets) plus the
+    // 1-row cutoff broadcast; orders grows 10× per step, so the curve
+    // covers the ranking pass AND proves no single-task global window
+    // (which would flatline at one core and blow the step ratio)
+    "winsorize" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Profile.winsorize(Tables.orders(s, dir),
+        col("o_totalprice"), ppmLow = 10000L, ppmHigh = 990000L)))
 
   private val ccIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
