@@ -202,13 +202,18 @@ object Bench {
       .sortBy(q => -curMap(q))
       .map(q => s"$q:${sec3(curMap(q))}(r1 ${sec3(base(q))})")
     val missing = (base.keySet -- curMap.keySet).toSeq.sorted
+    // BOTH lists are capped (full counts always present): a rename sweep
+    // could otherwise put ~51 missing names (~1.3 KB) on the stdout line
+    // and truncate the driver's 2000-byte tail mid-JSON
     s"""{"r1_total":${sec3(baseTotal)},"r1_n":${base.size},""" +
       s""""shared_n":${shared.size},"raw_ratio":${sec3(raw)},""" +
       s""""comparable_ratio":${sec3(comparable)},""" +
       s""""breach_count":${breaches.size},""" +
       breaches.take(8).map("\"" + _ + "\"").mkString("\"breaches\":[", ",", "]") +
       (if (missing.isEmpty) ""
-      else missing.map("\"" + _ + "\"").mkString(""","r1_missing":[""", ",", "]")) +
+      else s""","r1_missing_count":${missing.size},""" +
+        missing.take(8).map("\"" + _ + "\"")
+          .mkString("\"r1_missing\":[", ",", "]")) +
       "}"
   }
 
@@ -270,11 +275,19 @@ object Bench {
         .mkString(""","env":{""", ",", "}"))
     val full = line(results, fileExtra)
     val printedFull = line(results, "")
+    val compact = line(results.sortBy(-_._2).take(20),
+      ""","queries_shown":"slowest 20 of """ + results.size +
+        """; full map in bench_metric.json"""")
     val printed =
       if (printedFull.length <= maxBytes) printedFull
-      else line(results.sortBy(-_._2).take(20),
-        ""","queries_shown":"slowest 20 of """ + results.size +
-          """; full map in bench_metric.json"""")
+      else if (compact.length <= maxBytes) compact
+      else {
+        // last resort: the baseline block itself pushed the compact line
+        // over — drop it from STDOUT only (it always survives in the
+        // file line) rather than risk a mid-JSON tail truncation
+        val noBase = compact.replace(baseExtra, "")
+        noBase
+      }
     (printed, full)
   }
 }

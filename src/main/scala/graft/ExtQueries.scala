@@ -3786,7 +3786,8 @@ object ExtQueries {
         |lo AS (SELECT o_totalprice AS v FROM r, ks WHERE rnk = klo),
         |hi AS (SELECT o_totalprice AS v FROM r, ks WHERE rnk = khi)
         |SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(least(greatest(o_totalprice, lo.v), hi.v)
+        |  CAST(sum(CAST(CASE WHEN o_totalprice IS NULL THEN NULL
+        |                ELSE least(greatest(o_totalprice, lo.v), hi.v) END
         |               AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_w
         |FROM orders, lo, hi
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

@@ -391,7 +391,10 @@ object Dedup {
     when(size(col("sig")) === numHashes, col("sig"))
       .otherwise(raise_error(concat(
         lit(s"precomputed sig length != bands*rowsPerBand = $numHashes: got "),
-        size(col("sig")).cast("string"),
+        // coalesce: size(NULL) is NULL and would null the whole message
+        // (raise_error with a NULL text) — a null-sig row must still
+        // trip the guard WITH the contract text
+        coalesce(size(col("sig")), lit(-1)).cast("string"),
         lit(" — index built under a different (bands, rowsPerBand)"))))
 
   /** Near-dup pairs of DELTA documents against a standing corpus's

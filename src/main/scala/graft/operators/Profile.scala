@@ -219,11 +219,14 @@ object Profile {
       s"ppms must be in [0, 1e6], got $ppms")
     val spark = df.sparkSession
     val rows = df.select(valueCol.as("__x")).filter(col("__x").isNotNull)
-    val n = rows.count()
-    require(n > 0, "quantilesExact over an empty (or all-NULL) column")
-    val pk = ppms.distinct.map(p => p -> math.max(1L, (p * n + 999999L) / 1000000L))
+    // rank FIRST, count from the ranked relation: prefixSum persists its
+    // numbered rows (its totals-collect materializes the cache), so this
+    // count reads the cache instead of paying a second full input scan
     val ranked = Sampling.prefixSum(rows, col("__x"), lit(1L))
       .withColumn("__rank", col("cum_before") + lit(1L))
+    val n = ranked.count()
+    require(n > 0, "quantilesExact over an empty (or all-NULL) column")
+    val pk = ppms.distinct.map(p => p -> math.max(1L, (p * n + 999999L) / 1000000L))
     val cut = ranked.filter(col("__rank").isin(pk.map(_._2).distinct: _*))
       .select(col("__rank"), col("__x"))
     import spark.implicits._

@@ -237,24 +237,46 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 7L, idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Int = 10000,
-      centroidsSink: Option[String] = None): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      centroidsSink: Option[String] = None): DataFrame =
+    ivfSelfTopK(corpus, k, nlist, nprobe, idCol, vecCol,
+      excludeLabelCol = None, trainSample, centroidsSink)
+
+  /** Shared core of [[knnGraph]] and [[hardNegatives]] — ONE derivation
+    * (train sample, Lloyd, centroid sink, assignment, probing, scoring,
+    * k-bounded top-k) so the two faces can never drift from the shared
+    * staged-quantizer oracle: quantizer assignment at nprobe=1, each
+    * query probes its `nprobe` nearest cells, candidates meet on the
+    * cell (SHUFFLE join — queries = corpus, nothing broadcasts), and
+    * the exclusion predicate is the ONLY difference: self-id for the
+    * kNN graph, same-label for hard negatives (which subsumes self —
+    * same id ⇒ same label). */
+  private def ivfSelfTopK(corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      idCol: String, vecCol: String, excludeLabelCol: Option[String],
+      trainSample: Int, centroidsSink: Option[String]): DataFrame = {
+    val c = corpus.select((Seq(col(idCol).as("vec_id")) ++
+      excludeLabelCol.map(l => col(l).as("lab")) :+
+      asDouble(col(vecCol)).as("v")): _*)
     val sample = c.orderBy(col("vec_id")).limit(trainSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
     centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
-    // staged: the (vec_id, v, cell) relation feeds BOTH join sides — an
-    // unmaterialized diamond would run the assignment kernel twice
+    // staged: the (vec_id[, lab], v, cell) relation feeds BOTH join sides
+    // — an unmaterialized diamond would run the assignment kernel twice
     val bucketed = c.withColumn("cell",
         element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed = c.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probed = c.select((Seq(col("vec_id").as("query_id")) ++
+        excludeLabelCol.map(_ => col("lab").as("qlab")) :+
+        col("v").as("qv")): _*)
       .withColumn("cell", explode(Similarity.nearestCells(col("qv"), cents, nprobe)))
-    val scored = bucketed.join(probed, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    val joined = bucketed.join(probed, Seq("cell"))
+    val kept = excludeLabelCol match {
+      case Some(_) => joined.filter(col("lab") =!= col("qlab"))
+      case None => joined.filter(col("query_id") =!= col("vec_id"))
+    }
+    val scored = kept.select(col("query_id"), col("vec_id"),
+      round(cosine(col("qv"), col("v")), 6).as("cos"))
     topKPerQuery(scored, "cos", k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
   }
@@ -273,27 +295,9 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", trainSample: Int = 10000,
-      centroidsSink: Option[String] = None): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("lab"),
-      asDouble(col(vecCol)).as("v"))
-    val sample = c.orderBy(col("vec_id")).limit(trainSample)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
-    centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
-    val bucketed = c.withColumn("cell",
-        element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed = c.select(col("vec_id").as("query_id"),
-        col("lab").as("qlab"), col("v").as("qv"))
-      .withColumn("cell", explode(Similarity.nearestCells(col("qv"), cents, nprobe)))
-    val scored = bucketed.join(probed, Seq("cell"))
-      .filter(col("lab") =!= col("qlab"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
-    topKPerQuery(scored, "cos", k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
-  }
+      centroidsSink: Option[String] = None): DataFrame =
+    ivfSelfTopK(corpus, k, nlist, nprobe, idCol, vecCol,
+      excludeLabelCol = Some(labelCol), trainSample, centroidsSink)
 
   /** Recall audit: per-query overlap of an approximate top-k result with
     * the exact top-k on the same (corpus, queries, k) — the in-engine

@@ -31,7 +31,7 @@ object Prof {
     // `name@/some/sf/dir` runs that query against an explicit fixture dir
     // (simulating Bench's warm-at-sf0.001-then-time-at-sf0.1 sequence)
     qs.foreach { q =>
-      val (name, d) = q.split("@") match {
+      val (name, d) = q.split("@", 2) match {
         case Array(n, over) => (n, over)
         case _ => (q, dir)
       }
