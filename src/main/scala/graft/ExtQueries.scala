@@ -822,6 +822,52 @@ object ExtQueries {
       root
     })
 
+  private val pctReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed QUANTILE sketch-state maintenance, once per fixture dir
+    * (the percentile twin of [[hllReplayFixture]]): update-mode
+    * `percentile_approx(value, 0.5, 1000)` per event_type over a
+    * 3-batch deterministically scrambled checkpointed MemoryStream —
+    * the QuantileSummaries partial state merges in the state store
+    * across batches, which is exactly what the face's rank-error
+    * contract gates (a wrong cross-batch merge lands the final estimate
+    * outside the ±1/accuracy rank band). Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def pctReplayFixture(s: SparkSession, dir: String): String =
+    pctReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_pct_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .as[(Long, String, Double)].collect()
+      val scrambled = rows.sortBy(r => scrambleKey(r._1 * 2654435761L, r._1))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val q = src.toDF().toDF("event_id", "event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$root/updates")
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val mediaReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1206,6 +1252,7 @@ object ExtQueries {
     j2ReplayFixture(s, dir)
     hllReplayFixture(s, dir)
     mediaReplayFixture(s, dir)
+    pctReplayFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -2368,6 +2415,36 @@ object ExtQueries {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") <=
             col("exact_users").cast("double") * 0.05).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // streamed QUANTILE sketch-state maintenance under the oracle gate
+    // (the percentile twin of q_approx_distinct_stream_replay): the
+    // final ap50 per type from the 3-batch scrambled checkpointed
+    // replay must sit within the ±1/accuracy RANK band of the exact
+    // median (rank counts recomputed engine-side, exact median + the
+    // boolean re-derived by the oracle) — the cross-batch
+    // QuantileSummaries state merge is what's gated
+    "q_percentile_stream_replay" -> ((s, dir) => {
+      val acc = 1000
+      val eps = 1.0 / acc
+      val fin = s.read.parquet(s"${pctReplayFixture(s, dir)}/updates")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("ap50"), col("batch_id")).as("ap50"))
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      ev.join(broadcast(fin), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("at_or_below"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50_exact"),
+          count(col("value")).as("n"))
+        .select(col("event_type"), col("n"), col("p50_exact"),
+          (col("below").cast("double") <= (lit(0.5) + eps) * col("n") + 1.0 &&
+            col("at_or_below").cast("double") >= (lit(0.5) - eps) * col("n") - 1.0)
+            .as("p50_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -3860,6 +3937,16 @@ object ExtQueries {
         |true AS approx_ok
         |FROM events
         |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the percentile twin: exact n + exact median re-derived; the
+    // sketch's rank-band boolean must come out true on the engine side
+    "q_percentile_stream_replay" ->
+      """SELECT event_type, count(value) AS n,
+        |round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |true AS p50_ok
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // batch range join over the same events, restricted to the
