@@ -2853,6 +2853,20 @@ object ExtQueries {
           newWidth = 8, newHeight = 6))
         .orderBy(col("doc_id"))),
 
+    // REAL frame sampling: each doc carries a multi-frame animated-GIF
+    // payload (palette-exact 8-gray frames, so the GIF hop is lossless
+    // by construction); decodeFrames opens the container with
+    // javax.imageio, reads EVERY frame, and emits per-frame gray-level
+    // sums from the decoded raster — the oracle recomputes frame count,
+    // dims, and each frame's sum from the closed-form level rule, so a
+    // decoder that drops/reorders/misreads frames diverges
+    "q_media_frames_real" -> ((s, dir) =>
+      Multimodal.decodeFrames(
+        Multimodal.attachGif(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"))))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // decode-at-ingest STREAMED: the same subset arrives as a 3-batch
     // scrambled checkpointed stream, attach→decode run inside the
     // streaming plan, features land in an append parquet file sink
@@ -4067,6 +4081,28 @@ object ExtQueries {
     // closed-form oracle — one derivation for both the batch face and
     // the 3-batch checkpointed replay
     "q_media_stream_replay" -> mediaDecodeOracleSql,
+
+    // per-frame level sums from the closed-form GIF rule: frame count
+    // nf = id%3+2, dims w = id%8+4 / h = id·3%8+4, level(x,y,f) =
+    // (s+x+2y+3f) mod 8 — the bounded series cover every dim/frame
+    "q_media_frames_real" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 3 + 2 AS INT) nf,
+        |    CAST(doc_id % 8 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, w, h, s, gf.f
+        |  FROM p JOIN generate_series(0, 3) gf(f) ON gf.f < nf),
+        |px AS (SELECT doc_id, w, h, f,
+        |    (s + gx.x + 2 * gy.y + 3 * f) % 8 AS v
+        |  FROM fr
+        |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
+        |  JOIN generate_series(0, 10) gy(y) ON gy.y < h)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
+        |  h AS height, CAST(sum(v) AS BIGINT) AS lvl_sum
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // resized checksum from the source rule + the nearest-neighbor index
     // mapping sx = x*w0 // 8, sy = y*h0 // 6 (integer division, exactly

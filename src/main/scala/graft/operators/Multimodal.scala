@@ -233,6 +233,151 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL multi-frame encode — an animated-GIF payload via the JDK's
+    * GIF `ImageWriter` (writeToSequence; offline-safe, no external
+    * codec). Frames are PALETTE-EXACT: each is a TYPE_BYTE_INDEXED
+    * image over an explicit 8-gray IndexColorModel (c = level·32,
+    * level 0..7), so the GIF round trip is lossless by construction —
+    * the writer stores the palette as-is, no quantization. Pixel rule:
+    * `level(x, y, f) = (seed + x + 2y + 3f) mod 8` — closed-form, so a
+    * decoder's per-frame checksum is re-derivable by any engine. */
+  def encodeGif(width: Int, height: Int, frames: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      s"bad dims: ${width}x$height x$frames")
+    val levels = (0 until 8).map(l => (l * 32).toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(
+      3, 8, levels, levels, levels)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, (seed + x + 2 * y + 3 * f) % 8)
+          x += 1
+        }
+        y += 1
+      }
+      // interlaceFlag OFF, explicitly: the JDK writer's DEFAULT image
+      // metadata sets it TRUE, and its interlaced write path scrambles
+      // and drops scanlines at small heights (observed: a 4-row frame
+      // decoded as rows [0, 3, 1, zeros]) — sequential scan order is
+      // both correct and what the closed-form oracle assumes
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("interlaceFlag", "FALSE")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL frame sampling over a multi-frame payload: `javax.imageio`
+    * opens the container, reads EVERY frame (`getNumImages`), and emits
+    * one row per frame with the decoded gray-level pixel sum
+    * Σ level(x, y) (the raster's 3-bit index — equal to pixel_gray/32
+    * for the [[encodeGif]] palette). The honest successor to the
+    * [[frameSample]] slice stub: the frames come out of a real decoder,
+    * and a corrupt payload yields ZERO rows, never a task failure.
+    * Output: (id, frame_idx, width, height, lvl_sum). */
+  def decodeFrames(df: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol), col("media"))
+    val outSchema = StructType(
+      StructField(idCol, in.schema(idCol).dataType) +: Seq(
+        StructField("frame_idx", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("lvl_sum", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val payload =
+            if (r.isNullAt(1)) null
+            else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
+          if (payload == null) Iterator.empty
+          else {
+            val frames = try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Seq.empty
+              else {
+                val reader = readers.next()
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val out = (0 until n).map { i =>
+                  val img = reader.read(i)
+                  var sum = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      // gray level from the decoded ARGB (channel/32):
+                      // reads the actual raster, not the palette index
+                      // bytes, so a decoder bug cannot echo through
+                      sum += ((img.getRGB(x, y) >> 16) & 0xFF) / 32
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (i, img.getWidth, img.getHeight, sum)
+                }
+                reader.dispose()
+                out
+              }
+            } catch { case _: java.io.IOException => Seq.empty }
+            frames.iterator.map { case (i, w, h, sum) =>
+              Row(r.get(0), i, w, h, sum) }
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Attach a REAL multi-frame GIF payload per row (the [[attachPng]]
+    * convention): `w = id mod 8 + 4`, `h = id·3 mod 8 + 4`,
+    * `frames = id mod 3 + 2`, `seed = id mod 8` — all pure integer
+    * functions of the id, so the per-frame decode output is
+    * oracle-derivable without decoding. */
+  def attachGif(ids: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = ids.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 8 + 4).toInt
+          val h = (id * 3 % 8 + 4).toInt
+          val gif = encodeGif(w, h, (id % 3 + 2).toInt, (id % 8).toInt)
+          Row(id, Row(gif, Row("image/gif", w, h)))
+        }
+      }
+    }.toDF()
+  }
+
   /** Batched REAL decode over a `media` column: `javax.imageio` reads
     * each payload and emits (id, mime, width, height, px_sum) — width/
     * height/checksum come from the DECODED raster, never from the meta

@@ -111,6 +111,48 @@ class MultimodalSpec extends SparkSuite {
     assert(nulled.getAs[Any]("px_sum") == null)
   }
 
+  test("REAL frame sampling: multi-frame GIF round trip, per-frame exact level sums") {
+    def lvl(s: Int, x: Int, y: Int, f: Int): Long = ((s + x + 2 * y + 3 * f) % 8).toLong
+    val (w, h, nf, s0) = (6, 5, 3, 5)
+    val gif = Multimodal.encodeGif(w, h, nf, s0)
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F', "real GIF magic")
+    // PER-PIXEL check (not just sums — a scanline permutation preserves
+    // the sum, which is exactly how the JDK writer's buggy interlaced
+    // path slipped past the first version of this test): frame 1 must
+    // decode to the literal level grid in scan order
+    locally {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val img = reader.read(1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(((img.getRGB(x, y) >> 16) & 0xFF) / 32 == lvl(s0, x, y, 1),
+          s"pixel ($x,$y) of frame 1 decoded wrong")
+      reader.dispose()
+    }
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(gif,
+          org.apache.spark.sql.Row("image/gif", w, h))),
+        org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(
+          "not a gif".getBytes("UTF-8"),
+          org.apache.spark.sql.Row("image/gif", 1, 1))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val got = Multimodal.decodeFrames(src)
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // corrupt payload → zero rows for doc 2, never a failure
+    assert(got.forall(_._1 == 1L) && got.length == nf)
+    got.foreach { case (_, f, gw, gh, sum) =>
+      assert(gw == w && gh == h)
+      val want = (0 until h).map(y => (0 until w).map(x => lvl(s0, x, y, f)).sum).sum
+      assert(sum == want, s"frame $f: got $sum want $want")
+    }
+  }
+
   test("attachPng → decodeFeatures: end-to-end over a DataFrame, nulls tolerated") {
     val ids = Seq(0L, 5L, 260L).toDF("doc_id")
     val got = Multimodal.decodeFeatures(Multimodal.attachPng(ids))
