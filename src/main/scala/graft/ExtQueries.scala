@@ -2853,6 +2853,18 @@ object ExtQueries {
           newWidth = 8, newHeight = 6))
         .orderBy(col("doc_id"))),
 
+    // REAL audio decode (the WAV twin of q_media_decode): each doc
+    // carries a 16-bit PCM WAV from a closed-form sample rule; the face
+    // decodes the stream with javax.sound.sampled and emits the format
+    // + sample count + sample sum FROM THE PCM BYTES — the oracle
+    // recomputes all of it from the rule (PCM WAV is lossless)
+    "q_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.attachWav(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
     // REAL frame sampling: each doc carries a multi-frame animated-GIF
     // payload (palette-exact 8-gray frames, so the GIF hop is lossless
     // by construction); decodeFrames opens the container with
@@ -4081,6 +4093,21 @@ object ExtQueries {
     // closed-form oracle — one derivation for both the batch face and
     // the 3-batch checkpointed replay
     "q_media_stream_replay" -> mediaDecodeOracleSql,
+
+    // decoded PCM format + sample sum from the closed-form audio rule:
+    // n = id%64+16 samples of s_i = ((id%1000 + 7i) mod 65536) − 32768
+    "q_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 16 AS BIGINT) n,
+        |    CAST(doc_id % 1000 AS BIGINT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sm AS (SELECT doc_id, n,
+        |    CAST(sum(((s + 7 * gi.i) % 65536) - 32768) AS BIGINT) AS sample_sum
+        |  FROM p JOIN generate_series(0, 78) gi(i) ON gi.i < n
+        |  GROUP BY doc_id, n)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  n AS n_samples, sample_sum
+        |FROM sm ORDER BY doc_id""".stripMargin,
 
     // per-frame level sums from the closed-form GIF rule: frame count
     // nf = id%3+2, dims w = id%8+4 / h = id·3%8+4, level(x,y,f) =

@@ -378,6 +378,114 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL audio encode — a PCM WAV payload via `javax.sound.sampled`
+    * (pure JDK, offline-safe): 16-bit signed little-endian mono at
+    * 8 kHz, samples from the closed-form rule
+    * `s_i = ((seed + 7i) mod 65536) − 32768`. PCM WAV is lossless, so
+    * the decoded sample stream must reproduce the rule exactly — the
+    * audio twin of [[encodePng]]. */
+  def encodeWav(nSamples: Int, seed: Int): Array[Byte] = {
+    require(nSamples > 0, s"bad sample count: $nSamples")
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((seed + 7 * i) % 65536) - 32768
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: container format
+    * (sample rate, channels, bits) read from the WAV header, plus the
+    * decoded 16-bit sample count and sum — all from the actual PCM
+    * stream, never echoed metadata. None for undecodable bytes. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      ais.close()
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, n.toLong, sum))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Attach a REAL WAV payload per row: `n = id mod 64 + 16` samples,
+    * `seed = id mod 1000` — pure integer functions of the id, so the
+    * decode output is oracle-derivable without decoding (the
+    * [[attachPng]] convention, audio modality). */
+  def attachWav(ids: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = ids.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val wav = encodeWav((id % 64 + 16).toInt, (id % 1000).toInt)
+          Row(id, Row(wav, Row("audio/wav", null, null)))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Batched REAL audio feature extraction over a `media` column:
+    * (id, sample_rate, channels, bits, n_samples, sample_sum) from the
+    * decoded PCM stream; undecodable/null payloads yield null
+    * features. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol), col("media"))
+    val outSchema = StructType(
+      StructField(idCol, in.schema(idCol).dataType) +: Seq(
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("bits", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("sample_sum", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload =
+            if (r.isNullAt(1)) null
+            else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
+          if (payload == null) Row(r.get(0), null, null, null, null, null)
+          else decodeWav(payload) match {
+            case Some((sr, ch, bits, n, sum)) =>
+              Row(r.get(0), sr, ch, bits, n, sum)
+            case None => Row(r.get(0), null, null, null, null, null)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Batched REAL decode over a `media` column: `javax.imageio` reads
     * each payload and emits (id, mime, width, height, px_sum) — width/
     * height/checksum come from the DECODED raster, never from the meta

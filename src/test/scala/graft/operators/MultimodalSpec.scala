@@ -153,6 +153,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("REAL audio: WAV PCM round trip recovers format, count, and exact sample sum") {
+    def sample(s: Int, i: Int): Long = (((s + 7 * i) % 65536) - 32768).toLong
+    val (n, s0) = (40, 123)
+    val wav = Multimodal.encodeWav(n, s0)
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F',
+      "real RIFF/WAV magic")
+    val want = (0 until n).map(sample(s0, _)).sum
+    assert(Multimodal.decodeWav(wav).contains((8000, 1, 16, n.toLong, want)))
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    // end-to-end over a DataFrame with the id-derived rule
+    val got = Multimodal.decodeAudioFeatures(
+      Multimodal.attachWav(Seq(0L, 7L, 1005L).toDF("doc_id")))
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    got.foreach { case (id, sr, ch, bits, nn, sum) =>
+      assert((sr, ch, bits) == ((8000, 1, 16)))
+      val en = (id % 64 + 16).toInt
+      assert(nn == en.toLong)
+      val es = (id % 1000).toInt
+      assert(sum == (0 until en).map(sample(es, _)).sum, s"doc $id")
+    }
+  }
+
   test("attachPng → decodeFeatures: end-to-end over a DataFrame, nulls tolerated") {
     val ids = Seq(0L, 5L, 260L).toDF("doc_id")
     val got = Multimodal.decodeFeatures(Multimodal.attachPng(ids))
