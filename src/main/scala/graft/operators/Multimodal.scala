@@ -131,9 +131,11 @@ object Multimodal {
     * installed reader accepts (the null-tolerant contract — a corrupt
     * payload yields null features, never a task failure). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    // NonFatal: JDK image readers throw unchecked on fuzzed payloads
+    // (the corrupt-row contract is None, never a failure)
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       var sum = 0L
@@ -207,7 +209,7 @@ object Multimodal {
           val src = if (payload == null) null
             else try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (src == null) Row(id, null)
           else {
             val (w0, h0) = (src.getWidth, src.getHeight)
@@ -315,16 +317,25 @@ object Multimodal {
             else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
           if (payload == null) Iterator.empty
           else {
+            // stream + reader ALWAYS released (finally): the default
+            // ImageInputStream is file-cache backed — one leaked fd +
+            // temp file per row would exhaust the executor at scale.
+            // NonFatal, not just IOException: the JDK GIF reader throws
+            // unchecked (AIOOBE/NegativeArraySize) on fuzzed payloads,
+            // and the corrupt-row contract is zero rows, never a task
+            // failure.
+            var iis: javax.imageio.stream.ImageInputStream = null
+            var reader: javax.imageio.ImageReader = null
             val frames = try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
+              iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(payload))
               val readers = javax.imageio.ImageIO.getImageReaders(iis)
               if (!readers.hasNext) Seq.empty
               else {
-                val reader = readers.next()
+                reader = readers.next()
                 reader.setInput(iis)
                 val n = reader.getNumImages(true)
-                val out = (0 until n).map { i =>
+                (0 until n).map { i =>
                   val img = reader.read(i)
                   var sum = 0L
                   var y = 0
@@ -341,10 +352,14 @@ object Multimodal {
                   }
                   (i, img.getWidth, img.getHeight, sum)
                 }
-                reader.dispose()
-                out
               }
-            } catch { case _: java.io.IOException => Seq.empty }
+            } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            finally {
+              if (reader != null) try reader.dispose() catch {
+                case scala.util.control.NonFatal(_) => () }
+              if (iis != null) try iis.close() catch {
+                case scala.util.control.NonFatal(_) => () }
+            }
             frames.iterator.map { case (i, w, h, sum) =>
               Row(r.get(0), i, w, h, sum) }
           }
@@ -426,10 +441,7 @@ object Multimodal {
         Some((fmt.getSampleRate.toInt, fmt.getChannels,
           fmt.getSampleSizeInBits, n.toLong, sum))
       }
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Attach a REAL WAV payload per row: `n = id mod 64 + 16` samples,
