@@ -205,6 +205,20 @@ class AsOfSpec extends SparkSuite {
     assert(fwd.contains(11L))
   }
 
+  test("joinWithin nearest: no-candidate keys stay null (outer) / drop (inner)") {
+    // key C has no quotes at all: the nearest champion is NULL and the
+    // tolerance predicate must not resurrect anything
+    val t = Seq((4L, "C", ts("2020-01-01 10:00:00"))).toDF("trade_id", "sym", "t")
+    val outer = AsOf.joinWithin(t, quotes, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 1 hour"), inner = false, direction = "nearest")
+    assert(outer.count() == 1 && outer.select($"qid").head().isNullAt(0))
+    val inner = AsOf.joinWithin(t, quotes, col("sym"), col("sym"), col("t"),
+      col("qt"), Seq("qid", "px"), col("qid"),
+      tolerance = expr("interval 1 hour"), inner = true, direction = "nearest")
+    assert(inner.count() == 0)
+  }
+
   test("joinWithin rejects an unknown direction") {
     intercept[IllegalArgumentException] {
       AsOf.joinWithin(trades, quotes, col("sym"), col("sym"), col("t"),

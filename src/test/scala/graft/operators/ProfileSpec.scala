@@ -120,6 +120,26 @@ class ProfileSpec extends SparkSuite {
       .as[(Long, Long, Double)].head() == ((1000000L, 2L, 3.0)))
   }
 
+  test("quantilesExact/winsorize edge cases: single row, equal cutoffs, empty input") {
+    // single row: every ppm maps to rank 1, the row's own value
+    val one = Seq(42.0).toDF("v")
+    val qs = Profile.quantilesExact(one, $"v", Seq(0L, 500000L, 1000000L))
+      .as[(Long, Long, Double)].collect()
+    assert(qs.toSet == Set((0L, 1L, 42.0), (500000L, 1L, 42.0), (1000000L, 1L, 42.0)))
+    // ppmLow == ppmHigh: everything clamps to that one exact value
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val pinned = Profile.winsorize(df, $"v", 500000L, 500000L)
+      .select($"winsorized").as[Double].collect().toSet
+    assert(pinned == Set(3.0))
+    // empty / all-NULL input fails loudly, not with a wrong quantile
+    intercept[IllegalArgumentException] {
+      Profile.quantilesExact(Seq.empty[Double].toDF("v"), $"v", Seq(500000L))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.quantilesExact(Seq(Option.empty[Double]).toDF("v"), $"v", Seq(500000L))
+    }
+  }
+
   test("winsorize: exact cutoffs clamp both tails, NULL passes through") {
     val df = ((1 to 10).map(x => Some(x.toDouble)) :+ None).toDF("v")
     val got = Profile.winsorize(df, $"v", ppmLow = 200000L, ppmHigh = 900000L)

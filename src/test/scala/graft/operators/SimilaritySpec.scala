@@ -137,6 +137,12 @@ class SimilaritySpec extends SparkSuite {
         s"only-brute=${(brute -- all).take(3)}")
   }
 
+  test("hardNegatives: an all-same-label corpus yields zero negatives, not errors") {
+    import org.apache.spark.sql.functions.lit
+    val mono = embs.withColumn("label", lit("only"))
+    assert(Similarity.hardNegatives(mono, k = 3, nlist = 4, nprobe = 4).count() == 0)
+  }
+
   test("recallAudit: exact self-audit is 1.0, LSH audit beats the random floor") {
     val queries = embs.filter($"vec_id" < 8)
     val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
