@@ -91,6 +91,14 @@ object AsOf {
 
     val carried = l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      // null-TIME left rows never match (`NULL <= t` / `NULL >= t` is
+      // never true). Backward gets this for free — asc sorts nulls
+      // FIRST, before any right row — but the forward scan's desc sort
+      // puts them LAST, where the window hands them the final carried
+      // payload (caught by the PropertiesSpec forward/nearest reference
+      // property). Explicit for both directions.
+      .withColumn("__asof",
+        when(col("__t").isNull, lit(null)).otherwise(col("__asof")))
       .filter(col("__side") === 1)
 
     val matched = if (inner) carried.filter(col("__asof").isNotNull) else carried
@@ -160,7 +168,10 @@ object AsOf {
     val pick = when(col("__b").isNull, col("__f"))
       .when(col("__f").isNull, col("__b"))
       .otherwise(when(gapF < gapB, col("__f")).otherwise(col("__b")))
-    val chosen = carried.withColumn("__asof", pick)
+    // null-TIME left rows never match (same rule as joinDir: the desc
+    // forward window would otherwise hand them a champion)
+    val chosen = carried.withColumn("__asof",
+      when(col("__t").isNull, lit(null)).otherwise(pick))
     val matched = if (inner) chosen.filter(col("__asof").isNotNull) else chosen
     matched.select(
       (lCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++

@@ -223,6 +223,83 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("forward/nearest as-of == local reference for any data incl. nulls and ties") {
+    // the r14 direction surface under the same adversarial generator as
+    // the backward property: null keys/times, instant ties (highest ord
+    // wins), and the nearest gap-tie-to-backward rule
+    import graft.operators.AsOf
+    val keyGen = Gen.oneOf[Option[Long]](None, Some(1L), Some(2L))
+    val timeGen: Gen[Option[Long]] =
+      Gen.oneOf(None +: (0L to 6L).map(t => Some(t): Option[Long]))
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 10)
+      nr <- Gen.chooseNum(0, 12)
+      lrows <- Gen.listOfN(nl, Gen.zip(keyGen, timeGen))
+      rrows <- Gen.listOfN(nr, Gen.zip(keyGen, timeGen, Gen.chooseNum(0, 99)))
+    } yield (
+      lrows.zipWithIndex.map { case ((k: Option[Long], t: Option[Long]), i) =>
+        (k, t, i.toLong) },
+      rrows.zipWithIndex.map {
+        case ((k: Option[Long], t: Option[Long], v: Int), i) =>
+          (k, t, v.toLong, i.toLong) })
+    check(Prop.forAll(caseGen) { case (lrows, rrows) =>
+      val left = lrows.toDF("lk", "lt", "lv")
+      val right = rrows.toDF("rk", "rt", "rv", "ord")
+      def bwd(k: Long, t: Long) = {
+        val c = rrows.filter(r => r._1.contains(k) && r._2.exists(_ <= t))
+        if (c.isEmpty) None else Some(c.maxBy(r => (r._2.get, r._4)))
+      }
+      def fwd(k: Long, t: Long) = {
+        val c = rrows.filter(r => r._1.contains(k) && r._2.exists(_ >= t))
+        if (c.isEmpty) None
+        else Some(c.minBy(r => (r._2.get, -r._4))) // earliest; instant tie → max ord
+      }
+      def refFwd(l: (Option[Long], Option[Long], Long)): Option[Long] =
+        (l._1, l._2) match {
+          case (Some(k), Some(t)) => fwd(k, t).map(_._3)
+          case _ => None
+        }
+      def refNear(l: (Option[Long], Option[Long], Long)): Option[Long] =
+        (l._1, l._2) match {
+          case (Some(k), Some(t)) => (bwd(k, t), fwd(k, t)) match {
+            case (None, f) => f.map(_._3)
+            case (b, None) => b.map(_._3)
+            case (Some(b), Some(f)) =>
+              // strictly smaller forward gap wins; ties → backward
+              Some(if (f._2.get - t < t - b._2.get) f._3 else b._3)
+          }
+          case _ => None
+        }
+      val gotFwd = AsOf.joinForward(left, right, col("lk"), col("rk"),
+        col("lt"), col("rt"), Seq("rv"), col("ord"), inner = false)
+        .select($"lv", $"rv").as[(Long, Option[Long])].collect().toSet
+      val gotNear = AsOf.joinNearest(left, right, col("lk"), col("rk"),
+        col("lt"), col("rt"), Seq("rv"), col("ord"), inner = false)
+        .select($"lv", $"rv").as[(Long, Option[Long])].collect().toSet
+      gotFwd == lrows.map(l => (l._3, refFwd(l))).toSet &&
+        gotNear == lrows.map(l => (l._3, refNear(l))).toSet
+    }, n = 15)
+  }
+
+  test("quantilesExact == sorted-array order statistic for any data and ppm") {
+    import graft.operators.Profile
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 40)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50, 50).map(_.toDouble / 7.0))
+      ppms <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000L)).map(_.take(4))
+    } yield (vals, ppms)
+    check(Prop.forAll(caseGen) { case (vals, ppms) =>
+      val sorted = vals.sorted
+      val got = Profile.quantilesExact(
+        vals.toDF("v").repartition(5), $"v", ppms)
+        .as[(Long, Long, Double)].collect()
+      got.length == ppms.distinct.length && got.forall { case (p, k, v) =>
+        k == math.max(1L, (p * vals.length + 999999L) / 1000000L) &&
+          v == sorted((k - 1).toInt)
+      }
+    }, n = 15)
+  }
+
   test("sessionize: streaming session_window == batch sessions for any events") {
     // the parity the end-boundary alignment (Sessionize.stream's
     // max(ts)-as-session_end) exists to guarantee. Minute-granular
