@@ -281,6 +281,33 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("frequentPairs == brute-force co-occurrence counting for any baskets") {
+    import graft.operators.Baskets
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(1L, 8L)))
+      minSup <- Gen.chooseNum(1L, 3L)
+    } yield (rows, minSup)
+    check(Prop.forAll(caseGen) { case (rows, minSup) =>
+      // reference: distinct membership per basket, all a<b pairs, count
+      val byBasket = rows.distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted).toMap
+      val counts = byBasket.values.toSeq
+        .flatMap(items => for {
+          a <- items; b <- items if a < b
+        } yield (a, b))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= minSup)
+      val expected = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(5)
+        .map { case ((a, b), c) => (a, b, c) }.toSet
+      val got = Baskets.frequentPairs(rows.toDF("b", "i"),
+        col("b"), col("i"), minSupport = minSup, k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      got == expected
+    }, n = 20)
+  }
+
   test("quantilesExact == sorted-array order statistic for any data and ppm") {
     import graft.operators.Profile
     val caseGen = for {
