@@ -281,6 +281,56 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("joinWithin: bound-the-champion semantics for all three directions") {
+    // the pandas tolerance composition: pick the direction's champion
+    // FIRST, then null it if out of bounds — never fall through to a
+    // farther in-bound candidate. Long-typed times, tolerance in the
+    // same units.
+    import graft.operators.AsOf
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 8)
+      nr <- Gen.chooseNum(0, 10)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 2L), Gen.chooseNum(0L, 9L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 2L), Gen.chooseNum(0L, 9L)))
+      tol <- Gen.chooseNum(0L, 4L)
+      dirn <- Gen.oneOf("backward", "forward", "nearest")
+    } yield (
+      lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      rrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      tol, dirn)
+    check(Prop.forAll(caseGen) { case (lrows, rrows, tol, dirn) =>
+      val left = lrows.toDF("lk", "lt", "lv")
+      val right = rrows.toDF("rk", "rt", "rv")
+      def champ(k: Long, t: Long): Option[(Long, Long, Long)] = dirn match {
+        case "backward" =>
+          val c = rrows.filter(r => r._1 == k && r._2 <= t)
+          if (c.isEmpty) None else Some(c.maxBy(r => (r._2, r._3)))
+        case "forward" =>
+          val c = rrows.filter(r => r._1 == k && r._2 >= t)
+          if (c.isEmpty) None else Some(c.minBy(r => (r._2, -r._3)))
+        case _ =>
+          val b = rrows.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption
+          val f = rrows.filter(r => r._1 == k && r._2 >= t)
+            .sortBy(r => (r._2, -r._3)).headOption
+          (b, f) match {
+            case (None, f2) => f2
+            case (b2, None) => b2
+            case (Some(b2), Some(f2)) =>
+              Some(if (f2._2 - t < t - b2._2) f2 else b2)
+          }
+      }
+      val expected = lrows.map { case (k, t, lv) =>
+        (lv, champ(k, t).filter(r => math.abs(r._2 - t) <= tol).map(_._3))
+      }.toSet
+      val got = AsOf.joinWithin(left, right, col("lk"), col("rk"),
+        col("lt"), col("rt"), Seq("rv"), col("rv"),
+        tolerance = lit(tol), inner = false, direction = dirn)
+        .select($"lv", $"rv").as[(Long, Option[Long])].collect().toSet
+      got == expected
+    }, n = 25)
+  }
+
   test("frequentPairs == brute-force co-occurrence counting for any baskets") {
     import graft.operators.Baskets
     val caseGen = for {
