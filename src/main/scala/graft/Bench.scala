@@ -174,7 +174,11 @@ object Bench {
           import scala.jdk.CollectionConverters._
           val qs = node.path("queries").properties().iterator().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          if (qs.isEmpty) None else Some((node.path("value").asDouble(), qs))
+          // Jackson coerces a missing/non-numeric "value" to 0.0, and a
+          // zero total would put unquoted Infinity/NaN tokens on the
+          // metric line via baselineBlock's divisions — reject it here
+          val tot = node.path("value").asDouble()
+          if (qs.isEmpty || !(tot > 0)) None else Some((tot, qs))
         }
       }
     } catch { case _: Throwable => None }

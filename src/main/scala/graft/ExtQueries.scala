@@ -904,6 +904,10 @@ object ExtQueries {
       import s.implicits._
       val ids = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
         .select(col("doc_id")).as[Long].collect()
+      // empty input would feed zero batches: the parquet sink then never
+      // creates <root>/features and the face fails later with an opaque
+      // path-not-found instead of a clear fixture error
+      require(ids.nonEmpty, s"media replay fixture needs rows ($dir)")
       val scrambled = ids.sortBy(id => scrambleKey(id, id))
       val src =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
@@ -1589,6 +1593,13 @@ object ExtQueries {
     // positions covered by a corpus-repeated 3-gram, interval-union per doc
     "q_dup_spans" -> ((s, dir) =>
       Dedup.dupCoverage(Tables.documents(s, dir), k = 3, minCount = 2)
+        .orderBy(col("doc_id"))),
+
+    // exact substring-level dedup (Lee et al. 2022 duplicate-span REMOVAL):
+    // every corpus-repeated 5-token span excised except its arg-min-first
+    // occurrence, merged intervals, docs reassembled from surviving tokens
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.dedupSubstrings(Tables.documents(s, dir), k = 5)
         .orderBy(col("doc_id"))),
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -4349,6 +4360,43 @@ object ExtQueries {
          |  round(CAST(coalesce(c.n_dup, 0) AS DOUBLE) /
          |        greatest(CAST(d.n_tokens AS DOUBLE), 1.0), 6) AS dup_ratio
          |FROM d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.dedupSubstrings (k=5): duplicated 5-gram occurrences
+    // ranked by (doc_id, pos) with the rank-1 survivor kept; the removed
+    // token set is the DISTINCT explosion of every excised span's indices —
+    // set-equivalent to the Spark side's merged-interval islands,
+    // deliberately a DIFFERENT formulation (row_number + index explosion
+    // vs arg-min + gaps-and-islands) so the oracle is independent evidence
+    "q_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens,
+         |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(range(1, len(toks) - 3),
+         |               i -> array_to_string(toks[i:i+4], ' '))
+         |        END AS gs FROM t),
+         |p0 AS (SELECT doc_id, n_tokens, gs,
+         |         CAST(unnest(range(0, len(gs))) AS INT) AS pos FROM d),
+         |pos AS (SELECT doc_id, n_tokens, pos, gs[pos + 1] AS s FROM p0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY s
+         |           ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY s) AS cnt FROM pos),
+         |cut AS (SELECT doc_id, pos, least(pos + 5, n_tokens) AS e
+         |        FROM rk WHERE cnt >= 2 AND rn > 1),
+         |rem AS (SELECT DISTINCT doc_id,
+         |          CAST(unnest(range(pos, e)) AS INT) AS idx FROM cut),
+         |nr AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+         |tx AS (SELECT doc_id, toks,
+         |         CAST(unnest(range(0, len(toks))) AS INT) AS idx FROM d),
+         |tv AS (SELECT doc_id, idx, toks[idx + 1] AS tok FROM tx),
+         |keep AS (SELECT tv.doc_id, tv.idx, tv.tok FROM tv LEFT JOIN rem
+         |           ON tv.doc_id = rem.doc_id AND tv.idx = rem.idx
+         |         WHERE rem.idx IS NULL),
+         |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup
+         |      FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+         |  d.n_tokens, CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM d LEFT JOIN r USING (doc_id) LEFT JOIN nr USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_contamination" -> contaminationSql,
 

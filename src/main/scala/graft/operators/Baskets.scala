@@ -31,10 +31,13 @@ object Baskets {
     * so it is a consumer diamond: without a materialization point
     * Catalyst recomputes the scan + distinct exchange per branch (3×
     * the input scan, seen in the audited plan). [[Staging.stage]] is
-    * the shared materialization — executor-local persist by default;
-    * pass `stagingDir` at 100 TB for an explicit parquet staging table
-    * (the [[Dedup.minhashPairsFromShingles]] contract, including the
-    * caller-clears-cache caveat for the default persist path). */
+    * the shared materialization — executor-local persist by default
+    * (released before returning: the ≤ k-row result is forced eagerly
+    * and the cache unpersisted, so repeated invocations in one session
+    * do not accumulate pinned relations); pass `stagingDir` at 100 TB
+    * for an explicit parquet staging table (the
+    * [[Dedup.minhashPairsFromShingles]] contract — caller deletes the
+    * dir once the result is consumed). */
   def frequentPairs(df: DataFrame, basketCol: Column, itemCol: Column,
       minSupport: Long, k: Int,
       maxBasket: Option[Int] = Some(10000),
@@ -43,6 +46,7 @@ object Baskets {
     val items = Staging.stage(
       df.select(basketCol.as("b"), itemCol.as("i")).distinct(),
       stagingDir, "basket_items")
+    val unpersistAfter = stagingDir.isEmpty
     val kept = maxBasket match {
       case Some(cap) =>
         val ok = items.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -50,7 +54,7 @@ object Baskets {
         items.join(ok, Seq("b"))
       case None => items
     }
-    kept.select(col("b"), col("i").as("item_a"))
+    val topk = kept.select(col("b"), col("i").as("item_a"))
       .join(kept.select(col("b"), col("i").as("item_b")), Seq("b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
@@ -58,5 +62,16 @@ object Baskets {
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
       .limit(k)
+    if (unpersistAfter) {
+      // the result is ≤ k rows by contract, so forcing it here is
+      // bounded; the staged diamond can then be released immediately
+      // instead of pinning the CacheManager for the session lifetime
+      // (repeated invocations would otherwise accumulate one
+      // MEMORY_AND_DISK relation each)
+      val rows = topk.collect()
+      items.unpersist()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), topk.schema)
+    } else topk
   }
 }
