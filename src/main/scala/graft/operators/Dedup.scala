@@ -726,6 +726,87 @@ object Dedup {
           greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("dup_ratio"))
   }
 
+  /** Exact substring-level dedup — the Lee et al. 2022 duplicate-span
+    * REMOVAL pass ([[dupCoverage]] measures coverage; this op EXCISES it):
+    * every k-token span whose shingle occurs elsewhere in the corpus is
+    * removed from every occurrence EXCEPT the arg-min-first — min
+    * (doc id, position), the [[graft.operators.TextPrep.dedupParagraphs]]
+    * keep-first rule at span granularity — then per-doc overlapping
+    * excision intervals are merged and each document is reassembled from
+    * its surviving tokens in order (tokens are the lowercased
+    * whitespace-split of the text, rejoined with single spaces — the
+    * [[graft.functions.TextFunctions.tokens]] contract).
+    *
+    * Documents shorter than `k` tokens carry one whole-doc shingle (the
+    * [[graft.functions.TextFunctions.shingleHashes]] contract), so a short
+    * doc pasted verbatim elsewhere is excised entirely unless it is the
+    * first corpus occurrence of its content.
+    *
+    * Scale shape (100 TB): shingle identity is the 8-byte mixed token-hash
+    * (same birthday-bound trade as [[exact]]) so the occurrence shuffle
+    * ships (hash, id, pos) only, never span text; the first-occurrence
+    * arg-min + count is one partial-agg-friendly aggregate (an occurrence
+    * list is never assembled — a hot boilerplate span can occur once per
+    * document); the interval-merge window partitions per doc over *excised
+    * positions only*, tiny relative to the posting set; and the rebuild is
+    * a single join of the token arrays (persisted consumer diamond)
+    * against each doc's merged-interval list — the document text never
+    * crosses a shuffle, because the indexed `filter` HOF drops covered
+    * tokens in place.
+    *
+    * Output: `(doc_id, text_dedup, n_tokens, n_removed)`, one row per
+    * input doc (a fully-duplicated doc keeps its row with empty
+    * `text_dedup`).
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"),
+        shingleHashes(col("toks"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = toks.select(col(idCol), col("n_tokens"),
+      posexplode(col("sh")).as(Seq("pos", "s")))
+    // one aggregate carries both the duplication predicate (count >= 2)
+    // and the survivor (arg-min over (id, pos)) — never an occurrence list
+    val firsts = pos.groupBy(col("s")).agg(
+        min(struct(col(idCol), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("s"), col(s"f.$idCol").as("__fid"), col("f.pos").as("__fpos"))
+    // excised occurrences: every duplicated-shingle position except the
+    // corpus-first; span [pos, pos+k) clamped to the doc (which also makes
+    // the whole-doc shingle of a short doc cover exactly that doc)
+    val cut = pos.join(firsts, Seq("s"))
+      .filter(!(col(idCol) === col("__fid") && col("pos") === col("__fpos")))
+      .select(col(idCol), col("pos"),
+        least(col("pos") + lit(k), col("n_tokens")).as("end"))
+    // classic gaps-and-islands interval merge: a new island starts where a
+    // position clears the running max end of everything before it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = cut
+      .withColumn("prev_max_end", max(col("end")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("a"), max(col("end")).as("b"))
+    val ivd = islands.groupBy(col(idCol)).agg(
+      collect_list(struct(col("a"), col("b"))).as("ivs"),
+      sum(col("b") - col("a")).as("n_removed"))
+    toks.join(ivd, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(col("toks"), (t, i) =>
+          col("ivs").isNull ||
+            !exists(col("ivs"), iv => i >= iv.getField("a") && i < iv.getField("b"))),
+          " ").as("text_dedup"),
+        col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Recall audit for a sketched pair-mining operator: what fraction of the
     * exact ground-truth pairs did the sketch surface? One row
     * (n_exact, n_hit, recall) — the in-engine health number for a dedup

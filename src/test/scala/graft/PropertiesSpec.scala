@@ -519,4 +519,46 @@ class PropertiesSpec extends SparkSuite {
       a == b && a.size == distinctOrd.map(_._1).distinct.size
     }, n = 15)
   }
+
+  test("dedupSubstrings == local reference (string shingles) for any corpus") {
+    // local reference: string-shingle identity, sort-by-(id,pos) survivor,
+    // removed set = union of excised [pos, pos+k) — a DIFFERENT formulation
+    // (occurrence lists + index sets) than the engine's hash-identity
+    // arg-min + merged-interval islands
+    def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+      val occ = docs.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val shingles =
+          if (ts.length < k) Seq(ts.mkString(" ") -> 0)
+          else ts.sliding(k).map(_.mkString(" ")).zipWithIndex.toSeq
+        shingles.map { case (sh, pos) => (sh, id, pos) }
+      }
+      val cuts = occ.groupBy(_._1).values.filter(_.size >= 2)
+        .flatMap(_.sortBy(o => (o._2, o._3)).tail)
+      val removed = cuts.toSeq.groupBy(_._2).map { case (id, os) =>
+        id -> os.flatMap(o => o._3 until math.min(o._3 + k, toks(id).length)).toSet
+      }
+      docs.map { case (id, _) =>
+        val rm = removed.getOrElse(id, Set.empty[Int])
+        val kept = toks(id).zipWithIndex.collect {
+          case (t, i) if !rm.contains(i) => t }
+        id -> (kept.mkString(" "), rm.size.toLong)
+      }.toMap
+    }
+    val vocab = Gen.oneOf("w1", "w2", "w3", "w4") // tiny vocab → dense repeats
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 8)
+      texts <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(vocab).map(_.mkString(" ")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(corpusGen, Gen.chooseNum(2, 4)) { (docs, k) =>
+      val got = Dedup.dedupSubstrings(docs.toDF("doc_id", "text"), k = k)
+        .select($"doc_id", $"text_dedup", $"n_removed")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      got == reference(docs, k)
+    }, n = 15)
+  }
 }

@@ -435,4 +435,35 @@ class DedupSpec extends SparkSuite {
     assert(all == truth, "nprobe = nlist must recover the full pair set")
     assert(all.size >= got.size)
   }
+
+  test("dedupSubstrings: first occurrence survives, spans excised, overlaps merged") {
+    val docs = Seq(
+      (0L, "a1 a2 c1 c2 c3 a3 a4 a5"), // holds the first "c1 c2 c3"
+      (1L, "B1 b2 C1 c2 c3 b3 b4 b5"), // repeats it (case-folded) at pos 2
+      (2L, "p1 p2 p3 p4 p5 p6"),       // first occurrence of the long run
+      (3L, "m1 p1 p2 p3 p4 p5 p6 n1"), // 4 overlapping dup shingles → one merged span
+      (4L, "k1 k2 k3 j1 j2 k1 k2 k3"), // within-doc repeat: later occurrence excised
+      (5L, "s1 s2"), (6L, "s1 s2"),    // short (< k) exact dup: whole-doc shingle
+      (7L, "u1 u2 u3 u4")              // no duplicated shingle anywhere
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, k = 3)
+      .select($"doc_id", $"text_dedup", $"n_tokens", $"n_removed")
+      .as[(Long, String, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == (("a1 a2 c1 c2 c3 a3 a4 a5", 8, 0L)),
+      "first corpus occurrence must survive untouched")
+    assert(got(1L) == (("b1 b2 b3 b4 b5", 8, 3L)),
+      "later occurrence loses exactly the repeated span (lowercased contract)")
+    assert(got(2L) == (("p1 p2 p3 p4 p5 p6", 6, 0L)))
+    // doc 3's dup shingles cover positions 1..4, spans [1,4)..[4,7):
+    // merged to ONE [1,7) island — 6 tokens, not 4 × k = 12
+    assert(got(3L) == (("m1 n1", 8, 6L)),
+      "overlapping excision spans must merge before counting")
+    assert(got(4L) == (("k1 k2 k3 j1 j2", 8, 3L)),
+      "within-doc repeat: first occurrence kept, second excised")
+    assert(got(5L) == (("s1 s2", 2, 0L)))
+    assert(got(6L) == (("", 2, 2L)),
+      "short-doc whole-doc shingle: later copy excised entirely")
+    assert(got(7L) == (("u1 u2 u3 u4", 4, 0L)))
+  }
 }
