@@ -186,6 +186,15 @@ object CoreQueries {
         keyCols = Seq("user_id"), ordCol = "event_id")
         .orderBy(col("user_id"))),
 
+    // SCD2: the type-2 validity-interval generalization of C1 — every
+    // version kept with [valid_from, valid_to) in event_id units
+    "q_scd2" -> ((s, dir) =>
+      WeatherOps.scd2History(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), col("value")),
+        keyCols = Seq("user_id"), ordCol = "event_id")
+        .orderBy(col("user_id"), col("valid_from"))),
+
     // J1: inner enrichment join (dim × aggregated history).
     "q_j1_enrich" -> ((s, dir) => {
       val hist = history(s, dir).withColumnRenamed("user_id", "key")
@@ -972,6 +981,15 @@ object CoreQueries {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the same lead window, formulated directly in SQL
+    "q_scd2" ->
+      """SELECT user_id, event_type, value,
+        |  event_id AS valid_from,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        |  (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL)
+        |    AS is_current
+        |FROM events ORDER BY user_id, valid_from""".stripMargin,
 
     "q_j1_enrich" ->
       s"""SELECT c_custkey, c_name, n_days, history

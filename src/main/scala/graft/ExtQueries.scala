@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep}
+import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep, Unigram}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -974,6 +974,49 @@ object ExtQueries {
       root
     })
 
+  private val scd2ReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay SCD2 validity-interval maintenance as STREAMING state, once
+    * per fixture dir: every event version `(user_id, event_id,
+    * event_type, value)` feeds [[graft.streaming.IngestStreams.scd2Ingest]]
+    * through a real checkpointed MemoryStream in 3 deterministically
+    * scrambled batches — the scramble routinely lands a key's EARLIER
+    * version in a LATER batch than its successor, so the re-derivation
+    * of closed intervals over the standing state (not just appends) is
+    * what's under the gate. The final snapshot (max batch_id) must equal
+    * q_scd2's batch-window oracle verbatim. Same first-touch-rebuild +
+    * md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def scd2ReplayFixture(s: SparkSession, dir: String): String =
+    scd2ReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_scd2_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val versions = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .as[(Long, Long, String, Double)].collect()
+      require(versions.nonEmpty, s"scd2 replay fixture needs rows ($dir)")
+      val scrambled = versions.sortBy { case (u, e, _, _) =>
+        scrambleKey(u * 131L + e * 7L, e)
+      }
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double)]
+      val q = graft.streaming.IngestStreams.scd2Ingest(
+        src.toDF().toDF("key", "ord", "event_type", "value"),
+        s"$root/state", s"$root/scd2", s"$root/ckpt")
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
   private val bpeRulesBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
@@ -1331,6 +1374,46 @@ object ExtQueries {
     s"${oracleStageRoot(dir)}/$name"
   }
 
+  /** Multi-script fixture shared by q_text_langid2's Spark and oracle
+    * sides: five languages across FIVE scripts (Arabic, Greek, Latin,
+    * Cyrillic, CJK), eight literal words each. The fixture corpus is
+    * all-Latin, so the face constructs its labeled corpus from these
+    * lists with pure doc_id arithmetic — label = lists[doc_id mod 5],
+    * word j = words[(doc_id·7 + j·3) mod 8] — mirrored verbatim in SQL. */
+  private val langIdScripts: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"),
+    "el" -> Seq("και", "το", "να", "του", "η", "με", "για", "δεν"),
+    "en" -> Seq("the", "and", "for", "with", "have", "this", "from", "they"),
+    "ru" -> Seq("и", "не", "на", "что", "быть", "с", "он", "как"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "人", "在", "有"))
+  private val langIdWords = 12
+
+  private def langIdLabelCol: org.apache.spark.sql.Column =
+    element_at(array(langIdScripts.map(x => lit(x._1)): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+
+  private def langIdTextCol: org.apache.spark.sql.Column = {
+    val all = array(langIdScripts.map { case (_, ws) =>
+      array(ws.map(lit): _*) }: _*)
+    concat_ws(" ", (0 until langIdWords).map(j =>
+      element_at(element_at(all, (col("doc_id") % 5 + 1).cast("int")),
+        ((col("doc_id") * 7 + j * 3) % 8 + 1).cast("int"))): _*)
+  }
+
+  private val langIdLabelSql: String =
+    langIdScripts.map(_._1).mkString("(['", "', '", "'])") +
+      "[CAST(doc_id % 5 + 1 AS INT)]"
+
+  private val langIdTextSql: String = {
+    val lists = langIdScripts
+      .map { case (_, ws) => ws.mkString("['", "', '", "']") }
+      .mkString("[", ", ", "]")
+    (0 until langIdWords).map(j =>
+      s"$lists[CAST(doc_id % 5 + 1 AS INT)]" +
+        s"[CAST((doc_id * 7 + $j * 3) % 8 + 1 AS INT)]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+  }
+
   /** Shared by q_sample_stratified's Spark and oracle sides (en is the
     * keep-all sentinel path; es is deliberately absent → dropped). */
   private val strataRates: Map[String, Double] =
@@ -1411,6 +1494,26 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
+    // language-ID v2: a TRAINED character-bigram profile classifier (the
+    // fastText shape) over a constructed 5-script labeled corpus —
+    // training counts staged as evidence, scores exact integer sums, the
+    // q_lm_score epistemics; the stopword face above stays as the cheap
+    // dial. The per-doc row carries both the constructed truth and the
+    // prediction, so the hash gate also locks end-to-end accuracy
+    "q_text_langid2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        langIdLabelCol.as("label"), langIdTextCol.as("text2"))
+      val model = TextAnalysis.langProfileTrain(docs, labelCol = "label",
+        textCol = "text2", buckets = 128,
+        modelSink = Some(oracleStagePath(dir, "q_text_langid2")))
+      TextAnalysis.langProfilePredict(docs, model, idCol = "doc_id",
+          textCol = "text2", buckets = 128)
+        .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select(col("doc_id"), col("label"), col("lang_pred"),
+          col("score_scaled"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC normalization (kernel expression) — ASCII fixtures are
     // already NFC, so decomposed/composed sequences are appended to make
     // the normalization observable; mirrored verbatim in the oracle
@@ -1443,6 +1546,18 @@ object ExtQueries {
     "q_bpe_train" -> ((s, dir) =>
       Bpe.bpeTrain(Tables.documents(s, dir), merges = 6)
         .orderBy(col("rank"))),
+
+    // unigram-LM (SentencePiece-family) tokenizer training: 2 rounds of
+    // deterministic Viterbi-EM over the seeded substring vocabulary; the
+    // full per-round ledger is the gated output AND the staged model —
+    // the oracle re-derives every count (seed grid + brute-force
+    // segmentation arg-max per round) and consumes score_scaled only
+    // where its counts agree (the q_lm_score epistemics)
+    "q_unigram_train" -> ((s, dir) =>
+      Unigram.unigramTrain(Tables.documents(s, dir), rounds = 2,
+          maxPieceLen = 4, vocabSize = 48,
+          modelSink = Some(oracleStagePath(dir, "q_unigram_train")))
+        .orderBy(col("round"), col("piece"))),
 
     // BPE apply side: tokenize the corpus with the 6 learned rules (the
     // bpeTokens higher-order fold) and take the top-10 tokens by weighted
@@ -2492,6 +2607,19 @@ object ExtQueries {
         .select(col("c_custkey"), col("c_name"), col("n_days"), col("history"))
         .orderBy(col("c_custkey"))),
 
+    // SCD2 under streaming state maintenance: the final snapshot (max
+    // batch_id) of the 3-batch scrambled checkpointed replay — stale
+    // versions planted across batch boundaries — must equal q_scd2's
+    // batch-window oracle verbatim
+    "q_scd2_stream_replay" -> ((s, dir) => {
+      val t = s.read.parquet(s"${scd2ReplayFixture(s, dir)}/scd2")
+      t.join(t.groupBy().agg(max(col("batch_id")).as("batch_id")),
+          Seq("batch_id"))
+        .select(col("key").as("user_id"), col("event_type"), col("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // the HOPPING-window streaming surface under the oracle gate: final
     // per-(window, type) state of the scrambled checkpointed replay
     // (max batch_id emission), its decimal sum divided exactly as the
@@ -2861,6 +2989,23 @@ object ExtQueries {
             .select(col("doc_id"))))
         .orderBy(col("doc_id"))),
 
+    // REAL lossy-codec decode (JPEG): bit-exact px_sum gating is
+    // impossible on a lossy container, so the gate is the CONTRACT —
+    // dims exact AND max per-pixel channel deviation from the
+    // closed-form gradient rule within a bound (probed worst case 4
+    // across 512 ids at quality 0.95; gated at ≤ 12, a 3× margin).
+    // Same doc_id % 5 subset as q_media_decode
+    "q_media_jpeg" -> ((s, dir) =>
+      Multimodal.decodeDeviation(
+          Multimodal.attachJpeg(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+              .select(col("doc_id"))),
+          (id, w, h, x, y) =>
+            Multimodal.gradientRgb((id % 256).toInt, w, h, x, y))
+        .select(col("doc_id"), col("width"), col("height"),
+          (col("max_dev") <= 12).as("within_tol"))
+        .orderBy(col("doc_id"))),
+
     // REAL decode → transform → decode loop: nearest-neighbor resize on
     // the DECODED raster (out(x,y) = in(x·w0 div W, y·h0 div H), an
     // explicit integer-exact loop, then PNG re-encode), features from
@@ -3171,6 +3316,85 @@ object ExtQueries {
        |      ORDER BY cos DESC, vec_id) AS rn FROM skscored) t
        |  WHERE rn <= 5)""".stripMargin
 
+  /** q_unigram_train oracle: replays [[graft.operators.Unigram.unigramTrain]]'s
+    * Viterbi-EM recurrence round by round — the seed substring grid and
+    * every round's usage counts are RE-DERIVED (brute-force enumeration
+    * of all 2^(L−1) cut masks per word, arg-max by the same
+    * (score desc, pieces asc, mask asc) total order), while the
+    * `score_scaled` integers are CONSUMED from the staged ledger only
+    * where the re-derived (cnt, total) agree — the q_lm_score staged-
+    * evidence epistemics: counts are proven, the one float (ln) is
+    * staged, and a count divergence nulls the score → hash mismatch.
+    * Brute force is oracle-affordable because the fixture vocabulary is
+    * tiny; the ENGINE runs the O(L·maxPieceLen) DP instead. */
+  private def unigramOracleSql(root: String): String = {
+    // one Viterbi round: best mask per word under the scores in `prevS`,
+    // usage counts, next-round counts/total over the fixed vocab
+    def round(r: Int, prevS: String): String =
+      s"""sc$r AS (SELECT w, cnt, mask, min(np) AS np,
+         |         count(s.piece) AS matched, sum(s.score_scaled) AS sc
+         |       FROM pr LEFT JOIN $prevS s USING (piece)
+         |       GROUP BY w, cnt, mask),
+         |b$r AS (SELECT w, mask FROM (
+         |        SELECT w, mask, row_number() OVER (PARTITION BY w
+         |          ORDER BY sc DESC, np, mask) AS rn
+         |        FROM sc$r WHERE matched = np) WHERE rn = 1),
+         |u$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+         |       FROM pr JOIN b$r USING (w, mask) GROUP BY piece),
+         |r${r}c AS (SELECT v.piece, CAST(coalesce(u$r.cnt, 0) AS BIGINT) AS cnt
+         |        FROM vocab v LEFT JOIN u$r USING (piece)),
+         |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r${r}c),
+         |s$r AS (SELECT st.piece, st.score_scaled
+         |       FROM staged st JOIN r${r}c USING (piece) CROSS JOIN t$r
+         |       WHERE st.round = $r AND st.cnt = r${r}c.cnt
+         |         AND st.total = t$r.total)""".stripMargin
+    s"""WITH wt AS (SELECT w, count(*) AS cnt FROM (
+       |        SELECT unnest($toksSql) AS w FROM documents)
+       |      WHERE len(w) BETWEEN 1 AND 16 GROUP BY w),
+       |sg AS (SELECT w, cnt, CAST(unnest(range(1, len(w) + 1)) AS INT) AS s
+       |       FROM wt),
+       |slc AS (SELECT w, cnt, s, CAST(unnest(range(1,
+       |          least(4, len(w) - s + 1) + 1)) AS INT) AS l FROM sg),
+       |sp AS (SELECT substr(w, s, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |       FROM slc GROUP BY piece),
+       |ch AS (SELECT piece, cnt FROM sp WHERE len(piece) = 1),
+       |mu AS (SELECT piece, cnt FROM sp WHERE len(piece) >= 2
+       |       ORDER BY cnt DESC, piece LIMIT 48),
+       |vocab AS (SELECT piece FROM ch UNION ALL SELECT piece FROM mu),
+       |r0c AS (SELECT piece, cnt FROM ch UNION ALL SELECT piece, cnt FROM mu),
+       |t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r0c),
+       |staged AS (SELECT round, piece, cnt, total, score_scaled
+       |           FROM read_parquet('$root/q_unigram_train/*.parquet')),
+       |s0 AS (SELECT st.piece, st.score_scaled
+       |       FROM staged st JOIN r0c USING (piece) CROSS JOIN t0
+       |       WHERE st.round = 0 AND st.cnt = r0c.cnt
+       |         AND st.total = t0.total),
+       |mk AS (SELECT w, cnt,
+       |         CAST(unnest(range(0, 1 << (len(w) - 1))) AS BIGINT) AS mask
+       |       FROM wt),
+       |cu AS (SELECT w, cnt, mask, list_concat(list_concat([0],
+       |         list_filter(range(1, len(w)),
+       |           j -> ((mask >> CAST(j - 1 AS INT)) & 1) = 1)),
+       |         [len(w)]) AS cuts FROM mk),
+       |pc AS (SELECT w, cnt, mask, len(cuts) - 1 AS np,
+       |         list_transform(range(1, len(cuts)),
+       |           j -> substr(w, CAST(cuts[CAST(j AS INT)] + 1 AS INT),
+       |             CAST(cuts[CAST(j AS INT) + 1] - cuts[CAST(j AS INT)] AS INT)))
+       |           AS pieces FROM cu),
+       |pr AS (SELECT w, cnt, mask, np, unnest(pieces) AS piece FROM pc),
+       |${round(1, "s0")},
+       |${round(2, "s1")}
+       |SELECT 0 AS round, r0c.piece, r0c.cnt, t0.total, s0.score_scaled
+       |FROM r0c CROSS JOIN t0 LEFT JOIN s0 USING (piece)
+       |UNION ALL
+       |SELECT 1 AS round, r1c.piece, r1c.cnt, t1.total, s1.score_scaled
+       |FROM r1c CROSS JOIN t1 LEFT JOIN s1 USING (piece)
+       |UNION ALL
+       |SELECT 2 AS round, r2c.piece, r2c.cnt, t2.total, s2.score_scaled
+       |FROM r2c CROSS JOIN t2 LEFT JOIN s2 USING (piece)
+       |ORDER BY round, piece""".stripMargin
+  }
+
   /** Oracle entries whose SQL references per-dir STAGED artifacts (paths
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
   private def dynamicOracleSql: Map[String, String] = {
@@ -3328,6 +3552,45 @@ object ExtQueries {
       // adjacent pairing), the model's c12/c1 evidence recomputed
       // independently, ln_scaled consumed only where they agree, and
       // the integer sums recomputed exactly
+      "q_unigram_train" -> unigramOracleSql(root),
+
+      // langid2: the 5-script corpus reconstructed from the same literal
+      // lists, bigram buckets re-derived per code point (Karp–Rabin fold),
+      // the model's (cnt, total) evidence recomputed independently,
+      // ln_scaled consumed only where they agree, scores re-summed as
+      // exact integers, argmax under the same (score desc, label) order
+      "q_text_langid2" ->
+        s"""WITH t2 AS (SELECT doc_id, $langIdTextSql AS text2,
+           |              $langIdLabelSql AS label FROM documents),
+           |bgr AS (SELECT doc_id,
+           |          ${polyFoldSql("substr(text2, CAST(i AS INT), 2)")} % 128
+           |            AS bucket
+           |        FROM (SELECT doc_id, text2,
+           |                unnest(range(1, len(text2))) AS i FROM t2)),
+           |pc AS (SELECT doc_id, bucket, count(*) AS c FROM bgr
+           |       GROUP BY doc_id, bucket),
+           |lc AS (SELECT t.label, b.bucket, CAST(count(*) AS BIGINT) AS cnt_chk
+           |       FROM bgr b JOIN t2 t USING (doc_id) GROUP BY label, bucket),
+           |lt AS (SELECT label, CAST(sum(cnt_chk) AS BIGINT) AS tot_chk
+           |       FROM lc GROUP BY label),
+           |staged AS (SELECT label, bucket, cnt, total, ln_scaled
+           |           FROM read_parquet('$root/q_text_langid2/*.parquet')),
+           |ver AS (SELECT s.label, s.bucket, s.ln_scaled FROM staged s
+           |        LEFT JOIN lc ON lc.label = s.label AND lc.bucket = s.bucket
+           |        LEFT JOIN lt ON lt.label = s.label
+           |        WHERE coalesce(lc.cnt_chk, 0) = s.cnt
+           |          AND coalesce(lt.tot_chk, 0) = s.total),
+           |sc AS (SELECT p.doc_id, v.label,
+           |         CAST(sum(p.c * v.ln_scaled) AS BIGINT) AS score_scaled
+           |       FROM pc p JOIN ver v USING (bucket)
+           |       GROUP BY doc_id, label),
+           |best AS (SELECT doc_id, label AS lang_pred, score_scaled FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY score_scaled DESC, label) AS rn FROM sc)
+           |         WHERE rn = 1)
+           |SELECT b.doc_id, t.label, b.lang_pred, b.score_scaled
+           |FROM best b JOIN t2 t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
       "q_lm_score" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |bg AS (SELECT doc_id,
@@ -3979,6 +4242,10 @@ object ExtQueries {
     // verbatim: final maintained state ≡ one-shot table-table join
     "q_j2_stream_replay" -> CoreQueries.oracleSql("q_j2_left"),
 
+    // the streamed SCD2 snapshot lands on the identical batch-window
+    // derivation — one oracle for both faces
+    "q_scd2_stream_replay" -> CoreQueries.oracleSql("q_scd2"),
+
     // exact cardinalities recomputed independently; the contract bit is
     // asserted literally (rsd=0.01 sketch vs a 5% bound — wide margin,
     // and a wrong cross-batch state merge flips it)
@@ -4112,6 +4379,19 @@ object ExtQueries {
     // bounded series (0..18) covers every dim; the x<w / y<h joins
     // scope each doc's pixels.
     "q_media_decode" -> mediaDecodeOracleSql,
+
+    // JPEG contract gate: dims are exact integer functions of the id
+    // (recomputed here without decoding); within_tol is the engine-side
+    // certificate that the DECODED raster stayed within the deviation
+    // bound of the closed-form gradient rule — a lossy container cannot
+    // be px_sum-gated, so the oracle pins the contract booleans + dims
+    // (the q_approx_distinct contract-gate pattern)
+    "q_media_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 16 + 4 AS INT) AS width,
+        |  CAST((doc_id * 7) % 16 + 4 AS INT) AS height,
+        |  true AS within_tol
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
 
     // the STREAMED decode-at-ingest sink must land on the identical
     // closed-form oracle — one derivation for both the batch face and

@@ -247,6 +247,138 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Smooth gradient pixel rule shared by [[encodeJpeg]] and its
+    * deviation gate: r = 64 + 2x, g = 64 + 2y, b = 32 + seed mod 160 —
+    * deliberately WRAP-FREE and GENTLE (slope 2/pixel, mid-range values),
+    * unlike the PNG family's mod-256 sawtooth: a lossy DCT codec
+    * reproduces a low-slope gradient within a small bounded error,
+    * whereas steep ramps and 255→0 edges ring. Packed as 0xRRGGBB.
+    * (`w`/`h` ride the signature for rule generality — [[decodeDeviation]]
+    * takes any `(id, w, h, x, y) => rgb` — but this rule ignores them.) */
+  def gradientRgb(seed: Int, w: Int, h: Int, x: Int, y: Int): Int = {
+    val r = 64 + 2 * x
+    val g = 64 + 2 * y
+    val b = 32 + seed % 160
+    (r << 16) | (g << 8) | b
+  }
+
+  /** REAL lossy image encode — pure-JDK `javax.imageio` JPEG at an
+    * explicit compression quality, over the [[gradientRgb]] rule. Unlike
+    * the PNG/GIF/WAV family the container is LOSSY, so the decode gate is
+    * a CONTRACT (dims exact + per-pixel deviation ≤ bound, the
+    * q_approx_distinct pattern), not a bit-exact hash. */
+  def encodeJpeg(width: Int, height: Int, seed: Int,
+      quality: Float = 0.95f): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, gradientRgb(seed, width, height, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Attach a REAL JPEG payload per row — same id→geometry rule as
+    * [[attachPng]] (w = id mod 16 + 4, h = (id·7) mod 16 + 4,
+    * seed = id mod 256) so an oracle recomputes the expected dims without
+    * decoding. Batched `mapPartitions`; payloads never shuffle. */
+  def attachJpeg(ids: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val in = ids.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 16 + 4).toInt
+          val h = (id * 7 % 16 + 4).toInt
+          val jpg = encodeJpeg(w, h, (id % 256).toInt)
+          Row(id, Row(jpg, Row("image/jpeg", w, h)))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Lossy-decode deviation gate: decode each `media` payload with the
+    * REAL `javax.imageio` reader and measure the maximum per-pixel
+    * channel deviation |decoded − rule(id, w, h, x, y)| against a
+    * caller-supplied closed-form reference rule (packed 0xRRGGBB, e.g.
+    * [[gradientRgb]] composed with an id→seed map). This is the
+    * verification operator for any LOSSY container, where the
+    * px_sum-equality gate of [[decodeFeatures]] cannot hold bit-exact:
+    * dims stay exact, the raster is certified within a bound. Output:
+    * `(idCol, width, height, max_dev)`, all null for a payload no
+    * installed reader accepts (the corrupt-row contract — never a task
+    * failure). Batched `mapPartitions`; payloads never shuffle. */
+  def decodeDeviation(df: DataFrame,
+      rule: (Long, Int, Int, Int, Int) => Int,
+      idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as(idCol),
+      col("media.payload").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("max_dev", IntegerType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (r.isNullAt(1)) null else r.get(1).asInstanceOf[Array[Byte]]
+          val img = if (payload == null) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(id, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var maxDev = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val got = img.getRGB(x, y)
+                val want = rule(id, w, h, x, y)
+                var c = 0
+                while (c < 3) {
+                  val d = math.abs(((got >> (8 * c)) & 0xFF) -
+                    ((want >> (8 * c)) & 0xFF))
+                  if (d > maxDev) maxDev = d
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, maxDev)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** REAL multi-frame encode — an animated-GIF payload via the JDK's
     * GIF `ImageWriter` (writeToSequence; offline-safe, no external
     * codec). Frames are PALETTE-EXACT: each is a TYPE_BYTE_INDEXED

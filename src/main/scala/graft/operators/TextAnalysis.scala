@@ -178,6 +178,80 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Hashed character-bigram buckets of a text column — the fastText-
+    * shape feature map shared by [[langProfileTrain]] and
+    * [[langProfilePredict]]: every 2-character window, Karp–Rabin folded
+    * ([[graft.functions.TextFunctions.polyHash]] — engine-portable, the
+    * oracle re-derives it per code point) mod `buckets`. */
+  private def charBigramBuckets(text: Column, buckets: Int): Column =
+    when(length(text) < 2, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 1),
+        i => pmod(polyHash(text.substr(i, lit(2))), lit(buckets.toLong))))
+
+  /** Train a character-n-gram language-profile classifier (the fastText
+    * shape, deterministic): per (label, bucket) bigram counts over the
+    * LABELED corpus, add-one-smoothed log-probabilities
+    * `ln_scaled = round(1e6 · ln((cnt+1)/(total_label+B)))`. Model rows
+    * cover the full label × bucket grid so unseen buckets carry their
+    * smoothed penalty explicitly. The counts are the oracle-checkable
+    * evidence; the scaled ln is the one float, staged and consumed (the
+    * q_lm_score epistemics). The collect is ≤ |labels| × `buckets` rows
+    * — codebook class, bounded by contract.
+    *
+    * Output / staged columns: `(label, bucket, cnt, total, ln_scaled)`. */
+  def langProfileTrain(docs: DataFrame, labelCol: String = "lang",
+      textCol: String = "text", buckets: Int = 128,
+      modelSink: Option[String] = None): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets must be in [2, 4096] (labels × B rows collect), got $buckets")
+    val spark = docs.sparkSession
+    val counts = docs.select(col(labelCol).as("label"),
+        explode(charBigramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect() // ≤ labels × buckets rows — bounded codebook class
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val labels = counts.keysIterator.map(_._1).toSeq.distinct.sorted
+    val totals = labels.map(l =>
+      l -> counts.iterator.filter(_._1._1 == l).map(_._2).sum).toMap
+    val grid = for { l <- labels; b <- 0L until buckets.toLong } yield {
+      val c = counts.getOrElse((l, b), 0L)
+      val t = totals(l)
+      (l, b, c, t, math.round(1e6 * math.log((c + 1.0) / (t + buckets.toDouble))))
+    }
+    val model = spark.createDataFrame(grid.toIndexedSeq)
+      .toDF("label", "bucket", "cnt", "total", "ln_scaled")
+    modelSink.foreach(p =>
+      model.coalesce(1).write.mode("overwrite").parquet(p))
+    model
+  }
+
+  /** Classify documents under a trained [[langProfileTrain]] model:
+    * per-doc bucket counts × the model's `ln_scaled` summed per label
+    * (exact integer arithmetic once the model is fixed), argmax with the
+    * deterministic (score desc, label asc) tie-break. The model
+    * broadcasts (codebook-bounded); the per-doc side is one explode +
+    * two partial-agg aggregations — nothing corpus-sized shuffles wide.
+    * Output: `(idCol, lang_pred, score_scaled)`. Documents shorter than
+    * one bigram yield no row (no evidence, no claim). */
+  def langProfilePredict(docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 128): DataFrame = {
+    val perDoc = docs.select(col(idCol),
+        explode(charBigramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_scaled").desc, col("label"))
+    perDoc
+      .join(broadcast(model.select(col("label"), col("bucket"),
+        col("ln_scaled"))), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("c") * col("ln_scaled")).as("score_scaled"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("lang_pred"), col("score_scaled"))
+  }
+
   /** Token-level TF-IDF via two aggregations (SURVEY §2.10).
     *
     * tf = term count within a doc; df = docs containing the term;

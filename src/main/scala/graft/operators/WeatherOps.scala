@@ -200,6 +200,33 @@ object WeatherOps {
         .map(c => col(s"_latest.$c").as(c)): _*)
   }
 
+  /** Type-2 (SCD2) history view — the validity-interval generalization of
+    * [[latestPerKey]]: where C1 keeps only last-write-wins (type 1), this
+    * keeps EVERY version of every key as a row with its validity interval
+    * `[valid_from, valid_to)` in `ordCol` units — `valid_from` is the
+    * version's own ordinal, `valid_to` the next version's (null while
+    * current), `is_current` flags the open interval. The standard
+    * warehouse changelog consumer (the reference's KTable at
+    * `MyStream.java:166-173` is the type-1 special case).
+    *
+    * `ordCol` must be unique per key (the Kafka-offset contract of
+    * [[latestPerKey]]) — a tie would make the lead nondeterministic.
+    *
+    * Scale: one shuffle on the key columns; the `lead` window sorts each
+    * key's versions inside its partition — version counts per key are
+    * changelog-bounded (thousands, not billions), so no single-task
+    * global sort ever appears. Output: key cols, payload cols,
+    * `valid_from`, `valid_to`, `is_current`. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], ordCol: String): DataFrame = {
+    val payload = df.columns.filterNot(c => keyCols.contains(c) || c == ordCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    df.select(keyCols.map(col) ++ payload.map(col) ++ Seq(
+      col(ordCol).as("valid_from"),
+      lead(col(ordCol), 1).over(w).as("valid_to")): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ---- J1/J2: enrichment joins (WeatherHotelsApp.java:134-142, MyStream.java:168-173)
 
   /** Inner enrichment join: each dimension row picks up its cell's weather

@@ -527,6 +527,43 @@ object IngestStreams {
       }
       .start()
 
+  /** SCD2 changelog consumer — the type-2 twin of [[tableJoinIngest]]'s
+    * type-1 upsert surface: every micro-batch appends its `(key, ord,
+    * payload…)` version rows into the standing version state (the
+    * [[batchKey]]+dynamic-partition-overwrite contract: a crash-and-
+    * replay of batch N deterministically rewrites batch N's state AND
+    * snapshot partitions), then re-derives the full validity-interval
+    * table with [[graft.operators.WeatherOps.scd2History]] over the
+    * standing state and snapshots it under the batch id — so a version
+    * arriving LATE (after its successor, even batches later) correctly
+    * closes/opens the affected intervals, because the window always runs
+    * over all versions seen so far. Input columns: `key`, `ord`, plus
+    * payload; `ord` unique per key (the scd2History contract).
+    *
+    * Scale: per batch one narrow append of the batch's versions plus the
+    * window over the standing state — version state is changelog-sized
+    * (keys × versions), never fact-sized; at 100 TB bucket the state
+    * table by key hash and emit only the keys the batch touched (join
+    * the window input against the batch's key set) instead of the full
+    * snapshot. Gated end-to-end as `q_scd2_stream_replay` (3-batch
+    * scrambled feed, stale versions planted across batch boundaries)
+    * against q_scd2's batch-window oracle. */
+  def scd2Ingest(changes: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val key = batchKey(checkpointDir, bid)
+        overwriteBatch(batch, key, stateDir)
+        val spark = batch.sparkSession
+        val state = spark.read.parquet(stateDir).drop("batch_key")
+        val scd = graft.operators.WeatherOps.scd2History(
+          state, Seq("key"), "ord")
+        overwriteBatch(scd.withColumn("batch_id", lit(bid)), key, outDir)
+        ()
+      }
+      .start()
+
   /** Offsets to pin when resuming a stream on a NEW checkpoint — the
     * compact-then-resume recipe (the [[compactIndex]] resume caveat) made
     * mechanical: reads the OLD checkpoint's commit log, finds the last

@@ -204,4 +204,37 @@ class MultimodalSpec extends SparkSuite {
     assert(nulled.getAs[Any]("width") == null &&
       nulled.getAs[Any]("px_sum") == null)
   }
+
+  test("REAL lossy decode: JPEG dims exact, deviation within the gated bound") {
+    val ids = (0L until 64L).toDF("doc_id")
+    val got = Multimodal.decodeDeviation(Multimodal.attachJpeg(ids),
+        (id, w, h, x, y) => Multimodal.gradientRgb((id % 256).toInt, w, h, x, y))
+      .orderBy($"doc_id").as[(Long, Int, Int, Int)].collect()
+    assert(got.length == 64)
+    got.foreach { case (id, w, h, dev) =>
+      assert(w == (id % 16 + 4).toInt && h == (id * 7 % 16 + 4).toInt,
+        s"dims must survive the lossy container exactly (doc $id)")
+      // probed worst case across 512 ids is 4; the catalog face gates at
+      // ≤ 12 (3× margin) — assert the tighter probe-level bound here so a
+      // codec regression surfaces in the spec before it eats the margin
+      assert(dev <= 8, s"doc $id deviated $dev from the gradient rule")
+    }
+    // a JPEG payload really rode the container: JFIF/EXIF magic bytes
+    val bytes = Multimodal.encodeJpeg(8, 6, 42)
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8, "JPEG SOI magic")
+    // corrupt payload → all-null row, never a task failure
+    val corruptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, org.apache.spark.sql.Row(
+          "junk".getBytes("UTF-8"),
+          org.apache.spark.sql.Row("image/jpeg", 4, 4))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media", Multimodal.mediaSchema))))
+    val nulled = Multimodal.decodeDeviation(corruptDf,
+      (id, w, h, x, y) => Multimodal.gradientRgb((id % 256).toInt, w, h, x, y)).head()
+    assert(nulled.getAs[Any]("width") == null &&
+      nulled.getAs[Any]("max_dev") == null)
+  }
 }

@@ -478,4 +478,43 @@ class TextAnalysisSpec extends SparkSuite {
       ()
     }
   }
+
+  test("langProfile: trained bigram classifier separates scripts; ln + argmax locked") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "en", "the cat and the dog went over there"),
+      (1L, "en", "they have this and that with them"),
+      (2L, "ru", "и не на что он как быть с ними"),
+      (3L, "ru", "что он не быть как на и с"),
+      (4L, "zh", "的 是 不 我 了 人 在 有"),
+      (5L, "zh", "我 在 有 人 了 不 是 的"),
+      (6L, "el", "και το να του η με για δεν"),
+      (7L, "el", "του η με και δεν το να για")
+    ).toDF("doc_id", "lang", "text")
+    val b = 64
+    val model = TextAnalysis.langProfileTrain(corpus, buckets = b)
+    // full grid, one row per (label, bucket); totals consistent; ln locked
+    val rows = model.collect()
+    assert(rows.length == 4 * b)
+    rows.foreach { r =>
+      val (cnt, total, ln) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ln == math.round(1e6 * math.log((cnt + 1.0) / (total + b.toDouble))))
+    }
+    val totals = rows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    rows.foreach(r => assert(r.getLong(3) == totals(r.getString(0))))
+    // disjoint scripts → training-set predictions recover every label
+    val pred = TextAnalysis.langProfilePredict(corpus, model, buckets = b)
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+    val truth = corpus.select($"doc_id", $"lang").as[(Long, String)]
+      .collect().toMap
+    assert(pred == truth, s"pred $pred != truth $truth")
+    // argmax tie-break: an empty-evidence doc (no bigram overlap beyond
+    // smoothing) scores every label identically on unseen buckets — the
+    // deterministic winner is the ascending-label min among ties only if
+    // scores tie; here just pin that a single-script doc predicts stably
+    val again = TextAnalysis.langProfilePredict(corpus, model, buckets = b)
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+    assert(again == pred)
+  }
 }

@@ -106,6 +106,52 @@ class IngestStreamsSpec extends SparkSuite {
       mid(3L) == "carol (stale)")
   }
 
+  test("scd2Ingest: late version closes intervals retroactively; final snapshot = batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("scd2").toString
+
+    val src = MemoryStream[(Long, Long, String, Double)]
+    val q = IngestStreams.scd2Ingest(
+      src.toDF().toDF("key", "ord", "event_type", "value"),
+      s"$dir/state", s"$dir/scd2", s"$dir/ckpt")
+
+    // batch 0: key 1 gets v10 and v30 (v20 missing — arrives later)
+    src.addData((1L, 10L, "a", 1.0), (1L, 30L, "c", 3.0), (2L, 5L, "x", 9.0))
+    q.processAllAvailable()
+    // batch 1: the STALE middle version v20 lands late — it must slot
+    // INSIDE the existing history: [10,20), [20,30), [30,null)
+    src.addData((1L, 20L, "b", 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def snapshot(bid: Long): Set[(Long, Long, Option[Long], Boolean, String)] =
+      spark.read.parquet(s"$dir/scd2").filter($"batch_id" === bid)
+        .select($"key", $"valid_from", $"valid_to", $"is_current", $"event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3), r.getString(4))).toSet
+
+    assert(snapshot(0L) == Set(
+      (1L, 10L, Some(30L), false, "a"), (1L, 30L, None, true, "c"),
+      (2L, 5L, None, true, "x")), "batch-0 history")
+    // after the late arrival, [10,30) must have been REOPENED as [10,20)
+    assert(snapshot(1L) == Set(
+      (1L, 10L, Some(20L), false, "a"), (1L, 20L, Some(30L), false, "b"),
+      (1L, 30L, None, true, "c"),
+      (2L, 5L, None, true, "x")), "late version re-derives closed intervals")
+
+    // final snapshot == the batch operator over the full version set
+    val batch = graft.operators.WeatherOps.scd2History(
+      Seq((1L, 10L, "a", 1.0), (1L, 30L, "c", 3.0), (2L, 5L, "x", 9.0),
+        (1L, 20L, "b", 2.0)).toDF("key", "ord", "event_type", "value"),
+      Seq("key"), "ord")
+      .select($"key", $"valid_from", $"valid_to", $"is_current", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getString(4))).toSet
+    assert(snapshot(1L) == batch, "streamed twin = batch operator")
+  }
+
   test("dfIngest: streamed df index equals batch dfIndex; compaction sum-preserving; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("dfingest").toString
