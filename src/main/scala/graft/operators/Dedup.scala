@@ -317,7 +317,8 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000,
       stagingDir: Option[String] = None,
       deltaUniq: Option[DataFrame] = None,
-      pairsSink: Option[String] = None): DataFrame = {
+      pairsSink: Option[String] = None,
+      indexPostings: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // exact-unique delta docs: batch-internal survivors minus corpus keys;
     // staged — read by the signature pass AND (via pairs) the CC rounds.
     // A pipeline that has already run [[incrementalExact]] on this batch
@@ -327,8 +328,17 @@ object Dedup {
     val uniq = stage(deltaUniq.getOrElse(delta.join(
       incrementalExact(delta, hashIdx, textCol, idCol).select(col(idCol)),
       Seq(idCol), "left_semi")), stagingDir, "inc_exact_survivors")
-    val pairs = sinkPairs(incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
-      bands, rowsPerBand, threshold, maxBucket), pairsSink)
+    // with standing (postings, bucketCounts) artifacts the mine takes the
+    // broadcast-delta path that never re-bands or shuffles the corpus —
+    // bit-identical output (incrementalMinhashFromPostings contract)
+    val mined = indexPostings match {
+      case Some((posts, cnts)) => incrementalMinhashFromPostings(uniq,
+        sigIndex, posts, cnts, idCol, textCol, k, bands, rowsPerBand,
+        threshold, maxBucket)
+      case None => incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
+        bands, rowsPerBand, threshold, maxBucket)
+    }
+    val pairs = sinkPairs(mined, pairsSink)
     Graph.incrementalCC(prevLabels, pairs, srcCol = "id_a", dstCol = "id_b",
       stagingDir = stagingDir)
   }
@@ -459,6 +469,97 @@ object Dedup {
       .distinct()
     val sh = dSig.select(col(idCol), col("sh"))
       .union(iSig.select(col(idCol), col("sh")))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The LSH POSTING relation of a [[signatureIndex]]-shaped input:
+    * `(idCol, band_idx, band_hash)`, one row per (doc, band). This is
+    * the second standing artifact an incremental near-dup pipeline
+    * persists beside the signature index itself: with postings (and
+    * their per-bucket counts, [[bandBucketCounts]]) on disk, a per-batch
+    * fold never re-bands or re-shuffles the standing corpus — see
+    * [[incrementalMinhashFromPostings]]. At cluster scale write it
+    * bucketed by (band_idx, band_hash) so bucket-local joins skip even
+    * the scan-side exchange. */
+  def bandPostings(sigIndex: DataFrame, idCol: String = "doc_id",
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    sigIndex.select(col(idCol), sigChecked(bands * rowsPerBand).as("sig"))
+      .select(col(idCol),
+        posexplode(bandHashes(col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+
+  /** Per-bucket posting counts of a [[bandPostings]] relation — the
+    * precomputed standing half of the `maxBucket` skew guard. */
+  def bandBucketCounts(postings: DataFrame): DataFrame =
+    postings.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_base"))
+
+  /** [[incrementalMinhash]] against a PRE-POSTED standing index — the
+    * per-batch shape that survives 100 TB. The generic path re-bands and
+    * re-shuffles the standing index's postings on every batch (an
+    * O(corpus) exchange per daily delta — the classic incremental-dedup
+    * scale-killer); this variant reads the postings and their bucket
+    * counts as standing artifacts ([[bandPostings]] /
+    * [[bandBucketCounts]], persisted at index build) and instead
+    * BROADCASTS the delta's postings against them: the standing corpus
+    * is scanned map-side, never shuffled, and the skew guard folds the
+    * precomputed base counts with the delta's own (so the guard decides
+    * on exactly the union totals the generic path counts — outputs are
+    * bit-identical, property-locked in DedupSpec).
+    *
+    * Contract: the delta is batch-bounded (its posting relation — ×bands
+    * rows — must broadcast; production deltas are, by the same bound
+    * that makes them "a batch"). `index` supplies the `sh` sets for the
+    * verify joins, exactly as in the generic path. */
+  def incrementalMinhashFromPostings(delta: DataFrame, index: DataFrame,
+      indexPostings: DataFrame, indexBucketCounts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val dSig = (if (delta.columns.contains("sig"))
+        delta.select(col(idCol), col("sh"),
+          sigChecked(bands * rowsPerBand).as("sig"))
+      else signatureIndex(delta, idCol, textCol, k, bands, rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dPost = bandPostings(dSig, idCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard: union totals = delta bucket counts + precomputed base counts
+    val dCnt = dPost.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n_delta"))
+    val oversized = dCnt
+      .join(indexBucketCounts, Seq("band_idx", "band_hash"), "full")
+      .filter(coalesce(col("n_delta"), lit(0L)) +
+        coalesce(col("n_base"), lit(0L)) > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    // oversized buckets are few by construction → broadcast anti-joins
+    val dG = dPost.join(broadcast(oversized),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val iG = indexPostings.join(broadcast(oversized),
+      Seq("band_idx", "band_hash"), "left_anti")
+    // delta×index: the standing postings stream map-side past the
+    // broadcast delta — no shuffle of the corpus-sized side
+    val candDI = broadcast(
+        dG.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a")))
+      .join(iG.select(col("band_idx"), col("band_hash"),
+        col(idCol).as("id_b")), Seq("band_idx", "band_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+    // delta×delta: batch-internal pairs, both sides small
+    val candDD = dG.select(col("band_idx"), col("band_hash"),
+        col(idCol).as("id_a"))
+      .join(dG.select(col("band_idx"), col("band_hash"),
+        col(idCol).as("id_b")), Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+    val candidates = candDI.select(col("id_a"), col("id_b"))
+      .union(candDD.select(col("id_a"), col("id_b")))
+      .distinct()
+    val sh = dSig.select(col(idCol), col("sh"))
+      .union(index.select(col(idCol), col("sh")))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -436,6 +436,45 @@ class DedupSpec extends SparkSuite {
     assert(all.size >= got.size)
   }
 
+  test("incrementalMinhashFromPostings == generic incrementalMinhash (incl. guard)") {
+    // base corpus with a planted near-dup target and a hot boilerplate
+    // bucket the maxBucket guard must prune identically on both paths
+    val boiler = "shared boilerplate sentence repeated across the corpus " * 3
+    val baseDocs = (0L until 30L).map { i =>
+      if (i % 3 == 0) (i, boiler) // hot bucket fodder
+      else (i, s"unique base document number $i with distinct content tail $i")
+    }.toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, boiler),                                                  // joins the hot bucket
+      (101L, "unique base document number 4 with distinct content tail 4"), // exact text of base 4
+      (102L, "unique base document number 7 with distinct content tails 7"), // near-dup of base 7
+      (103L, "entirely novel delta content that matches nothing else here"),
+      (104L, "entirely novel delta content that matches nothing else there") // near-dup of 103
+    ).toDF("doc_id", "text")
+    val (b, r, thr, cap) = (16, 4, 0.5, 8)
+    val sigIdx = Dedup.signatureIndex(baseDocs, bands = b, rowsPerBand = r)
+      .persist()
+    val posts = Dedup.bandPostings(sigIdx, bands = b, rowsPerBand = r)
+    val cnts = Dedup.bandBucketCounts(posts)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", round($"jaccard", 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val generic = pairSet(Dedup.incrementalMinhash(delta, sigIdx,
+      bands = b, rowsPerBand = r, threshold = thr, maxBucket = cap))
+    val posted = pairSet(Dedup.incrementalMinhashFromPostings(delta, sigIdx,
+      posts, cnts, bands = b, rowsPerBand = r, threshold = thr, maxBucket = cap))
+    assert(posted == generic, s"posted $posted != generic $generic")
+    assert(generic.nonEmpty, "fixture must actually produce pairs")
+    // the guard really engaged: without it the hot boilerplate bucket
+    // would pair the delta boiler doc with every base boiler doc
+    val unguarded = pairSet(Dedup.incrementalMinhash(delta, sigIdx,
+      bands = b, rowsPerBand = r, threshold = thr, maxBucket = 1000))
+    assert(unguarded.exists(_._1 == 100L) && !generic.exists(_._1 == 100L),
+      "maxBucket guard must prune the planted hot bucket on both paths")
+    sigIdx.unpersist()
+    ()
+  }
+
   test("dedupSubstrings: first occurrence survives, spans excised, overlaps merged") {
     val docs = Seq(
       (0L, "a1 a2 c1 c2 c3 a3 a4 a5"), // holds the first "c1 c2 c3"
