@@ -1069,6 +1069,24 @@ object ExtQueries {
       root
     })
 
+  private val unigramModelBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  /** The final-round (round-2) unigram piece scores for a fixture dir,
+    * trained once per (process, dir) — the standing-tokenizer shape
+    * q_unigram_tokens applies (q_unigram_train itself always runs the
+    * real training; it IS the timed surface). Deterministic training ⇒
+    * identical to the ledger the train face stages, which is what the
+    * tokens oracle verifies against. */
+  private def unigramModelCached(s: SparkSession, dir: String): Map[String, Long] =
+    unigramModelBuilt.computeIfAbsent(dir, { _ =>
+      Unigram.unigramTrain(Tables.documents(s, dir), rounds = 2,
+          maxPieceLen = 4, vocabSize = 48)
+        .filter(col("round") === 2)
+        .select(col("piece"), col("score_scaled"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
+
   private val bpeRulesBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
@@ -1368,6 +1386,8 @@ object ExtQueries {
     hllReplayFixture(s, dir)
     mediaReplayFixture(s, dir)
     pctReplayFixture(s, dir)
+    scd2ReplayFixture(s, dir)
+    asofReplayFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -1618,6 +1638,26 @@ object ExtQueries {
           maxPieceLen = 4, vocabSize = 48,
           modelSink = Some(oracleStagePath(dir, "q_unigram_train")))
         .orderBy(col("round"), col("piece"))),
+
+    // unigram apply side: the corpus word table segmented by the DP under
+    // the standing trained model (per-(process, dir) cache — a tokenizer
+    // is trained once, applied forever), top-10 pieces by weighted usage.
+    // The oracle re-derives the ENTIRE training recurrence, then
+    // brute-force-segments every word under the verified final scores —
+    // so DP ≡ exhaustive arg-max is locked externally here, not just by
+    // UnigramSpec
+    "q_unigram_tokens" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val model = unigramModelCached(s, dir)
+      val words = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      Unigram.segmentWords(words, model, wordCol = "w")
+        .select(col("cnt"), explode(split(col("pieces_joined"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("piece")).limit(10)
+    }),
 
     // BPE apply side: tokenize the corpus with the 6 learned rules (the
     // bpeTokens higher-order fold) and take the top-10 tokens by weighted
@@ -3404,28 +3444,39 @@ object ExtQueries {
     * staged, and a count divergence nulls the score → hash mismatch.
     * Brute force is oracle-affordable because the fixture vocabulary is
     * tiny; the ENGINE runs the O(L·maxPieceLen) DP instead. */
-  private def unigramOracleSql(root: String): String = {
-    // one Viterbi round: best mask per word under the scores in `prevS`,
-    // usage counts, next-round counts/total over the fixed vocab
-    def round(r: Int, prevS: String): String =
-      s"""sc$r AS (SELECT w, cnt, mask, min(np) AS np,
-         |         count(s.piece) AS matched, sum(s.score_scaled) AS sc
-         |       FROM pr LEFT JOIN $prevS s USING (piece)
-         |       GROUP BY w, cnt, mask),
-         |b$r AS (SELECT w, mask FROM (
-         |        SELECT w, mask, row_number() OVER (PARTITION BY w
-         |          ORDER BY sc DESC, np, mask) AS rn
-         |        FROM sc$r WHERE matched = np) WHERE rn = 1),
-         |u$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
-         |       FROM pr JOIN b$r USING (w, mask) GROUP BY piece),
-         |r${r}c AS (SELECT v.piece, CAST(coalesce(u$r.cnt, 0) AS BIGINT) AS cnt
-         |        FROM vocab v LEFT JOIN u$r USING (piece)),
-         |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r${r}c),
-         |s$r AS (SELECT st.piece, st.score_scaled
-         |       FROM staged st JOIN r${r}c USING (piece) CROSS JOIN t$r
-         |       WHERE st.round = $r AND st.cnt = r${r}c.cnt
-         |         AND st.total = t$r.total)""".stripMargin
-    s"""WITH wt AS (SELECT w, count(*) AS cnt FROM (
+  /** One oracle Viterbi round: best mask per word under the scores in
+    * `prevS` (the same (score desc, pieces asc, mask asc) total order as
+    * the engine DP), then usage counts `u<r>` weighted by word freq. */
+  private def unigramViterbiCtes(r: Int, prevS: String): String =
+    s"""sc$r AS (SELECT w, cnt, mask, min(np) AS np,
+       |         count(s.piece) AS matched, sum(s.score_scaled) AS sc
+       |       FROM pr LEFT JOIN $prevS s USING (piece)
+       |       GROUP BY w, cnt, mask),
+       |b$r AS (SELECT w, mask FROM (
+       |        SELECT w, mask, row_number() OVER (PARTITION BY w
+       |          ORDER BY sc DESC, np, mask) AS rn
+       |        FROM sc$r WHERE matched = np) WHERE rn = 1),
+       |u$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |       FROM pr JOIN b$r USING (w, mask) GROUP BY piece)""".stripMargin
+
+  /** Round-`r` count verification + staged-score consumption: counts over
+    * the fixed vocab re-derived, `s<r>` carries scores only where the
+    * staged (cnt, total) evidence agrees (the q_lm_score epistemics). */
+  private def unigramVerifyCtes(r: Int): String =
+    s"""r${r}c AS (SELECT v.piece, CAST(coalesce(u$r.cnt, 0) AS BIGINT) AS cnt
+       |        FROM vocab v LEFT JOIN u$r USING (piece)),
+       |t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r${r}c),
+       |s$r AS (SELECT st.piece, st.score_scaled
+       |       FROM staged st JOIN r${r}c USING (piece) CROSS JOIN t$r
+       |       WHERE st.round = $r AND st.cnt = r${r}c.cnt
+       |         AND st.total = t$r.total)""".stripMargin
+
+  /** Shared base of the unigram oracles: word-frequency table, seed
+    * substring grid → vocab + round-0 evidence, staged-ledger read, and
+    * the brute-force segmentation space (all 2^(L−1) cut masks with
+    * their piece lists). */
+  private def unigramBaseCtes(root: String): String =
+    s"""wt AS (SELECT w, count(*) AS cnt FROM (
        |        SELECT unnest($toksSql) AS w FROM documents)
        |      WHERE len(w) BETWEEN 1 AND 16 GROUP BY w),
        |sg AS (SELECT w, cnt, CAST(unnest(range(1, len(w) + 1)) AS INT) AS s
@@ -3458,9 +3509,14 @@ object ExtQueries {
        |           j -> substr(w, CAST(cuts[CAST(j AS INT)] + 1 AS INT),
        |             CAST(cuts[CAST(j AS INT) + 1] - cuts[CAST(j AS INT)] AS INT)))
        |           AS pieces FROM cu),
-       |pr AS (SELECT w, cnt, mask, np, unnest(pieces) AS piece FROM pc),
-       |${round(1, "s0")},
-       |${round(2, "s1")}
+       |pr AS (SELECT w, cnt, mask, np, unnest(pieces) AS piece FROM pc)""".stripMargin
+
+  private def unigramOracleSql(root: String): String =
+    s"""WITH ${unigramBaseCtes(root)},
+       |${unigramViterbiCtes(1, "s0")},
+       |${unigramVerifyCtes(1)},
+       |${unigramViterbiCtes(2, "s1")},
+       |${unigramVerifyCtes(2)}
        |SELECT 0 AS round, r0c.piece, r0c.cnt, t0.total, s0.score_scaled
        |FROM r0c CROSS JOIN t0 LEFT JOIN s0 USING (piece)
        |UNION ALL
@@ -3470,7 +3526,22 @@ object ExtQueries {
        |SELECT 2 AS round, r2c.piece, r2c.cnt, t2.total, s2.score_scaled
        |FROM r2c CROSS JOIN t2 LEFT JOIN s2 USING (piece)
        |ORDER BY round, piece""".stripMargin
-  }
+
+  /** q_unigram_tokens oracle: the apply side — every word segmented by
+    * brute-force arg-max under the FINAL (round-2) model, whose scores
+    * are consumed from the staged ledger only where the full re-derived
+    * recurrence agrees (the verify chain runs here too: a wrong ledger
+    * empties s2 and the segmentation collapses). Top-10 pieces by
+    * word-frequency-weighted usage, (n desc, piece) total order. */
+  private def unigramTokensOracleSql(root: String): String =
+    s"""WITH ${unigramBaseCtes(root)},
+       |${unigramViterbiCtes(1, "s0")},
+       |${unigramVerifyCtes(1)},
+       |${unigramViterbiCtes(2, "s1")},
+       |${unigramVerifyCtes(2)},
+       |${unigramViterbiCtes(3, "s2")}
+       |SELECT piece, cnt AS n FROM u3
+       |ORDER BY n DESC, piece LIMIT 10""".stripMargin
 
   /** Oracle entries whose SQL references per-dir STAGED artifacts (paths
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
@@ -3630,6 +3701,7 @@ object ExtQueries {
       // independently, ln_scaled consumed only where they agree, and
       // the integer sums recomputed exactly
       "q_unigram_train" -> unigramOracleSql(root),
+      "q_unigram_tokens" -> unigramTokensOracleSql(root),
 
       // langid2: the 5-script corpus reconstructed from the same literal
       // lists, bigram buckets re-derived per code point (Karp–Rabin fold),

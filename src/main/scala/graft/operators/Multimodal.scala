@@ -61,7 +61,7 @@ object Multimodal {
     * "luma", length, crc. The REAL codec twins live above
     * ([[decodeImage]]/[[decodeFrames]]/[[decodeWav]]); this stays for
     * payloads with no container format (the engine-portable arithmetic
-    * the q_multimodal oracle re-derives). */
+    * the q_payload_slice oracle re-derives). */
   def decodeStub(payload: Array[Byte]): (Double, Int, Long) = {
     var sum = 0L
     var i = 0

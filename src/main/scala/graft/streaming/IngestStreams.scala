@@ -564,6 +564,39 @@ object IngestStreams {
       }
       .start()
 
+  /** Streamed as-of enrichment — production merge_asof-at-ingest: each
+    * micro-batch runs the BATCH as-of join
+    * ([[graft.operators.AsOf.join]], backward/most-recent) of the
+    * batch's left rows against the STANDING right table (`right` is
+    * re-evaluated per batch — a parquet read of the durable dimension,
+    * the [[dedupIngest]] standing-index pattern) and lands the enriched
+    * rows under the batch id (the [[batchKey]]+dynamic-partition-
+    * overwrite contract: crash-and-replay of batch N rewrites batch N's
+    * partition). Correct under ANY batching or arrival order because a
+    * static-right as-of join is per-left-row: the union over batches
+    * equals the one-shot batch join — which is exactly what
+    * `q_asof_stream_replay` gates against q_asof_join's oracle.
+    *
+    * Scale: per batch the union-window plan shuffles the batch's left
+    * rows plus one pass of the standing right; at 100 TB pre-bucket the
+    * standing side on the key and broadcast small batches instead. */
+  def asofIngest(left: DataFrame, right: () => DataFrame,
+      leftKey: String, rightKey: String, leftTime: String,
+      rightTime: String, rightPayload: Seq[String], rightOrd: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    left.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val key = batchKey(checkpointDir, bid)
+        val joined = graft.operators.AsOf.join(batch, right(),
+          leftKey = col(leftKey), rightKey = col(rightKey),
+          leftTime = col(leftTime), rightTime = col(rightTime),
+          rightPayload = rightPayload, rightOrd = col(rightOrd))
+        overwriteBatch(joined, key, outDir)
+        ()
+      }
+      .start()
+
   /** Offsets to pin when resuming a stream on a NEW checkpoint — the
     * compact-then-resume recipe (the [[compactIndex]] resume caveat) made
     * mechanical: reads the OLD checkpoint's commit log, finds the last

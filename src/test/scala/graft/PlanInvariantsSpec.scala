@@ -349,4 +349,37 @@ class PlanInvariantsSpec extends SparkSuite {
       "arg-min must plan two-phase (partial min per partition) so a hot " +
         s"boilerplate paragraph never assembles an occurrence list:\n${p.take(2000)}")
   }
+
+  test("posting-path mine: standing postings broadcast-joined, never exchanged") {
+    // the r15 fix: per-batch candidate generation must not shuffle the
+    // standing corpus postings — delta postings broadcast onto them
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (0L until 40L)
+      .map(i => (i, s"base document number $i content tail $i"))
+      .toDF("doc_id", "text")
+    val delta = Seq((100L, "base document number 7 content tail 7x"))
+      .toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.signatureIndex(base, bands = 16, rowsPerBand = 4)
+    val posts = graft.operators.Dedup.bandPostings(sig, bands = 16, rowsPerBand = 4)
+    val mined = graft.operators.Dedup.incrementalMinhashFromPostings(
+      delta, sig, posts, graft.operators.Dedup.bandBucketCounts(posts),
+      bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val p = mined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta postings must broadcast onto the standing side:\n${p.take(3000)}")
+    // no repartition of the unioned posting set (the generic path's
+    // single-exchange move — correct there, the scale-killer here)
+    assert(!p.contains("REPARTITION_BY_COL"),
+      s"posting path must not re-shuffle postings:\n${p.take(3000)}")
+  }
+
+  test("q_substring_dedup: postings on the 8-byte shingle hash, rebuild join-free per doc") {
+    val p = plan("q_substring_dedup")
+    // survivor arg-min + duplication count in ONE aggregate on the hash
+    assert(p.contains("shingle_hashes"),
+      "occurrence identity must be the mixed token-hash kernel")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "first-occurrence arg-min must plan two-phase partial aggregation")
+  }
 }
