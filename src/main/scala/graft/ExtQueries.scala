@@ -1639,6 +1639,15 @@ object ExtQueries {
           modelSink = Some(oracleStagePath(dir, "q_unigram_train")))
         .orderBy(col("round"), col("piece"))),
 
+    // the SentencePiece PRUNE step: every multi-char piece scored by the
+    // corpus likelihood loss of removing it (re-segmentation delta under
+    // the final model), top-24 kept. The oracle re-runs the training
+    // recurrence, then brute-forces best-with and best-WITHOUT-p masks
+    // per (word, used piece) — every loss an exact integer sum
+    "q_unigram_prune" -> ((s, dir) =>
+      Unigram.pruneVocab(Tables.documents(s, dir), rounds = 2,
+        maxPieceLen = 4, vocabSize = 48, keep = 24)),
+
     // unigram apply side: the corpus word table segmented by the DP under
     // the standing trained model (per-(process, dir) cache — a tokenizer
     // is trained once, applied forever), top-10 pieces by weighted usage.
@@ -3543,6 +3552,42 @@ object ExtQueries {
        |SELECT piece, cnt AS n FROM u3
        |ORDER BY n DESC, piece LIMIT 10""".stripMargin
 
+  /** q_unigram_prune oracle: the likelihood-loss ranking re-derived in
+    * full — the training chain (verified per round), the final best
+    * segmentation per word, and for every (word, used multi-char piece)
+    * the best score over all masks whose piece list EXCLUDES it (the
+    * char-split fallback guarantees one exists). Losses are exact
+    * integer sums of the verified staged scores. */
+  private def unigramPruneOracleSql(root: String): String =
+    s"""WITH ${unigramBaseCtes(root)},
+       |${unigramViterbiCtes(1, "s0")},
+       |${unigramVerifyCtes(1)},
+       |${unigramViterbiCtes(2, "s1")},
+       |${unigramVerifyCtes(2)},
+       |${unigramViterbiCtes(3, "s2")},
+       |bsc AS (SELECT s.w, s.cnt, s.sc AS best_sc
+       |        FROM sc3 s JOIN b3 USING (w, mask)),
+       |used AS (SELECT DISTINCT b.w, p.piece
+       |         FROM b3 b JOIN pr p USING (w, mask) WHERE len(p.piece) >= 2),
+       |alt AS (SELECT u.w, u.piece, max(s.sc) AS alt_sc
+       |        FROM used u JOIN sc3 s ON s.w = u.w
+       |        JOIN pc ON pc.w = s.w AND pc.mask = s.mask
+       |        WHERE s.matched = s.np AND NOT list_contains(pc.pieces, u.piece)
+       |        GROUP BY u.w, u.piece),
+       |lp AS (SELECT u.piece,
+       |         CAST(sum(b.cnt * (b.best_sc - a.alt_sc)) AS BIGINT) AS loss_scaled
+       |       FROM used u JOIN bsc b ON b.w = u.w
+       |       JOIN alt a ON a.w = u.w AND a.piece = u.piece
+       |       GROUP BY u.piece),
+       |fin AS (SELECT m.piece,
+       |          CAST(coalesce(lp.loss_scaled, 0) AS BIGINT) AS loss_scaled
+       |        FROM mu m LEFT JOIN lp USING (piece)),
+       |rk AS (SELECT piece, loss_scaled,
+       |         row_number() OVER (ORDER BY loss_scaled DESC, piece) AS rn
+       |       FROM fin)
+       |SELECT piece, loss_scaled, (rn <= 24) AS kept FROM rk
+       |ORDER BY piece""".stripMargin
+
   /** Oracle entries whose SQL references per-dir STAGED artifacts (paths
     * known only after the query lambdas ran — see [[oracleStagedFor]]). */
   private def dynamicOracleSql: Map[String, String] = {
@@ -3702,6 +3747,7 @@ object ExtQueries {
       // the integer sums recomputed exactly
       "q_unigram_train" -> unigramOracleSql(root),
       "q_unigram_tokens" -> unigramTokensOracleSql(root),
+      "q_unigram_prune" -> unigramPruneOracleSql(root),
 
       // langid2: the 5-script corpus reconstructed from the same literal
       // lists, bigram buckets re-derived per code point (Karp–Rabin fold),

@@ -110,9 +110,12 @@ object Unigram {
   private def scoreOf(cnt: Long, total: Long, v: Int): Long =
     math.round(1e6 * math.log((cnt + 1.0) / (total + v.toDouble)))
 
-  def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
-      vocabSize: Int = 64, maxWordLen: Int = 16, textCol: String = "text",
-      modelSink: Option[String] = None): DataFrame = {
+  /** Shared training core: word table (PERSISTED — caller unpersists),
+    * fixed vocab, per-round ledger, and the final-round score map. */
+  private def trainState(docs: DataFrame, rounds: Int, maxPieceLen: Int,
+      vocabSize: Int, maxWordLen: Int, textCol: String):
+      (DataFrame, IndexedSeq[String], Map[String, Long],
+        Seq[(Int, String, Long, Long, Long)]) = {
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(maxWordLen <= 62, s"maxWordLen must be <= 62 (cut-mask), got $maxWordLen")
@@ -141,16 +144,18 @@ object Unigram {
     val seed = chars.union(multi)
       .as[(String, Long)].collect().sortBy(_._1)
 
-    val vocabArr = seed.map(_._1)
+    val vocabArr = seed.map(_._1).toIndexedSeq
     val v = vocabArr.length
     val ledger = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long, Long)]
     var cnts: Map[String, Long] = seed.toMap
+    var lastScore: Map[String, Long] = Map.empty
     var round = 0
     while (round <= rounds) {
       val total = cnts.valuesIterator.sum
       val score = vocabArr.iterator
         .map(p => p -> scoreOf(cnts.getOrElse(p, 0L), total, v)).toMap
+      lastScore = score
       vocabArr.foreach(p =>
         ledger += ((round, p, cnts.getOrElse(p, 0L), total, score(p))))
       if (round < rounds) {
@@ -166,11 +171,108 @@ object Unigram {
       }
       round += 1
     }
+    (words, vocabArr, lastScore, ledger.toSeq)
+  }
+
+  def unigramTrain(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
+      vocabSize: Int = 64, maxWordLen: Int = 16, textCol: String = "text",
+      modelSink: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (words, _, _, ledger) =
+      trainState(docs, rounds, maxPieceLen, vocabSize, maxWordLen, textCol)
     words.unpersist()
-    val out = ledger.toSeq
-      .toDF("round", "piece", "cnt", "total", "score_scaled")
+    val out = ledger.toDF("round", "piece", "cnt", "total", "score_scaled")
     modelSink.foreach(p => out.coalesce(1).write.mode("overwrite").parquet(p))
     out
+  }
+
+  /** The SentencePiece PRUNE step — the second half of unigram training
+    * [[unigramTrain]] deliberately excludes from its fixed-vocab EM:
+    * score every multi-character piece by its LIKELIHOOD LOSS
+    *   loss(p) = Σ_w freq(w) · (bestScore(w) − bestScoreWithout_p(w))
+    * (how much total Viterbi log-likelihood the corpus loses if `p` is
+    * removed and its words re-segment; 0 for pieces no best segmentation
+    * uses — exactly SentencePiece's utility order), then keep the top
+    * `keep` by (loss desc, piece asc). Single characters are never
+    * pruned (coverage guarantee), so the char-split alternative always
+    * exists and every loss is well-defined. All arithmetic is sums of
+    * the staged integer scores — bit-portable, so the oracle re-derives
+    * every loss by brute-force mask enumeration excluding `p`.
+    *
+    * Output: one row per multi-char vocab piece —
+    * `(piece, loss_scaled, kept)`, ordered by piece.
+    *
+    * Scale: one extra E-step-shaped pass (per word, one DP plus one DP
+    * per DISTINCT piece its best segmentation uses — ≤ L/2 re-runs of an
+    * O(L·maxPieceLen) kernel); the loss aggregation is a partial-agg sum
+    * on the piece; everything else is codebook-class. */
+  def pruneVocab(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
+      vocabSize: Int = 64, keep: Int = 32, maxWordLen: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (words, vocabArr, score, _) =
+      trainState(docs, rounds, maxPieceLen, vocabSize, maxWordLen, textCol)
+    val bc = spark.sparkContext.broadcast(score)
+    val mpl = maxPieceLen
+    val losses = words.as[(String, Long)].mapPartitions { it =>
+      val sc = bc.value
+      it.flatMap { case (w, cnt) =>
+        val best = viterbiSegment(w, sc, mpl)
+        val bestSc = best.iterator.map(sc).sum
+        best.distinct.iterator.filter(_.length >= 2).map { p =>
+          (p, cnt * (bestSc - viterbiBestScore(w, sc - p, mpl)))
+        }
+      }
+    }.toDF("piece", "l")
+      .groupBy(col("piece")).agg(sum(col("l")).as("loss_scaled"))
+    val multiAll = vocabArr.filter(_.length >= 2).toDF("piece")
+    // global window over ≤ vocabSize rows — codebook-class by contract,
+    // not a corpus-sized single-task sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("loss_scaled").desc, col("piece"))
+    val out = multiAll.join(losses, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("loss_scaled"), lit(0L)).as("loss_scaled"))
+      .withColumn("kept", row_number().over(w) <= keep)
+      .orderBy(col("piece"))
+    words.unpersist()
+    out
+  }
+
+  /** Max Viterbi score only (no segmentation reconstruction — tie-breaks
+    * are irrelevant to the maximum). Long.MinValue if `w` has no covering
+    * segmentation under `score` (cannot happen while all chars are in). */
+  private[graft] def viterbiBestScore(w: String, score: Map[String, Long],
+      maxPieceLen: Int): Long = {
+    val L = w.length
+    if (L == 0) return 0L
+    val dp = new Array[Long](L + 1)
+    val reach = new Array[Boolean](L + 1)
+    reach(0) = true
+    var i = 1
+    while (i <= L) {
+      var best = Long.MinValue
+      var found = false
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (reach(j)) {
+          score.get(w.substring(j, i)) match {
+            case Some(s) =>
+              val cand = dp(j) + s
+              if (!found || cand > best) { best = cand; found = true }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      if (found) dp(i) = best
+      reach(i) = found
+      i += 1
+    }
+    if (reach(L)) dp(L) else Long.MinValue
   }
 
   /** Column-level tokenization: adds `pieces_joined` (space-joined

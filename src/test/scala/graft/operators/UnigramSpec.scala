@@ -96,6 +96,76 @@ class UnigramSpec extends SparkSuite {
     assert(r0 != r1, "EM round must change usage counts on this corpus")
   }
 
+  test("pruneVocab: loss == brute-force re-segmentation delta; keep order total") {
+    val docs = Seq(
+      (0L, "abab abab cd cd abcd"),
+      (1L, "abab cd ab ab"),
+      (2L, "abcd abcd dd")
+    ).toDF("doc_id", "text")
+    val (rounds, maxLen, vsize, keepN) = (2, 3, 4, 2)
+    val got = Unigram.pruneVocab(docs, rounds = rounds, maxPieceLen = maxLen,
+        vocabSize = vsize, keep = keepN)
+      .as[(String, Long, Boolean)].collect().toSeq
+
+    // local reference: re-train (the UnigramSpec train reference), then
+    // loss per used multi-char piece by exhaustive masks without it
+    val words = Seq("abab", "cd", "abcd", "ab", "dd").map { w =>
+      w -> docs.as[(Long, String)].collect()
+        .flatMap(_._2.split(" ")).count(_ == w).toLong
+    }.filter(_._2 > 0)
+    val seedCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; s <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - s))
+      seedCnt.updateWith(w.substring(s, s + l)) {
+        case Some(x) => Some(x + c); case None => Some(c) }
+    val chars = seedCnt.keys.filter(_.length == 1).toSeq
+    val multi = seedCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(vsize).map(_._1)
+    val vocab = (chars ++ multi).sorted
+    val v = vocab.length
+    var cnts = vocab.map(p => p -> seedCnt(p)).toMap
+    var score: Map[String, Long] = Map.empty
+    for (r <- 0 to rounds) {
+      val total = cnts.values.sum
+      score = vocab.map(p =>
+        p -> math.round(1e6 * math.log((cnts(p) + 1.0) / (total + v)))).toMap
+      if (r < rounds) {
+        val usage = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for ((w, c) <- words) {
+          val valid = allSegs(w).filter(_._1.forall(p =>
+            p.length <= maxLen && score.contains(p)))
+          val best = valid.maxBy { case (ps, mask) =>
+            (ps.map(score).sum, -ps.length, -mask) }
+          best._1.foreach(p => usage(p) += c)
+        }
+        cnts = vocab.map(p => p -> usage(p)).toMap
+      }
+    }
+    def bestScore(w: String, sc: Map[String, Long]): Long =
+      allSegs(w).filter(_._1.forall(p => p.length <= maxLen && sc.contains(p)))
+        .map(_._1.map(sc).sum).max
+    val loss = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- words) {
+      val valid = allSegs(w).filter(_._1.forall(p =>
+        p.length <= maxLen && score.contains(p)))
+      val best = valid.maxBy { case (ps, mask) =>
+        (ps.map(score).sum, -ps.length, -mask) }
+      val bs = best._1.map(score).sum
+      best._1.distinct.filter(_.length >= 2).foreach { p =>
+        loss(p) += c * (bs - bestScore(w, score - p))
+      }
+    }
+    val refRanked = multi.map(p => (p, loss(p)))
+      .sortBy { case (p, l) => (-l, p) }
+    val refKept = refRanked.take(keepN).map(_._1).toSet
+    val ref = multi.sorted.map(p => (p, loss(p), refKept.contains(p)))
+    assert(got == ref, s"\n got $got\n ref $ref")
+    // a truly load-bearing piece must carry positive loss
+    assert(got.exists(_._2 > 0), "fixture must produce a positive loss")
+  }
+
   test("segmentWords: per-word pieces joined, other columns preserved") {
     val model = Map("a" -> -10L, "b" -> -10L, "ab" -> -15L, "c" -> -12L)
     val df = Seq((1L, "abc"), (2L, "ab"), (3L, "abc")).toDF("id", "w")
