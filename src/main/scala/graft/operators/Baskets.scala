@@ -42,11 +42,34 @@ object Baskets {
       minSupport: Long, k: Int,
       maxBasket: Option[Int] = Some(10000),
       stagingDir: Option[String] = None): DataFrame = {
+    val (topk, items) =
+      frequentPairsLazy(df, basketCol, itemCol, minSupport, k, maxBasket,
+        stagingDir)
+    if (stagingDir.isEmpty) {
+      // the result is ≤ k rows by contract, so forcing it here is
+      // bounded; the staged diamond can then be released immediately
+      // instead of pinning the CacheManager for the session lifetime
+      // (repeated invocations would otherwise accumulate one
+      // MEMORY_AND_DISK relation each)
+      val rows = topk.collect()
+      items.unpersist()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), topk.schema)
+    } else topk
+  }
+
+  /** The LAZY plan [[frequentPairs]] forces: (top-k DataFrame, the staged
+    * distinct (basket, item) diamond). Package-visible so plan-invariant
+    * tests can assert the one-materialization diamond that the public
+    * API's eager force + unpersist hides from its returned plan. */
+  private[graft] def frequentPairsLazy(df: DataFrame, basketCol: Column,
+      itemCol: Column, minSupport: Long, k: Int,
+      maxBasket: Option[Int] = Some(10000),
+      stagingDir: Option[String] = None): (DataFrame, DataFrame) = {
     require(minSupport >= 1 && k >= 1, s"bad params: $minSupport, $k")
     val items = Staging.stage(
       df.select(basketCol.as("b"), itemCol.as("i")).distinct(),
       stagingDir, "basket_items")
-    val unpersistAfter = stagingDir.isEmpty
     val kept = maxBasket match {
       case Some(cap) =>
         val ok = items.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -62,16 +85,6 @@ object Baskets {
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
       .limit(k)
-    if (unpersistAfter) {
-      // the result is ≤ k rows by contract, so forcing it here is
-      // bounded; the staged diamond can then be released immediately
-      // instead of pinning the CacheManager for the session lifetime
-      // (repeated invocations would otherwise accumulate one
-      // MEMORY_AND_DISK relation each)
-      val rows = topk.collect()
-      items.unpersist()
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), topk.schema)
-    } else topk
+    (topk, items)
   }
 }

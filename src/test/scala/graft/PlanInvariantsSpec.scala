@@ -94,8 +94,16 @@ class PlanInvariantsSpec extends SparkSuite {
     // InMemoryRelation would mislead, since each scan reprints the cached
     // subtree in the plan dump
     // logical optimizedPlan, not executedPlan: AdaptiveSparkPlanExec is a
-    // leaf for traversal, so physical collect can't see inside AQE
-    val df = SparkEntry.queries("q_copurchase")(spark, sf0001)
+    // leaf for traversal, so physical collect can't see inside AQE.
+    // Since r15 the public frequentPairs forces the bounded top-k and
+    // unpersists (the r14 advisory: no pinned cache per invocation), so
+    // the diamond is asserted on the LAZY internal plan with the catalog
+    // face's exact parameters
+    import org.apache.spark.sql.functions.col
+    val (df, items) = graft.operators.Baskets.frequentPairsLazy(
+      graft.Tables.lineitem(spark, sf0001),
+      basketCol = col("l_orderkey"), itemCol = col("l_partkey"),
+      minSupport = 2L, k = 20)
     val rels = df.queryExecution.optimizedPlan.collectWithSubqueries {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }
@@ -106,6 +114,8 @@ class PlanInvariantsSpec extends SparkSuite {
     // and they all read the SAME cached relation (one materialization)
     assert(rels.map(_.cacheBuilder).distinct.size == 1,
       "consumers must share one cached relation")
+    items.unpersist()
+    ()
   }
 
   test("q_kcore: per-round peel is semi-joins + partial aggregation, no window") {
