@@ -120,7 +120,15 @@ object ScaleSmoke {
     // (which would flatline at one core and blow the step ratio)
     "winsorize" -> ((s: SparkSession, dir: String) =>
       graft.operators.Profile.winsorize(Tables.orders(s, dir),
-        col("o_totalprice"), ppmLow = 10000L, ppmHigh = 990000L)))
+        col("o_totalprice"), ppmLow = 10000L, ppmHigh = 990000L)),
+    // r15: exact substring dedup — posting explode + one partial-agg
+    // survivor arg-min + the per-doc interval merge + in-place rebuild;
+    // the fixture's tiny vocabulary makes duplicated 5-gram density
+    // roughly scale-free, so the step ratio must track the posting
+    // count linearly (an occurrence-list or text-shuffling regression
+    // shows up as a super-linear step)
+    "substring_dedup" -> ((s: SparkSession, dir: String) =>
+      Dedup.dedupSubstrings(docs(s, dir), k = 5)))
 
   private val ccIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

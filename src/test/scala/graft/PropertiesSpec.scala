@@ -520,6 +520,35 @@ class PropertiesSpec extends SparkSuite {
     }, n = 15)
   }
 
+  test("scd2History: intervals chain per key, one open interval, payload intact") {
+    val verGen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c", "d")
+        o <- Gen.chooseNum(0L, 1000L)
+      } yield (k, o, s"v$o"))
+    } yield rows.map(r => (r._1, r._2)).distinct // ord unique per key
+      .map { case (k, o) => (k, o, s"v$o") }
+    check(Prop.forAll(verGen) { rows =>
+      val got = WeatherOps.scd2History(rows.toDF("key", "ord", "payload"),
+          Seq("key"), "ord")
+        .select($"key", $"payload", $"valid_from", $"valid_to", $"is_current")
+        .as[(String, String, Long, Option[Long], Boolean)].collect().toSeq
+      val byKey = got.groupBy(_._1)
+      byKey.forall { case (k, vs) =>
+        val sorted = vs.sortBy(_._3)
+        val ords = rows.filter(_._1 == k).map(_._2).sorted
+        // valid_from = the key's ords in order; valid_to chains to the
+        // next; exactly the last interval is open and flagged current
+        sorted.map(_._3) == ords &&
+          sorted.init.zip(sorted.tail).forall { case (a, b) =>
+            a._4.contains(b._3) && !a._5 } &&
+          sorted.last._4.isEmpty && sorted.last._5 &&
+          sorted.forall { case (_, p, vf, _, _) => p == s"v$vf" }
+      } && got.length == rows.length
+    }, n = 15)
+  }
+
   test("dedupSubstrings == local reference (string shingles) for any corpus") {
     // local reference: string-shingle identity, sort-by-(id,pos) survivor,
     // removed set = union of excised [pos, pos+k) — a DIFFERENT formulation
