@@ -224,6 +224,33 @@ object ExtQueries {
       s" WHERE deg >= $kCoreK ORDER BY id"
   }
 
+  /** q_label_prop oracle: [[graft.operators.Graph.labelPropagation]]'s
+    * synchronous ballot recurrence unrolled one CTE per round — labels
+    * start as node ids over the SYMMETRIZED edge set, every node adopts
+    * its neighbors' most frequent label with ties to the smallest
+    * (row_number over (n DESC, lbl) ≡ the engine's max(struct(n, −lbl))
+    * aggregate) — all integer set algebra, exact gate. */
+  private lazy val labelPropOracleSql: String = {
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS n
+         |  FROM e JOIN l$p l ON l.id = e.b GROUP BY e.a, l.lbl),
+         |l$i AS MATERIALIZED (SELECT a AS id, lbl FROM (
+         |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+         |      ORDER BY n DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity >= 45),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |    SELECT u AS a, v AS b FROM raw
+       |    UNION ALL SELECT v AS a, u AS b FROM raw) WHERE a <> b),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM e),
+       |""".stripMargin +
+      (1 to 3).map(roundCte).mkString(",\n") +
+      "\nSELECT id, lbl AS community FROM l3 ORDER BY id"
+  }
+
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
 
@@ -2111,6 +2138,15 @@ object ExtQueries {
         k = kCoreK, rounds = kCoreRounds)
         .orderBy(col("id"))),
 
+    // synchronous label propagation (community detection) over the same
+    // standing customer–supplier graph — 3 deterministic rounds, the
+    // oracle unrolling the identical ballot recurrence one CTE per round
+    "q_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges"),
+        rounds = 3)
+        .orderBy(col("id"))),
+
     // entity resolution: near-identical names within edit distance 1 via
     // two-pass blocked comparison (prefix + reversed-prefix, length-
     // banded, maxBlock straggler guard) — the oracle re-derives blocks,
@@ -3130,6 +3166,29 @@ object ExtQueries {
             Multimodal.gradientRgb((id % 256).toInt, w, h, x, y))
         .select(col("doc_id"), col("width"), col("height"),
           (col("max_dev") <= 12).as("within_tol"))
+        .orderBy(col("doc_id"))),
+
+    // the LOSSY decode→transform→re-encode loop (the q_media_resize_real
+    // twin on a lossy container): JPEG decode → integer-exact NN resize
+    // → JPEG re-encode → decode, gated on the CONTRACT — dims exact and
+    // per-pixel deviation from the NN-sampled gradient rule within a
+    // bound (two codec hops compound; probed worst case 5 across 512
+    // ids, gated at ≤ 15, a 3× margin)
+    "q_media_jpeg_resize" -> ((s, dir) =>
+      Multimodal.decodeDeviation(
+          Multimodal.resizeImage(
+            Multimodal.attachJpeg(
+              Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+                .select(col("doc_id"))),
+            newWidth = 12, newHeight = 10, format = "jpeg"),
+          (id, w, h, x, y) => {
+            val w0 = (id % 16 + 4).toInt
+            val h0 = (id * 7 % 16 + 4).toInt
+            Multimodal.gradientRgb((id % 256).toInt, w0, h0,
+              x * w0 / w, y * h0 / h)
+          })
+        .select(col("doc_id"), col("width"), col("height"),
+          (col("max_dev") <= 15).as("within_tol"))
         .orderBy(col("doc_id"))),
 
     // REAL decode → transform → decode loop: nearest-neighbor resize on
@@ -4591,6 +4650,12 @@ object ExtQueries {
         |  true AS within_tol
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
 
+    // the lossy resize loop lands on the literal target dims + the
+    // contract boolean (two codec hops cannot be px_sum-gated)
+    "q_media_jpeg_resize" ->
+      """SELECT doc_id, 12 AS width, 10 AS height, true AS within_tol
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+
     // the STREAMED decode-at-ingest sink must land on the identical
     // closed-form oracle — one derivation for both the batch face and
     // the 3-batch checkpointed replay
@@ -5222,6 +5287,7 @@ object ExtQueries {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_kcore" -> kCoreOracleSql,
+    "q_label_prop" -> labelPropOracleSql,
 
     // same pair mining as q_cc_components, then the degree-ordered
     // triangle algorithm re-derived: canonical edges, degrees, (deg, id)

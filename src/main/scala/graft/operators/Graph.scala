@@ -584,6 +584,65 @@ object Graph {
       .select(col("id"), col("deg"), lit(!removedLast).as("converged"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007 — community
+    * detection, e.g. grouping near-dup clusters or co-purchase
+    * neighborhoods), fully DETERMINISTIC: labels start as node ids;
+    * every round EVERY node simultaneously adopts the most frequent
+    * label among its neighbors, ties to the smallest label — a total
+    * order, so `rounds` fixed synchronous iterations are a pure function
+    * of the graph (classic async LPA is famously order-dependent; the
+    * synchronous total-order variant trades a little convergence speed
+    * for replayability, the [[pageRank]] budget contract — the oracle
+    * unrolls the identical recurrence one CTE per round).
+    *
+    * Scale shape: the symmetrized distinct edge set is staged ONCE; per
+    * round one join of edges against the (id, lbl) table (narrow rows),
+    * one partial-agg (node, label) count, and one arg-max aggregate
+    * `max(struct(n, −lbl))` — never a per-node window; per-round lineage
+    * truncation exactly like [[kCorePeel]]. Isolated nodes don't exist
+    * (ids come from edges); a node keeps its label only through winning
+    * its own neighborhood vote, the synchronous-LPA contract.
+    *
+    * Output: `(id, community)` after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      stagingDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val und = Staging.stage(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .filter(col("a") =!= col("b")).distinct(),
+      stagingDir, "lpa_edges")
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var prevPath: Option[String] = None
+    var round = 0
+    while (round < rounds) {
+      // neighbor-label votes: edge (a, b) contributes b's current label
+      // to a's ballot; arg-max by (count desc, label asc) via the
+      // struct-max trick (labels are ids ≥ 0 by the edge-id contract)
+      val nextRaw = und
+        .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("n"), col("lbl").unary_-.as("neg"))).as("m"))
+        .select(col("a").as("id"), (-col("m.neg")).as("lbl"))
+      val (next, path) = stagingDir match {
+        case Some(dir) =>
+          val (staged, p) = Staging.stageAt(nextRaw, dir, "lpa_round")
+          (staged, Some(p))
+        case None => (nextRaw.localCheckpoint(eager = false), None)
+      }
+      prevPath.foreach(Staging.drop(spark, _))
+      prevPath = path
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
       idCol: String = "id", compCol: String = "component",
       srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,

@@ -197,15 +197,20 @@ object Multimodal {
     * y·h0 div H)` — the integer-exact nearest-neighbor rule, written as
     * an explicit loop so the mapping is engine-portable rather than
     * delegated to an interpolating Graphics2D path — and re-encode as
-    * PNG. The meta struct carries the new dimensions; a payload that
+    * `format` (PNG default — lossless, `q_media_resize_real`'s bit-exact
+    * gate; "jpeg" at `quality` for the lossy loop `q_media_jpeg_resize`
+    * gates as a deviation contract). The meta struct carries the new
+    * dimensions; a payload that
     * fails to decode passes through with null media (the corrupt-row
     * contract). Composed with [[decodeFeatures]] this closes a real
     * decode→transform→decode loop whose output an oracle can recompute
     * from the source pixel rule + the same index mapping (PNG lossless
     * at both ends). Batched mapPartitions; payloads never shuffle. */
   def resizeImage(df: DataFrame, newWidth: Int, newHeight: Int,
-      idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
+      idCol: String = "doc_id", batchSize: Int = 64,
+      format: String = "png", quality: Float = 0.95f): DataFrame = {
     require(newWidth > 0 && newHeight > 0, s"bad dims: ${newWidth}x$newHeight")
+    require(format == "png" || format == "jpeg", s"unsupported format: $format")
     val in = df.select(col(idCol), col("media"))
     val outSchema = StructType(Seq(
       StructField(idCol, in.schema(idCol).dataType),
@@ -237,10 +242,8 @@ object Multimodal {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", bos)
-            Row(id, Row(bos.toByteArray,
-              Row("image/png", newWidth, newHeight)))
+            Row(id, Row(encodeRaster(dst, format, quality),
+              Row(s"image/$format", newWidth, newHeight)))
           }
         }
       }
@@ -281,17 +284,29 @@ object Multimodal {
       }
       y += 1
     }
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("jpeg").next()
+    encodeRaster(img, "jpeg", quality)
+  }
+
+  /** Encode a raster as PNG (lossless, quality ignored) or JPEG at an
+    * explicit compression quality — the shared encode tail of
+    * [[encodeJpeg]] and [[resizeImage]]'s lossy output path. */
+  private def encodeRaster(img: java.awt.image.BufferedImage,
+      format: String, quality: Float): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      val p = writer.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(quality)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    if (format == "png") {
+      javax.imageio.ImageIO.write(img, "png", bos)
+    } else {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+    }
     bos.toByteArray
   }
 

@@ -425,4 +425,51 @@ class GraphSpec extends SparkSuite {
         .collect()
     }
   }
+
+  /** Local synchronous-LPA reference: same ballot rule (most frequent
+    * neighbor label, ties to the smallest), every node updates at once. */
+  private def lpaReference(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(id => id -> id).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (id, ns) =>
+        val votes = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        id -> votes.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two communities with a bridge; sync semantics exact") {
+    // two triangles joined by one bridge edge — LPA should settle each
+    // triangle on its own min label within 3 synchronous rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = Graph.labelPropagation(edges.toDF("id_a", "id_b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == lpaReference(edges, 3), s"got $got")
+    // the two triangles' non-bridge nodes carry distinct communities
+    assert(got(1L) == got(2L) && got(11L) == got(12L) && got(1L) != got(11L))
+  }
+
+  test("property: labelPropagation == local synchronous reference for any graph") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = for {
+      n <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val prop = Prop.forAll(edgeGen, Gen.chooseNum(1, 4)) { (es, r) =>
+      es.isEmpty || {
+        val got = Graph.labelPropagation(es.toDF("id_a", "id_b"), rounds = r)
+          .as[(Long, Long)].collect().toMap
+        got == lpaReference(es, r)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -237,4 +237,29 @@ class MultimodalSpec extends SparkSuite {
     assert(nulled.getAs[Any]("width") == null &&
       nulled.getAs[Any]("max_dev") == null)
   }
+
+  test("lossy resize loop: JPEG→NN-resize→JPEG deviation within the gated bound") {
+    val (ww, hh) = (12, 10)
+    val got = Multimodal.decodeDeviation(
+        Multimodal.resizeImage(Multimodal.attachJpeg((0L until 48L).toDF("doc_id")),
+          ww, hh, format = "jpeg"),
+        (id, w, h, x, y) => {
+          val w0 = (id % 16 + 4).toInt
+          val h0 = (id * 7 % 16 + 4).toInt
+          Multimodal.gradientRgb((id % 256).toInt, w0, h0, x * w0 / w, y * h0 / h)
+        })
+      .orderBy($"doc_id").as[(Long, Int, Int, Int)].collect()
+    assert(got.length == 48)
+    got.foreach { case (id, w, h, dev) =>
+      assert(w == ww && h == hh, s"resize dims must hold exactly (doc $id)")
+      // probed worst case across 512 ids is 5; catalog face gates at 15 —
+      // assert a tighter probe-level bound so codec drift surfaces here
+      assert(dev <= 10, s"doc $id deviated $dev through the two lossy hops")
+    }
+    // the re-encoded payload is genuinely a JPEG container
+    val one = Multimodal.resizeImage(
+      Multimodal.attachJpeg(Seq(3L).toDF("doc_id")), ww, hh, format = "jpeg")
+      .select($"media.payload").head().getAs[Array[Byte]](0)
+    assert((one(0) & 0xFF) == 0xFF && (one(1) & 0xFF) == 0xD8, "JPEG SOI magic")
+  }
 }
