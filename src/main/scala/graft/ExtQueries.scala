@@ -230,7 +230,7 @@ object ExtQueries {
     * its neighbors' most frequent label with ties to the smallest
     * (row_number over (n DESC, lbl) ≡ the engine's max(struct(n, −lbl))
     * aggregate) — all integer set algebra, exact gate. */
-  private lazy val labelPropOracleSql: String = {
+  private lazy val labelPropCtes: String = {
     def roundCte(i: Int): String = {
       val p = i - 1
       s"""c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS n
@@ -239,7 +239,7 @@ object ExtQueries {
          |    SELECT a, lbl, row_number() OVER (PARTITION BY a
          |      ORDER BY n DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
     }
-    s"""WITH raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+    s"""raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  WHERE l_quantity >= 45),
        |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
@@ -247,9 +247,37 @@ object ExtQueries {
        |    UNION ALL SELECT v AS a, u AS b FROM raw) WHERE a <> b),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM e),
        |""".stripMargin +
-      (1 to 3).map(roundCte).mkString(",\n") +
-      "\nSELECT id, lbl AS community FROM l3 ORDER BY id"
+      (1 to 3).map(roundCte).mkString(",\n")
   }
+
+  private lazy val labelPropOracleSql: String =
+    s"WITH $labelPropCtes\nSELECT id, lbl AS community FROM l3 ORDER BY id"
+
+  /** q_modularity oracle: the LPA chain re-run, then the exact
+    * integer-modularity evidence — canonical edges from the symmetric
+    * set via a < b, per-community internal-edge and degree sums, and
+    * q_part = 4·m·e_c − d_c² (Q · 4m² summed — the one float is the
+    * caller's division, never in the gate). */
+  private lazy val modularityOracleSql: String =
+    s"""WITH $labelPropCtes,
+       |ec AS MATERIALIZED (SELECT a, b FROM e WHERE a < b),
+       |m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ec),
+       |internal AS (SELECT x.lbl AS community,
+       |    CAST(count(*) AS BIGINT) AS internal_edges
+       |  FROM ec JOIN l3 x ON x.id = ec.a JOIN l3 y ON y.id = ec.b
+       |  WHERE x.lbl = y.lbl GROUP BY x.lbl),
+       |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+       |        FROM e GROUP BY a),
+       |dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(d.d) AS BIGINT) AS degree_sum
+       |       FROM l3 l JOIN deg d ON d.id = l.id GROUP BY l.lbl)
+       |SELECT dc.community, dc.n_nodes,
+       |  CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       |  dc.degree_sum, m1.m,
+       |  CAST(4 * m1.m * coalesce(i.internal_edges, 0) -
+       |    dc.degree_sum * dc.degree_sum AS BIGINT) AS q_part
+       |FROM dc LEFT JOIN internal i USING (community) CROSS JOIN m1
+       |ORDER BY community""".stripMargin
 
   /** Shared by q_funnel's Spark and oracle sides (ordered). */
   private val funnelSteps: Seq[String] = Seq("view", "click", "purchase")
@@ -2146,6 +2174,16 @@ object ExtQueries {
         s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges"),
         rounds = 3)
         .orderBy(col("id"))),
+
+    // exact integer-modularity evidence of the LPA assignment on the
+    // same graph — Q·4m² decomposed per community, every column an
+    // integer both engines re-derive (the one float is the caller's
+    // final division, never in the gate)
+    "q_modularity" -> ((s, dir) => {
+      val edges = s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges")
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 3))
+        .orderBy(col("community"))
+    }),
 
     // entity resolution: near-identical names within edit distance 1 via
     // two-pass blocked comparison (prefix + reversed-prefix, length-
@@ -5288,6 +5326,7 @@ object ExtQueries {
 
     "q_kcore" -> kCoreOracleSql,
     "q_label_prop" -> labelPropOracleSql,
+    "q_modularity" -> modularityOracleSql,
 
     // same pair mining as q_cc_components, then the degree-ordered
     // triangle algorithm re-derived: canonical edges, degrees, (deg, id)

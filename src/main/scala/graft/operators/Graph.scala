@@ -643,6 +643,57 @@ object Graph {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
+  /** EXACT modularity evidence for a community assignment (Newman–Girvan
+    * Q), kept in pure integers so any engine re-derives it bit-exactly:
+    * with m = |undirected edges|, e_c = edges internal to community c and
+    * d_c = Σ degrees of c's nodes,
+    *   Q = Σ_c (e_c/m − (d_c/2m)²)  ⇒  Q · 4m² = Σ_c (4·m·e_c − d_c²)
+    * so each community's row carries the integer part `q_part =
+    * 4·m·e_c − d_c²` (plus the count evidence), and Q is the caller's
+    * one float: Σ q_part / 4m². Inputs: an edge list (symmetrized and
+    * canonicalized here) and a total `(id, community)` assignment — e.g.
+    * [[labelPropagation]]'s output; an edge with an unlabeled endpoint
+    * is a contract violation and is dropped by the inner join.
+    *
+    * Scale: one canonical-edge distinct (a three-consumer diamond —
+    * [[Staging.stage]]: executor-local persist by default, under the
+    * caller-clears-cache caveat of [[graft.operators.Dedup
+    * .minhashPairsFromShingles]]; pass `stagingDir` at cluster scale),
+    * two narrow label joins, and partial-agg counts; `m` is a 1-row
+    * broadcast. Output: `(community, n_nodes, internal_edges,
+    * degree_sum, m, q_part)`. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      idCol: String = "id", commCol: String = "community",
+      stagingDir: Option[String] = None): DataFrame = {
+    val canon = Staging.stage(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct(),
+      stagingDir, "modularity_edges")
+    val mRow = canon.groupBy().agg(count(lit(1)).as("m"))
+    val la = labels.select(col(idCol).as("a"), col(commCol).as("ca"))
+    val lb = labels.select(col(idCol).as("b"), col(commCol).as("cb"))
+    val internal = canon.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(labels.select(col(idCol).as("id"),
+        col(commCol).as("community")), Seq("id"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    dc.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("internal_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_part"))
+  }
+
   def incrementalCC(prevLabels: DataFrame, newEdges: DataFrame,
       idCol: String = "id", compCol: String = "component",
       srcCol: String = "id_a", dstCol: String = "id_b", maxIter: Int = 50,

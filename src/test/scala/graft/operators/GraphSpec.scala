@@ -454,6 +454,28 @@ class GraphSpec extends SparkSuite {
     assert(got(1L) == got(2L) && got(11L) == got(12L) && got(1L) != got(11L))
   }
 
+  test("modularity: hand-computed integer evidence on the bridged triangles") {
+    // two triangles + one bridge: m = 7; communities from a perfect
+    // 2-split: e_c = 3 internal each (the bridge is cross-community);
+    // degrees: bridge endpoints 3, others 2 → d_c = 7 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "community")
+    val got = Graph.modularity(edges, labels)
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // q_part = 4·7·3 − 7² = 84 − 49 = 35 per community; Q = 70/196 ≈ 0.357
+    assert(got == Seq((1L, 3L, 3L, 7L, 7L, 35L), (10L, 3L, 3L, 7L, 7L, 35L)),
+      s"got $got")
+    // a degenerate all-one-community split scores ZERO exactly:
+    // e_c = m, d_c = 2m ⇒ q_part = 4m² − 4m² = 0
+    val one = Graph.modularity(edges,
+      Seq(1L, 2L, 3L, 10L, 11L, 12L).map(i => (i, 0L)).toDF("id", "community"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 6L, 7L, 14L, 7L, 0L)), s"got $one")
+  }
+
   test("property: labelPropagation == local synchronous reference for any graph") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgeGen = for {
