@@ -227,24 +227,29 @@ object ExtQueries {
   /** q_label_prop oracle: [[graft.operators.Graph.labelPropagation]]'s
     * synchronous ballot recurrence unrolled one CTE per round — labels
     * start as node ids over the SYMMETRIZED edge set, every node adopts
-    * its neighbors' most frequent label with ties to the smallest
+    * the most frequent label among its neighbors plus its own self-vote
+    * (the sync-LPA oscillation fix), ties to the smallest
     * (row_number over (n DESC, lbl) ≡ the engine's max(struct(n, −lbl))
     * aggregate) — all integer set algebra, exact gate. */
   private lazy val labelPropCtes: String = {
     def roundCte(i: Int): String = {
       val p = i - 1
-      s"""c$i AS MATERIALIZED (SELECT e.a, l.lbl, count(*) AS n
-         |  FROM e JOIN l$p l ON l.id = e.b GROUP BY e.a, l.lbl),
+      s"""c$i AS MATERIALIZED (SELECT a, lbl, count(*) AS n FROM (
+         |    SELECT e.a, l.lbl FROM e JOIN l$p l ON l.id = e.b
+         |    UNION ALL SELECT id AS a, lbl FROM l$p) GROUP BY a, lbl),
          |l$i AS MATERIALIZED (SELECT a AS id, lbl FROM (
          |    SELECT a, lbl, row_number() OVER (PARTITION BY a
          |      ORDER BY n DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
     }
-    s"""raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |  WHERE l_quantity >= 45),
-       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-       |    SELECT u AS a, v AS b FROM raw
-       |    UNION ALL SELECT v AS a, u AS b FROM raw) WHERE a <> b),
+    s"""pv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+       |  FROM embeddings),
+       |pr0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM pv a JOIN pv b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.vv, b.vv) /
+       |    (sqrt(list_dot_product(a.vv, a.vv)) *
+       |     sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.35),
+       |e AS MATERIALIZED (SELECT u AS a, v AS b FROM pr0
+       |    UNION SELECT v, u FROM pr0),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM e),
        |""".stripMargin +
       (1 to 3).map(roundCte).mkString(",\n")
@@ -2166,12 +2171,15 @@ object ExtQueries {
         k = kCoreK, rounds = kCoreRounds)
         .orderBy(col("id"))),
 
-    // synchronous label propagation (community detection) over the same
-    // standing customer–supplier graph — 3 deterministic rounds, the
+    // synchronous label propagation (community detection) over the
+    // standing embedding NEAR-DUP pair graph (the cc_components input —
+    // a similarity graph with real dense communities, unlike the
+    // bipartite customer–supplier set where every community would be
+    // one-sided with zero internal edges) — 3 deterministic rounds, the
     // oracle unrolling the identical ballot recurrence one CTE per round
     "q_label_prop" -> ((s, dir) =>
       Graph.labelPropagation(
-        s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges"),
+        s.read.parquet(s"${embPairsFixture(s, dir)}/pairs"),
         rounds = 3)
         .orderBy(col("id"))),
 
@@ -2180,7 +2188,7 @@ object ExtQueries {
     // integer both engines re-derive (the one float is the caller's
     // final division, never in the gate)
     "q_modularity" -> ((s, dir) => {
-      val edges = s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges")
+      val edges = s.read.parquet(s"${embPairsFixture(s, dir)}/pairs")
       Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 3))
         .orderBy(col("community"))
     }),

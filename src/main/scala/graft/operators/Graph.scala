@@ -588,7 +588,9 @@ object Graph {
     * detection, e.g. grouping near-dup clusters or co-purchase
     * neighborhoods), fully DETERMINISTIC: labels start as node ids;
     * every round EVERY node simultaneously adopts the most frequent
-    * label among its neighbors, ties to the smallest label — a total
+    * label among its neighbors PLUS its own (the self-vote — the
+    * standard synchronous-LPA oscillation fix: without it an isolated
+    * pair swaps labels forever), ties to the smallest label — a total
     * order, so `rounds` fixed synchronous iterations are a pure function
     * of the graph (classic async LPA is famously order-dependent; the
     * synchronous total-order variant trades a little convergence speed
@@ -600,8 +602,7 @@ object Graph {
     * one partial-agg (node, label) count, and one arg-max aggregate
     * `max(struct(n, −lbl))` — never a per-node window; per-round lineage
     * truncation exactly like [[kCorePeel]]. Isolated nodes don't exist
-    * (ids come from edges); a node keeps its label only through winning
-    * its own neighborhood vote, the synchronous-LPA contract.
+    * (ids come from edges).
     *
     * Output: `(id, community)` after `rounds` rounds. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
@@ -619,11 +620,16 @@ object Graph {
     var prevPath: Option[String] = None
     var round = 0
     while (round < rounds) {
-      // neighbor-label votes: edge (a, b) contributes b's current label
-      // to a's ballot; arg-max by (count desc, label asc) via the
-      // struct-max trick (labels are ids ≥ 0 by the edge-id contract)
+      // ballot: edge (a, b) contributes b's current label to a's ballot,
+      // PLUS one self-vote per node (the standard synchronous-LPA
+      // oscillation fix — without it an isolated pair swaps labels
+      // forever and odd-round outputs are degenerate singletons);
+      // arg-max by (count desc, label asc) via the struct-max trick
+      // (labels are ids ≥ 0 by the edge-id contract)
       val nextRaw = und
         .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .select(col("a"), col("lbl"))
+        .union(labels.select(col("id").as("a"), col("lbl")))
         .groupBy(col("a"), col("lbl"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("a"))

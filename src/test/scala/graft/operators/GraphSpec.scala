@@ -427,7 +427,8 @@ class GraphSpec extends SparkSuite {
   }
 
   /** Local synchronous-LPA reference: same ballot rule (most frequent
-    * neighbor label, ties to the smallest), every node updates at once. */
+    * label among neighbors plus the self-vote, ties to the smallest),
+    * every node updates at once. */
   private def lpaReference(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .filter { case (a, b) => a != b }.distinct
@@ -435,7 +436,8 @@ class GraphSpec extends SparkSuite {
     var lbl = adj.keys.map(id => id -> id).toMap
     for (_ <- 1 to rounds) {
       lbl = adj.map { case (id, ns) =>
-        val votes = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        val votes = (ns.map(lbl) :+ lbl(id)).groupBy(identity)
+          .view.mapValues(_.size).toSeq
         id -> votes.minBy { case (l, n) => (-n, l) }._1
       }
     }
