@@ -95,15 +95,27 @@ object IngestStreams {
               try {
                 val standing =
                   loadSignatures(spark, indexDir, idCol, excludeBatch = key)
-                // delta signatures are already computed — incrementalMinhash
-                // re-derives them from text via the same kernels, so hand it
-                // the admitted docs (cheap at batch size) and persist the
-                // standing side per its caller contract
-                val pairs = Dedup.incrementalMinhash(admitted, standing,
-                  idCol, textCol, mh.k, mh.bands, mh.rowsPerBand,
-                  mh.threshold, mh.maxBucket)
+                // the fold takes the POSTING path (r15): the standing
+                // corpus's LSH postings and per-bucket counts are standing
+                // artifacts maintained beside the signatures, so each
+                // batch broadcasts its own postings map-side instead of
+                // re-banding + shuffling the whole standing index (the
+                // bandPostings scaladoc — bit-identical output by the
+                // incrementalMinhashFromPostings contract)
+                val standingPosts = loadPostings(spark, indexDir, idCol,
+                  excludeBatch = key)
+                val standingCnts = loadBucketCounts(spark, indexDir,
+                  excludeBatch = key)
+                val pairs = Dedup.incrementalMinhashFromPostings(admitted,
+                  standing, standingPosts, standingCnts, idCol, textCol,
+                  mh.k, mh.bands, mh.rowsPerBand, mh.threshold, mh.maxBucket)
                 overwriteBatch(pairs, key, mh.pairsDir)
                 overwriteBatch(sigs, key, s"$indexDir/signatures")
+                val posts = Dedup.bandPostings(sigs, idCol,
+                  mh.bands, mh.rowsPerBand)
+                overwriteBatch(posts, key, s"$indexDir/postings")
+                overwriteBatch(Dedup.bandBucketCounts(posts), key,
+                  s"$indexDir/bucket_counts")
               } finally sigs.unpersist()
             }
           } finally admitted.unpersist()
@@ -383,7 +395,8 @@ object IngestStreams {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    Seq("hashes", "signatures", "postings").filter(exists).foreach { sub =>
+    Seq("hashes", "signatures", "postings", "bucket_counts")
+      .filter(exists).foreach { sub =>
       val df = spark.read.parquet(s"$indexDir/$sub").drop("batch_key")
       val bytes = df.inputFiles.map { f =>
         val p =
@@ -686,6 +699,31 @@ object IngestStreams {
         StructField("sh", ArrayType(LongType, containsNull = false)),
         StructField("sig", ArrayType(LongType, containsNull = false)))))
       .select(col(idCol), col("sh"), col("sig"))
+
+  /** The standing LSH posting relation ([[Dedup.bandPostings]]) the
+    * ingest maintains beside the signature index; absent/empty → empty.
+    * Same `excludeBatch` replay rule as [[loadIndex]]. */
+  def loadPostings(spark: SparkSession, indexDir: String,
+      idCol: String = "doc_id", excludeBatch: String = ""): DataFrame =
+    loadOrEmpty(spark, s"$indexDir/postings", excludeBatch,
+      StructType(Seq(
+        StructField(idCol, LongType),
+        StructField("band_idx", IntegerType),
+        StructField("band_hash", LongType))))
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+
+  /** The standing per-bucket posting counts, summed across batch
+    * partitions (per-batch counts are additive — each admitted doc posts
+    * once per band in exactly one batch). Absent/empty → empty. */
+  def loadBucketCounts(spark: SparkSession, indexDir: String,
+      excludeBatch: String = ""): DataFrame =
+    loadOrEmpty(spark, s"$indexDir/bucket_counts", excludeBatch,
+      StructType(Seq(
+        StructField("band_idx", IntegerType),
+        StructField("band_hash", LongType),
+        StructField("n_base", LongType))))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("n_base")).as("n_base"))
 
   private def loadOrEmpty(spark: SparkSession, path: String,
       excludeBatch: String, schema: StructType): DataFrame = {
