@@ -403,7 +403,13 @@ object ExtQueries {
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val q = graft.streaming.IngestStreams.dedupIngest(
         src.toDF().toDF("doc_id", "text"),
-        s"$root/index", s"$root/corpus", s"$root/ckpt")
+        s"$root/index", s"$root/corpus", s"$root/ckpt",
+        // near-dup maintenance rides the same stream (the r15 posting-
+        // path fold): per-batch pairs vs the standing corpus land in
+        // /pairs for q_minhash_ingest_replay's staged-pair gate
+        minhash = Some(graft.streaming.IngestStreams.MinhashConfig(
+          pairsDir = s"$root/pairs", k = 3, bands = 32, rowsPerBand = 2,
+          threshold = 0.5, maxBucket = 1000)))
       try (0 until 3).foreach { b =>
         src.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
         q.processAllAvailable()
@@ -2643,6 +2649,21 @@ object ExtQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // the STREAMED near-dup maintenance path (the r15 posting-path fold)
+    // under the staged-pair gate: every pair the 3-batch checkpointed
+    // ingest mined against its standing index is staged and DuckDB
+    // re-verifies its Jaccard from raw text + re-applies the threshold
+    // (the q_dedup_minhash epistemics; banding membership stays
+    // in-engine, its recall gated by q_dedup_minhash_recall)
+    "q_minhash_ingest_replay" -> ((s, dir) => {
+      val root = ingestReplayFixture(s, dir)
+      val path = oracleStagePath(dir, "q_minhash_ingest_replay")
+      s.read.parquet(s"$root/pairs")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // the STREAMED df-index maintenance path under the oracle gate: the
     // same 3-batch replay feeds dfIngest, and the standing statistic read
     // back from the accumulated batch partitions must equal DuckDB's df
@@ -4082,6 +4103,8 @@ object ExtQueries {
            |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
       "q_dedup_minhash" ->
         pairJaccardOracleSql(s"$root/q_dedup_minhash", 0.5),
+      "q_minhash_ingest_replay" ->
+        pairJaccardOracleSql(s"$root/q_minhash_ingest_replay", 0.5),
       "q_dedup_minhash_inc" ->
         pairJaccardOracleSql(s"$root/q_dedup_minhash_inc", 0.5,
           extraWhere =
