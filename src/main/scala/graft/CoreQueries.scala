@@ -195,6 +195,33 @@ object CoreQueries {
         keyCols = Seq("user_id"), ordCol = "event_id")
         .orderBy(col("user_id"), col("valid_from"))),
 
+    // SCD2 point-in-time lookup — the standard warehouse query over a
+    // type-2 table, composed from the two operators (scd2History +
+    // backward as-of on valid_from): each probe must land INSIDE the
+    // returned validity interval, and that consistency theorem is itself
+    // a gated boolean (all true), not just a spec assertion
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"))
+      val versions = WeatherOps.scd2History(ev,
+          keyCols = Seq("user_id"), ordCol = "event_id")
+        .select(col("user_id"), col("valid_from").as("ver_from"),
+          col("valid_to").as("ver_to"))
+      val probes = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), (col("event_id") + 3L).as("probe_ord"))
+      graft.operators.AsOf.join(probes, versions,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTime = col("probe_ord"), rightTime = col("ver_from"),
+        rightPayload = Seq("ver_from", "ver_to"),
+        rightOrd = col("ver_from"))
+        .select(col("event_id"), col("user_id"), col("probe_ord"),
+          col("ver_from"), col("ver_to"),
+          (col("ver_from") <= col("probe_ord") &&
+            (col("ver_to").isNull || col("probe_ord") < col("ver_to")))
+            .as("interval_ok"))
+        .orderBy(col("event_id"))
+    }),
+
     // J1: inner enrichment join (dim × aggregated history).
     "q_j1_enrich" -> ((s, dir) => {
       val hist = history(s, dir).withColumnRenamed("user_id", "key")
@@ -981,6 +1008,27 @@ object CoreQueries {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // point-in-time lookup: latest version with ver_from <= probe per
+    // key (row_number DESC — the q_asof_join formulation), plus the
+    // interval-containment theorem as a literal boolean
+    "q_scd2_lookup" ->
+      """WITH v AS (SELECT user_id, event_id AS ver_from,
+        |       lead(event_id) OVER (PARTITION BY user_id
+        |         ORDER BY event_id) AS ver_to
+        |     FROM events),
+        |p AS (SELECT event_id, user_id, event_id + 3 AS probe_ord
+        |      FROM events),
+        |j AS (SELECT p.event_id, p.user_id, p.probe_ord,
+        |        v.ver_from, v.ver_to,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY v.ver_from DESC) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id
+        |       AND v.ver_from <= p.probe_ord)
+        |SELECT event_id, user_id, probe_ord, ver_from, ver_to,
+        |  (ver_from <= probe_ord AND (ver_to IS NULL OR probe_ord < ver_to))
+        |    AS interval_ok
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     // the same lead window, formulated directly in SQL
     "q_scd2" ->

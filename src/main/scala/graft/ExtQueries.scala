@@ -104,6 +104,48 @@ object ExtQueries {
       "\nSELECT id, pr AS pr_scaled FROM pr5 ORDER BY id"
   }
 
+  /** q_ppr oracle: [[graft.operators.Graph.personalizedPageRank]]'s
+    * seeded recurrence unrolled one CTE per round over the sparse
+    * customer–supplier graph — identical to the q_pagerank oracle with a
+    * seed CASE: restart and dangling mass land on seeds only (integer
+    * division by |S|), non-seeds receive pure link mass. */
+  private lazy val pprOracleSql: String = {
+    val scale = "1000000000000"
+    def roundCte(i: Int): String =
+      s"""ppr$i AS (
+         |  SELECT nd.id,
+         |    CAST(CASE WHEN sd.id IS NOT NULL
+         |        THEN (15 * ($scale // cs.ns)) // 100 ELSE 0 END
+         |      + (85 * (CAST(coalesce(s.insum, 0) AS BIGINT)
+         |          + CASE WHEN sd.id IS NOT NULL
+         |              THEN d.dang // cs.ns ELSE 0 END)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes nd
+         |  CROSS JOIN cs
+         |  CROSS JOIN (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+         |              FROM ppr${i - 1} p LEFT JOIN outd o ON p.id = o.id
+         |              WHERE o.id IS NULL) d
+         |  LEFT JOIN (SELECT e.v AS id, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
+         |             FROM e JOIN ppr${i - 1} p ON e.u = p.id
+         |                    JOIN outd o ON e.u = o.id
+         |             GROUP BY e.v) s ON nd.id = s.id
+         |  LEFT JOIN seeds sd ON nd.id = sd.id)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |           WHERE l_quantity >= 45),
+       |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |outd AS (SELECT u AS id, count(*) AS od FROM e GROUP BY u),
+       |seeds AS (SELECT id FROM nodes WHERE id BETWEEN 0 AND 100),
+       |cs AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+       |ppr0 AS (SELECT nd.id,
+       |    CASE WHEN sd.id IS NOT NULL
+       |      THEN $scale // (SELECT ns FROM cs) ELSE 0 END AS pr
+       |  FROM nodes nd LEFT JOIN seeds sd ON nd.id = sd.id),
+       |""".stripMargin +
+      (1 to 4).map(roundCte).mkString(",\n") +
+      "\nSELECT id, pr AS ppr_scaled FROM ppr4 ORDER BY id"
+  }
+
   /** q_bpe_train oracle: [[graft.operators.Bpe.bpeTrain]]'s recurrence
     * unrolled one CTE group per round — pair counts (overlaps counted
     * individually), the (n desc, a, b) arg-max, and the greedy
@@ -2187,6 +2229,17 @@ object ExtQueries {
       Graph.labelPropagation(
         s.read.parquet(s"${embPairsFixture(s, dir)}/pairs"),
         rounds = 3)
+        .orderBy(col("id"))),
+
+    // personalized PageRank from a customer seed set over the sparse
+    // customer–supplier graph: restart + dangling mass paid to the
+    // seeds only, same fixed-round scaled-integer recurrence, oracle
+    // unrolled per round with a seed CASE
+    "q_ppr" -> ((s, dir) =>
+      Graph.personalizedPageRank(
+        s.read.parquet(s"${bipartiteEdgesFixture(s, dir)}/kcore_edges"),
+        s.range(0, 101).toDF("id"),
+        srcCol = "id_a", dstCol = "id_b", rounds = 4)
         .orderBy(col("id"))),
 
     // exact integer-modularity evidence of the LPA assignment on the
@@ -5354,6 +5407,7 @@ object ExtQueries {
         |ORDER BY id""".stripMargin,
 
     "q_pagerank" -> pageRankOracleSql,
+    "q_ppr" -> pprOracleSql,
 
     "q_kcore" -> kCoreOracleSql,
     "q_label_prop" -> labelPropOracleSql,

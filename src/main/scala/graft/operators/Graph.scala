@@ -440,6 +440,81 @@ object Graph {
     pr.select(col("id"), col("pr").as("pr_scaled"))
   }
 
+  /** PERSONALIZED PageRank — the restart distribution concentrated on a
+    * seed set instead of uniform (the influence/relevance primitive:
+    * "how close is every node to THESE entities"; data-selection and
+    * recommendation both read it). Same fixed-round scaled-integer
+    * recurrence as [[pageRank]] — the 15% restart mass and the dangling
+    * mass are paid to the SEEDS only (split evenly, integer division),
+    * every other node receives pure link mass:
+    *   pr_{i+1}(x) = [x ∈ S]·(15·(scale/|S|))/100
+    *                 + (85·(Σ_in pr_i/od + [x ∈ S]·dang/|S|))/100
+    * starting from pr_0 = scale/|S| on seeds, 0 elsewhere. Seeds outside
+    * the graph are dropped (semi-join); the surviving set must be
+    * non-empty. Seed sets are query-sized by contract (a handful of
+    * entities), so the seed flag broadcasts. All integer — the oracle
+    * unrolls the identical recurrence with a seed CASE per round. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", rounds: Int = 5,
+      scale: Long = 1000000000000L,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val canon = Staging.stage(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct(),
+      stagingDir, "ppr_edges")
+    val nodes = Staging.stage(
+      canon.select(col("u").as("id")).union(canon.select(col("v").as("id")))
+        .distinct(),
+      stagingDir, "ppr_nodes")
+    val seedIds = Staging.stage(
+      seeds.select(col(seeds.columns.head).as("id")).distinct()
+        .join(nodes, Seq("id"), "left_semi"),
+      stagingDir, "ppr_seeds")
+    val nS = seedIds.count()
+    require(nS > 0, "personalizedPageRank: no seed appears in the graph")
+    require(scale >= nS, s"scale=$scale must be >= seed count $nS")
+    val outDeg = Staging.stage(
+      canon.groupBy(col("u").as("id")).agg(count(lit(1)).as("od")),
+      stagingDir, "ppr_outdeg")
+    val seedFlag = seedIds.select(col("id"), lit(true).as("__seed"))
+    val base = (15L * (scale / nS)) / 100L
+    var pr = nodes.join(broadcast(seedFlag), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__seed"), lit(scale / nS)).otherwise(lit(0L)).as("pr"))
+    var prevRoundPath: Option[String] = None
+    var round = 0
+    while (round < rounds) {
+      val prOd = pr.join(outDeg.select(col("id"), col("od")), Seq("id"), "left")
+      val dang = prOd.filter(col("od").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      val contrib = canon
+        .join(prOd.filter(col("od").isNotNull)
+          .select(col("id").as("u"), col("pr"), col("od")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(sum(expr("pr div od")).as("insum"))
+      val nextRaw = nodes
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .join(broadcast(seedFlag), Seq("id"), "left")
+        .withColumn("__redis", coalesce(col("insum"), lit(0L)) +
+          when(col("__seed"), expr(s"dang div ${nS}L")).otherwise(lit(0L)))
+        .select(col("id"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * __redis) div 100")).as("pr"))
+      pr = stagingDir match {
+        case Some(dir) =>
+          val (staged, path) = Staging.stageAt(nextRaw, dir, "ppr_round")
+          prevRoundPath.foreach(Staging.drop(spark, _))
+          prevRoundPath = Some(path)
+          staged
+        case None => nextRaw.localCheckpoint(eager = false)
+      }
+      round += 1
+    }
+    pr.select(col("id"), col("pr").as("ppr_scaled"))
+  }
+
   /** Exact global triangle count over an undirected edge set — the
     * classic degree-ordered orientation algorithm (Suri &
     * Vassilvitskii, "Counting Triangles and the Curse of the Last

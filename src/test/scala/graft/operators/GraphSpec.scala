@@ -456,6 +456,31 @@ class GraphSpec extends SparkSuite {
     assert(got(1L) == got(2L) && got(11L) == got(12L) && got(1L) != got(11L))
   }
 
+  test("personalizedPageRank: all-nodes seeding == uniform pageRank; mass follows seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (10L, 11L)).toDF("src", "dst")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L)).toDF("id")
+    // with the restart spread over EVERY node the recurrence degenerates
+    // to uniform PageRank exactly (same integer formulas, |S| = n)
+    val uni = Graph.pageRank(edges).as[(Long, Long)].collect().toMap
+    val all = Graph.personalizedPageRank(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(all == uni, s"all-seed PPR must equal uniform PageRank:\n$all\n$uni")
+    // seeded at node 1 only: the ring gets all the mass; the
+    // disconnected 10→11 component receives neither restart nor link
+    // mass — exactly zero at every round
+    val p1 = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(p1(2L) > 0L && p1(1L) > 0L, "seed neighborhood must carry mass")
+    assert(p1(10L) == 0L && p1(11L) == 0L,
+      "a component unreachable from the seeds must score exactly zero")
+    // seeds outside the graph are dropped; an all-foreign seed set fails
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(999L).toDF("id")).collect()
+    }
+    ()
+  }
+
   test("modularity: hand-computed integer evidence on the bridged triangles") {
     // two triangles + one bridge: m = 7; communities from a perfect
     // 2-split: e_c = 3 internal each (the bridge is cross-community);
