@@ -521,4 +521,50 @@ class GraphSpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // the engine's exact integer recurrence, replayed locally: restart and
+  // dangling mass paid to the seeds only, Long division throughout
+  private def pprReference(edges: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val canon = edges.distinct
+    val nodes = canon.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val od = canon.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val s = seeds.intersect(nodes.toSet)
+    val nS = s.size.toLong
+    val base = (15L * (scale / nS)) / 100L
+    var pr = nodes.map(id => id -> (if (s(id)) scale / nS else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val dang = nodes.filter(id => !od.contains(id)).map(pr).sum
+      val insum = canon.filter { case (u, _) => od.contains(u) }
+        .groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => pr(u) / od(u) }.sum).toMap
+      pr = nodes.map { id =>
+        val redis = insum.getOrElse(id, 0L) + (if (s(id)) dang / nS else 0L)
+        id -> ((if (s(id)) base else 0L) + (85L * redis) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("property: personalizedPageRank == local integer reference for any graph and seed set") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = for {
+      n <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    val seedGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(_.toSet)
+    val prop = Prop.forAll(edgeGen, seedGen, Gen.chooseNum(1, 3)) { (es, sd, r) =>
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+      es.isEmpty || sd.intersect(nodes).isEmpty || {
+        val got = Graph.personalizedPageRank(es.toDF("src", "dst"),
+          sd.toSeq.toDF("id"), rounds = r)
+          .as[(Long, Long)].collect().toMap
+        got == pprReference(es, sd, r)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
