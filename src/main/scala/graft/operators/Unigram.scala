@@ -65,11 +65,18 @@ object Unigram {
     * score; ties → fewer pieces → smallest cut-mask. Package-visible for
     * the spec's brute-force arg-max proof. Returns char-split if the
     * model somehow lacks coverage (cannot happen when every char of `w`
-    * is in `score`). */
+    * is in `score`), and ALSO for words over 62 chars: the cut-mask
+    * tie-break rides a single Long, so beyond 62 interior cut positions
+    * `1L << (j-1)` would wrap mod 64 and colliding bits could
+    * reconstruct cuts never on the best path. Training never sees such
+    * words (trainState caps at maxWordLen ≤ 62), so an overlong word at
+    * APPLY time is out-of-distribution by contract — char-split is its
+    * defined (valid: every char is in the vocab) segmentation. */
   private[graft] def viterbiSegment(w: String, score: Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
     val L = w.length
     if (L == 0) return Seq.empty
+    if (L > 62) return w.map(_.toString) // cut-mask Long bound; see scaladoc
     // dp(i): best (score, nPieces, cutMask) over prefixes w[0,i)
     val dpSc = new Array[Long](L + 1)
     val dpNp = new Array[Int](L + 1)
