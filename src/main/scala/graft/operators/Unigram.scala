@@ -65,13 +65,18 @@ object Unigram {
     * score; ties → fewer pieces → smallest cut-mask. Package-visible for
     * the spec's brute-force arg-max proof. Returns char-split if the
     * model somehow lacks coverage (cannot happen when every char of `w`
-    * is in `score`), and ALSO for words over 62 chars: the cut-mask
-    * tie-break rides a single Long, so beyond 62 interior cut positions
-    * `1L << (j-1)` would wrap mod 64 and colliding bits could
-    * reconstruct cuts never on the best path. Training never sees such
-    * words (trainState caps at maxWordLen ≤ 62), so an overlong word at
-    * APPLY time is out-of-distribution by contract — char-split is its
-    * defined (valid: every char is in the vocab) segmentation. */
+    * is in `score`), and ALSO for words over 62 chars — the
+    * maxWordLen ≤ 62 trainState contract, mirrored here. The cut-mask
+    * tie-break rides a single Long whose highest interior cut bit is
+    * `1L << (L-2)`, so the hard arithmetic limits are L ≥ 65 (sign bit —
+    * the signed `mask < bestMask` comparison inverts) and L ≥ 66
+    * (`1L << (j-1)` wraps mod 64, colliding bits reconstruct cuts never
+    * on the best path); the guard sits at 62, conservatively, so that
+    * apply-time segmentation and training share ONE word-length
+    * contract. Training never sees longer words (trainState caps at
+    * maxWordLen ≤ 62), so an overlong word at APPLY time is
+    * out-of-distribution by contract — char-split is its defined
+    * (valid: every char is in the vocab) segmentation. */
   private[graft] def viterbiSegment(w: String, score: Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
     val L = w.length

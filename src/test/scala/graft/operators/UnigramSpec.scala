@@ -40,6 +40,22 @@ class UnigramSpec extends SparkSuite {
       Seq("a", "x", "b"))
   }
 
+  test("viterbiSegment: words over 62 chars take the char-split branch") {
+    // the >62 guard (maxWordLen contract; hard Long-mask limit is L>=65)
+    // is unreachable by the exhaustive oracle (allSegs enumerates 2^(L-1)
+    // masks), so the branch gets a direct assertion: even though "aa"
+    // scores better than two "a"s, an overlong word must char-split
+    val score = Map("a" -> -10L, "aa" -> -1L)
+    for (len <- Seq(63, 64, 65, 100)) {
+      val w = "a" * len
+      assert(Unigram.viterbiSegment(w, score, maxPieceLen = 4) ==
+        Seq.fill(len)("a"), s"len=$len")
+    }
+    // and at exactly 62 the DP still runs: pairs win over singles
+    assert(Unigram.viterbiSegment("a" * 62, score, maxPieceLen = 4) ==
+      Seq.fill(31)("aa"))
+  }
+
   test("unigramTrain: ledger replays under an independent local reference") {
     val docs = Seq(
       (0L, "abab abab cd cd abcd"),
