@@ -330,15 +330,21 @@ object Dedup {
       Seq(idCol), "left_semi")), stagingDir, "inc_exact_survivors")
     // with standing (postings, bucketCounts) artifacts the mine takes the
     // broadcast-delta path that never re-bands or shuffles the corpus —
-    // bit-identical output (incrementalMinhashFromPostings contract)
-    val mined = indexPostings match {
-      case Some((posts, cnts)) => incrementalMinhashFromPostings(uniq,
-        sigIndex, posts, cnts, idCol, textCol, k, bands, rowsPerBand,
-        threshold, maxBucket)
-      case None => incrementalMinhash(uniq, sigIndex, idCol, textCol, k,
-        bands, rowsPerBand, threshold, maxBucket)
+    // bit-identical output (incrementalMinhashFromPostings contract).
+    // When pairsSink forces the pairs eagerly, the mine's staged delta
+    // relations are released right after the force (handles contract);
+    // without a sink the lazy plan still reads them, so the
+    // session-lifetime caching caveat applies as in the generic path.
+    val pairs = indexPostings match {
+      case Some((posts, cnts)) =>
+        val (mined, release) = incrementalMinhashFromPostingsHandles(uniq,
+          sigIndex, posts, cnts, idCol, textCol, k, bands, rowsPerBand,
+          threshold, maxBucket)
+        if (pairsSink.isDefined) try sinkPairs(mined, pairsSink) finally release()
+        else mined
+      case None => sinkPairs(incrementalMinhash(uniq, sigIndex, idCol,
+        textCol, k, bands, rowsPerBand, threshold, maxBucket), pairsSink)
     }
-    val pairs = sinkPairs(mined, pairsSink)
     Graph.incrementalCC(prevLabels, pairs, srcCol = "id_a", dstCol = "id_b",
       stagingDir = stagingDir)
   }
@@ -516,12 +522,41 @@ object Dedup {
     * Contract: the delta is batch-bounded (its posting relation — ×bands
     * rows — must broadcast; production deltas are, by the same bound
     * that makes them "a batch"). `index` supplies the `sh` sets for the
-    * verify joins, exactly as in the generic path. */
+    * verify joins, exactly as in the generic path.
+    *
+    * The lazy result closes over two staged delta relations (the delta's
+    * signatures and postings — each a three-consumer diamond, same
+    * rationale as [[minhashPairsFromShingles]]'s sigd), pinned in the
+    * SQL CacheManager under the session-lifetime caveat documented
+    * there. A caller that FORCES the pairs (writes them, as every
+    * standing ingest does) should use
+    * [[incrementalMinhashFromPostingsHandles]] and release the staging
+    * after the force — a per-micro-batch caller on this signature would
+    * otherwise accumulate two pinned relations per batch for the
+    * stream's lifetime. */
   def incrementalMinhashFromPostings(delta: DataFrame, index: DataFrame,
       indexPostings: DataFrame, indexBucketCounts: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    incrementalMinhashFromPostingsHandles(delta, index, indexPostings,
+      indexBucketCounts, idCol, textCol, k, bands, rowsPerBand, threshold,
+      maxBucket)._1
+
+  /** [[incrementalMinhashFromPostings]] plus a release handle for its
+    * two staged delta relations: call it once the returned pairs have
+    * been forced (e.g. written to the pairs log) and the staging is
+    * dropped from the CacheManager instead of pinning it for the
+    * session. The per-micro-batch shape ([[graft.streaming
+    * .IngestStreams]]'s dedupIngest): force in `try`, release in
+    * `finally`, so a long-running 100 TB ingest holds at most one
+    * batch's staging at a time. */
+  private[graft] def incrementalMinhashFromPostingsHandles(
+      delta: DataFrame, index: DataFrame,
+      indexPostings: DataFrame, indexBucketCounts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     val dSig = (if (delta.columns.contains("sig"))
         delta.select(col(idCol), col("sh"),
           sigChecked(bands * rowsPerBand).as("sig"))
@@ -560,12 +595,13 @@ object Dedup {
       .distinct()
     val sh = dSig.select(col(idCol), col("sh"))
       .union(index.select(col(idCol), col("sh")))
-    candidates
+    val pairs = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, () => { dSig.unpersist(); dPost.unpersist(); () })
   }
 
   /** [[minhashPairs]] over a precomputed [[shingled]] relation (column
@@ -656,8 +692,6 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 1000,
       signaturesSink: Option[String] = None): DataFrame = {
-    val width = 64 / chunks
-    val mask = (1L << width) - 1L
     // persist for the same diamond reason as minhashPairs' sigd (three
     // consumers, pruning-divergent projections); (id, sim) is 16 bytes/doc
     // — a staged sink plays the same materialization role when requested
@@ -670,6 +704,21 @@ object Dedup {
       case None =>
         sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    simhashPairsFromSignatures(sigs, idCol, maxHamming, chunks, maxBucket)
+  }
+
+  /** [[simhashPairs]] over a precomputed `(idCol, sim)` signature
+    * relation — the standing-index form: a production pipeline signs the
+    * corpus once at ingest (the simhash analogue of [[signatureIndex]])
+    * and every dedup job reads the 16-byte/doc signature table instead
+    * of re-tokenizing 100 TB of text. Chunking, the bucket guard,
+    * pigeonhole candidate pairing and the hamming verify are identical
+    * to [[simhashPairs]] (bit-identical output by construction — the
+    * batch path delegates here). */
+  def simhashPairsFromSignatures(sigs: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1L
     val chunkArray = array((0 until chunks).map(c =>
       shiftright(col("sim"), c * width).bitwiseAND(lit(mask))): _*)
     // same exchange-reuse shape as minhashPairs: one narrow shuffle on the
@@ -860,12 +909,25 @@ object Dedup {
     * `text_dedup`).
     */
   def dedupSubstrings(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 5): DataFrame = {
+      textCol: String = "text", k: Int = 5,
+      stagingDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"),
-        shingleHashes(col("toks"), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the tokenized corpus is a consumer diamond (the posting explode
+    // feeds the first-occurrence aggregate AND the excision join; the
+    // token arrays feed the final rebuild) — [[Staging.stage]] is the
+    // shared materialization. The result is corpus-sized, so the
+    // frequentPairs eager-force escape hatch doesn't apply: by default
+    // the stage is an executor-local persist pinned by the SQL
+    // CacheManager for the session lifetime (the
+    // [[minhashPairsFromShingles]] caveat — `spark.catalog.clearCache()`
+    // between repeated jobs); at 100 TB pass `stagingDir` for a durable
+    // parquet staging table that pins nothing (caller deletes the dir
+    // once the result is consumed, the [[Staging]] contract).
+    val toks = Staging.stage(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+        .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"),
+          shingleHashes(col("toks"), k).as("sh")),
+      stagingDir, "substr_toks")
     val pos = toks.select(col(idCol), col("n_tokens"),
       posexplode(col("sh")).as(Seq("pos", "s")))
     // one aggregate carries both the duplication predicate (count >= 2)

@@ -732,25 +732,36 @@ object Graph {
     * so each community's row carries the integer part `q_part =
     * 4·m·e_c − d_c²` (plus the count evidence), and Q is the caller's
     * one float: Σ q_part / 4m². Inputs: an edge list (symmetrized and
-    * canonicalized here) and a total `(id, community)` assignment — e.g.
-    * [[labelPropagation]]'s output; an edge with an unlabeled endpoint
-    * is a contract violation and is dropped by the inner join.
+    * canonicalized here) and an `(id, community)` assignment — e.g.
+    * [[labelPropagation]]'s output. Under a PARTIAL assignment the
+    * evidence is computed on the labeled-induced subgraph: an edge with
+    * an unlabeled endpoint is excluded from `internal_edges`, from `m`,
+    * AND from every `degree_sum` — all three legs see the same edge set,
+    * so the Q·4m² identity holds on that subgraph (the r16 advisory:
+    * dropping such edges from the internal joins only, while `m` and the
+    * labeled endpoint's degree still counted them, silently broke the
+    * identity). A node whose every edge leads outside the labeled set
+    * consequently contributes no degree row.
     *
-    * Scale: one canonical-edge distinct (a three-consumer diamond —
-    * [[Staging.stage]]: executor-local persist by default, under the
-    * caller-clears-cache caveat of [[graft.operators.Dedup
-    * .minhashPairsFromShingles]]; pass `stagingDir` at cluster scale),
-    * two narrow label joins, and partial-agg counts; `m` is a 1-row
-    * broadcast. Output: `(community, n_nodes, internal_edges,
-    * degree_sum, m, q_part)`. */
+    * Scale: one canonical-edge distinct restricted to labeled endpoints
+    * (two left-semi label joins folded into the staged relation — a
+    * three-consumer diamond; [[Staging.stage]]: executor-local persist
+    * by default, under the caller-clears-cache caveat of
+    * [[graft.operators.Dedup.minhashPairsFromShingles]]; pass
+    * `stagingDir` at cluster scale), two narrow label joins, and
+    * partial-agg counts; `m` is a 1-row broadcast. Output: `(community,
+    * n_nodes, internal_edges, degree_sum, m, q_part)`. */
   def modularity(edges: DataFrame, labels: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
       idCol: String = "id", commCol: String = "community",
       stagingDir: Option[String] = None): DataFrame = {
+    val labeledIds = labels.select(col(idCol))
     val canon = Staging.stage(
       edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct(),
+      .filter(col("a") =!= col("b")).distinct()
+      .join(labeledIds.select(col(idCol).as("a")), Seq("a"), "left_semi")
+      .join(labeledIds.select(col(idCol).as("b")), Seq("b"), "left_semi"),
       stagingDir, "modularity_edges")
     val mRow = canon.groupBy().agg(count(lit(1)).as("m"))
     val la = labels.select(col(idCol).as("a"), col(commCol).as("ca"))

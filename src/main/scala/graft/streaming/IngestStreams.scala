@@ -106,10 +106,17 @@ object IngestStreams {
                   excludeBatch = key)
                 val standingCnts = loadBucketCounts(spark, indexDir,
                   excludeBatch = key)
-                val pairs = Dedup.incrementalMinhashFromPostings(admitted,
-                  standing, standingPosts, standingCnts, idCol, textCol,
-                  mh.k, mh.bands, mh.rowsPerBand, mh.threshold, mh.maxBucket)
-                overwriteBatch(pairs, key, mh.pairsDir)
+                // handles variant: the mine stages the batch's delta
+                // signatures/postings; the pairs write below forces
+                // them, so they are released per batch — on the plain
+                // signature every micro-batch would pin two more
+                // CacheManager relations for the stream's lifetime
+                val (pairs, releaseMine) =
+                  Dedup.incrementalMinhashFromPostingsHandles(admitted,
+                    standing, standingPosts, standingCnts, idCol, textCol,
+                    mh.k, mh.bands, mh.rowsPerBand, mh.threshold, mh.maxBucket)
+                try overwriteBatch(pairs, key, mh.pairsDir)
+                finally releaseMine()
                 overwriteBatch(sigs, key, s"$indexDir/signatures")
                 val posts = Dedup.bandPostings(sigs, idCol,
                   mh.bands, mh.rowsPerBand)

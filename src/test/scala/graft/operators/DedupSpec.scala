@@ -505,4 +505,29 @@ class DedupSpec extends SparkSuite {
       "short-doc whole-doc shingle: later copy excised entirely")
     assert(got(7L) == (("u1 u2 u3 u4", 4, 0L)))
   }
+
+  test("dedupSubstrings stagingDir: same output, nothing pinned after the call") {
+    val docs = Seq(
+      (0L, "a1 a2 c1 c2 c3 a3 a4 a5"),
+      (1L, "B1 b2 C1 c2 c3 b3 b4 b5"),
+      (2L, "m1 p1 p2 p3 p4 p5 p6 n1"),
+      (3L, "p1 p2 p3 p4 p5 p6")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"text_dedup", $"n_tokens", $"n_removed")
+      .as[(Long, String, Int, Long)].collect().toSet
+    val default = rows(Dedup.dedupSubstrings(docs, k = 3))
+    spark.catalog.clearCache() // release the default path's staging persist
+    val dir = java.nio.file.Files.createTempDirectory("substr_stage").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val staged = rows(Dedup.dedupSubstrings(docs, k = 3,
+      stagingDir = Some(dir)))
+    // durable staging pins nothing in the CacheManager (the r16 advisory:
+    // the persist-path default has no release point because the lazy
+    // result closes over the diamond — stagingDir is the leak-free path)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "stagingDir path must not pin CacheManager relations")
+    assert(staged == default, "staged and persisted paths must agree")
+    graft.operators.Staging.drop(spark, dir)
+  }
 }

@@ -503,6 +503,35 @@ class GraphSpec extends SparkSuite {
     assert(one == Seq((0L, 6L, 7L, 14L, 7L, 0L)), s"got $one")
   }
 
+  test("modularity: partial labels score the labeled-induced subgraph consistently") {
+    // same bridged triangles, but the second triangle is UNLABELED: the
+    // evidence must be exactly the first triangle's standalone numbers —
+    // edges to/among {10,11,12} excluded from m, degrees, and internals
+    // alike (r16 advisory: m previously counted all 7 edges while the
+    // internal joins dropped 4, silently breaking Q·4m² = Σ q_part)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("id_a", "id_b")
+    val partial = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "community")
+    val got = Graph.modularity(edges, partial)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // induced subgraph = the bare triangle: m = 3, e_c = 3, d_c = 6
+    // ⇒ q_part = 4·3·3 − 36 = 0 (a single community always scores zero)
+    assert(got == Seq((1L, 3L, 3L, 6L, 3L, 0L)), s"got $got")
+    // identity audit on a partial TWO-community case: label one triangle
+    // and only the bridge endpoint of the other — every per-community row
+    // must satisfy the shared-m contract and Σ d_c = 2m
+    val partial2 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("id", "community")
+    val rows = Graph.modularity(edges, partial2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // induced edges: triangle {1,2,3} + bridge (3,10) → m = 4;
+    // community 1: e=3, d=2+2+3=7 → q_part = 48−49 = −1
+    // community 10: e=0, d=1     → q_part = 0−1  = −1
+    assert(rows.sortBy(_._1) ==
+      Seq((1L, 3L, 3L, 7L, 4L, -1L), (10L, 1L, 0L, 1L, 4L, -1L)), s"got $rows")
+    assert(rows.map(_._4).sum == 2 * rows.head._5, "sum d_c must equal 2m")
+  }
+
   test("property: labelPropagation == local synchronous reference for any graph") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val edgeGen = for {

@@ -218,10 +218,20 @@ class IngestStreamsSpec extends SparkSuite {
     // batch 0: base + unrelated + exact dup (collapsed before signing)
     src.addData((1L, base), (2L, other), (3L, base))
     q.processAllAvailable()
+    // leak gate: every per-batch staging persist (signatures, survivors,
+    // the mine's delta sig/postings) must be released before the batch
+    // commits — a long-running ingest otherwise accumulates pinned
+    // relations per batch until executors OOM (r16 advisory). Cached-RDD
+    // count after later batches must not exceed the post-batch-0 level.
+    def pinnedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val pinnedAfterB0 = pinnedRdds()
     // batch 1: near-dup of corpus doc 1, plus a fresh doc
     src.addData((4L, near1), (5L, "another unrelated document about entirely new things"))
     q.processAllAvailable()
     q.stop()
+    assert(pinnedRdds() <= pinnedAfterB0,
+      s"per-batch staging leaked: ${pinnedRdds()} pinned RDDs after batch 1" +
+        s" vs $pinnedAfterB0 after batch 0")
 
     val admitted = spark.read.parquet(outDir).select($"doc_id", $"text")
     assert(admitted.select($"doc_id").as[Long].collect().toSet ==
@@ -255,6 +265,9 @@ class IngestStreamsSpec extends SparkSuite {
     src2.addData((6L, near2))
     q2.processAllAvailable()
     q2.stop()
+    assert(pinnedRdds() <= pinnedAfterB0,
+      s"per-batch staging leaked across restart: ${pinnedRdds()} pinned RDDs" +
+        s" vs $pinnedAfterB0 after batch 0")
     // (4,6) is NOT expected: near1/near2 differ from each other by two
     // words, which puts their jaccard below the 0.5 threshold
     val afterRestart = norm(spark.read.parquet(pairsDir))
