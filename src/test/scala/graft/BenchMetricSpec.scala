@@ -101,6 +101,30 @@ class BenchMetricSpec extends AnyFunSuite {
       s"compact line + baseline block is ${printed2.length} bytes")
   }
 
+  test("baseline block: rename map keeps renamed faces in the comparable subset") {
+    val base = Map("q_a" -> 1.0, "q_multimodal" -> 2.0,
+      "q_multimodal_frames" -> 1.5)
+    val cur = Seq("q_a" -> 1.0, "q_payload_slice" -> 5.0,
+      "q_payload_slice_frames" -> 1.0)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.baselineBlock(cur, 4.5, base))
+    // all three r1 faces land in the shared subset via the rename map —
+    // no r1_missing, and a renamed face can still breach under its r1 time
+    assert(parsed.path("shared_n").asInt() == 3, parsed.toString)
+    assert(parsed.path("r1_missing_count").isMissingNode())
+    assert(math.abs(parsed.path("comparable_ratio").asDouble() - 7.0 / 4.5) < 0.001)
+    assert(parsed.path("breach_count").asInt() == 1)
+    assert(parsed.path("breaches").get(0).asText() ==
+      "q_payload_slice:5.000(r1 2.000)")
+    // invariant the in-place fold relies on: no rename target collides
+    // with a surviving r1 name (a collision would silently drop an entry)
+    val (_, r1qs) = Bench.r1Baseline().get
+    assert(Bench.r1Renames.values.toSet.intersect(r1qs.keySet).isEmpty,
+      "rename targets must not collide with r1 query names")
+    assert(Bench.r1Renames.keySet.subsetOf(r1qs.keySet),
+      "rename sources should exist in the r1 map")
+  }
+
   test("r1Baseline parses the captured r1 artifact in this repo") {
     // this repo carries BENCH_r01.json — the operative baseline must load
     val b = Bench.r1Baseline()

@@ -23,13 +23,25 @@ import json
 import re
 import sys
 
+# r1 -> current names for faces renamed since round 1 (r15: the legacy
+# multimodal faces were renamed q_payload_slice* for honesty about what
+# they compute; same plan over the same inputs, so the r1 timing stays a
+# valid per-face baseline). Mirrors graft.Bench.r1Renames.
+R1_RENAMES = {
+    "q_multimodal": "q_payload_slice",
+    "q_multimodal_frames": "q_payload_slice_frames",
+}
+
 
 def r1_baseline(path="BENCH_r01.json"):
     with open(path) as f:
         tail = json.load(f)["tail"]
     m = re.search(r'\{"metric".*', tail, re.S)
     line = m.group(0).strip().split("\n")[0]
-    return json.loads(line)
+    base = json.loads(line)
+    base["queries"] = {R1_RENAMES.get(q, q): t
+                       for q, t in base["queries"].items()}
+    return base
 
 
 def main():
