@@ -321,6 +321,37 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("url faces: blocklist broadcasts with zero exchanges; stats is one partial+final agg") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://www.h"),
+        org.apache.spark.sql.functions.col("doc_id").cast("string"),
+        org.apache.spark.sql.functions.lit(".example.com/p")))
+    import spark.implicits._
+    // the blocklist drop must cost one scan: broadcast anti-join, no
+    // exchange anywhere in the plan (the 100 TB contract in Urls scaladoc)
+    val filt = graft.operators.Urls.domainFilter(docs,
+      org.apache.spark.sql.functions.col("url"),
+      Seq("h1.example.com").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(filt.contains("BroadcastHashJoin") && filt.contains("LeftAnti"),
+      s"blocklist must broadcast anti-join:\n${filt.take(2000)}")
+    // the only exchange allowed is the blocklist's BroadcastExchange —
+    // the corpus side must never hit a shuffle
+    assert(!filt.contains("ShuffleExchange") &&
+      !filt.contains("Exchange hashpartitioning"),
+      s"domainFilter must not shuffle the corpus:\n${filt.take(2000)}")
+    // the ledger reduces docs to (domain, n) BEFORE its single exchange:
+    // partial+final HashAggregate, and document text is not a shuffle column
+    val stats = graft.operators.Urls.domainStats(docs,
+      org.apache.spark.sql.functions.col("url"))
+      .queryExecution.executedPlan.toString
+    assert(stats.contains("partial_count"),
+      s"domainStats must map-side combine:\n${stats.take(2000)}")
+    assert(stats.contains("Exchange hashpartitioning(domain"),
+      s"the one exchange must key on domain (docs reduced to counts first):\n${stats.take(2000)}")
+  }
+
   test("q_flagship: small dimension side is broadcast") {
     val p = plan("q_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),

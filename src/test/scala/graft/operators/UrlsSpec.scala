@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Golden vectors for URL canonicalization plus local-reference checks
+  * for the domain-level stats/top-k/blocklist operators. */
+class UrlsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("canonicalHost: golden vectors") {
+    val cases = Seq(
+      "http://www.Example.COM/path?q=1" -> "example.com",
+      "HTTPS://user:pw@Sub.Example.com:8443/p#frag" -> "sub.example.com",
+      "ftp://example.org." -> "example.org",
+      "example.net:80/x" -> "example.net",
+      "www.example.net" -> "example.net",
+      "wWw.WWW.example.com" -> "www.example.com", // ONE www. stripped
+      "https://example.com./" -> "example.com",
+      "http://example.com:/" -> "example.com", // empty explicit port
+      "http://example.com/a@b" -> "example.com", // @ in path, not userinfo
+      "  https://Pad.example.com  " -> "pad.example.com",
+      "/rel/path" -> "", // no host → empty stratum
+      "//odd" -> "" // authority cut at first '/'
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.canonicalHost($"url").as("d")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // null propagates (its own stratum, never merged with a real domain)
+    val nul = Seq((1L, null: String)).toDF("id", "url")
+      .select(Urls.canonicalHost($"url")).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("domainStats and domainTopK: local reference + deterministic ties") {
+    val docs = Seq(
+      (0L, "http://www.a.com/x", "one two three"),
+      (1L, "https://A.com:8080/y", "four five"),
+      (2L, "b.org", "six seven eight nine"),
+      (3L, "HTTP://c.net./z", "ten"),
+      (4L, "https://user@b.org/p", "eleven")
+    ).toDF("doc_id", "url", "text")
+    val stats = Urls.domainStats(docs, $"url")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats == Map(
+      "a.com" -> ((2L, 5L)), "b.org" -> ((2L, 5L)), "c.net" -> ((1L, 1L))))
+    // tie between a.com and b.org at 5 tokens → domain asc breaks it
+    val top = Urls.domainTopK(docs, $"url", k = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(top == Seq((3L, 5L, 11L, "a.com:2:5,b.org:2:5")), s"got $top")
+  }
+
+  test("domainFilter: broadcast blocklist anti-join; hostless rows survive") {
+    val docs = Seq(
+      (0L, "http://www.bad.com/x", "spam"),
+      (1L, "https://good.org/y", "keep me"),
+      (2L, "bad.com.", "also spam"),
+      (3L, "/no/host", "keep hostless")
+    ).toDF("doc_id", "url", "text")
+    val block = Seq("bad.com").toDF("domain")
+    val kept = Urls.domainFilter(docs, $"url", block)
+      .select($"doc_id", $"domain").as[(Long, String)].collect().toMap
+    assert(kept == Map(1L -> "good.org", 3L -> ""), s"got $kept")
+  }
+}
