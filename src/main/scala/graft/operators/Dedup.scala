@@ -448,6 +448,11 @@ object Dedup {
     // re-sign the standing corpus, the exact cost this operator exists to
     // avoid (observed as 6× corpus scans in the audited plan). For a
     // parquet-staged index this costs one cheap extra materialization.
+    // Both pins live under the session-lifetime CacheManager caveat
+    // (minhashPairsFromShingles scaladoc); a PER-BATCH caller belongs on
+    // the postings path (incrementalMinhashFromPostingsHandles), which
+    // both skips the corpus-side re-band entirely and releases its
+    // staging per batch.
     val iSig = index.select(col(idCol), col("sh"),
         sigChecked(bands * rowsPerBand).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -899,7 +904,7 @@ object Dedup {
     * list is never assembled — a hot boilerplate span can occur once per
     * document); the interval-merge window partitions per doc over *excised
     * positions only*, tiny relative to the posting set; and the rebuild is
-    * a single join of the token arrays (persisted consumer diamond)
+    * a single join of the token arrays (staged consumer diamond)
     * against each doc's merged-interval list — the document text never
     * crosses a shuffle, because the indexed `filter` HOF drops covered
     * tokens in place.

@@ -635,6 +635,10 @@ object Graph {
           val (staged, p) = Staging.stageAt(nextRaw, dir, "kcore_round")
           (staged, Some(p))
         case None if round == rounds - 1 =>
+          // one pin, final round only (the lazy result closes over it —
+          // session-lifetime CacheManager caveat of
+          // [[graft.operators.Dedup.minhashPairsFromShingles]];
+          // stagingDir callers get the droppable-rounds path above)
           (nextRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
             None)
         case None => (nextRaw.localCheckpoint(eager = false), None)

@@ -237,9 +237,10 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 7L, idCol: String = "vec_id", vecCol: String = "embedding",
       trainSample: Int = 10000,
-      centroidsSink: Option[String] = None): DataFrame =
+      centroidsSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame =
     ivfSelfTopK(corpus, k, nlist, nprobe, idCol, vecCol,
-      excludeLabelCol = None, trainSample, centroidsSink)
+      excludeLabelCol = None, trainSample, centroidsSink, stagingDir)
 
   /** Shared core of [[knnGraph]] and [[hardNegatives]] — ONE derivation
     * (train sample, Lloyd, centroid sink, assignment, probing, scoring,
@@ -252,7 +253,8 @@ object Similarity {
     * same id ⇒ same label). */
   private def ivfSelfTopK(corpus: DataFrame, k: Int, nlist: Int, nprobe: Int,
       idCol: String, vecCol: String, excludeLabelCol: Option[String],
-      trainSample: Int, centroidsSink: Option[String]): DataFrame = {
+      trainSample: Int, centroidsSink: Option[String],
+      stagingDir: Option[String] = None): DataFrame = {
     val c = corpus.select((Seq(col(idCol).as("vec_id")) ++
       excludeLabelCol.map(l => col(l).as("lab")) :+
       asDouble(col(vecCol)).as("v")): _*)
@@ -262,10 +264,13 @@ object Similarity {
     val cents: Array[Array[Double]] = lloyd(sample, nlist, iters = 8)
     centroidsSink.foreach(writeCentroids(corpus.sparkSession, cents, _))
     // staged: the (vec_id[, lab], v, cell) relation feeds BOTH join sides
-    // — an unmaterialized diamond would run the assignment kernel twice
-    val bucketed = c.withColumn("cell",
-        element_at(Similarity.nearestCells(col("v"), cents, 1), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // — an unmaterialized diamond would run the assignment kernel twice.
+    // Default executor-local persist (session-lifetime CacheManager
+    // caveat of Dedup.minhashPairsFromShingles); stagingDir for the
+    // durable cluster path, the Staging contract
+    val bucketed = Staging.stage(c.withColumn("cell",
+        element_at(Similarity.nearestCells(col("v"), cents, 1), 1)),
+      stagingDir, "ivf_bucketed")
     val probed = c.select((Seq(col("vec_id").as("query_id")) ++
         excludeLabelCol.map(_ => col("lab").as("qlab")) :+
         col("v").as("qv")): _*)
@@ -295,9 +300,11 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", trainSample: Int = 10000,
-      centroidsSink: Option[String] = None): DataFrame =
+      centroidsSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame =
     ivfSelfTopK(corpus, k, nlist, nprobe, idCol, vecCol,
-      excludeLabelCol = Some(labelCol), trainSample, centroidsSink)
+      excludeLabelCol = Some(labelCol), trainSample, centroidsSink,
+      stagingDir)
 
   /** Recall audit: per-query overlap of an approximate top-k result with
     * the exact top-k on the same (corpus, queries, k) — the in-engine
@@ -488,14 +495,16 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, rerank: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", trainSample: Int = 10000,
-      shortlistSink: Option[String] = None): DataFrame = {
+      shortlistSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub")
     // three consumers (training sample, encode pass, shortlist refine) —
-    // the minhashPairs staging-persist rule
-    val c = unit(corpus.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the minhashPairs staging rule (persist default + its CacheManager
+    // caveat; stagingDir for the durable cluster path)
+    val c = Staging.stage(unit(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0"),
+      stagingDir, "pq_vectors")
     val sample = c.orderBy(col("vec_id")).limit(trainSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
@@ -545,13 +554,15 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
       rerank: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding", trainSample: Int = 10000,
-      shortlistSink: Option[String] = None): DataFrame = {
+      shortlistSink: Option[String] = None,
+      stagingDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     require(nlist >= 1 && nprobe >= 1 && m >= 1 && ksub >= 1,
       s"nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub")
-    val c = unit(corpus.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same consumer diamond + staging contract as pqTopK's vector relation
+    val c = Staging.stage(unit(corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v0")), col("v0"), "v").drop("v0"),
+      stagingDir, "ivfpq_vectors")
     val sample = c.orderBy(col("vec_id")).limit(trainSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")

@@ -186,14 +186,22 @@ object TextPrep {
     * birthday bound). Two shuffles: the survivor arg-min on the hash and
     * the per-doc reassembly; the survivor relation ships (hash, id, pos)
     * only. The first-occurrence rule (not "keep one arbitrary copy")
-    * makes the result deterministic AND oracle-checkable. */
+    * makes the result deterministic AND oracle-checkable.
+    *
+    * The paragraph-posting relation is a consumer diamond (survivor
+    * arg-min + the keep join) staged via [[Staging.stage]]: default
+    * executor-local persist under the session-lifetime CacheManager
+    * caveat of [[Dedup.minhashPairsFromShingles]]; pass `stagingDir` at
+    * cluster scale for a durable parquet staging table that pins
+    * nothing (caller deletes the dir once the result is consumed). */
   def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      stagingDir: Option[String] = None): DataFrame = {
     val paras = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
-    val keyed = paras.withColumn("h", xxhash64(col("para")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = Staging.stage(paras.withColumn("h", xxhash64(col("para"))),
+      stagingDir, "para_postings")
     // arg-min over (id, pos) per paragraph hash — partial-agg friendly,
     // never assembles an occurrence list (a hot boilerplate paragraph can
     // occur once per document in the corpus)
@@ -230,16 +238,23 @@ object TextPrep {
     * the hot line IS the expected input); the boilerplate relation is
     * tiny (lines above the share threshold) and anti-joins against the
     * postings; rebuild groups each doc's own lines only. Output:
-    * (idCol, text_clean, n_lines, n_kept). */
+    * (idCol, text_clean, n_lines, n_kept).
+    *
+    * The line-posting relation is a consumer diamond (the DF aggregate +
+    * the anti-join) staged via [[Staging.stage]] — same default-persist
+    * CacheManager caveat and `stagingDir` cluster path as
+    * [[dedupParagraphs]]. */
   def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
       srcCol: String = "source", textCol: String = "text",
-      minShare: Double = 0.5, minDf: Int = 2): DataFrame = {
+      minShare: Double = 0.5, minDf: Int = 2,
+      stagingDir: Option[String] = None): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0, s"minShare=$minShare")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val lines = docs.select(col(idCol), col(srcCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("h", xxhash64(col("line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines = Staging.stage(
+      docs.select(col(idCol), col(srcCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        .withColumn("h", xxhash64(col("line"))),
+      stagingDir, "boiler_lines")
     val lineDf = lines.groupBy(col(srcCol), col("h"))
       .agg(count_distinct(col(idCol)).as("df"))
     val nDocs = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))

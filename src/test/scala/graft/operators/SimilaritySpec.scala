@@ -359,4 +359,27 @@ class SimilaritySpec extends SparkSuite {
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"clusterAssign must stay map-side:\n${p.take(1500)}")
   }
+
+  test("stagingDir twins: knnGraph / pqTopK identical, nothing pinned") {
+    val queries = embs.filter($"vec_id" < 8)
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("sim_stage").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"vec_id").as[(Long, Int, Long)]
+        .collect().toSet
+    val kDefault = rowsOf(Similarity.knnGraph(embs, k = 3, nlist = 8, nprobe = 2))
+    val pDefault = rowsOf(Similarity.pqTopK(embs, queries, k = 5,
+      m = 16, ksub = 32, rerank = 8))
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val kStaged = rowsOf(Similarity.knnGraph(embs, k = 3, nlist = 8,
+      nprobe = 2, stagingDir = Some(dir)))
+    val pStaged = rowsOf(Similarity.pqTopK(embs, queries, k = 5,
+      m = 16, ksub = 32, rerank = 8, stagingDir = Some(dir)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "stagingDir path must not pin CacheManager relations")
+    assert(kStaged == kDefault && pStaged == pDefault,
+      "staged and persisted paths must agree")
+    Staging.drop(spark, dir)
+  }
 }

@@ -240,4 +240,30 @@ class TextPrepSpec extends SparkSuite {
       .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toMap
     assert(twice == got.view.mapValues(_._2).toMap)
   }
+
+  test("stagingDir twins: dedupParagraphs / stripBoilerplate identical, nothing pinned") {
+    val docs = Seq(
+      (1L, "s1", "intro one\ncookie banner\nbody alpha\n\nintro one"),
+      (2L, "s1", "cookie banner\nbody beta"),
+      (3L, "s1", "cookie banner\nbody gamma"),
+      (4L, "s2", "intro one\n\nbody beta")
+    ).toDF("doc_id", "source", "text")
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("textprep_stage").toString
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pDefault = rowsOf(TextPrep.dedupParagraphs(docs))
+    val bDefault = rowsOf(TextPrep.stripBoilerplate(docs, minShare = 0.5))
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pStaged = rowsOf(TextPrep.dedupParagraphs(docs,
+      stagingDir = Some(dir)))
+    val bStaged = rowsOf(TextPrep.stripBoilerplate(docs, minShare = 0.5,
+      stagingDir = Some(dir)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "stagingDir path must not pin CacheManager relations")
+    assert(pStaged == pDefault && bStaged == bDefault,
+      "staged and persisted paths must agree")
+    graft.operators.Staging.drop(spark, dir)
+  }
 }
