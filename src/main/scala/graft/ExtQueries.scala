@@ -44,6 +44,12 @@ object ExtQueries {
   private val urlBlocklist: Seq[String] =
     Seq("src1.example.com", "src4.example.com", "src7.example.com")
 
+  /** q_reg_domains' public-suffix fixture (the caller-provided PSL slice
+    * — includes a private-section entry, `example.com`, so the face
+    * exercises longest-match beating a shorter listed suffix). */
+  private val pslFixture: Seq[String] =
+    Seq("com", "co.uk", "org", "example.com")
+
   /** Shared by q_mix_sample's Spark and oracle sides (PII-pattern rule:
     * one definition, two renderings). es is deliberately absent → dropped. */
   private val mixRates: Map[String, Double] =
@@ -494,6 +500,24 @@ object ExtQueries {
         dfSrc.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
         dq.processAllAvailable()
       } finally dq.stop()
+      // the per-domain ledger ingest over the SAME 3-batch split (its own
+      // stream + checkpoint; rows re-collected WITH source since the
+      // synthetic URL derives from doc_id × source): q_url_ingest_replay
+      // reads the accumulated batch partitions back as the standing
+      // domain-keyed sums
+      val urlRows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val uSrc = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val uq = graft.streaming.IngestStreams.domainIngest(
+        uSrc.toDF().toDF("doc_id", "text", "source")
+          .withColumn("url", syntheticUrlCol),
+        col("url"), s"$root/domain_index", s"$root/domain_ckpt")
+      try (0 until 3).foreach { b =>
+        uSrc.addData(urlRows.filter(_._1 % 3 == b).toSeq: _*)
+        uq.processAllAvailable()
+      } finally uq.stop()
       root
     })
 
@@ -1996,6 +2020,28 @@ object ExtQueries {
         Tables.documents(s, dir).withColumn("url", syntheticUrlCol),
         col("url"), k = 5)),
 
+    // registrable domain (eTLD+1) under a provided public-suffix table:
+    // suffix cycle + optional sub-label from doc_id arithmetic; the
+    // oracle derives each mod-class's registrable domain from the
+    // generator arithmetic (mod 0 hits the private-section entry →
+    // per-source domains; 1-2 collapse to the listed-suffix+1; 3 takes
+    // the unlisted-TLD fallback)
+    "q_reg_domains" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = Tables.documents(s, dir).withColumn("url", concat(
+        when(col("doc_id") % 5 === 0, lit("https://a."))
+          .otherwise(lit("http://")),
+        col("source"),
+        element_at(array(lit(".example.com"), lit(".blog.co.uk"),
+          lit(".mirror.org"), lit(".intra.internal")),
+          (col("doc_id") % 4).cast("int") + 1),
+        lit("/p")))
+      Urls.registrableDomains(hosts, "doc_id", col("url"),
+        pslFixture.toDF("suffix"))
+        .groupBy(col("reg_domain")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reg_domain"))
+    }),
+
     // domain blocklist drop: broadcast anti-join on the canonical host
     "q_domain_filter" -> ((s, dir) => {
       import s.implicits._
@@ -2816,6 +2862,17 @@ object ExtQueries {
       graft.streaming.IngestStreams.readDfIndex(s,
           s"${ingestReplayFixture(s, dir)}/df_index")
         .orderBy(col("term"))),
+
+    // the STREAMED per-domain ledger under the oracle gate: the same
+    // 3-batch checkpointed replay feeds domainIngest (canonicalized
+    // synthetic URLs, the q_url_domains construction) and the standing
+    // domain-keyed sums read back from the accumulated batch partitions
+    // must equal DuckDB's whole-corpus ledger in one shot — the additive-
+    // statistic contract, same oracle SQL as q_url_domains
+    "q_url_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readDomainStats(s,
+          s"${ingestReplayFixture(s, dir)}/domain_index")
+        .orderBy(col("domain"))),
 
     // the STREAMING funnel under the oracle gate: the scrambled 3-batch
     // checkpointed replay (funnelReplayFixture) leaves watermark-sealed
@@ -4503,6 +4560,13 @@ object ExtQueries {
          |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1 ORDER BY domain""".stripMargin,
 
+    // the streamed ledger must fold to the identical whole-corpus answer
+    "q_url_ingest_replay" ->
+      s"""SELECT lower(source) || '.example.com' AS domain,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1 ORDER BY domain""".stripMargin,
+
     "q_url_topk" ->
       s"""WITH d AS (SELECT lower(source) || '.example.com' AS domain,
          |             count(*) AS n_docs,
@@ -4523,6 +4587,18 @@ object ExtQueries {
          |WHERE lower(source) || '.example.com' NOT IN
          |  (${urlBlocklist.map("'" + _ + "'").mkString(", ")})
          |ORDER BY doc_id""".stripMargin,
+
+    // registrable domain per mod class, straight from the generator
+    // arithmetic (the engine runs candidate explode + suffix join +
+    // longest-match arg-max + fallback; the oracle needs none of it)
+    "q_reg_domains" ->
+      s"""SELECT CASE CAST(doc_id % 4 AS INT)
+         |    WHEN 0 THEN lower(source) || '.example.com'
+         |    WHEN 1 THEN 'blog.co.uk'
+         |    WHEN 2 THEN 'mirror.org'
+         |    ELSE 'intra.internal' END AS reg_domain,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY reg_domain""".stripMargin,
 
     "q_ngram_topk" ->
       s"""WITH grams AS (

@@ -128,7 +128,22 @@ object ScaleSmoke {
     // count linearly (an occurrence-list or text-shuffling regression
     // shows up as a super-linear step)
     "substring_dedup" -> ((s: SparkSession, dir: String) =>
-      Dedup.dedupSubstrings(docs(s, dir), k = 5)))
+      Dedup.dedupSubstrings(docs(s, dir), k = 5)),
+    // r17: registrable-domain fold — candidate-suffix explode (≤ 4
+    // narrow rows/doc) → broadcast suffix semi-join → struct-max →
+    // id-keyed fallback join; both exchanges carry (id, host)-width
+    // rows, so the step ratio must track doc count linearly (a
+    // text-dragging or quadratic-candidate regression breaks it)
+    "reg_domains" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Urls.registrableDomains(
+        docs(s, dir).withColumn("url", concat(col("source"),
+          element_at(array(lit(".example.com"), lit(".blog.co.uk"),
+            lit(".mirror.org"), lit(".intra.internal")),
+            (col("doc_id") % 4).cast("int") + 1))),
+        "doc_id", col("url"),
+        Seq("com", "co.uk", "org", "example.com").toDF("suffix"))
+    }))
 
   private val ccIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -100,4 +100,51 @@ object Urls {
     docs.withColumn("domain", canonicalHost(urlCol))
       .join(broadcast(blocklist.select(col("domain"))), Seq("domain"),
         "left_anti")
+
+  /** Registrable domain (eTLD+1) per document under a caller-provided
+    * public-suffix table — the grouping level corpus quotas actually
+    * want (`a.blog.co.uk` and `b.blog.co.uk` are one site; `co.uk`
+    * alone is not): the LONGEST suffix of the canonical host present in
+    * `suffixes` (column `suffix`, canonical form, ≤ `maxSuffixLabels`
+    * labels) is the public suffix, and the registrable domain is that
+    * suffix plus one more label. A host matching no listed suffix takes
+    * the PSL fallback rule (the bare TLD is the suffix → registrable =
+    * last two labels); a host with no label left of its suffix (the
+    * suffix itself, e.g. a bare `co.uk`) yields the host unchanged.
+    * PSL wildcard (`*.ck`) and exception (`!www.ck`) rules are not
+    * interpreted — pre-expand them into the table if needed.
+    *
+    * Output: `(idCol, host, reg_domain)` — a narrow ledger the caller
+    * joins or aggregates on.
+    *
+    * Scale shape: candidate suffixes explode to ≤ maxSuffixLabels rows
+    * per doc and meet the suffix table on a BROADCAST semi-join (the
+    * real PSL is ~10⁴ rows — blocklist-class); the arg-max over
+    * candidates is one partial-agg-friendly struct-max keyed on the doc
+    * id, and the fallback left-join is id-keyed narrow rows. Two
+    * exchanges of (id, host)-width rows, document text untouched. */
+  def registrableDomains(docs: DataFrame, idCol: String, urlCol: Column,
+      suffixes: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1, s"maxSuffixLabels=$maxSuffixLabels")
+    val base = docs.select(col(idCol), canonicalHost(urlCol).as("host"))
+    val labels = split(col("host"), "\\.")
+    // suffix candidates: the last i labels for i = 1..min(maxSuffixLabels, n)
+    val cand = base.select(col(idCol), col("host"),
+      posexplode(transform(
+        sequence(lit(1), least(lit(maxSuffixLabels), size(labels))),
+        i => array_join(slice(labels, -i, i), "."))).as(Seq("__p", "suf")))
+      .withColumn("k", col("__p") + 1).drop("__p")
+    val matched = cand.join(broadcast(suffixes.select(col("suffix"))),
+        col("suf") === col("suffix"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(max(struct(col("k"), col("host"))).as("m"))
+      .select(col(idCol), col("m.k").as("__k"))
+    base.join(matched, Seq(idCol), "left")
+      .withColumn("__k", coalesce(col("__k"), lit(1))) // PSL fallback: bare TLD
+      .select(col(idCol), col("host"),
+        array_join(slice(split(col("host"), "\\."),
+          -least(col("__k") + 1, size(split(col("host"), "\\."))),
+          least(col("__k") + 1, size(split(col("host"), "\\.")))), ".")
+          .as("reg_domain"))
+  }
 }

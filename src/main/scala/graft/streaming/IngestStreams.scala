@@ -453,6 +453,48 @@ object IngestStreams {
       }
       .start()
 
+  /** Streaming maintenance of the standing per-domain corpus ledger —
+    * [[graft.operators.Urls.domainStats]] kept fresh by the ingest
+    * stream, the statistic domain quotas/blocklists are tuned against.
+    * Identical contract shape to [[dfIngest]]: the ledger is additive
+    * under the disjoint-id ingest convention, each micro-batch's
+    * (domain, n_docs, n_tokens) aggregate lands as its OWN batch-keyed
+    * partition (exactly-once by deterministic dynamic-partition
+    * overwrite), and the standing statistic is the read-time domain-
+    * keyed sum ([[readDomainStats]]). Per batch: one canonicalize +
+    * partial-agg groupBy over the BATCH only — the standing ledger is
+    * never read, the corpus never re-scanned. */
+  def domainIngest(docs: DataFrame, urlCol: org.apache.spark.sql.Column,
+      indexDir: String, checkpointDir: String,
+      textCol: org.apache.spark.sql.Column = col("text")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          graft.operators.Urls.domainStats(batch, urlCol, textCol),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing ledger of a [[domainIngest]] index: domain-keyed sums
+    * across batch partitions — equals `Urls.domainStats` over the
+    * concatenated batches (gated end-to-end through the 3-batch replay
+    * as `q_url_ingest_replay`). Absent/empty directory = empty corpus. */
+  def readDomainStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("domain", StringType),
+          StructField("n_docs", LongType), StructField("n_tokens", LongType))))
+    else
+      spark.read.parquet(indexDir)
+        .groupBy(col("domain"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** The standing df statistic of a [[dfIngest]] index: term-keyed sum
     * across batch partitions. Equals `TextAnalysis.dfIndex` over the
     * concatenated batches — gated end-to-end through a 3-batch replay as

@@ -51,6 +51,29 @@ class UrlsSpec extends SparkSuite {
     assert(top == Seq((3L, 5L, 11L, "a.com:2:5,b.org:2:5")), s"got $top")
   }
 
+  test("registrableDomains: longest listed suffix + 1, PSL fallback, edge hosts") {
+    val suffixes = Seq("com", "co.uk", "org", "example.com").toDF("suffix")
+    val docs = Seq(
+      (0L, "http://a.blog.shop.com/x"),   // com(1) -> shop.com
+      (1L, "https://b.shop.co.uk"),       // co.uk(2) beats uk-miss -> shop.co.uk
+      (2L, "www.x.example.com"),          // example.com(2) beats com(1) -> x.example.com
+      (3L, "co.uk"),                      // suffix itself: host unchanged
+      (4L, "svc.intra.internal"),         // unlisted TLD: fallback last-2
+      (5L, "localhost"),                  // single unmatched label
+      (6L, "/no/host")                    // hostless -> "" stratum
+    ).toDF("doc_id", "url")
+    val got = Urls.registrableDomains(docs, "doc_id", $"url", suffixes)
+      .select($"doc_id", $"reg_domain").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "shop.com", 1L -> "shop.co.uk",
+      2L -> "x.example.com", 3L -> "co.uk", 4L -> "intra.internal",
+      5L -> "localhost", 6L -> ""), s"got $got")
+    // null url propagates to a null reg_domain (its own stratum)
+    val nul = Urls.registrableDomains(
+      Seq((9L, null: String)).toDF("doc_id", "url"), "doc_id", $"url",
+      suffixes).select($"reg_domain").collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("domainFilter: broadcast blocklist anti-join; hostless rows survive") {
     val docs = Seq(
       (0L, "http://www.bad.com/x", "spam"),

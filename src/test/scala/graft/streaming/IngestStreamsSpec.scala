@@ -152,6 +152,47 @@ class IngestStreamsSpec extends SparkSuite {
     assert(snapshot(1L) == batch, "streamed twin = batch operator")
   }
 
+  test("domainIngest: streamed ledger equals batch domainStats; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("domingest").toString
+    val (indexDir, ckpt) = (s"$dir/dom_idx", s"$dir/ckpt")
+
+    // empty directory = empty corpus
+    assert(IngestStreams.readDomainStats(spark, indexDir).count() == 0L)
+
+    val b1 = Seq((1L, "http://www.a.com/x", "one two"),
+      (2L, "https://A.com:8080/y", "three"))
+    val b2 = Seq((3L, "b.org", "four five six"),
+      (4L, "https://user@a.com./z", "seven"))
+    val src = MemoryStream[(Long, String, String)]
+    val q = IngestStreams.domainIngest(
+      src.toDF().toDF("doc_id", "url", "text"), $"url", indexDir, ckpt)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"domain").as[(String, Long, Long)].collect().toSeq
+    val expected = rows(graft.operators.Urls.domainStats(
+      (b1 ++ b2).toDF("doc_id", "url", "text"), $"url"))
+    assert(rows(IngestStreams.readDomainStats(spark, indexDir)) == expected)
+    assert(expected == Seq(("a.com", 3L, 4L), ("b.org", 1L, 3L)))
+
+    // the ledger survives the query: a NEW stream over the same dir keeps
+    // accumulating (additive domain-keyed sums, disjoint ids)
+    val src2 = MemoryStream[(Long, String, String)]
+    val q2 = IngestStreams.domainIngest(
+      src2.toDF().toDF("doc_id", "url", "text"), $"url", indexDir,
+      s"$dir/ckpt2")
+    src2.addData((5L, "WWW.B.ORG/p", "eight nine"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows(IngestStreams.readDomainStats(spark, indexDir)) ==
+      Seq(("a.com", 3L, 4L), ("b.org", 2L, 5L)))
+  }
+
   test("dfIngest: streamed df index equals batch dfIndex; compaction sum-preserving; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("dfingest").toString
