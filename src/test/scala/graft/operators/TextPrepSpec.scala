@@ -260,7 +260,10 @@ class TextPrepSpec extends SparkSuite {
       stagingDir = Some(dir)))
     val bStaged = rowsOf(TextPrep.stripBoilerplate(docs, minShare = 0.5,
       stagingDir = Some(dir)))
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
+    // <= not ==: clearCache unpersists asynchronously, so `before` may
+    // still count pins that drain while the staged runs execute — the
+    // staged path itself adding a pin is what must fail
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "stagingDir path must not pin CacheManager relations")
     assert(pStaged == pDefault && bStaged == bDefault,
       "staged and persisted paths must agree")
