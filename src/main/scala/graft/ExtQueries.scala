@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Multimodal, Profile, Similarity, TextAnalysis, TextPrep, Unigram, Urls}
+import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Keywords, Multimodal, Profile, Similarity, TextAnalysis, TextPrep, Unigram, Urls, Video, WordPiece}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -43,6 +43,18 @@ object ExtQueries {
     * literal IN list in the oracle SQL. */
   private val urlBlocklist: Seq[String] =
     Seq("src1.example.com", "src4.example.com", "src7.example.com")
+
+  /** q_keyword_hits' pattern fixture — deliberately adversarial for a
+    * multi-pattern scanner: nested ("tab" ⊂ "table", "able" suffix),
+    * self-overlapping ("a a" hits twice in "a a a"), and absent
+    * ("zzz"). Mirrored literally in the oracle's VALUES list. */
+  private val keywordPatterns: Seq[String] =
+    Seq("a a", "able", "scan", "tab", "table", "zzz")
+
+  /** q_keyword_filter's phrase blocklist (probed at sf0.01: drops ~100
+    * of 500 docs — both branches non-trivial). */
+  private val keywordBlocklist: Seq[String] =
+    Seq("vector table", "big vector", "slow merge", "hash value", "zzz")
 
   /** q_reg_domains' public-suffix fixture (the caller-provided PSL slice
     * — includes a private-section entry, `example.com`, so the face
@@ -253,6 +265,129 @@ object ExtQueries {
         |  FROM (SELECT cnt, unnest(syms) AS s FROM v6)
         |  GROUP BY s) t
         |WHERE rn <= 10 ORDER BY n DESC, token""".stripMargin
+
+  /** [[graft.operators.WordPiece.train]]'s recurrence unrolled one CTE
+    * group per round — the bpeChainSql skeleton with the WordPiece
+    * changes: ##-marked symbols (first char bare, rest prefixed), the
+    * likelihood-gain arg-max `n·10^12 // (count(a)·count(b))` in exact
+    * HUGEINT arithmetic (mirroring the engine's DECIMAL(38,0) div — both
+    * truncate), ties (score desc, n desc, a, b), and the marker-aware
+    * merged symbol `a || strip##(b)`. Same `n >= 2` early-stop rule. */
+  private lazy val wordpieceChainSql: String = {
+    def roundCte(r: Int): String = {
+      val p = r - 1
+      s"""wsc$r AS MATERIALIZED (
+         |  SELECT s, CAST(sum(cnt) AS BIGINT) AS scnt FROM (
+         |    SELECT cnt, unnest(syms) AS s FROM wv$p) GROUP BY s),
+         |wp$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+         |      SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |      FROM wv$p))
+         |  GROUP BY a, b),
+         |wbest$r AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.n,
+         |    CAST(CAST(p.n AS HUGEINT) * 1000000000000 //
+         |      (CAST(ca.scnt AS HUGEINT) * cb.scnt) AS BIGINT) AS score_scaled,
+         |    p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3) ELSE p.b END
+         |      AS merged
+         |  FROM wp$r p JOIN wsc$r ca ON ca.s = p.a JOIN wsc$r cb ON cb.s = p.b
+         |  WHERE p.n >= 2
+         |  ORDER BY score_scaled DESC, p.n DESC, p.a, p.b LIMIT 1),
+         |we$r AS MATERIALIZED (SELECT w, cnt, pos, syms[pos] AS s FROM (
+         |    SELECT w, cnt, syms, unnest(generate_series(1, len(syms))) AS pos
+         |    FROM wv$p)),
+         |wm$r AS MATERIALIZED (SELECT w, cnt, pos, s,
+         |    coalesce(s = (SELECT a FROM wbest$r) AND
+         |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM wbest$r),
+         |      false) AS m
+         |  FROM we$r),
+         |wg$r AS MATERIALIZED (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY w ORDER BY pos) AS mrn FROM wm$r),
+         |wx$r AS MATERIALIZED (SELECT *, CASE WHEN m THEN row_number() OVER
+         |           (PARTITION BY w, runkey ORDER BY pos) END AS ridx
+         |         FROM (SELECT *, CASE WHEN m THEN pos - mrn END AS runkey FROM wg$r)),
+         |wd$r AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, m AND ridx % 2 = 1 AS selected,
+         |      lag(m AND ridx % 2 = 1, 1, false) OVER (PARTITION BY w ORDER BY pos) AS dropped
+         |    FROM wx$r)
+         |  WHERE NOT dropped),
+         |wv$r AS MATERIALIZED (SELECT w, cnt,
+         |    list(CASE WHEN selected THEN (SELECT merged FROM wbest$r)
+         |         ELSE s END ORDER BY pos) AS syms
+         |  FROM wd$r GROUP BY w, cnt)""".stripMargin
+    }
+    s"""WITH wwords AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |wv0 AS MATERIALIZED (SELECT w, cnt,
+       |  list_concat([substr(w, 1, 1)],
+       |    list_transform(range(2, len(w) + 1),
+       |      j -> '##' || substr(w, CAST(j AS INT), 1))) AS syms
+       |  FROM wwords),
+       |""".stripMargin +
+      (1 to 6).map(roundCte).mkString(",\n") + "\n"
+  }
+
+  private lazy val wordpieceTrainOracleSql: String =
+    wordpieceChainSql +
+      (1 to 6).map(r =>
+        s"SELECT $r AS rank, a AS lhs, b AS rhs, n AS pair_count, " +
+          s"score_scaled FROM wbest$r")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
+
+  /** q_wordpiece_tokens oracle: the SAME training chain, then the
+    * greedy longest-match scan step-unrolled (words capped at 12 chars
+    * → 12 steps suffice; every piece advances ≥ 1 char). Per step: all
+    * vocab pieces matching at the cursor (bare form at word start,
+    * ##-form after), arg-max by advance length — identical pieces
+    * can't tie, two different pieces matching the same span can't both
+    * exist — and the no-match branch collapses the word to [UNK], the
+    * public WordPiece rule. */
+  private lazy val wordpieceTokensOracleSql: String = {
+    def stepCte(k: Int): String = {
+      val p = k - 1
+      s"""gc$k AS MATERIALIZED (
+         |  SELECT st.w, v.s AS piece,
+         |    len(v.s) - CASE WHEN st.pos > 1 THEN 2 ELSE 0 END AS adv
+         |  FROM gst$p st JOIN wvset v ON st.pos <= len(st.w) AND
+         |    CASE WHEN st.pos = 1
+         |      THEN v.s NOT LIKE '##%' AND v.s = substr(st.w, st.pos, len(v.s))
+         |      ELSE v.s LIKE '##%' AND
+         |        substr(v.s, 3) = substr(st.w, st.pos, len(v.s) - 2)
+         |        AND len(v.s) > 2 END),
+         |gp$k AS MATERIALIZED (SELECT w, piece, adv,
+         |    row_number() OVER (PARTITION BY w ORDER BY adv DESC) AS rn
+         |  FROM gc$k),
+         |gst$k AS MATERIALIZED (
+         |  SELECT st.w, st.cnt,
+         |    CASE WHEN st.pos > len(st.w) THEN st.pos
+         |         WHEN pk.w IS NULL THEN len(st.w) + 1
+         |         ELSE st.pos + pk.adv END AS pos,
+         |    CASE WHEN st.pos > len(st.w) THEN st.pieces
+         |         WHEN pk.w IS NULL THEN ['[UNK]']
+         |         ELSE list_append(st.pieces, pk.piece) END AS pieces
+         |  FROM gst$p st LEFT JOIN
+         |    (SELECT w, piece, adv FROM gp$k WHERE rn = 1) pk ON st.w = pk.w)""".stripMargin
+    }
+    wordpieceChainSql.stripSuffix("\n") + ",\n" +
+      s"""wvset AS MATERIALIZED (
+         |  SELECT DISTINCT s FROM (SELECT unnest(syms) AS s FROM wv6)),
+         |wtok AS MATERIALIZED (SELECT w, cnt FROM wwords WHERE len(w) <= 12),
+         |gst0 AS MATERIALIZED (SELECT w, cnt, 1 AS pos,
+         |  CAST([] AS VARCHAR[]) AS pieces FROM wtok),
+         |""".stripMargin +
+      (1 to 12).map(stepCte).mkString(",\n") +
+      """
+        |SELECT piece, n FROM (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n,
+        |    row_number() OVER (ORDER BY sum(cnt) DESC, piece) AS rn
+        |  FROM (SELECT cnt, unnest(pieces) AS piece FROM gst12)
+        |  GROUP BY piece) t
+        |WHERE rn <= 10 ORDER BY n DESC, piece""".stripMargin
+  }
 
   /** Shared by q_kcore's Spark and oracle sides: the peel threshold and
     * the fixed round budget (the [[graft.operators.Graph.kCorePeel]]
@@ -1259,6 +1394,21 @@ object ExtQueries {
         .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
     })
 
+  private val wordpieceVocabBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Per-(process, dir) trained WordPiece vocab (the bpeRulesCached
+    * production shape: a tokenizer is trained once, applied forever —
+    * and WordPiece's published artifact IS the vocab, not the merge
+    * list: apply is greedy longest-match under the vocab). */
+  private def wordpieceVocabCached(s: SparkSession, dir: String): Set[String] =
+    wordpieceVocabBuilt.computeIfAbsent(dir, { _ =>
+      val rules = WordPiece.train(Tables.documents(s, dir), merges = 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      WordPiece.vocabFromRules(Tables.documents(s, dir), rules)
+    })
+
   private val dedupStreamReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1871,6 +2021,68 @@ object ExtQueries {
         .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("token")).limit(10)
     }),
+
+    // WordPiece training (the third tokenizer family): the BPE loop
+    // with the likelihood-gain objective — merge the pair maximizing
+    // count(ab)·10^12 div (count(a)·count(b)) in exact scaled-integer
+    // arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle), symbols
+    // carrying the ## continuation marker. The oracle re-runs the
+    // identical recurrence one CTE group per round, scores included —
+    // the WHOLE training loop sits under the hash gate
+    "q_wordpiece_train" -> ((s, dir) =>
+      WordPiece.train(Tables.documents(s, dir), merges = 6)
+        .orderBy(col("rank"))),
+
+    // WordPiece apply side: greedy LONGEST-MATCH-FIRST segmentation
+    // under the trained vocab (the public algorithm — deliberately NOT
+    // merge-order replay; the two differ, and the vocab is the
+    // tokenizer's published artifact). Vocab from the per-(process,
+    // dir) cache (trained once, applied forever); words capped at 12
+    // chars so the oracle's step-unrolled greedy scan stays bounded.
+    // Top-10 pieces by weighted usage — the oracle re-derives the full
+    // training chain AND the greedy scan, so longest-match ≡ the
+    // engine's per-partition loop is locked externally
+    "q_wordpiece_tokens" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val vocab = wordpieceVocabCached(s, dir)
+      val words = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0 && length(col("w")) <= 12)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      WordPiece.tokenize(words, vocab)
+        .select(col("cnt"), explode(split(col("pieces_joined"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("piece")).limit(10)
+    }),
+
+    // Aho–Corasick multi-pattern SUBSTRING scan (the blocklist-scale
+    // primitive regex alternation can't carry): one linear pass per doc
+    // against the broadcast automaton, textbook semantics — nested
+    // ("tab"/"table"/"able") and self-overlapping ("a a") patterns all
+    // count per END position. Sparse hit relation → per-pattern totals;
+    // the left join keeps never-hit patterns ("zzz") as explicit zeros.
+    // Oracle recounts every pattern at every start position — an
+    // engine that misses overlaps or nested hits diverges
+    "q_keyword_hits" -> ((s, dir) => {
+      import s.implicits._
+      val hits = Keywords.matchCounts(Tables.documents(s, dir), keywordPatterns)
+      keywordPatterns.toDF("pattern")
+        .join(hits.groupBy(col("pattern"))
+          .agg(sum(col("n")).as("h"), count(lit(1)).as("d")),
+          Seq("pattern"), "left")
+        .select(col("pattern"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          coalesce(col("d"), lit(0L)).as("n_docs"))
+        .orderBy(col("pattern"))
+    }),
+
+    // the blocklist drop itself: early-exit containsAny as a plain
+    // per-partition filter — no explode, no join (phrase blocklist
+    // chosen so the face drops AND keeps non-trivial doc sets)
+    "q_keyword_filter" -> ((s, dir) =>
+      Keywords.filterNone(Tables.documents(s, dir), keywordBlocklist)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // DSIR importance selection (target = English slice): hashed-unigram
     // log-ratio scores as exact integers; the staged ratio table carries
@@ -3508,7 +3720,60 @@ object ExtQueries {
     // the batch face's closed-form oracle verbatim
     "q_media_stream_replay" -> ((s, dir) =>
       s.read.parquet(s"${mediaReplayFixture(s, dir)}/features")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // REAL video demux (AVI/RIFF, pure-JDK — the last modality): every
+    // column is a header word read back from the CONTAINER BYTES (dims
+    // from strf, frame count from avih PLUS a count from the movi chunk
+    // walk, micro-sec-per-frame from avih, codec from biCompression);
+    // the id-parity codec mix makes the face gate BOTH demux paths
+    "q_video_meta" -> ((s, dir) =>
+      Video.decodeMeta(
+        Video.attachAvi(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          id => if (id % 2 == 0) Video.CodecRgb else Video.CodecMjpeg))
+        .orderBy(col("doc_id"))),
+
+    // REAL video frame decode on the lossless rgb24 codec: per-frame
+    // channel sums from the DECODED raster (explicit bottom-up BGR DIB
+    // unpack incl. the 4-byte row-stride padding), bit-exact against
+    // the closed-form frame rule — the q_media_frames_real gate shape
+    "q_video_frames" -> ((s, dir) =>
+      Video.decodeFrames(
+        Video.attachAvi(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          _ => Video.CodecRgb))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // REAL temporal sampling: stride-2 frame sampling AT THE DECODER —
+    // dropped frames never leave the scan stage (the 100 TB shape: a
+    // corpus sampled 1-in-N ships 1/N of the rows downstream)
+    "q_video_sample" -> ((s, dir) =>
+      Video.decodeFrames(
+        Video.attachAvi(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          _ => Video.CodecRgb),
+        stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Motion-JPEG contract gate (the q_media_jpeg shape, per FRAME):
+    // dims exact, decoded deviation from the closed-form per-frame
+    // gradient rule within the probed bound (VideoSpec id sweep; gated
+    // ≤ 12, the media-family 3× margin) — frame ORDER is gated because
+    // the rule's blue channel varies with the frame ordinal
+    "q_video_mjpeg" -> ((s, dir) =>
+      Video.decodeDeviation(
+        Video.attachAvi(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          _ => Video.CodecMjpeg),
+        (id, x, y, f) => Video.mjpegRule((id % 256).toInt, x, y, f))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          (col("max_dev") <= 12).as("within_tol"))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   /** PII redaction mirrored in DuckDB, built from [[TextPrep.PiiPatterns]]
@@ -5038,6 +5303,86 @@ object ExtQueries {
         |  CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // AVI demux gate: every engine column is a header word parsed from
+    // the container bytes; this recomputes all of them from the attach
+    // rule's integer arithmetic (w = id%8+4, h = id·3%8+4, nf = id%4+2,
+    // fps = 20000 + (id%7)·5000, codec by id parity) — a demux that
+    // echoes attach-side metadata instead of reading the RIFF tree
+    // cannot diverge here, but one that misreads ANY word does
+    "q_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 4 AS INT) AS width,
+        |  CAST((doc_id * 3) % 8 + 4 AS INT) AS height,
+        |  CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+        |  CAST(doc_id % 4 + 2 AS INT) AS movi_frames,
+        |  CAST(20000 + (doc_id % 7) * 5000 AS BIGINT) AS fps_micros,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rgb24' ELSE 'mjpeg' END AS codec
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+
+    // per-frame channel sums from the closed-form rgb24 rule
+    // r=(s+x+3f)%256, g=(s+y+3f)%256, b=(s+x+y)%256 over w = id%8+4,
+    // h = id·3%8+4, nf = id%4+2, s = id%256 — the DIB container hop is
+    // lossless, so equality certifies the decoder unpacked the actual
+    // bottom-up BGR rows (bounded series cover every dim/frame)
+    "q_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 4 + 2 AS INT) nf,
+        |    CAST(doc_id % 256 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, w, h, s, gf.f
+        |  FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf),
+        |px AS (SELECT doc_id, w, h, f,
+        |    ((s + gx.x + 3 * f) % 256) + ((s + gy.y + 3 * f) % 256)
+        |      + ((s + gx.x + gy.y) % 256) AS v
+        |  FROM fr
+        |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
+        |  JOIN generate_series(0, 10) gy(y) ON gy.y < h)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
+        |  h AS height, CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the stride-2 temporal sample: identical rule, only even movi
+    // ordinals survive — re-derived by the same series with f%2=0
+    "q_video_sample" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 4 + 2 AS INT) nf,
+        |    CAST(doc_id % 256 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, w, h, s, gf.f
+        |  FROM p JOIN generate_series(0, 5) gf(f)
+        |    ON gf.f < nf AND gf.f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f,
+        |    ((s + gx.x + 3 * f) % 256) + ((s + gy.y + 3 * f) % 256)
+        |      + ((s + gx.x + gy.y) % 256) AS v
+        |  FROM fr
+        |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
+        |  JOIN generate_series(0, 10) gy(y) ON gy.y < h)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
+        |  h AS height, CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Motion-JPEG contract gate: dims + frame ordinals are exact
+    // integer functions of the id; within_tol is the engine-side
+    // certificate that each DECODED frame stayed within the deviation
+    // bound of the per-frame gradient rule (lossy container → the
+    // q_media_jpeg contract-boolean pattern, one row per frame)
+    "q_video_mjpeg" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 4 + 2 AS INT) nf
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, CAST(gf.f AS INT) AS frame_idx, w AS width,
+        |  h AS height, true AS within_tol
+        |FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // systematic PPS: window cumsum + the identical integer pick rule
     // rank numbering re-derived by row_number (driver-scale stand-in for
     // the engine's distributed prefixSum), draw index by the identical
@@ -5642,6 +5987,38 @@ object ExtQueries {
         |WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.a = w.b AND o.b = w.c)""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracleSql,
+
+    // the full WordPiece training recurrence re-derived (scores in
+    // HUGEINT ≡ the engine's DECIMAL(38,0) — both exact truncation)
+    "q_wordpiece_train" -> wordpieceTrainOracleSql,
+
+    // training chain + the step-unrolled greedy longest-match scan
+    "q_wordpiece_tokens" -> wordpieceTokensOracleSql,
+
+    // every pattern recounted at every start position (overlaps and
+    // nesting included — substr equality per offset, NOT replace()
+    // arithmetic, which only sees non-overlapping occurrences)
+    "q_keyword_hits" -> {
+      val values = keywordPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(p) AS (VALUES $values),
+         |h AS (SELECT d.doc_id, pats.p,
+         |    len(list_filter(range(1, len(d.text) - len(pats.p) + 2),
+         |      i -> substr(d.text, CAST(i AS INT), len(pats.p)) = pats.p)) AS n
+         |  FROM documents d CROSS JOIN pats)
+         |SELECT p AS pattern, CAST(sum(n) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
+         |FROM h GROUP BY p ORDER BY pattern""".stripMargin
+    },
+
+    // the drop predicate as plain LIKEs — any-pattern containment is
+    // engine-trivial; what the face gates is the automaton agreeing
+    // with it on every doc
+    "q_keyword_filter" -> {
+      val likes = keywordBlocklist
+        .map(p => s"text LIKE '%$p%'").mkString(" OR ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE NOT ($likes) ORDER BY doc_id""".stripMargin
+    },
 
     "q_bpe_tokens" -> bpeTokensOracleSql,
 

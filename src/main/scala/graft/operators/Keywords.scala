@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-pattern SUBSTRING scanning at blocklist scale — the
+  * Aho–Corasick automaton (Aho & Corasick, "Efficient string matching:
+  * an aid to bibliographic search", CACM 1975), the standard answer
+  * when a pretraining pre-filter carries thousands of bad-word /
+  * spam-phrase patterns and a regex alternation (`p1|p2|…|pN`) stops
+  * being viable: AC matches ALL patterns in ONE linear pass per
+  * document, O(text + hits), independent of pattern count.
+  *
+  * This is a different primitive from the token-set checks in
+  * [[TextAnalysis]] (stopword ratios, `array_contains` filters): AC
+  * matches SUBSTRINGS — across word boundaries, nested patterns
+  * ("tab" inside "table"), overlapping occurrences ("a a" twice in
+  * "a a a") — with the textbook semantics: one hit per pattern per END
+  * POSITION, so nested and overlapping occurrences all count.
+  *
+  * Scale shape: the automaton is built ONCE driver-side from the
+  * pattern list (bounded by contract — a blocklist is 10³–10⁵ short
+  * strings; build is linear in total pattern length) and BROADCAST;
+  * the scan is a batched `mapPartitions` over the text column — zero
+  * shuffles, and [[matchCounts]] emits the SPARSE (doc, pattern, n)
+  * relation (only patterns that hit), so downstream traffic is
+  * hits-sized, not |docs|×|patterns|.
+  */
+object Keywords {
+
+  /** Immutable, serializable Aho–Corasick automaton. States are dense
+    * ints; goto is a per-state char map (pattern alphabets are small —
+    * a flat 256-wide array would bloat the broadcast for Unicode);
+    * output lists carry PATTERN INDICES, pre-merged through the fail
+    * links at build time so the scan never walks fail chains. */
+  final class Automaton private[Keywords] (
+      val patterns: IndexedSeq[String],
+      gotoMaps: Array[Map[Char, Int]],
+      out: Array[Array[Int]]) extends Serializable {
+
+    /** Count all occurrences of every pattern in `text` (textbook AC
+      * semantics: every end position counts). Returns a dense count
+      * array indexed like `patterns`. */
+    def countAll(text: String): Array[Long] = {
+      val counts = new Array[Long](patterns.length)
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        // the goto maps are fail-closed at build time: state 0 absorbs
+        // unknown chars, deeper states pre-resolved their transitions
+        state = gotoMaps(state).getOrElse(c, 0)
+        val hits = out(state)
+        var j = 0
+        while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
+        i += 1
+      }
+      counts
+    }
+
+    /** True iff ANY pattern occurs (early-exit scan — the blocklist
+      * drop predicate). */
+    def containsAny(text: String): Boolean = {
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        state = gotoMaps(state).getOrElse(text.charAt(i), 0)
+        if (out(state).nonEmpty) return true
+        i += 1
+      }
+      false
+    }
+  }
+
+  /** Build the automaton: trie → BFS fail links → goto maps closed
+    * over fail (every state resolves every relevant char directly, so
+    * the scan is one map lookup per char) → outputs merged through
+    * fail. Driver-side; linear in total pattern length. */
+  def buildAutomaton(patterns: Seq[String]): Automaton = {
+    require(patterns.nonEmpty, "empty pattern list")
+    require(patterns.forall(_.nonEmpty), "empty pattern")
+    val pats = patterns.toIndexedSeq
+    val trie = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    val outB = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    pats.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { c =>
+        node = trie(node).getOrElseUpdate(c, {
+          trie += scala.collection.mutable.Map.empty[Char, Int]
+          outB += scala.collection.mutable.ArrayBuffer.empty[Int]
+          trie.length - 1
+        })
+      }
+      outB(node) += pi
+    }
+    val n = trie.length
+    val fail = new Array[Int](n)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    trie(0).valuesIterator.foreach { v => fail(v) = 0; queue += v }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      trie(u).foreach { case (c, v) =>
+        // walk u's fail chain for the deepest state with a c-edge
+        var f = fail(u)
+        while (f != 0 && !trie(f).contains(c)) f = fail(f)
+        fail(v) = if (trie(f).contains(c) && trie(f)(c) != v) trie(f)(c) else 0
+        outB(v) ++= outB(fail(v)) // merge outputs through fail
+        queue += v
+      }
+    }
+    // close the goto maps over fail links (BFS order guarantees the
+    // parent fail state's closure is already complete)
+    val closed = new Array[Map[Char, Int]](n)
+    closed(0) = trie(0).toMap
+    val order = scala.collection.mutable.Queue(trie(0).valuesIterator.toSeq: _*)
+    val seen = scala.collection.mutable.Set(0) ++ trie(0).valuesIterator
+    while (order.nonEmpty) {
+      val u = order.dequeue()
+      closed(u) = closed(fail(u)) ++ trie(u).toMap
+      trie(u).valuesIterator.foreach { v =>
+        if (!seen.contains(v)) { seen += v; order += v }
+      }
+    }
+    new Automaton(pats, closed, outB.map(_.toArray.sorted).toArray)
+  }
+
+  /** The SPARSE hit relation: one row per (id, pattern) with its
+    * occurrence count (n ≥ 1 only — misses emit nothing). One linear
+    * scan per document against the broadcast automaton. */
+  def matchCounts(df: DataFrame, patterns: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(buildAutomaton(patterns))
+    val in = df.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, in.schema(idCol).dataType),
+      StructField("pattern", StringType),
+      StructField("n", LongType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      val ac = bc.value
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val counts = ac.countAll(text)
+          counts.iterator.zipWithIndex.collect {
+            case (c, i) if c > 0L => Row(r.get(0), ac.patterns(i), c)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Blocklist drop: rows whose text contains NO pattern — the same
+    * broadcast automaton with the early-exit predicate, applied as a
+    * per-partition filter over the full row (no explode, no join, no
+    * UDF — the repo-wide zero-UDFs-in-main stance; the text scan is
+    * imperative by nature, exactly the mapPartitions escape hatch). */
+  def filterNone(df: DataFrame, patterns: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(buildAutomaton(patterns))
+    val ti = df.schema.fieldIndex(textCol)
+    implicit val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      val ac = bc.value
+      rows.filter(r => r.isNullAt(ti) || !ac.containsAny(r.getString(ti)))
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Aho–Corasick multi-pattern scan (`Keywords`). Goldens are the
+  * classic ACM-paper example plus nested/overlapping cases; the
+  * automaton is property-checked against a brute-force scan. */
+class KeywordsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Brute-force reference: occurrences of p at every start position. */
+  private def brute(text: String, p: String): Long =
+    (0 to text.length - p.length)
+      .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+
+  test("the classic he/she/his/hers example") {
+    val ac = Keywords.buildAutomaton(Seq("he", "she", "his", "hers"))
+    val c = ac.countAll("ushers")
+    assert(c.toSeq == Seq(1L, 1L, 0L, 1L)) // he, she, hers all end in 'ushers'
+  }
+
+  test("overlapping occurrences all count (every end position)") {
+    val ac = Keywords.buildAutomaton(Seq("aa", "a a"))
+    assert(ac.countAll("aaaa").toSeq == Seq(3L, 0L))
+    assert(ac.countAll("a a a").toSeq == Seq(0L, 2L))
+  }
+
+  test("nested patterns each count at their own end positions") {
+    val ac = Keywords.buildAutomaton(Seq("tab", "table", "able", "b"))
+    assert(ac.countAll("table").toSeq == Seq(1L, 1L, 1L, 1L))
+    assert(ac.countAll("tabtable").toSeq == Seq(2L, 1L, 1L, 2L))
+  }
+
+  test("property: automaton counts equal brute force on random strings") {
+    val pats = Seq("ab", "ba", "aba", "bb", "aab", "b", "abab")
+    val ac = Keywords.buildAutomaton(pats)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val text = (1 to (rnd.nextInt(30) + 1))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val got = ac.countAll(text).toSeq
+      val want = pats.map(brute(text, _))
+      assert(got == want, s"text=$text")
+      assert(ac.containsAny(text) == want.exists(_ > 0), s"any: text=$text")
+    }
+  }
+
+  test("matchCounts emits the sparse hit relation only") {
+    val docs = Seq(
+      (1L, "the table is stable"),
+      (2L, "no hits here!"),
+      (3L, "tab tab")).toDF("doc_id", "text")
+    val hits = Keywords.matchCounts(docs, Seq("table", "tab", "zzz"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(hits == Set(
+      (1L, "table", 2L), // 'table' and 'stable'
+      (1L, "tab", 2L),
+      (3L, "tab", 2L)))
+  }
+
+  test("filterNone drops exactly the docs with any hit, keeps null text") {
+    val docs = Seq(
+      (1L, "clean text"),
+      (2L, "contains bad stuff"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kept = Keywords.filterNone(docs, Seq("bad"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("single-char and shared-prefix patterns build correct fail links") {
+    val ac = Keywords.buildAutomaton(Seq("a", "ab", "abc", "bc", "c"))
+    assert(ac.countAll("abc").toSeq == Seq(1L, 1L, 1L, 1L, 1L))
+    assert(ac.countAll("abab").toSeq == Seq(2L, 2L, 0L, 0L, 0L))
+  }
+}

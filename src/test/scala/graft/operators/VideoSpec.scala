@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** AVI container + MJPEG/RGB24 codec family (`Video`). The gate logic
+  * mirrors the media-family stance: lossless RGB frames are bit-exact
+  * against the closed-form rule; MJPEG is a bounded-deviation
+  * contract; the demux is gated on header WORDS read back from bytes. */
+class VideoSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Closed-form channel sum of one rgb24 frame. */
+  private def ruleSum(w: Int, h: Int, f: Int, seed: Int): Long = {
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = Video.rgbRule(seed, x, y, f)
+      sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+    }
+    sum
+  }
+
+  test("encodeAvi → parseAvi round-trips every header word (both codecs)") {
+    for ((codec, nf) <- Seq(Video.CodecRgb -> 3, Video.CodecMjpeg -> 5)) {
+      val bytes = Video.encodeAvi(11, 7, nf, 40000L, 42, codec)
+      val avi = Video.parseAvi(bytes).get
+      assert(avi.width == 11 && avi.height == 7)
+      assert(avi.headerFrames == nf)
+      assert(avi.frames.length == nf) // counted from the movi walk
+      assert(avi.fpsMicros == 40000L)
+      assert(avi.codec == codec)
+    }
+  }
+
+  test("rgb24 decode is bit-exact against the closed-form rule") {
+    val (w, h, nf, seed) = (10, 6, 4, 97)
+    val avi = Video.parseAvi(
+      Video.encodeAvi(w, h, nf, 33333L, seed, Video.CodecRgb)).get
+    avi.frames.zipWithIndex.foreach { case (fb, f) =>
+      val img = Video.decodeFrame(avi, fb).get
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        assert(p == (0xFF000000 | Video.rgbRule(seed, x, y, f)),
+          s"pixel ($x,$y) frame $f")
+        sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      }
+      assert(sum == ruleSum(w, h, f, seed))
+    }
+  }
+
+  test("odd-width rgb24 rows survive the 4-byte DIB stride padding") {
+    // w=5 → row bytes 15, stride 16: the pad byte must not shift pixels
+    val (w, h, seed) = (5, 3, 7)
+    val avi = Video.parseAvi(
+      Video.encodeAvi(w, h, 2, 20000L, seed, Video.CodecRgb)).get
+    val img = Video.decodeFrame(avi, avi.frames(1)).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRGB(x, y) == (0xFF000000 | Video.rgbRule(seed, x, y, 1)))
+  }
+
+  test("mjpeg deviation is bounded across the id sweep (probe for the face gate)") {
+    // Same probe protocol as the q_media_jpeg bound: worst case across
+    // a sweep of the face's id-derived geometries, gate at ~3× margin.
+    var worst = 0
+    for (id <- 0L until 512L by 5L) {
+      val w = (id % 8 + 4).toInt
+      val h = (id * 3 % 8 + 4).toInt
+      val nf = (id % 4 + 2).toInt
+      val seed = (id % 256).toInt
+      val avi = Video.parseAvi(
+        Video.encodeAvi(w, h, nf, 20000L, seed, Video.CodecMjpeg)).get
+      avi.frames.zipWithIndex.foreach { case (fb, f) =>
+        val img = Video.decodeFrame(avi, fb).get
+        for (y <- 0 until h; x <- 0 until w) {
+          val got = img.getRGB(x, y)
+          val want = Video.mjpegRule(seed, x, y, f)
+          val dev = Seq(16, 8, 0).map(sh =>
+            math.abs(((got >> sh) & 0xFF) - ((want >> sh) & 0xFF))).max
+          worst = math.max(worst, dev)
+        }
+      }
+    }
+    info(s"worst mjpeg deviation across sweep: $worst")
+    assert(worst <= 12, s"face gate bound (12) violated: $worst")
+  }
+
+  test("corrupt payloads parse to None / zero rows, never a failure") {
+    assert(Video.parseAvi(null).isEmpty)
+    assert(Video.parseAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Video.parseAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // truncated mid-movi: header parses, but a well-formed Avi requires
+    // the header words — cut INSIDE the hdrl so parse yields None
+    val full = Video.encodeAvi(6, 6, 3, 20000L, 1, Video.CodecRgb)
+    assert(Video.parseAvi(full.take(40)).isEmpty)
+    // truncated AFTER the headers: frames walked up to the cut, meta kept
+    val cut = Video.parseAvi(full.take(full.length - 10))
+    assert(cut.nonEmpty && cut.get.frames.length < 3)
+  }
+
+  test("attachAvi → decodeMeta reads header words back from the bytes") {
+    val ids = Seq(0L, 1L, 5L, 12L, 33L).toDF("doc_id")
+    val out = Video.decodeMeta(Video.attachAvi(ids,
+      id => if (id % 2 == 0) Video.CodecRgb else Video.CodecMjpeg))
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 8 + 4).toInt, "width")
+      assert(r.getInt(2) == (id * 3 % 8 + 4).toInt, "height")
+      assert(r.getInt(3) == (id % 4 + 2).toInt, "header n_frames")
+      assert(r.getInt(4) == r.getInt(3), "movi count == header count")
+      assert(r.getLong(5) == 20000L + (id % 7) * 5000L, "fps_micros")
+      assert(r.getString(6) ==
+        (if (id % 2 == 0) Video.CodecRgb else Video.CodecMjpeg), "codec")
+    }
+  }
+
+  test("decodeFrames stride samples exactly the 0-mod-stride movi ordinals") {
+    val ids = Seq(3L, 7L).toDF("doc_id") // nf = 5 and 5
+    val all = Video.decodeFrames(
+      Video.attachAvi(ids, _ => Video.CodecRgb), stride = 1)
+      .select("doc_id", "frame_idx").as[(Long, Int)].collect().toSet
+    val sampled = Video.decodeFrames(
+      Video.attachAvi(ids, _ => Video.CodecRgb), stride = 2)
+      .select("doc_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(sampled == all.filter(_._2 % 2 == 0))
+    assert(sampled.nonEmpty && sampled.size < all.size)
+  }
+
+  test("decodeFrames px sums match the closed-form rule end-to-end") {
+    val ids = Seq(2L, 9L, 14L).toDF("doc_id")
+    val out = Video.decodeFrames(Video.attachAvi(ids, _ => Video.CodecRgb))
+      .orderBy("doc_id", "frame_idx").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 8 + 4).toInt, (id * 3 % 8 + 4).toInt)
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getLong(4) == ruleSum(w, h, r.getInt(1), (id % 256).toInt))
+    }
+    val expected = Seq(2L, 9L, 14L).map(id => (id % 4 + 2)).sum
+    assert(out.length == expected)
+  }
+}
