@@ -39,6 +39,29 @@ object ExtQueries {
     when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
     lit("/p/"), col("doc_id").cast("string"), lit("?ref=r"))
 
+  /** Shared by q_video_frames and its streamed twin
+    * q_video_ingest_replay: per-frame channel sums re-derived from the
+    * closed-form rgb24 rule (one derivation, two faces). */
+  private val videoFramesOracleSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(doc_id % 8 + 4 AS INT) w,
+      |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+      |    CAST(doc_id % 4 + 2 AS INT) nf,
+      |    CAST(doc_id % 256 AS INT) s
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |fr AS (SELECT doc_id, w, h, s, gf.f
+      |  FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf),
+      |px AS (SELECT doc_id, w, h, f,
+      |    ((s + gx.x + 3 * f) % 256) + ((s + gy.y + 3 * f) % 256)
+      |      + ((s + gx.x + gy.y) % 256) AS v
+      |  FROM fr
+      |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
+      |  JOIN generate_series(0, 10) gy(y) ON gy.y < h)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
+      |  h AS height, CAST(sum(v) AS BIGINT) AS px_sum
+      |FROM px GROUP BY doc_id, f, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** q_domain_filter's blocklist — already-canonical hosts, mirrored as a
     * literal IN list in the oracle SQL. */
   private val urlBlocklist: Seq[String] =
@@ -1208,6 +1231,46 @@ object ExtQueries {
           Multimodal.attachPng(src.toDF().toDF("doc_id")))
         .writeStream.outputMode("append").format("parquet")
         .option("path", s"$root/features")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      root
+    })
+
+  private val videoReplayBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay video demux + frame decode AT INGEST, once per fixture dir
+    * (the [[mediaReplayFixture]] shape on the video family): the
+    * q_video_frames doc-id subset arrives as a 3-batch deterministically
+    * scrambled checkpointed MemoryStream, attach→demux→decode run INSIDE
+    * the streaming plan, per-frame rows land in an append parquet file
+    * sink (exactly-once via the sink log) — the read-back must equal the
+    * batch face's closed-form oracle verbatim. Same first-touch-rebuild
+    * + md5(dir)+pid path contract as [[annIndexFixture]]. */
+  private def videoReplayFixture(s: SparkSession, dir: String): String =
+    videoReplayBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_video_replay_${dirHash}_p${ProcessHandle.current().pid()}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ids = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long].collect()
+      require(ids.nonEmpty, s"video replay fixture needs rows ($dir)")
+      val scrambled = ids.sortBy(id => scrambleKey(id, id))
+      val src =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = Video.decodeFrames(
+          Video.attachAvi(src.toDF().toDF("doc_id"), _ => Video.CodecRgb))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/frames")
         .option("checkpointLocation", s"$root/ckpt")
         .start()
       try scrambled.grouped(math.max(1, (scrambled.length + 2) / 3)).foreach { b =>
@@ -3773,6 +3836,14 @@ object ExtQueries {
         (id, x, y, f) => Video.mjpegRule((id % 256).toInt, x, y, f))
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
           (col("max_dev") <= 12).as("within_tol"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // video demux+decode AT INGEST, streamed: the same subset arrives as
+    // a 3-batch scrambled checkpointed stream, attach→demux→decode run
+    // inside the streaming plan, per-frame rows land in an append
+    // parquet sink — the read-back must equal q_video_frames' oracle
+    "q_video_ingest_replay" -> ((s, dir) =>
+      s.read.parquet(s"${videoReplayFixture(s, dir)}/frames")
         .orderBy(col("doc_id"), col("frame_idx")))
   )
 
@@ -5324,25 +5395,12 @@ object ExtQueries {
     // h = id·3%8+4, nf = id%4+2, s = id%256 — the DIB container hop is
     // lossless, so equality certifies the decoder unpacked the actual
     // bottom-up BGR rows (bounded series cover every dim/frame)
-    "q_video_frames" ->
-      """WITH p AS (SELECT doc_id,
-        |    CAST(doc_id % 8 + 4 AS INT) w,
-        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
-        |    CAST(doc_id % 4 + 2 AS INT) nf,
-        |    CAST(doc_id % 256 AS INT) s
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |fr AS (SELECT doc_id, w, h, s, gf.f
-        |  FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf),
-        |px AS (SELECT doc_id, w, h, f,
-        |    ((s + gx.x + 3 * f) % 256) + ((s + gy.y + 3 * f) % 256)
-        |      + ((s + gx.x + gy.y) % 256) AS v
-        |  FROM fr
-        |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
-        |  JOIN generate_series(0, 10) gy(y) ON gy.y < h)
-        |SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width,
-        |  h AS height, CAST(sum(v) AS BIGINT) AS px_sum
-        |FROM px GROUP BY doc_id, f, w, h
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_video_frames" -> videoFramesOracleSql,
+
+    // the STREAMED demux-at-ingest sink must land on the identical
+    // closed-form oracle — one derivation for both the batch face and
+    // the 3-batch checkpointed replay (the q_media_stream_replay stance)
+    "q_video_ingest_replay" -> videoFramesOracleSql,
 
     // the stride-2 temporal sample: identical rule, only even movi
     // ordinals survive — re-derived by the same series with f%2=0

@@ -143,7 +143,28 @@ object ScaleSmoke {
             (col("doc_id") % 4).cast("int") + 1))),
         "doc_id", col("url"),
         Seq("com", "co.uk", "org", "example.com").toDF("suffix"))
-    }))
+    }),
+    // r17: Aho–Corasick multi-pattern scan — one linear pass per doc
+    // against the broadcast automaton, sparse hit emission; the step
+    // ratio must track total text volume linearly and be INDEPENDENT of
+    // pattern count (the list below is the catalog fixture ×3 to make a
+    // pattern-sensitive regression visible)
+    "keyword_scan" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Keywords.matchCounts(docs(s, dir),
+        Seq("a a", "able", "scan", "tab", "table", "zzz",
+          "vector table", "big vector", "slow merge", "hash value",
+          "window", "spark a", "the line", "batch p", "merge b",
+          "sort ta", "group v", "stream f"))),
+    // r17: video demux + full-frame decode on the catalog subset —
+    // per-row codec work, batched mapPartitions, nothing shuffles but
+    // the (id, frame, sums) rows; the step ratio must track the video
+    // count linearly (payload bytes never leave the scan stage)
+    "video_decode" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Video.decodeFrames(
+        graft.operators.Video.attachAvi(
+          docs(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          _ => graft.operators.Video.CodecRgb))))
 
   private val ccIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
