@@ -262,9 +262,13 @@ object Video {
         while (pos + 8 <= end) {
           val id = fourccAt(payload, pos)
           val size = leU32(payload, pos + 4)
+          // fuzz hardening: a mutated size word can exceed Int range or
+          // point BACKWARDS (negative toInt) — either could cycle the
+          // walk; bail on anything that doesn't advance
+          if (size > Int.MaxValue - 16L) return
           val dataStart = pos + 8
           val dataEnd = dataStart + size.toInt
-          if (size < 0) return
+          if (dataEnd < dataStart) return
           // a truncated LIST still yields the children that fit (a cut
           // mid-movi keeps the frames before the cut); truncated LEAF
           // chunks are dropped below

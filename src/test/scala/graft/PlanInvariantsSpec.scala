@@ -423,4 +423,33 @@ class PlanInvariantsSpec extends SparkSuite {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
       "first-occurrence arg-min must plan two-phase partial aggregation")
   }
+
+  test("keyword blocklist drop: map-side only — no exchange, no join") {
+    // the operator itself (the face adds an orderBy for the gate): the
+    // broadcast-automaton containsAny predicate must plan as scan →
+    // per-partition filter, nothing else — at 100 TB this is ONE pass
+    val p = graft.operators.Keywords.filterNone(
+        Tables.documents(spark, sf0001), Seq("vector table", "zzz"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"blocklist drop must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"blocklist drop must not join:\n${p.take(2000)}")
+  }
+
+  test("video decode: payloads stay in the scan stage — no join, no payload exchange") {
+    import org.apache.spark.sql.functions.col
+    // decodeFrames output is the narrow (id, frame_idx, dims, sum)
+    // relation; the only exchange in the whole pipeline must be the
+    // one carrying those rows (here: none at all — no order/agg asked)
+    val df = graft.operators.Video.decodeFrames(
+      graft.operators.Video.attachAvi(
+        Tables.documents(spark, sf0001).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id")),
+        _ => graft.operators.Video.CodecRgb))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"attach→demux→decode must be exchange-free:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "decode path must not join")
+  }
 }

@@ -99,6 +99,22 @@ class VideoSpec extends SparkSuite {
     assert(cut.nonEmpty && cut.get.frames.length < 3)
   }
 
+  test("fuzz: byte-flipped and random containers never throw (None / partial)") {
+    val rnd = new scala.util.Random(7)
+    val base = Video.encodeAvi(8, 6, 3, 25000L, 5, Video.CodecMjpeg)
+    for (_ <- 1 to 300) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      // must not throw; whatever parses may decode or not — also not throw
+      Video.parseAvi(mutated).foreach { avi =>
+        avi.frames.foreach(f => Video.decodeFrame(avi, f))
+      }
+      val garbage = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Video.parseAvi(garbage)
+    }
+  }
+
   test("attachAvi → decodeMeta reads header words back from the bytes") {
     val ids = Seq(0L, 1L, 5L, 12L, 33L).toDF("doc_id")
     val out = Video.decodeMeta(Video.attachAvi(ids,
