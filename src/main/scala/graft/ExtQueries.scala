@@ -1239,6 +1239,47 @@ object ExtQueries {
       root
     })
 
+  private val wetFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** First-touch WET (WARC conversion) fixture: one crawl-dump file
+    * rendered from the documents table — per record, the spec'd header
+    * block (`WARC/1.0`, type, target URI `http://<source>.example.com/
+    * p/<doc_id>`, Content-Length) + blank line + the doc text verbatim
+    * + the record terminator. Driver-side StringBuilder is fine: the
+    * fixture corpus is bounded (≤ 5k docs); a real dump arrives as
+    * many files and never passes through the driver. Same
+    * first-touch-rebuild + md5(dir)+pid path contract as the replay
+    * fixtures. */
+  private def wetFixture(s: SparkSession, dir: String): String =
+    wetFixtureBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_wet_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: conversion\r\n")
+          .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+          .append(s"Content-Length: ${text.length}\r\n")
+          .append("\r\n")
+          .append(text)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.writeString(
+        rootPath.resolve("corpus.wet"), sb.toString)
+      root
+    })
+
   private val videoReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2145,6 +2186,22 @@ object ExtQueries {
     "q_keyword_filter" -> ((s, dir) =>
       Keywords.filterNone(Tables.documents(s, dir), keywordBlocklist)
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // WET (WARC conversion) crawl-dump ingestion: the fixture renders
+    // the corpus as a real WET file (headers + Content-Length + body
+    // per record), the engine demuxes it DECLARATIVELY (multi-char
+    // lineSep record split + regexp_extract headers + length-bounded
+    // body slice — Sources.wetRecords) — every output column comes
+    // from the FILE BYTES, and the oracle recomputes all of them from
+    // the documents table the fixture was rendered from: a record
+    // split or header/body-slice bug diverges (body gated by md5)
+    "q_wet_scan" -> ((s, dir) =>
+      graft.sources.Sources.wetRecords(s, s"${wetFixture(s, dir)}/corpus.wet")
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long").as("doc_id"),
+          col("rec_type"), col("uri"), col("content_length"),
+          md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))),
 
     // DSIR importance selection (target = English slice): hashed-unigram
@@ -6067,6 +6124,17 @@ object ExtQueries {
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
          |FROM h GROUP BY p ORDER BY pattern""".stripMargin
     },
+
+    // every engine column is parsed from the rendered WET file; this
+    // recomputes them all from the source-of-truth documents table —
+    // uri/type from the render rule, length and body md5 from the text
+    "q_wet_scan" ->
+      """SELECT doc_id, 'conversion' AS rec_type,
+        |  'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(len(text) AS BIGINT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the drop predicate as plain LIKEs — any-pattern containment is
     // engine-trivial; what the face gates is the automaton agreeing

@@ -37,6 +37,40 @@ object Sources {
   def rawLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path) // single column, already named `value`
 
+  /** WET (WARC conversion) records — the CommonCrawl-style crawl-dump
+    * container a pretraining pipeline ingests by the shelf-meter. The
+    * demux is DECLARATIVE, not a custom record reader: the text source's
+    * multi-char `lineSep` splits the stream on the record boundary
+    * (`\r\n\r\nWARC/1.0\r\n` — the spec'd blank-line terminator PLUS the
+    * next record's version line, so a body containing a lone "WARC/1.0"
+    * cannot split a record), then header fields come out of codegen'd
+    * `regexp_extract`s and the body is the `Content-Length`-bounded
+    * slice after the first blank line — one scan, no shuffle, whole-file
+    * parallelism across the many files of a real dump.
+    *
+    * Output: `(rec_type, uri, content_length, body)`. Header parse
+    * failures surface as empty strings / null lengths rather than task
+    * failures (the corrupt-row contract). */
+  def wetRecords(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
+      // the FIRST record carries its own leading version line (no
+      // separator precedes it); trailing empty splits drop
+      .select(regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "").as("rec"))
+      .filter(length(col("rec")) > 0)
+      .select(
+        regexp_extract(col("rec"), "(?m)^WARC-Type: (\\S+)", 1).as("rec_type"),
+        regexp_extract(col("rec"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("uri"),
+        regexp_extract(col("rec"), "(?m)^Content-Length: (\\d+)", 1)
+          .cast("long").as("content_length"),
+        col("rec"))
+      .withColumn("body",
+        col("rec").substr(
+          locate("\r\n\r\n", col("rec")) + lit(4),
+          col("content_length").cast("int")))
+      .drop("rec")
+  }
+
   /** CSV with an explicit schema and header control. */
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): DataFrame =

@@ -96,4 +96,30 @@ class SourcesSpec extends SparkSuite {
     val (_, nSp) = Sources.compact(spark, spaced, s"$dir/with space/out", 1L << 30)
     assert(nSp == 1)
   }
+
+  test("wetRecords: record split, header parse, length-bounded body slice") {
+    val dir = Files.createTempDirectory("src-wet")
+    def rec(uri: String, body: String) =
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    // body 2 contains a lone "WARC/1.0" line — the compound record
+    // delimiter must NOT split on it; body 3 contains a blank line, so
+    // only the Content-Length bound keeps the slice exact
+    val b1 = "plain body one"
+    val b2 = "tricky\r\nWARC/1.0\r\nnot a record"
+    val b3 = "first para\r\n\r\nsecond para"
+    Files.writeString(dir.resolve("c.wet"),
+      rec("http://a.example.com/p/1", b1) +
+        rec("http://b.example.com/p/2", b2) +
+        rec("http://c.example.com/p/3", b3))
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("uri", "rec_type", "content_length", "body")
+      .as[(String, String, Long, String)].collect()
+      .sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.map(_._2).toSet == Set("conversion"))
+    assert(got(0) == ("http://a.example.com/p/1", "conversion", b1.length.toLong, b1))
+    assert(got(1) == ("http://b.example.com/p/2", "conversion", b2.length.toLong, b2))
+    assert(got(2) == ("http://c.example.com/p/3", "conversion", b3.length.toLong, b3))
+  }
 }
