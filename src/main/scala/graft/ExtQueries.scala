@@ -369,7 +369,10 @@ object ExtQueries {
     * can't tie, two different pieces matching the same span can't both
     * exist — and the no-match branch collapses the word to [UNK], the
     * public WordPiece rule. */
-  private lazy val wordpieceTokensOracleSql: String = {
+  /** The greedy-scan CTE block shared by the wordpiece apply-side
+    * oracles: training chain + vocab set + 12 unrolled longest-match
+    * steps; `gst12` holds every word's final piece list. */
+  private lazy val wordpieceScanCtes: String = {
     def stepCte(k: Int): String = {
       val p = k - 1
       s"""gc$k AS MATERIALIZED (
@@ -402,7 +405,11 @@ object ExtQueries {
          |gst0 AS MATERIALIZED (SELECT w, cnt, 1 AS pos,
          |  CAST([] AS VARCHAR[]) AS pieces FROM wtok),
          |""".stripMargin +
-      (1 to 12).map(stepCte).mkString(",\n") +
+      (1 to 12).map(stepCte).mkString(",\n")
+  }
+
+  private lazy val wordpieceTokensOracleSql: String =
+    wordpieceScanCtes +
       """
         |SELECT piece, n FROM (
         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n,
@@ -410,7 +417,6 @@ object ExtQueries {
         |  FROM (SELECT cnt, unnest(pieces) AS piece FROM gst12)
         |  GROUP BY piece) t
         |WHERE rn <= 10 ORDER BY n DESC, piece""".stripMargin
-  }
 
   /** Shared by q_kcore's Spark and oracle sides: the peel threshold and
     * the fixed round budget (the [[graft.operators.Graph.kCorePeel]]
@@ -2159,6 +2165,29 @@ object ExtQueries {
         .orderBy(col("n").desc, col("piece")).limit(10)
     }),
 
+    // tokenizer FERTILITY (pieces-per-word) per language slice — the
+    // metric a tokenizer choice is judged by before a training run:
+    // segment the word table once under the standing WordPiece vocab,
+    // weight by per-(lang, word) frequency, report exact integer ppm
+    // (the repo-wide no-floats stance). The oracle re-derives the
+    // training chain AND the greedy scan AND the per-lang ledger
+    "q_wordpiece_fertility" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val vocab = wordpieceVocabCached(s, dir)
+      val byLang = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0 && length(col("w")) <= 12)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      WordPiece.tokenize(byLang, vocab)
+        .withColumn("np", size(split(col("pieces_joined"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("np")).as("n_pieces"))
+        .withColumn("pieces_per_word_ppm",
+          expr("n_pieces * 1000000L div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     // Aho–Corasick multi-pattern SUBSTRING scan (the blocklist-scale
     // primitive regex alternation can't carry): one linear pass per doc
     // against the broadcast automaton, textbook semantics — nested
@@ -3901,7 +3930,25 @@ object ExtQueries {
     // parquet sink — the read-back must equal q_video_frames' oracle
     "q_video_ingest_replay" -> ((s, dir) =>
       s.read.parquet(s"${videoReplayFixture(s, dir)}/frames")
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // keyframe selection: the representative-frame pick a multimodal
+    // pipeline keeps per clip — here arg-max decoded brightness
+    // (px_sum), ties to the earliest frame, as ONE partial+final
+    // struct-max aggregate over the decoder's narrow output (no window,
+    // no second decode pass) — the 100 TB shape: payloads die in the
+    // scan stage, the exchange carries one struct per video
+    "q_video_keyframe" -> ((s, dir) =>
+      Video.decodeFrames(
+        Video.attachAvi(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id")),
+          _ => Video.CodecRgb))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("px_sum"), (-col("frame_idx")).as("nfi"))).as("m"))
+        .select(col("doc_id"), (-col("m.nfi")).cast("int").as("frame_idx"),
+          col("m.px_sum").as("px_sum"))
+        .orderBy(col("doc_id")))
   )
 
   /** PII redaction mirrored in DuckDB, built from [[TextPrep.PiiPatterns]]
@@ -5459,6 +5506,31 @@ object ExtQueries {
     // the 3-batch checkpointed replay (the q_media_stream_replay stance)
     "q_video_ingest_replay" -> videoFramesOracleSql,
 
+    // keyframe arg-max re-derived from the same closed-form frame sums:
+    // per video the brightest frame wins, ties to the earliest ordinal
+    "q_video_keyframe" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 4 + 2 AS INT) nf,
+        |    CAST(doc_id % 256 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, w, h, s, gf.f
+        |  FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf),
+        |px AS (SELECT doc_id, f,
+        |    ((s + gx.x + 3 * f) % 256) + ((s + gy.y + 3 * f) % 256)
+        |      + ((s + gx.x + gy.y) % 256) AS v
+        |  FROM fr
+        |  JOIN generate_series(0, 10) gx(x) ON gx.x < w
+        |  JOIN generate_series(0, 10) gy(y) ON gy.y < h),
+        |sums AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS ps
+        |  FROM px GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, ps AS px_sum
+        |FROM (SELECT doc_id, f, ps,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ps DESC, f) AS rn
+        |  FROM sums)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     // the stride-2 temporal sample: identical rule, only even movi
     // ordinals survive — re-derived by the same series with f%2=0
     "q_video_sample" ->
@@ -6124,6 +6196,23 @@ object ExtQueries {
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
          |FROM h GROUP BY p ORDER BY pattern""".stripMargin
     },
+
+    // fertility: the same chain + greedy scan, then the per-(lang,
+    // word) frequency ledger joined on the segmented word table —
+    // exact integer ppm both sides
+    "q_wordpiece_fertility" -> (
+      wordpieceScanCtes +
+        s""",
+           |wlang AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+           |  WHERE len(w) BETWEEN 1 AND 12 GROUP BY lang, w),
+           |wnp AS (SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM gst12)
+           |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+           |  CAST(sum(cnt * np) AS BIGINT) AS n_pieces,
+           |  CAST((sum(cnt * np) * 1000000) // sum(cnt) AS BIGINT)
+           |    AS pieces_per_word_ppm
+           |FROM wlang JOIN wnp USING (w)
+           |GROUP BY lang ORDER BY lang""".stripMargin),
 
     // every engine column is parsed from the rendered WET file; this
     // recomputes them all from the source-of-truth documents table —
