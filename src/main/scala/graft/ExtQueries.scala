@@ -682,6 +682,18 @@ object ExtQueries {
         uSrc.addData(urlRows.filter(_._1 % 3 == b).toSeq: _*)
         uq.processAllAvailable()
       } finally uq.stop()
+      // the per-pattern hit ledger over the SAME 3-batch split (its own
+      // stream + checkpoint): q_keyword_ingest_replay reads the
+      // accumulated batch partitions back as pattern-keyed sums
+      val kSrc =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val kq = graft.streaming.IngestStreams.keywordIngest(
+        kSrc.toDF().toDF("doc_id", "text"), keywordPatterns,
+        s"$root/keyword_index", s"$root/keyword_ckpt")
+      try (0 until 3).foreach { b =>
+        kSrc.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        kq.processAllAvailable()
+      } finally kq.stop()
       root
     })
 
@@ -3234,6 +3246,17 @@ object ExtQueries {
       graft.streaming.IngestStreams.readDomainStats(s,
           s"${ingestReplayFixture(s, dir)}/domain_index")
         .orderBy(col("domain"))),
+
+    // the STREAMED per-pattern hit ledger under the oracle gate: the
+    // same 3-batch checkpointed replay feeds keywordIngest (one
+    // automaton scan per batch) and the standing pattern-keyed sums
+    // must equal DuckDB's whole-corpus recount in one shot — the
+    // additive-statistic contract; never-hit patterns have no ledger
+    // rows (the batch face q_keyword_hits carries the explicit zeros)
+    "q_keyword_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readKeywordStats(s,
+          s"${ingestReplayFixture(s, dir)}/keyword_index")
+        .orderBy(col("pattern"))),
 
     // the STREAMING funnel under the oracle gate: the scrambled 3-batch
     // checkpointed replay (funnelReplayFixture) leaves watermark-sealed
@@ -6224,6 +6247,21 @@ object ExtQueries {
         |  CAST(len(text) AS BIGINT) AS content_length,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the streamed ledger must fold to the identical whole-corpus
+    // recount, minus the never-hit rows (no ledger rows to sum)
+    "q_keyword_ingest_replay" -> {
+      val values = keywordPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(p) AS (VALUES $values),
+         |h AS (SELECT d.doc_id, pats.p,
+         |    len(list_filter(range(1, len(d.text) - len(pats.p) + 2),
+         |      i -> substr(d.text, CAST(i AS INT), len(pats.p)) = pats.p)) AS n
+         |  FROM documents d CROSS JOIN pats)
+         |SELECT p AS pattern, CAST(sum(n) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
+         |FROM h GROUP BY p HAVING sum(n) > 0
+         |ORDER BY pattern""".stripMargin
+    },
 
     // the drop predicate as plain LIKEs — any-pattern containment is
     // engine-trivial; what the face gates is the automaton agreeing

@@ -477,6 +477,51 @@ object IngestStreams {
       }
       .start()
 
+  /** Streaming maintenance of the standing per-pattern hit ledger —
+    * [[graft.operators.Keywords.matchCounts]] kept fresh by the ingest
+    * stream (the statistic a blocklist/spam dial is tuned against).
+    * Identical additive contract to [[domainIngest]]: per micro-batch
+    * ONE automaton scan + one partial-agg groupBy over the BATCH only
+    * (the automaton rebuild per batch is driver-side and linear in
+    * total pattern length — noise next to the scan), landed as its own
+    * batch-keyed partition; the standing statistic is the read-time
+    * pattern-keyed sum ([[readKeywordStats]]). */
+  def keywordIngest(docs: DataFrame, patterns: Seq[String],
+      indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          graft.operators.Keywords.matchCounts(batch, patterns, textCol, idCol)
+            .groupBy(col("pattern"))
+            .agg(sum(col("n")).as("n_hits"), count(lit(1)).as("n_docs")),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing ledger of a [[keywordIngest]] index: pattern-keyed
+    * sums across batch partitions — equals the one-shot
+    * `Keywords.matchCounts` aggregate over the concatenated batches for
+    * every pattern that hit at least once (never-hit patterns have no
+    * rows to sum; the batch face q_keyword_hits carries the explicit
+    * zeros). Gated end-to-end through the 3-batch replay as
+    * `q_keyword_ingest_replay`. */
+  def readKeywordStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("pattern", StringType),
+          StructField("n_hits", LongType), StructField("n_docs", LongType))))
+    else
+      spark.read.parquet(indexDir)
+        .groupBy(col("pattern"))
+        .agg(sum(col("n_hits")).as("n_hits"),
+          sum(col("n_docs")).as("n_docs"))
+  }
+
   /** The standing ledger of a [[domainIngest]] index: domain-keyed sums
     * across batch partitions — equals `Urls.domainStats` over the
     * concatenated batches (gated end-to-end through the 3-batch replay
