@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -72,6 +73,27 @@ object Keywords {
       }
       false
     }
+
+    // UTF8String entry points for the codegen'd expressions (generated
+    // Java passes the raw column value; the String hop happens here)
+
+    def containsAnyUtf8(text: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      containsAny(text.toString)
+
+    /** Sparse hit rows for [[AhoMatchCounts]]:
+      * `array<struct<idx:int, n:bigint>>` over patterns with n ≥ 1. */
+    def countsArrayData(text: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val counts = countAll(text.toString)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < counts.length) {
+        if (counts(i) > 0L)
+          rows += org.apache.spark.sql.catalyst.InternalRow(i, counts(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+    }
   }
 
   /** Build the automaton: trie → BFS fail links → goto maps closed
@@ -129,47 +151,85 @@ object Keywords {
   }
 
   /** The SPARSE hit relation: one row per (id, pattern) with its
-    * occurrence count (n ≥ 1 only — misses emit nothing). One linear
-    * scan per document against the broadcast automaton. */
+    * occurrence count (n ≥ 1 only — misses emit nothing). The scan is
+    * a codegen'd Catalyst expression ([[AhoMatchCounts]] — the
+    * automaton rides the generated code as a reference object), so the
+    * whole attach→scan→explode pipeline stays inside one
+    * WholeStageCodegen span; pattern indices resolve to strings via a
+    * literal array, declaratively. */
   def matchCounts(df: DataFrame, patterns: Seq[String],
-      textCol: String = "text", idCol: String = "doc_id",
-      batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(buildAutomaton(patterns))
-    val in = df.select(col(idCol), col(textCol))
-    val outSchema = StructType(Seq(
-      StructField(idCol, in.schema(idCol).dataType),
-      StructField("pattern", StringType),
-      StructField("n", LongType)))
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    in.mapPartitions { rows =>
-      val ac = bc.value
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { r =>
-          val text = if (r.isNullAt(1)) "" else r.getString(1)
-          val counts = ac.countAll(text)
-          counts.iterator.zipWithIndex.collect {
-            case (c, i) if c > 0L => Row(r.get(0), ac.patterns(i), c)
-          }
-        }
-      }
-    }.toDF()
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ac = buildAutomaton(patterns)
+    val patArr = array(patterns.map(lit): _*)
+    val hits = Bridge.column(
+      AhoMatchCounts(Bridge.expression(col(textCol)), ac))
+    df.select(col(idCol), explode(hits).as("h"))
+      .select(col(idCol),
+        element_at(patArr, col("h.idx") + 1).as("pattern"),
+        col("h.n").as("n"))
   }
 
-  /** Blocklist drop: rows whose text contains NO pattern — the same
-    * broadcast automaton with the early-exit predicate, applied as a
-    * per-partition filter over the full row (no explode, no join, no
-    * UDF — the repo-wide zero-UDFs-in-main stance; the text scan is
-    * imperative by nature, exactly the mapPartitions escape hatch). */
+  /** Blocklist drop: rows whose text contains NO pattern — the
+    * early-exit [[AhoContainsAny]] predicate as a plain codegen'd
+    * filter (no explode, no join, no UDF, no object-serialization
+    * boundary; null text passes — nothing to match). */
   def filterNone(df: DataFrame, patterns: Seq[String],
       textCol: String = "text"): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(buildAutomaton(patterns))
-    val ti = df.schema.fieldIndex(textCol)
-    implicit val enc = RowEncoder.encoderFor(df.schema)
-    df.mapPartitions { rows =>
-      val ac = bc.value
-      rows.filter(r => r.isNullAt(ti) || !ac.containsAny(r.getString(ti)))
-    }
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ac = buildAutomaton(patterns)
+    val hit = Bridge.column(
+      AhoContainsAny(Bridge.expression(col(textCol)), ac))
+    df.filter(col(textCol).isNull || !hit)
   }
+}
+
+/** Codegen'd any-pattern predicate (the `BloomContainsLong` shape): the
+  * automaton rides the generated code as a reference object, so the
+  * blocklist filter stays inside WholeStageCodegen over the scan — no
+  * UDF, no object-serialization boundary. */
+case class AhoContainsAny(child: Expression, ac: Keywords.Automaton)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "aho_contains_any"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.containsAnyUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", ac,
+      classOf[Keywords.Automaton].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.containsAnyUtf8($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AhoContainsAny =
+    copy(child = newChild)
+}
+
+/** Codegen'd sparse hit counts: `array<struct<idx:int, n:bigint>>` over
+  * patterns with n ≥ 1 (textbook AC semantics — every end position
+  * counts). Null text → null (explode then emits nothing — the sparse
+  * contract). */
+case class AhoMatchCounts(child: Expression, ac: Keywords.Automaton)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "aho_match_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.countsArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", ac,
+      classOf[Keywords.Automaton].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countsArrayData($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AhoMatchCounts =
+    copy(child = newChild)
 }
