@@ -2177,6 +2177,14 @@ object ExtQueries {
         .orderBy(col("n").desc, col("piece")).limit(10)
     }),
 
+    // collocation (phrase) mining: adjacent-bigram lift in exact
+    // scaled-integer arithmetic — the phrase-vocabulary corpus-prep
+    // step. minCount drops hapax bigrams before the arg-max (a pair of
+    // two hapax words has maximal lift by construction); top-20 on the
+    // (lift desc, a, b) total order — fully re-derived by the oracle
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))),
+
     // tokenizer FERTILITY (pieces-per-word) per language slice — the
     // metric a tokenizer choice is judged by before a training run:
     // segment the word table once under the standing WordPiece vocab,
@@ -6219,6 +6227,24 @@ object ExtQueries {
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
          |FROM h GROUP BY p ORDER BY pattern""".stripMargin
     },
+
+    // bigram/unigram recount + the identical exact integer lift
+    // (HUGEINT ≡ the engine's DECIMAL(38,0) — both truncate)
+    "q_collocations" ->
+      s"""WITH d AS (SELECT $toksSql AS l FROM documents),
+         |bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT l[i] AS a, l[i + 1] AS b FROM (
+         |      SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM d))
+         |  WHERE len(a) > 0 AND len(b) > 0 GROUP BY a, b),
+         |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(l) AS u FROM d) WHERE len(u) > 0 GROUP BY u),
+         |tot AS (SELECT CAST(sum(c) AS HUGEINT) AS nn FROM uni)
+         |SELECT a, b, n AS pair_count,
+         |  CAST(CAST(n AS HUGEINT) * (SELECT nn FROM tot) * 1000000 //
+         |    (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+         |FROM bg JOIN uni ca ON ca.u = bg.a JOIN uni cb ON cb.u = bg.b
+         |WHERE n >= 2
+         |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin,
 
     // fertility: the same chain + greedy scan, then the per-(lang,
     // word) frequency ledger joined on the segmented word table —

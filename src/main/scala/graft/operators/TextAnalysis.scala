@@ -14,6 +14,52 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Collocation (phrase) mining — adjacent-bigram LIFT, the classic
+    * phrase-vocabulary step of corpus prep (word2vec-style phrase
+    * detection, without its discounting knob): a bigram is a phrase
+    * candidate when it occurs far more often than its parts predict,
+    *   lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab · N / (n_a · n_b).
+    * Kept in EXACT scaled-integer arithmetic (×10^6, DECIMAL(38,0)
+    * intermediates — the WordPiece-score stance), so the ranking is
+    * bit-portable and the face hash-gates against a DuckDB re-count.
+    *
+    * Scale shape: a handful of narrow projections over the corpus
+    * (bigram pairs via an array zip, unigram counts, the 1-row total —
+    * each a partial-agg groupBy that combines map-side); unigram
+    * counts join back onto the bigram relation, and both sides are
+    * corpus-VOCABULARY sized, far smaller than the corpus; top-k is a
+    * TakeOrdered, no window. `minCount` drops hapax bigrams BEFORE the
+    * arg-max — a pair of two hapax words has maximal lift by
+    * construction (the WordPiece `n >= 2` lesson).
+    *
+    * Output: (a, b, pair_count, lift_ppm) — top `k` by
+    * (lift desc, a, b). */
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 2L, k: Int = 20): DataFrame = {
+    val toksL = tokens(col(textCol)).as("l")
+    val d = docs.select(toksL)
+    val bg = d.select(explode(arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1).as("la"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("lb"))).as("p"))
+      .select(col("p.la").as("a"), col("p.lb").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val uni = d.select(explode(col("l")).as("u"))
+      .filter(length(col("u")) > 0)
+      .groupBy(col("u")).agg(count(lit(1)).as("c"))
+    val total = d.select(explode(col("l")).as("u"))
+      .filter(length(col("u")) > 0).count()
+    bg.filter(col("n") >= minCount)
+      .join(uni.withColumnRenamed("u", "a").withColumnRenamed("c", "ca"), "a")
+      .join(uni.withColumnRenamed("u", "b").withColumnRenamed("c", "cb"), "b")
+      .withColumn("lift_ppm",
+        expr(s"CAST(CAST(n AS DECIMAL(38,0)) * ${total}L * 1000000L div " +
+          "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"))
+      .select(col("a"), col("b"), col("n").as("pair_count"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Minimal per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Tiny on purpose: broadcast as literals into the
     * plan, no side files. */

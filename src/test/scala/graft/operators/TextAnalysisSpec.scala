@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
+  test("collocations: exact integer lift, hapax bigrams excluded, ties ordered") {
+    // tokens: 11 total; ('new','york') ×2, every other bigram ×1.
+    // lift(new,york) = 2·11·10^6 / (2·2) = 5_500_000 exactly.
+    val docs = Seq(
+      "new york is big",
+      "new york wins",
+      "the cat the dog").toDF("text")
+    val got = TextAnalysis.collocations(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("new", "york", 2L, 5500000L)))
+    // hapax words forming a hapax bigram would have maximal lift
+    // (N/1·1) — minCount must exclude them, not merely rank them
+    val withHapax = docs.union(Seq("qq zz").toDF("text"))
+    val top = TextAnalysis.collocations(withHapax)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(!top.exists(r => r._1 == "qq"), s"hapax bigram survived: $top")
+  }
+
   test("stats: token/char/punct counts") {
     val df = Seq((1L, "The quick, brown fox!"), (2L, "one")).toDF("doc_id", "text")
     val got = TextAnalysis.stats(df)
