@@ -3963,6 +3963,22 @@ object ExtQueries {
       s.read.parquet(s"${videoReplayFixture(s, dir)}/frames")
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // REAL decode → NN-resize → re-encode → decode loop on the video
+    // container (the q_media_resize_real twin): every frame decoded,
+    // resized with the integer-exact index mapping, re-encoded as a new
+    // rgb24 AVI at the source fps, then re-decoded — both container
+    // hops lossless, so per-frame sums are bit-exact against the source
+    // rule + the same mapping
+    "q_video_resize" -> ((s, dir) =>
+      Video.decodeFrames(
+        Video.resizeFrames(
+          Video.attachAvi(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+              .select(col("doc_id")),
+            _ => Video.CodecRgb),
+          newWidth = 6, newHeight = 5))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // keyframe selection: the representative-frame pick a multimodal
     // pipeline keeps per clip — here arg-max decoded brightness
     // (px_sum), ties to the earliest frame, as ONE partial+final
@@ -5536,6 +5552,30 @@ object ExtQueries {
     // closed-form oracle — one derivation for both the batch face and
     // the 3-batch checkpointed replay (the q_media_stream_replay stance)
     "q_video_ingest_replay" -> videoFramesOracleSql,
+
+    // resized sums from the source rule + the nearest-neighbor index
+    // mapping sx = x·w0 // 6, sy = y·h0 // 5 (integer division, exactly
+    // the engine's explicit loop), per frame — both AVI hops lossless
+    "q_video_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(doc_id % 8 + 4 AS INT) w,
+        |    CAST((doc_id * 3) % 8 + 4 AS INT) h,
+        |    CAST(doc_id % 4 + 2 AS INT) nf,
+        |    CAST(doc_id % 256 AS INT) s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, w, h, s, gf.f
+        |  FROM p JOIN generate_series(0, 5) gf(f) ON gf.f < nf),
+        |m AS (SELECT doc_id, s, f,
+        |    (gx.x * w) // 6 AS sx, (gy.y * h) // 5 AS sy
+        |  FROM fr, generate_series(0, 5) gx(x), generate_series(0, 4) gy(y)),
+        |px AS (SELECT doc_id, f,
+        |    ((s + sx + 3 * f) % 256) + ((s + sy + 3 * f) % 256)
+        |      + ((s + sx + sy) % 256) AS v
+        |  FROM m)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, 6 AS width,
+        |  5 AS height, CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // keyframe arg-max re-derived from the same closed-form frame sums:
     // per video the brightest frame wins, ties to the earliest ordinal

@@ -159,22 +159,37 @@ object Video {
     bos.toByteArray
   }
 
-  /** Build a complete AVI: RIFF('AVI ' hdrl(avih strl(strh strf))
-    * movi(frames…)). All sizes and header words are written from the
-    * real layout — [[parseAvi]] reads them back from the bytes, never
-    * from this side. */
+  /** Build a complete AVI from the closed-form frame rule (the
+    * attach-side fixture builder). */
   def encodeAvi(width: Int, height: Int, frames: Int, fpsMicros: Long,
       seed: Int, codec: String, quality: Float = 0.95f): Array[Byte] = {
-    require(width > 0 && height > 0 && frames > 0,
-      s"bad dims: ${width}x$height x$frames")
+    require(frames > 0, s"bad frame count: $frames")
+    val rule: (Int, Int, Int, Int) => Int =
+      if (codec == CodecMjpeg) mjpegRule else rgbRule
+    encodeAviFromImages(
+      (0 until frames).map(f => frameImage(width, height, f, seed, rule)),
+      fpsMicros, codec, quality)
+  }
+
+  /** Build a complete AVI from ARBITRARY rasters (the re-encode side of
+    * a decode→transform→re-encode loop): RIFF('AVI ' hdrl(avih
+    * strl(strh strf)) movi(frames…)). All sizes and header words are
+    * written from the real layout — [[parseAvi]] reads them back from
+    * the bytes, never from this side. */
+  def encodeAviFromImages(images: Seq[java.awt.image.BufferedImage],
+      fpsMicros: Long, codec: String,
+      quality: Float = 0.95f): Array[Byte] = {
+    require(images.nonEmpty, "no frames")
+    val (width, height) = (images.head.getWidth, images.head.getHeight)
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(images.forall(i => i.getWidth == width && i.getHeight == height),
+      "AVI frames must share one geometry")
     require(codec == CodecRgb || codec == CodecMjpeg,
       s"unsupported codec: $codec")
     val mjpeg = codec == CodecMjpeg
-    val rule: (Int, Int, Int, Int) => Int =
-      if (mjpeg) mjpegRule else rgbRule
+    val frames = images.length
 
-    val frameChunks = (0 until frames).map { f =>
-      val img = frameImage(width, height, f, seed, rule)
+    val frameChunks = images.map { img =>
       if (mjpeg) chunk("00dc", jpegFrame(img, quality))
       else chunk("00db", dibFrame(img))
     }
@@ -452,6 +467,67 @@ object Video {
                   Row(r.get(0), i, img.getWidth, img.getHeight, sum)
                 }
               }
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** REAL decode → transform → re-encode loop over a video column (the
+    * `Multimodal.resizeImage` shape on the container family): demux,
+    * decode EVERY frame, nearest-neighbor resize with the integer-exact
+    * rule `out(x, y) = in(x·w0 div W, y·h0 div H)` (an explicit loop —
+    * engine-portable, no interpolating Graphics2D path), and re-encode
+    * the frame sequence as a NEW rgb24 AVI at the source's
+    * µs-per-frame. Both container hops are lossless, so composing with
+    * [[decodeFrames]] closes a loop whose per-frame sums an oracle
+    * recomputes from the source rule + the same index mapping. A
+    * payload that fails to demux passes through with null media (the
+    * corrupt-row contract). Batched mapPartitions; payloads never
+    * shuffle. */
+  def resizeFrames(df: DataFrame, newWidth: Int, newHeight: Int,
+      idCol: String = "doc_id", batchSize: Int = 64): DataFrame = {
+    require(newWidth > 0 && newHeight > 0, s"bad dims: ${newWidth}x$newHeight")
+    val in = df.select(col(idCol), col("media"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, in.schema(idCol).dataType),
+      StructField("media", Multimodal.mediaSchema)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val payload =
+            if (r.isNullAt(1)) null
+            else r.getStruct(1).get(0).asInstanceOf[Array[Byte]]
+          val parsed = if (payload == null) None else parseAvi(payload)
+          val resized = parsed.flatMap { avi =>
+            val imgs = avi.frames.flatMap(fb => decodeFrame(avi, fb))
+            if (imgs.isEmpty || imgs.length != avi.frames.length) None
+            else Some {
+              val out = imgs.map { src =>
+                val (w0, h0) = (src.getWidth, src.getHeight)
+                val dst = new java.awt.image.BufferedImage(newWidth,
+                  newHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < newHeight) {
+                  var x = 0
+                  while (x < newWidth) {
+                    dst.setRGB(x, y,
+                      src.getRGB(x * w0 / newWidth, y * h0 / newHeight))
+                    x += 1
+                  }
+                  y += 1
+                }
+                dst
+              }
+              encodeAviFromImages(out, avi.fpsMicros, CodecRgb)
+            }
+          }
+          resized match {
+            case Some(bytes) =>
+              Row(r.get(0), Row(bytes,
+                Row("video/x-msvideo", newWidth, newHeight)))
+            case None => Row(r.get(0), null)
           }
         }
       }

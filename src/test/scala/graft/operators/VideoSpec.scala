@@ -145,6 +145,37 @@ class VideoSpec extends SparkSuite {
     assert(sampled.nonEmpty && sampled.size < all.size)
   }
 
+  test("resizeFrames: decode→NN-resize→re-encode round-trips bit-exactly") {
+    val ids = Seq(4L, 11L).toDF("doc_id")
+    val out = Video.decodeFrames(Video.resizeFrames(
+        Video.attachAvi(ids, _ => Video.CodecRgb), newWidth = 6, newHeight = 5))
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w0, h0) = ((id % 8 + 4).toInt, (id * 3 % 8 + 4).toInt)
+      val (seed, f) = ((id % 256).toInt, r.getInt(1))
+      assert(r.getInt(2) == 6 && r.getInt(3) == 5)
+      var want = 0L
+      for (y <- 0 until 5; x <- 0 until 6) {
+        val p = Video.rgbRule(seed, x * w0 / 6, y * h0 / 5, f)
+        want += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      }
+      assert(r.getLong(4) == want, s"id=$id frame=$f")
+    }
+    // corrupt media passes through as null → zero decoded rows
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("media", Multimodal.mediaSchema)))
+    val bad = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(9L,
+          org.apache.spark.sql.Row(Array[Byte](1, 2, 3),
+            org.apache.spark.sql.Row("video/x-msvideo", 4, 4)))),
+      schema)
+    assert(Video.decodeFrames(Video.resizeFrames(bad, 6, 5)).count() == 0)
+  }
+
   test("decodeFrames px sums match the closed-form rule end-to-end") {
     val ids = Seq(2L, 9L, 14L).toDF("doc_id")
     val out = Video.decodeFrames(Video.attachAvi(ids, _ => Video.CodecRgb))
