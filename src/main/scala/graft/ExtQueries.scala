@@ -1285,10 +1285,13 @@ object ExtQueries {
       val sb = new StringBuilder
       rows.foreach { r =>
         val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        // Content-Length is BYTES per the WARC spec (== chars only for
+        // ASCII; the fixture corpus is ASCII, but write it correctly)
+        val nBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         sb.append("WARC/1.0\r\n")
           .append("WARC-Type: conversion\r\n")
           .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
-          .append(s"Content-Length: ${text.length}\r\n")
+          .append(s"Content-Length: $nBytes\r\n")
           .append("\r\n")
           .append(text)
           .append("\r\n\r\n")
@@ -1522,13 +1525,11 @@ object ExtQueries {
   /** Per-(process, dir) trained WordPiece vocab (the bpeRulesCached
     * production shape: a tokenizer is trained once, applied forever —
     * and WordPiece's published artifact IS the vocab, not the merge
-    * list: apply is greedy longest-match under the vocab). */
+    * list: apply is greedy longest-match under the vocab). ONE
+    * training run yields both artifacts — no train-then-replay. */
   private def wordpieceVocabCached(s: SparkSession, dir: String): Set[String] =
     wordpieceVocabBuilt.computeIfAbsent(dir, { _ =>
-      val rules = WordPiece.train(Tables.documents(s, dir), merges = 6)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
-      WordPiece.vocabFromRules(Tables.documents(s, dir), rules)
+      WordPiece.trainAndVocab(Tables.documents(s, dir), merges = 6)._2
     })
 
   private val dedupStreamReplayBuilt =
@@ -6310,7 +6311,7 @@ object ExtQueries {
       """SELECT doc_id, 'conversion' AS rec_type,
         |  'http://' || source || '.example.com/p/' ||
         |    CAST(doc_id AS VARCHAR) AS uri,
-        |  CAST(len(text) AS BIGINT) AS content_length,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 

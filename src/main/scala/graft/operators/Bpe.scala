@@ -100,12 +100,18 @@ object Bpe {
     case None => df.localCheckpoint()
   }
 
-  /** One greedy left-to-right application of rule (a, b) → a+b over the
-    * vocab relation `(w, cnt, syms)`, fully relational (the train-side
-    * step 3 in the class doc). Package-visible for the spec's round-by-
-    * round goldens. */
+  /** One greedy left-to-right application of rule (a, b) → `merged`
+    * over the vocab relation `(w, cnt, syms)`, fully relational (the
+    * train-side step 3 in the class doc). BPE merges to the plain
+    * concatenation; [[WordPiece]] delegates here with its marker-aware
+    * merged symbol (`a + strip##(b)`) — ONE copy of the
+    * gaps-and-islands run logic. Package-visible for the spec's
+    * round-by-round goldens. */
   private[graft] def applyMergeRelational(vocab: DataFrame, a: String,
-      b: String): DataFrame = {
+      b: String): DataFrame = applyMergeRelational(vocab, a, b, a + b)
+
+  private[graft] def applyMergeRelational(vocab: DataFrame, a: String,
+      b: String, merged: String): DataFrame = {
     val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
     val runOrd = Window.partitionBy(col("w"), col("runkey")).orderBy(col("pos"))
     vocab.select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "s")))
@@ -118,7 +124,7 @@ object Bpe {
       .withColumn("selected", col("m") && col("ridx") % 2 === 1)
       .withColumn("dropped", lag(col("selected"), 1, false).over(wOrd))
       .filter(!col("dropped"))
-      .withColumn("s2", when(col("selected"), lit(a + b)).otherwise(col("s")))
+      .withColumn("s2", when(col("selected"), lit(merged)).otherwise(col("s")))
       .groupBy(col("w"), col("cnt"))
       .agg(array_sort(collect_list(struct(col("pos"), col("s2")))).as("ps"))
       .select(col("w"), col("cnt"),

@@ -32,14 +32,28 @@ import org.apache.spark.sql.types._
 object Keywords {
 
   /** Immutable, serializable Aho–Corasick automaton. States are dense
-    * ints; goto is a per-state char map (pattern alphabets are small —
-    * a flat 256-wide array would bloat the broadcast for Unicode);
-    * output lists carry PATTERN INDICES, pre-merged through the fail
-    * links at build time so the scan never walks fail chains. */
+    * ints; goto is the SPARSE trie edge map per state plus the fail
+    * array — the scan walks fail chains on a miss (amortized O(1) per
+    * char: the chain only descends depth the matched prefix built up),
+    * so memory stays O(total pattern length). Closing every state's
+    * map over its fail chain would pre-resolve misses but embeds (at
+    * least) the root's whole edge set into EVERY state — at the
+    * 10⁴–10⁵-pattern blocklist scale that is a multi-GB serialized
+    * object for a constant-factor scan win. Output lists carry PATTERN
+    * INDICES, pre-merged through the fail links at build time so only
+    * the TRANSITION walks chains, never the emit. */
   final class Automaton private[Keywords] (
       val patterns: IndexedSeq[String],
-      gotoMaps: Array[Map[Char, Int]],
+      trie: Array[Map[Char, Int]],
+      fail: Array[Int],
       out: Array[Array[Int]]) extends Serializable {
+
+    /** One transition: deepest fail-ancestor with a c-edge, else root. */
+    private def step(state: Int, c: Char): Int = {
+      var s = state
+      while (s != 0 && !trie(s).contains(c)) s = fail(s)
+      trie(s).getOrElse(c, 0)
+    }
 
     /** Count all occurrences of every pattern in `text` (textbook AC
       * semantics: every end position counts). Returns a dense count
@@ -49,10 +63,7 @@ object Keywords {
       var state = 0
       var i = 0
       while (i < text.length) {
-        val c = text.charAt(i)
-        // the goto maps are fail-closed at build time: state 0 absorbs
-        // unknown chars, deeper states pre-resolved their transitions
-        state = gotoMaps(state).getOrElse(c, 0)
+        state = step(state, text.charAt(i))
         val hits = out(state)
         var j = 0
         while (j < hits.length) { counts(hits(j)) += 1L; j += 1 }
@@ -67,7 +78,7 @@ object Keywords {
       var state = 0
       var i = 0
       while (i < text.length) {
-        state = gotoMaps(state).getOrElse(text.charAt(i), 0)
+        state = step(state, text.charAt(i))
         if (out(state).nonEmpty) return true
         i += 1
       }
@@ -96,10 +107,10 @@ object Keywords {
     }
   }
 
-  /** Build the automaton: trie → BFS fail links → goto maps closed
-    * over fail (every state resolves every relevant char directly, so
-    * the scan is one map lookup per char) → outputs merged through
-    * fail. Driver-side; linear in total pattern length. */
+  /** Build the automaton: trie → BFS fail links → outputs merged
+    * through fail. Driver-side; linear in total pattern length, and so
+    * is the built object (sparse edges only — see the Automaton
+    * scaladoc for why the maps are NOT closed over fail). */
   def buildAutomaton(patterns: Seq[String]): Automaton = {
     require(patterns.nonEmpty, "empty pattern list")
     require(patterns.forall(_.nonEmpty), "empty pattern")
@@ -134,20 +145,8 @@ object Keywords {
         queue += v
       }
     }
-    // close the goto maps over fail links (BFS order guarantees the
-    // parent fail state's closure is already complete)
-    val closed = new Array[Map[Char, Int]](n)
-    closed(0) = trie(0).toMap
-    val order = scala.collection.mutable.Queue(trie(0).valuesIterator.toSeq: _*)
-    val seen = scala.collection.mutable.Set(0) ++ trie(0).valuesIterator
-    while (order.nonEmpty) {
-      val u = order.dequeue()
-      closed(u) = closed(fail(u)) ++ trie(u).toMap
-      trie(u).valuesIterator.foreach { v =>
-        if (!seen.contains(v)) { seen += v; order += v }
-      }
-    }
-    new Automaton(pats, closed, outB.map(_.toArray.sorted).toArray)
+    new Automaton(pats, trie.map(_.toMap).toArray, fail,
+      outB.map(_.toArray.sorted).toArray)
   }
 
   /** The SPARSE hit relation: one row per (id, pattern) with its

@@ -47,13 +47,17 @@ object TextAnalysis {
     val uni = d.select(explode(col("l")).as("u"))
       .filter(length(col("u")) > 0)
       .groupBy(col("u")).agg(count(lit(1)).as("c"))
-    val total = d.select(explode(col("l")).as("u"))
-      .filter(length(col("u")) > 0).count()
+    // N = Σ unigram counts — a lazy 1-row broadcast (the oracle's `tot`
+    // CTE), NOT an eager driver count: the returned plan stays
+    // composable and the corpus is not scanned a third time
+    val tot = uni.agg(sum(col("c")).as("nn"))
     bg.filter(col("n") >= minCount)
       .join(uni.withColumnRenamed("u", "a").withColumnRenamed("c", "ca"), "a")
       .join(uni.withColumnRenamed("u", "b").withColumnRenamed("c", "cb"), "b")
+      .crossJoin(broadcast(tot))
       .withColumn("lift_ppm",
-        expr(s"CAST(CAST(n AS DECIMAL(38,0)) * ${total}L * 1000000L div " +
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0)) " +
+          "* 1000000L div " +
           "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"))
       .select(col("a"), col("b"), col("n").as("pair_count"), col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("a"), col("b"))

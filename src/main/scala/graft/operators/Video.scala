@@ -65,15 +65,16 @@ object Video {
     def result(): Array[Byte] = bos.toByteArray
   }
 
-  /** One RIFF chunk: fourcc + u32 size + data (+ 1 pad byte if odd). */
-  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+  /** One RIFF chunk: fourcc + u32 size + data (+ 1 pad byte if odd).
+    * Package-visible so fixtures can compose extra (audio) streams. */
+  private[operators] def chunk(id: String, data: Array[Byte]): Array[Byte] = {
     val w = new LeWriter
     w.fourcc(id); w.u32(data.length.toLong); w.bytes(data)
     if ((data.length & 1) == 1) w.bos.write(0)
     w.result()
   }
 
-  private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+  private[operators] def list(listType: String, body: Array[Byte]): Array[Byte] = {
     val w = new LeWriter
     w.fourcc("LIST"); w.u32(body.length + 4L); w.fourcc(listType)
     w.bytes(body)
@@ -177,8 +178,8 @@ object Video {
     * written from the real layout — [[parseAvi]] reads them back from
     * the bytes, never from this side. */
   def encodeAviFromImages(images: Seq[java.awt.image.BufferedImage],
-      fpsMicros: Long, codec: String,
-      quality: Float = 0.95f): Array[Byte] = {
+      fpsMicros: Long, codec: String, quality: Float = 0.95f,
+      extraStrl: Seq[Array[Byte]] = Nil): Array[Byte] = {
     require(images.nonEmpty, "no frames")
     val (width, height) = (images.head.getWidth, images.head.getHeight)
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
@@ -200,7 +201,7 @@ object Video {
       w.u32(fpsMicros)                         // dwMicroSecPerFrame
       w.u32(0L); w.u32(0L); w.u32(0L)          // maxBytesPerSec, padding, flags
       w.u32(frames.toLong)                     // dwTotalFrames
-      w.u32(0L); w.u32(1L)                     // initialFrames, dwStreams
+      w.u32(0L); w.u32(1L + extraStrl.length)  // initialFrames, dwStreams
       w.u32(maxFrame.toLong)                   // suggestedBufferSize
       w.u32(width.toLong); w.u32(height.toLong)
       w.u32(0L); w.u32(0L); w.u32(0L); w.u32(0L) // reserved[4]
@@ -230,7 +231,9 @@ object Video {
     }
 
     val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++
+        extraStrl.flatten.toArray)
     val movi = list("movi", frameChunks.flatten.toArray)
 
     val body = hdrl ++ movi
@@ -268,6 +271,10 @@ object Video {
 
       var width = -1; var height = -1; var headerFrames = -1
       var fpsMicros = -1L; var compression = -1L
+      // stream context: strf belongs to the strl whose strh preceded it
+      // — a second (audio) stream's strf must NOT overwrite the video
+      // header words, so only the FIRST 'vids' stream's strf is taken
+      var inVids = false; var haveVideoStrf = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
       // iterative chunk walk over (start, end) regions — AVI nesting is
@@ -295,10 +302,13 @@ object Video {
             case "avih" if size >= 40 =>
               fpsMicros = leU32(payload, dataStart)
               headerFrames = leU32(payload, dataStart + 16).toInt
-            case "strf" if size >= 20 =>
+            case "strh" if size >= 4 =>
+              inVids = fourccAt(payload, dataStart) == "vids"
+            case "strf" if size >= 20 && inVids && !haveVideoStrf =>
               width = leU32(payload, dataStart + 4).toInt
               height = leU32(payload, dataStart + 8).toInt
               compression = leU32(payload, dataStart + 16)
+              haveVideoStrf = true
             case fid if fid.length == 4 &&
                 (fid.endsWith("db") || fid.endsWith("dc")) =>
               frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)

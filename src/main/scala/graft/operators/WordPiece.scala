@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
@@ -47,19 +46,12 @@ object WordPiece {
   private def strip(sym: String): String =
     if (sym.startsWith("##")) sym.substring(2) else sym
 
-  /** Train `merges` WordPiece merge rules. Output: one row per learned
-    * rule — `(rank, lhs, rhs, pair_count, score_scaled)`, rank 1-based
-    * in merge order. Stops early if no pair occurs at least twice (the
-    * [[Bpe.bpeTrain]] stop rule). */
-  def train(docs: DataFrame, merges: Int, textCol: String = "text",
-      stagingDir: Option[String] = None): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1, got $merges")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    // the one corpus-sized job: word frequency table, split to
-    // marked symbols (first char bare, rest ##-prefixed)
-    val vocab0 = docs
+  /** The ##-marked word-frequency table WordPiece trains on and
+    * applies over: one corpus scan → `(w, cnt, syms)` with the first
+    * char bare and every later char `##`-prefixed. ONE definition —
+    * train and replay must agree on the symbol alphabet. */
+  private def markedWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -67,6 +59,37 @@ object WordPiece {
         transform(filter(split(col("w"), ""), s => length(s) > 0),
           (s, i) => when(i === 0, s).otherwise(concat(lit("##"), s)))
           .as("syms"))
+
+  /** Train `merges` WordPiece merge rules. Output: one row per learned
+    * rule — `(rank, lhs, rhs, pair_count, score_scaled)`, rank 1-based
+    * in merge order. Stops early if no pair occurs at least twice (the
+    * [[Bpe.bpeTrain]] stop rule). */
+  def train(docs: DataFrame, merges: Int, textCol: String = "text",
+      stagingDir: Option[String] = None): DataFrame =
+    trainCore(docs, merges, textCol, stagingDir)._1
+
+  /** One training run returning BOTH artifacts: the merge-rule relation
+    * AND the induced vocab (every symbol the final word table carries —
+    * what greedy apply matches against). The apply-side faces use this
+    * so the recurrence runs ONCE, not train-then-replay. */
+  def trainAndVocab(docs: DataFrame, merges: Int, textCol: String = "text",
+      stagingDir: Option[String] = None): (DataFrame, Set[String]) = {
+    val (rules, finalVocab) = trainCore(docs, merges, textCol, stagingDir)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    (rules,
+      finalVocab.select(explode(col("syms")).as("s")).distinct()
+        .as[String].collect().toSet)
+  }
+
+  /** Shared training loop: returns (rules relation, final word table). */
+  private def trainCore(docs: DataFrame, merges: Int, textCol: String,
+      stagingDir: Option[String]): (DataFrame, DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val vocab0 = markedWordTable(docs, textCol)
     var vocab = stagingDir match {
       case Some(dir) => Staging.stageAt(vocab0, dir, "wp_vocab")._1
       case None      => vocab0.localCheckpoint()
@@ -114,13 +137,15 @@ object WordPiece {
           best(0).getAs[Long]("score_scaled")))
         // merged symbol keeps a's marker, drops b's ## (b is always a
         // continuation symbol — it follows a within a word)
-        vocab = truncate(mergeRelational(vocab, a, b, a + strip(b)),
+        vocab = truncate(
+          Bpe.applyMergeRelational(vocab, a, b, a + strip(b)),
           stagingDir,
           { path => prevPath.foreach(Staging.drop(spark, _)); prevPath = Some(path) })
       }
       round += 1
     }
-    rules.toSeq.toDF("rank", "lhs", "rhs", "pair_count", "score_scaled")
+    (rules.toSeq.toDF("rank", "lhs", "rhs", "pair_count", "score_scaled"),
+      vocab)
   }
 
   private def truncate(df: DataFrame, stagingDir: Option[String],
@@ -130,31 +155,6 @@ object WordPiece {
       onStaged(path)
       staged
     case None => df.localCheckpoint()
-  }
-
-  /** One greedy left-to-right application of rule (a, b) → `merged`
-    * over the vocab relation `(w, cnt, syms)` — byte-identical to
-    * [[Bpe.applyMergeRelational]] except the merged symbol is the
-    * caller's marker-aware concatenation. */
-  private[graft] def mergeRelational(vocab: DataFrame, a: String,
-      b: String, merged: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
-    val runOrd = Window.partitionBy(col("w"), col("runkey")).orderBy(col("pos"))
-    vocab.select(col("w"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "s")))
-      .withColumn("m",
-        coalesce(col("s") === lit(a) && lead(col("s"), 1).over(wOrd) === lit(b),
-          lit(false)))
-      .withColumn("mrn", sum(when(col("m"), 1).otherwise(0)).over(wOrd))
-      .withColumn("runkey", when(col("m"), col("pos") - col("mrn")))
-      .withColumn("ridx", when(col("m"), row_number().over(runOrd)))
-      .withColumn("selected", col("m") && col("ridx") % 2 === 1)
-      .withColumn("dropped", lag(col("selected"), 1, false).over(wOrd))
-      .filter(!col("dropped"))
-      .withColumn("s2", when(col("selected"), lit(merged)).otherwise(col("s")))
-      .groupBy(col("w"), col("cnt"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s2")))).as("ps"))
-      .select(col("w"), col("cnt"),
-        transform(col("ps"), x => x.getField("s2")).as("syms"))
   }
 
   /** Greedy longest-match-first segmentation of one word under a
@@ -175,7 +175,13 @@ object WordPiece {
       var hit: String = null
       while (len >= 1 && hit == null) {
         val cand = prefix + word.substring(pos, pos + len)
-        if (vocab.contains(cand)) hit = cand
+        // marker integrity: a word that literally starts with "##"
+        // must not match a CONTINUATION piece at position 0 — bare and
+        // ##-marked forms are distinct vocab entries by construction,
+        // and the oracle's scan enforces the same rule (`NOT LIKE
+        // '##%'` at the word start)
+        if (!(pos == 0 && cand.startsWith("##")) && vocab.contains(cand))
+          hit = cand
         len -= 1
       }
       if (hit == null) return Seq("[UNK]")
@@ -212,17 +218,10 @@ object WordPiece {
       textCol: String = "text"): Set[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"),
-        transform(filter(split(col("w"), ""), s => length(s) > 0),
-          (s, i) => when(i === 0, s).otherwise(concat(lit("##"), s)))
-          .as("syms"))
-      .localCheckpoint()
+    var vocab = markedWordTable(docs, textCol).localCheckpoint()
     rules.foreach { case (a, b) =>
-      vocab = mergeRelational(vocab, a, b, a + strip(b)).localCheckpoint()
+      vocab = Bpe.applyMergeRelational(vocab, a, b, a + strip(b))
+        .localCheckpoint()
     }
     vocab.select(explode(col("syms")).as("s")).distinct()
       .as[String].collect().toSet

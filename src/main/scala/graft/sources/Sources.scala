@@ -64,10 +64,19 @@ object Sources {
         regexp_extract(col("rec"), "(?m)^Content-Length: (\\d+)", 1)
           .cast("long").as("content_length"),
         col("rec"))
+      // WARC Content-Length is BYTES, so the slice runs on the UTF-8
+      // encoding; the header block is ASCII by spec, so the blank
+      // line's CHARACTER offset (locate) equals its byte offset, and
+      // only the body side of the cut can be multibyte. A record with
+      // no header terminator (locate = 0) gets a null body — the
+      // corrupt-row contract — instead of a garbage slice of itself.
       .withColumn("body",
-        col("rec").substr(
-          locate("\r\n\r\n", col("rec")) + lit(4),
-          col("content_length").cast("int")))
+        when(locate("\r\n\r\n", col("rec")) > 0,
+          decode(
+            encode(col("rec"), "UTF-8").substr(
+              locate("\r\n\r\n", col("rec")) + lit(4),
+              col("content_length").cast("int")),
+            "UTF-8")))
       .drop("rec")
   }
 

@@ -86,6 +86,31 @@ class VideoSpec extends SparkSuite {
     assert(worst <= 12, s"face gate bound (12) violated: $worst")
   }
 
+  test("a second (audio) stream's strf must not overwrite the video header words") {
+    // real-world AVIs interleave a 'vids' strl and an 'auds' strl whose
+    // strf is a WAVEFORMAT — if the walk binds strf without stream
+    // context, the audio block last-writer-wins garbage into
+    // width/height/codec and the decode goes dark on a valid video
+    val audioStrh = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("auds".getBytes("US-ASCII")); b.write(new Array[Byte](52))
+      b.toByteArray
+    }
+    val audioStrf = new Array[Byte](40) // zeroed WAVEFORMAT-sized block
+    val audioStrl = Video.list("strl",
+      Video.chunk("strh", audioStrh) ++ Video.chunk("strf", audioStrf))
+    val img = (0 until 2).map(f =>
+      Video.parseAvi(Video.encodeAvi(6, 4, 2, 20000L, 3, Video.CodecRgb))
+        .map(a => Video.decodeFrame(a, a.frames(f)).get).get)
+    val bytes = Video.encodeAviFromImages(img, 20000L, Video.CodecRgb,
+      extraStrl = Seq(audioStrl))
+    val avi = Video.parseAvi(bytes).get
+    assert(avi.width == 6 && avi.height == 4, "video strf must win")
+    assert(avi.codec == Video.CodecRgb)
+    assert(avi.frames.length == 2)
+    assert(Video.decodeFrame(avi, avi.frames(1)).isDefined)
+  }
+
   test("corrupt payloads parse to None / zero rows, never a failure") {
     assert(Video.parseAvi(null).isEmpty)
     assert(Video.parseAvi(Array[Byte](1, 2, 3)).isEmpty)

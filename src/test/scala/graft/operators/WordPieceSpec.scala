@@ -69,6 +69,16 @@ class WordPieceSpec extends SparkSuite {
     assert(WordPiece.greedySegment("a", vocab, 8) == Seq("a"))
   }
 
+  test("a word literally starting with ## cannot match a continuation piece at pos 0") {
+    // marker integrity (and oracle parity): bare and ##-marked forms
+    // are distinct vocab entries, so the WORD "##x" must open with a
+    // bare piece ('#'), then continuation pieces — never the
+    // continuation entry '##x' matched as if it were word-initial
+    val vocab = Set("#", "###", "##x", "x")
+    assert(WordPiece.greedySegment("##x", vocab, 8) ==
+      Seq("#", "###", "##x"))
+  }
+
   test("greedySegment: no match at any position → whole word is [UNK]") {
     val vocab = Set("a", "##b")
     assert(WordPiece.greedySegment("abz", vocab, 8) == Seq("[UNK]"))

@@ -122,4 +122,28 @@ class SourcesSpec extends SparkSuite {
     assert(got(1) == ("http://b.example.com/p/2", "conversion", b2.length.toLong, b2))
     assert(got(2) == ("http://c.example.com/p/3", "conversion", b3.length.toLong, b3))
   }
+
+  test("wetRecords: Content-Length is BYTES — multibyte last record slices exactly") {
+    val dir = Files.createTempDirectory("src-wet-mb")
+    // 'café' = 4 chars, 5 UTF-8 bytes; as the LAST record the trailing
+    // \r\n\r\n is still attached (no following separator consumes it),
+    // so a char-based slice would leak a stray CR into the body
+    val body = "café et thé"
+    val n = body.getBytes("UTF-8").length
+    Files.writeString(dir.resolve("c.wet"),
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://m/p/9\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("content_length", "body").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((n.toLong, body)))
+  }
+
+  test("wetRecords: record without a header terminator yields null body") {
+    val dir = Files.createTempDirectory("src-wet-corrupt")
+    Files.writeString(dir.resolve("c.wet"),
+      "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 5\r\nno blank line here")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("body").as[String].collect()
+    assert(got.toSeq == Seq(null))
+  }
 }
