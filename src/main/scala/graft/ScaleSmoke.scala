@@ -155,6 +155,17 @@ object ScaleSmoke {
           "vector table", "big vector", "slow merge", "hash value",
           "window", "spark a", "the line", "batch p", "merge b",
           "sort ta", "group v", "stream f"))),
+    // r17: the same scan at BLOCKLIST scale — 10k patterns (the 18 real
+    // ones + 10k deterministic synthetics that never match): wall time
+    // must stay on keyword_scan's curve, proving the fail-chain scan is
+    // pattern-count independent and the automaton ships cheaply
+    "keyword_scan_10k" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Keywords.matchCounts(docs(s, dir),
+        Seq("a a", "able", "scan", "tab", "table", "zzz",
+          "vector table", "big vector", "slow merge", "hash value",
+          "window", "spark a", "the line", "batch p", "merge b",
+          "sort ta", "group v", "stream f") ++
+          (0 until 10000).map(i => f"kw!$i%05d"))),
     // r17: video demux + full-frame decode on the catalog subset —
     // per-row codec work, batched mapPartitions, nothing shuffles but
     // the (id, frame, sums) rows; the step ratio must track the video

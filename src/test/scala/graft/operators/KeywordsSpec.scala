@@ -69,6 +69,24 @@ class KeywordsSpec extends SparkSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("blocklist-scale automaton ships small and scans correctly") {
+    // the scale contract behind the fail-chain design: memory linear in
+    // total pattern length — 20k ~11-char patterns must serialize well
+    // under 20 MB (a fail-closed goto table would be ~100× this)
+    val pats = (0 until 20000).map(i => f"badword$i%05d") :+ "table"
+    val ac = Keywords.buildAutomaton(pats)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(ac); oos.close()
+    val mb = bos.size() / 1024.0 / 1024.0
+    info(f"20k-pattern automaton: $mb%.1f MB serialized")
+    assert(bos.size() < 20 * 1024 * 1024, f"automaton too big: $mb%.1f MB")
+    val c = ac.countAll("a table badword00042 badword0004")
+    assert(c(pats.length - 1) == 1L) // 'table'
+    assert(c(42) == 1L)              // exact pattern hit
+    assert(c.sum == 2L)              // the truncated one does not hit
+  }
+
   test("single-char and shared-prefix patterns build correct fail links") {
     val ac = Keywords.buildAutomaton(Seq("a", "ab", "abc", "bc", "c"))
     assert(ac.countAll("abc").toSeq == Seq(1L, 1L, 1L, 1L, 1L))
