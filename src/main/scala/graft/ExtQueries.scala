@@ -2178,6 +2178,24 @@ object ExtQueries {
         .orderBy(col("n").desc, col("piece")).limit(10)
     }),
 
+    // mojibake repair (the ftfy-style double-encoding fix): the corpus
+    // gets a planted tail per id-mod class — three classic cp1252
+    // double-encodings and one clean control — and the declarative
+    // repair (translate + ISO-8859-1 encode + is_valid_utf8 gate +
+    // UTF-8 decode) must recover the true string byte-for-byte
+    // (md5-gated) while leaving the clean class untouched
+    "q_mojibake" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), element_at(array(
+            lit(" cafÃ© bar"), lit(" donâ€™t go"),
+            lit(" Ã¼ber alles"), lit(" clean tail")),
+          (col("doc_id") % 4).cast("int") + 1)).as("text"))
+      TextPrep.fixMojibake(planted)
+        .select(col("doc_id"), col("mojibake_fixed"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // collocation (phrase) mining: adjacent-bigram lift in exact
     // scaled-integer arithmetic — the phrase-vocabulary corpus-prep
     // step. minCount drops hapax bigrams before the arg-max (a pair of
@@ -6268,6 +6286,17 @@ object ExtQueries {
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
          |FROM h GROUP BY p ORDER BY pattern""".stripMargin
     },
+
+    // the repaired strings, stated directly: each mojibake class's TRUE
+    // text is a literal here — the engine must land on the same bytes
+    // from the general re-encode path, and must not touch the clean one
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN false ELSE true END AS mojibake_fixed,
+        |  md5(text || CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ' café bar' WHEN 1 THEN ' don’t go'
+        |    WHEN 2 THEN ' über alles' ELSE ' clean tail' END) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // bigram/unigram recount + the identical exact integer lift
     // (HUGEINT ≡ the engine's DECIMAL(38,0) — both truncate)

@@ -312,6 +312,57 @@ object TextPrep {
 
   /** PII patterns, in redaction order. Kept engine-portable (work unchanged
     * in Java regex and RE2): email, IPv4, US-style dashed/spaced phone. */
+  /** The windows-1252 printable extras beyond Latin-1: glyphs (what a
+    * mojibake string shows) paired with the BYTES they decoded from
+    * (U+0080–U+009F), in byte order — a `translate` over this pair IS
+    * the cp1252 re-encode for the extras, so plain ISO-8859-1 (one of
+    * Spark 4's allowed codecs) finishes the job. Bytes 81/8D/8F/90/9D
+    * are undefined in cp1252 and absent. */
+  private val Cp1252Glyphs =
+    "€‚ƒ„…†‡ˆ‰Š" +
+      "‹ŒŽ‘’“”•–—" +
+      "˜™š›œžŸ"
+  private val Cp1252Bytes =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+      "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+      "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** Mojibake repair — the ftfy-style double-encoding fix, a standard
+    * crawl-cleanup pass: text that was UTF-8 ENCODED but windows-1252
+    * DECODED somewhere upstream ("cafÃ©", "donâ€™t", "Ã¼ber") is
+    * repaired by reversing the wrong decode — map the cp1252 extra
+    * glyphs back to their 0x80–0x9F bytes (`translate`), re-encode the
+    * rest as ISO-8859-1 (together ≡ a cp1252 encode, recovering the
+    * original UTF-8 bytes) and decode as UTF-8. Fully declarative
+    * (translate/encode/decode/rlike — codegen'd, no UDF), guarded
+    * three ways so clean text NEVER changes:
+    *  1. marker: the text contains a classic mojibake lead-byte
+    *     rendering (Ã / Â / â€ — UTF-8 lead bytes C3/C2/E2 as cp1252);
+    *  2. encodable: every char is Latin-1 or a cp1252 extra glyph
+    *     (otherwise the re-encode would be lossy);
+    *  3. valid: the recovered bytes are valid UTF-8 (`is_valid_utf8`)
+    *     — a marker hit whose bytes are NOT valid UTF-8 (a genuine
+    *     'Ã(' in clean text) keeps the original; the gate also keeps
+    *     Spark 4's strict `decode` from ever seeing malformed input.
+    * Output: input columns with `textCol` repaired in place +
+    * `mojibake_fixed` boolean. */
+  def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val marker = t.rlike("Ã|Â|â€")
+    val encodable = !t.rlike(s"[^\\x00-\\xFF$Cp1252Glyphs]")
+    val recovered =
+      encode(translate(t, Cp1252Glyphs, Cp1252Bytes), "ISO-8859-1")
+    val fixable = marker && encodable &&
+      call_function("is_valid_utf8", recovered)
+    // CaseWhen short-circuits: the strict decode runs on fixable rows
+    // only, where validity is already proven
+    val repaired = when(fixable, decode(recovered, "UTF-8")).otherwise(t)
+    docs
+      .withColumn("mojibake_fixed",
+        coalesce(fixable && repaired =!= t, lit(false)))
+      .withColumn(textCol, when(col("mojibake_fixed"), repaired).otherwise(t))
+  }
+
   val PiiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",

@@ -4,6 +4,36 @@ import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
 class TextPrepSpec extends SparkSuite {
+
+  test("fixMojibake: classic double-encodings repair; clean and risky text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafÃ© time"),        // é  = C3 A9
+      (2L, "donâ€™t stop"),      // ’ = E2 80 99 (cp1252 extras)
+      (3L, "Ã¼ber cool"),        // ü = C3 BC
+      (4L, "clean ascii text"),  // no marker
+      (5L, "math: Ã(x) = x²"),   // marker but C3 28 is invalid UTF-8 → keep
+      (6L, "naïve — already fine ✓") // marker-free multibyte → keep
+    ).toDF("doc_id", "text")
+    val out = TextPrep.fixMojibake(docs)
+      .select("doc_id", "text", "mojibake_fixed")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("café time", true)))
+    assert(out(2L) == (("don’t stop", true)))
+    assert(out(3L) == (("über cool", true)))
+    assert(out(4L) == (("clean ascii text", false)))
+    assert(out(5L) == (("math: Ã(x) = x²", false)), "invalid-UTF8 marker must not corrupt")
+    assert(out(6L) == (("naïve — already fine ✓", false)))
+  }
+
+  test("fixMojibake is idempotent: a repaired corpus re-repairs to itself") {
+    import spark.implicits._
+    val docs = Seq("cafÃ© Ã¼ber donâ€™t", "plain").toDF("text")
+    val once = TextPrep.fixMojibake(docs).select("text")
+    val twice = TextPrep.fixMojibake(once).select("text", "mojibake_fixed")
+      .as[(String, Boolean)].collect()
+    assert(twice.forall(!_._2), s"second pass must be a no-op: ${twice.toSeq}")
+  }
   import spark.implicits._
 
   test("chunkTokens: stride windows cover every token, last chunk short") {
