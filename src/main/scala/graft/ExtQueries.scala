@@ -3170,6 +3170,16 @@ object ExtQueries {
       TextPrep.packByBudget(Tables.documents(s, dir), col("lang"), budget = 1000)
         .orderBy(col("doc_id"))),
 
+    // the packs RENDERED: per (group, pack) the concatenated training
+    // sequence (ascending-id, eos-joined — identity gated as md5 +
+    // length) and the LOSS-MASK BOUNDARIES (exclusive char end of each
+    // doc inside the sequence, computed in one aggregate-HOF prefix
+    // sum) — the oracle re-derives the pack assignment, the boundary
+    // arithmetic via a window cumsum, and the sequence via string_agg
+    "q_pack_render" -> ((s, dir) =>
+      TextPrep.renderPacks(Tables.documents(s, dir), col("lang"), budget = 1000)
+        .orderBy(col("group"), col("pack_id"))),
+
     // paragraph-level corpus dedup: fixtures carry no paragraph breaks, so
     // the query constructs a paragraph'd corpus from 3-token slices (the
     // small fixture vocabulary makes slices repeat across docs — real
@@ -5922,6 +5932,31 @@ object ExtQueries {
          |    0) / 1000.0) AS BIGINT) AS pack_id,
          |  n_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // pack assignment re-derived, boundaries via a window cumsum (a
+    // different formulation than the engine's aggregate-HOF prefix
+    // sum), sequence identity via ordered string_agg — eos length 7
+    "q_pack_render" ->
+      s"""WITH d AS (SELECT doc_id, lang AS "group", text,
+         |             CAST(len($toksSql) AS INT) AS n_tokens
+         |           FROM documents),
+         |p AS (SELECT doc_id, "group", text,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY "group"
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) / 1000.0) AS BIGINT) AS pack_id
+         |  FROM d),
+         |b AS (SELECT "group", pack_id, doc_id, text,
+         |    sum(len(text)) OVER (PARTITION BY "group", pack_id
+         |      ORDER BY doc_id) +
+         |    (row_number() OVER (PARTITION BY "group", pack_id
+         |      ORDER BY doc_id) - 1) * 7 AS bend
+         |  FROM p)
+         |SELECT "group", pack_id, CAST(count(*) AS INT) AS n_docs,
+         |  CAST(sum(len(text)) + (count(*) - 1) * 7 AS BIGINT) AS seq_chars,
+         |  string_agg(CAST(bend AS VARCHAR), ',' ORDER BY doc_id) AS boundaries,
+         |  md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
+         |FROM b GROUP BY "group", pack_id
+         |ORDER BY "group", pack_id""".stripMargin,
 
     // first-occurrence survivor via a window rn=1 — a deliberately
     // DIFFERENT formulation than the Spark side's arg-min + equi-join

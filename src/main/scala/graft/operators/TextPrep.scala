@@ -98,6 +98,47 @@ object TextPrep {
       .select(col(idCol), col("group"), col("pack_id"), col("n_tokens"))
   }
 
+  /** Render the packed TRAINING SEQUENCES [[packByBudget]] assigns:
+    * the documents of one (group, pack) joined head-to-tail in
+    * ascending-id order with an `eos` separator, plus the LOSS-MASK
+    * BOUNDARIES — the exclusive char offset where each document ends
+    * inside the sequence (what an attention/loss mask is built from;
+    * packing without boundaries silently trains across document
+    * joints). Boundaries are a prefix sum computed inside ONE
+    * `aggregate` HOF over the collected per-pack list — no window over
+    * the rendered rows, no second pass. One shuffle beyond
+    * [[packByBudget]]'s (the pack aggregate). Output: `(group,
+    * pack_id, n_docs, seq_chars, boundaries, seq_md5)` — the sequence
+    * itself travels as md5 + length: packs are context-window-sized
+    * blobs and the gate needs identity, not the bytes. */
+  def renderPacks(docs: DataFrame, groupCol: Column, budget: Int,
+      eos: String = "<|eos|>", idCol: String = "doc_id",
+      textCol: String = "text",
+      tokenCount: Column => Column = whitespaceCount): DataFrame = {
+    val packed = packByBudget(docs, groupCol, budget, idCol, textCol, tokenCount)
+    val joined = packed
+      .join(docs.select(col(idCol).as("render_jid"), col(textCol).as("render_t")),
+        col(idCol) === col("render_jid"))
+    val perPack = joined
+      .groupBy(col("group"), col("pack_id"))
+      .agg(array_sort(collect_list(
+        struct(col(idCol).as("id"), col("render_t").as("t")))).as("ds"))
+    val texts = transform(col("ds"), d => d.getField("t"))
+    val ends = aggregate(texts,
+      struct(array().cast("array<bigint>").as("ends"), lit(0L).as("pos")),
+      (acc, t) => struct(
+        concat(acc.getField("ends"),
+          array(acc.getField("pos") + length(t).cast("long"))).as("ends"),
+        (acc.getField("pos") + length(t).cast("long") +
+          lit(eos.length.toLong)).as("pos")),
+      acc => acc.getField("ends"))
+    perPack.select(col("group"), col("pack_id"),
+      size(col("ds")).as("n_docs"),
+      length(concat_ws(eos, texts)).cast("long").as("seq_chars"),
+      concat_ws(",", transform(ends, e => e.cast("string"))).as("boundaries"),
+      md5(concat_ws(eos, texts)).as("seq_md5"))
+  }
+
   /** [[packByBudget]] with a deterministic hash shard as the group key —
     * the scale path when no natural group exists: parallelism = `shards`
     * (each shard packs independently in one window partition). Pack

@@ -26,6 +26,29 @@ class TextPrepSpec extends SparkSuite {
     assert(out(6L) == (("naïve — already fine ✓", false)))
   }
 
+  test("renderPacks: sequences join in id order, boundaries are exclusive char ends") {
+    import spark.implicits._
+    // one group, budget 5 tokens: docs (2,3) pack 0, (4) overflows into
+    // pack 1 after the boundary doc stays whole
+    val docs = Seq(
+      (1L, "aa bb"),      // 2 tokens, 5 chars
+      (2L, "cc dd ee"),   // 3 tokens → cum_before 2 < 5, pack 0
+      (3L, "f g h i")     // 4 tokens → cum_before 5 → pack 1
+    ).toDF("doc_id", "text")
+    val out = TextPrep.renderPacks(docs, lit("g"), budget = 5, eos = "|")
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "seq_chars", "boundaries", "seq_md5")
+      .as[(Long, Int, Long, String, String)].collect().toSeq
+    // pack 0: "aa bb|cc dd ee" — ends at 5 and 14 (eos len 1)
+    assert(out(0)._2 == 2 && out(0)._3 == 14L && out(0)._4 == "5,14")
+    // pack 1: "f g h i" alone
+    assert(out(1)._2 == 1 && out(1)._3 == 7L && out(1)._4 == "7")
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("aa bb|cc dd ee".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(0)._5 == expectedMd5)
+  }
+
   test("fixMojibake is idempotent: a repaired corpus re-repairs to itself") {
     import spark.implicits._
     val docs = Seq("cafÃ© Ã¼ber donâ€™t", "plain").toDF("text")
