@@ -380,14 +380,18 @@ class WeatherStreamsSpec extends SparkSuite {
     val in = MemoryStream[String]
     val parsed = graft.operators.WeatherOps.parseAddress(in.toDF().toDF("value"))
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // feed BEFORE starting: enrichStream pins Trigger.AvailableNow,
+    // which snapshots available offsets at query start — data added
+    // after the start races the snapshot and can be (rarely, under
+    // machine load) excluded from the single run, flaking the test
+    in.addData(
+      """{"Hash":"s000", "Country": "usa", "City": "1", "Id": "1", "Address": "1", "Name": "1"}""",
+      """{"Hash":"zzzz", "Country": "gb", "City": "2", "Id": "2", "Address": "2", "Name": "2"}""")
     val q = WeatherStreams.enrichStream(parsed, () => history, tmpDir("ckpt-j1")) {
       enriched =>
         out ++= enriched.select("key", "country").as[(String, String)].collect()
     }
-    in.addData(
-      """{"Hash":"s000", "Country": "usa", "City": "1", "Id": "1", "Address": "1", "Name": "1"}""",
-      """{"Hash":"zzzz", "Country": "gb", "City": "2", "Id": "2", "Address": "2", "Name": "2"}""")
-    q.processAllAvailable()
+    q.awaitTermination()
     q.stop()
     // inner join: only the matching cell survives
     assert(out.toSeq == Seq(("s000", "usa")))
