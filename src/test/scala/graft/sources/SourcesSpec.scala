@@ -138,6 +138,22 @@ class SourcesSpec extends SparkSuite {
     assert(got.toSeq == Seq((n.toLong, body)))
   }
 
+  test("wetRecords: gzipped dumps (.wet.gz — how WET actually ships) read transparently") {
+    val dir = Files.createTempDirectory("src-wet-gz")
+    val recs = (1 to 4).map { i =>
+      val body = s"record body number $i"
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://g/p/$i\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    }.mkString
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("c.wet.gz")))
+    gz.write(recs.getBytes("UTF-8")); gz.close()
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("uri", "body").as[(String, String)].collect().sortBy(_._1)
+    assert(got.length == 4)
+    assert(got(2) == ("http://g/p/3", "record body number 3"))
+  }
+
   test("wetRecords: record without a header terminator yields null body") {
     val dir = Files.createTempDirectory("src-wet-corrupt")
     Files.writeString(dir.resolve("c.wet"),
