@@ -44,6 +44,11 @@ object Video {
   /** 'MJPG' as a little-endian fourcc word (public AVI registry). */
   private val FccMjpg = 0x47504A4DL // 'M''J''P''G' LE
 
+  /** Raster-allocation ceiling (64 Mpx ≈ 8K video): dims claimed above
+    * this — by a corrupt strf or by a hostile embedded JPEG — are
+    * rejected as corrupt rows before anything allocates. */
+  private val MaxPixels = 64L * 1024 * 1024
+
   // ---------------------------------------------------------------
   // byte-level writers (little-endian, per the RIFF spec)
   // ---------------------------------------------------------------
@@ -273,8 +278,13 @@ object Video {
       var fpsMicros = -1L; var compression = -1L
       // stream context: strf belongs to the strl whose strh preceded it
       // — a second (audio) stream's strf must NOT overwrite the video
-      // header words, so only the FIRST 'vids' stream's strf is taken
+      // header words, so only the FIRST 'vids' stream's strf is taken.
+      // The same ordinal keys the movi walk: frame chunks are named
+      // '<NN>db'/'<NN>dc' by STREAM index, so only the video stream's
+      // chunks are collected — a second stream's frames must not
+      // interleave into the decoded sequence.
       var inVids = false; var haveVideoStrf = false
+      var strhSeen = 0; var vidsPrefix: String = null
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
       // iterative chunk walk over (start, end) regions — AVI nesting is
@@ -304,12 +314,16 @@ object Video {
               headerFrames = leU32(payload, dataStart + 16).toInt
             case "strh" if size >= 4 =>
               inVids = fourccAt(payload, dataStart) == "vids"
+              if (inVids && vidsPrefix == null)
+                vidsPrefix = f"$strhSeen%02d"
+              strhSeen += 1
             case "strf" if size >= 20 && inVids && !haveVideoStrf =>
               width = leU32(payload, dataStart + 4).toInt
               height = leU32(payload, dataStart + 8).toInt
               compression = leU32(payload, dataStart + 16)
               haveVideoStrf = true
-            case fid if fid.length == 4 &&
+            case fid if fid.length == 4 && vidsPrefix != null &&
+                fid.startsWith(vidsPrefix) &&
                 (fid.endsWith("db") || fid.endsWith("dc")) =>
               frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
             case _ => () // strh, idx1, JUNK — not needed here
@@ -319,7 +333,16 @@ object Video {
       }
       walk(12, payload.length)
 
-      if (width <= 0 || height <= 0 || headerFrames < 0 || fpsMicros <= 0) None
+      // sanity bounds on the header dims: a corrupt/hostile container
+      // can carry arbitrary strf words, and an unchecked width×height
+      // would pass a (formerly Int-overflowing) length check and then
+      // allocate a giant raster — an OutOfMemoryError, which NonFatal
+      // does NOT catch, killing the task and breaking the corrupt-row
+      // contract. 2^16 per axis / 64 Mpx total is far beyond any real
+      // frame and cheap to enforce here, before anything allocates.
+      if (width <= 0 || height <= 0 || headerFrames < 0 || fpsMicros <= 0 ||
+        width > 0xFFFF || height > 0xFFFF ||
+        width.toLong * height > MaxPixels) None
       else {
         val codec = compression match {
           case 0L => CodecRgb
@@ -340,7 +363,10 @@ object Video {
       if (avi.codec == CodecRgb) {
         val (w, h) = (avi.width, avi.height)
         val stride = ((w * 3 + 3) / 4) * 4
-        if (frame.length < stride * h) return None
+        // Long arithmetic: stride·h can exceed Int range at the dim
+        // bounds parseAvi admits, and an overflowed product could pass
+        // this check and allocate anyway
+        if (frame.length.toLong < stride.toLong * h) return None
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -359,8 +385,23 @@ object Video {
         }
         Some(img)
       } else if (avi.codec == CodecMjpeg) {
-        Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(frame)))
+        // dims come from the JPEG ITSELF, so the container bound does
+        // not cover them: read the header words via an ImageReader and
+        // reject oversized claims BEFORE the full decode allocates
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(frame))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
+              w.toLong * h > MaxPixels) None
+            else Option(reader.read(0))
+          } finally { reader.dispose(); iis.close() }
+        }
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }

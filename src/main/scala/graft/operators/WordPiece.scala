@@ -194,16 +194,26 @@ object WordPiece {
   /** Distributed apply over a word-frequency relation `(wordCol, …)`:
     * broadcast the vocab (small by construction — one driver round per
     * learned symbol), segment per-partition, return the input columns
-    * + `pieces_joined` (the [[Unigram.segmentWords]] contract). */
+    * + `pieces_joined` (the [[Unigram.segmentWords]] contract).
+    *
+    * `maxPieceLen` bounds the longest-match scan per position; the
+    * default (≤ 0) derives it from the vocab's own longest entry, so
+    * greedy longest-match can never silently skip a learned piece — a
+    * fixed cap below the longest vocab piece would quietly diverge from
+    * the published WordPiece apply algorithm. Pass an explicit cap only
+    * to bound scan cost on corpora whose words are known-short. */
   def tokenize(df: DataFrame, vocab: Set[String], wordCol: String = "w",
-      maxPieceLen: Int = 16): DataFrame = {
+      maxPieceLen: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(vocab.nonEmpty, "empty vocab")
+    val effMax =
+      if (maxPieceLen > 0) maxPieceLen else vocab.iterator.map(_.length).max
     val bc = spark.sparkContext.broadcast(vocab)
     val inCols = df.schema.fieldNames.toIndexedSeq
     require(inCols.contains(wordCol), s"no column $wordCol")
     df.select(col(wordCol)).distinct().as[String].mapPartitions { it =>
-      it.map(w => (w, greedySegment(w, bc.value, maxPieceLen).mkString(" ")))
+      it.map(w => (w, greedySegment(w, bc.value, effMax).mkString(" ")))
     }.toDF(wordCol, "pieces_joined")
       .join(df, Seq(wordCol))
       .select((inCols.map(col) :+ col("pieces_joined")): _*)

@@ -61,23 +61,70 @@ object Sources {
       .select(
         regexp_extract(col("rec"), "(?m)^WARC-Type: (\\S+)", 1).as("rec_type"),
         regexp_extract(col("rec"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("uri"),
-        regexp_extract(col("rec"), "(?m)^Content-Length: (\\d+)", 1)
-          .cast("long").as("content_length"),
+        // the regexp yields digits or '' (absent header) — guard the ''
+        // before casting: ANSI mode throws on it, and a headerless
+        // fragment (a mis-split remainder) must be a corrupt ROW
+        nullif(regexp_extract(col("rec"), "(?m)^Content-Length: (\\d+)", 1),
+          lit("")).cast("long").as("content_length"),
         col("rec"))
       // WARC Content-Length is BYTES, so the slice runs on the UTF-8
-      // encoding; the header block is ASCII by spec, so the blank
-      // line's CHARACTER offset (locate) equals its byte offset, and
-      // only the body side of the cut can be multibyte. A record with
-      // no header terminator (locate = 0) gets a null body — the
-      // corrupt-row contract — instead of a garbage slice of itself.
+      // encoding. The blank line is found at a CHARACTER offset
+      // (locate), then converted to a BYTE offset via the encoded
+      // length of the char prefix — exact even when a header field
+      // (e.g. a raw-UTF-8 WARC-Target-URI) carries multibyte chars.
+      // Corrupt rows surface as NULL body, never a task failure:
+      //  - no header terminator (locate = 0);
+      //  - short slice (mis-split: a body containing the full record
+      //    delimiter truncates this record — the byte count disagrees
+      //    with Content-Length, so the damage is flagged, not silent);
+      //  - a slice that cuts mid-codepoint (a lying Content-Length):
+      //    the raw bytes are wrapped unvalidated (binary→string cast)
+      //    and gated by try_validate_utf8, which nulls malformed UTF-8
+      //    instead of raising like Spark 4's strict decode().
+      .withColumn("__b", {
+        val hdrEnd = locate("\r\n\r\n", col("rec")) // 1-based char pos
+        val bodyStart =
+          octet_length(col("rec").substr(lit(1), hdrEnd + lit(3))) + lit(1)
+        encode(col("rec"), "UTF-8")
+          .substr(bodyStart, col("content_length").cast("int"))
+      })
       .withColumn("body",
-        when(locate("\r\n\r\n", col("rec")) > 0,
-          decode(
-            encode(col("rec"), "UTF-8").substr(
-              locate("\r\n\r\n", col("rec")) + lit(4),
-              col("content_length").cast("int")),
-            "UTF-8")))
-      .drop("rec")
+        when(locate("\r\n\r\n", col("rec")) > 0 &&
+            octet_length(col("__b")) === col("content_length"),
+          try_validate_utf8(col("__b").cast("string"))))
+      .drop("rec", "__b")
+  }
+
+  /** Full WARC `response` records — the upstream of WET: per record the
+    * WARC header block, then an HTTP response (status line + headers +
+    * payload) whose total byte length is the WARC `Content-Length`. The
+    * demux shares [[wetRecords]]' declarative machinery (multi-char
+    * `lineSep` record split, byte-exact Content-Length slice, null-body
+    * corrupt-row contract); on top of it the HTTP block is split at ITS
+    * first blank line into status/headers and payload.
+    *
+    * Output: `(rec_type, uri, content_length, http_status, content_type,
+    * body)` — `body` is the HTTP payload; `http_status`/`content_type`
+    * come out of codegen'd `regexp_extract`s over the header block
+    * (case-insensitive header name per RFC 9110). A content block with
+    * no HTTP header terminator yields null status/type/body. */
+  def warcResponses(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wetRecords(spark, path)
+      .withColumnRenamed("body", "__http")
+      .withColumn("http_status",
+        nullif(regexp_extract(col("__http"), "^HTTP/1\\.[01] (\\d{3})", 1),
+          lit("")).cast("int"))
+      .withColumn("content_type",
+        when(regexp_extract(col("__http"), "(?mi)^content-type: ([^\\r\\n]+)", 1)
+            =!= "",
+          regexp_extract(col("__http"), "(?mi)^content-type: ([^\\r\\n]+)", 1)))
+      .withColumn("body",
+        when(locate("\r\n\r\n", col("__http")) > 0,
+          col("__http").substr(
+            locate("\r\n\r\n", col("__http")) + lit(4),
+            length(col("__http")))))
+      .drop("__http")
   }
 
   /** CSV with an explicit schema and header control. */

@@ -111,6 +111,51 @@ class VideoSpec extends SparkSuite {
     assert(Video.decodeFrame(avi, avi.frames(1)).isDefined)
   }
 
+  test("hostile strf dims are rejected before anything allocates") {
+    // a corrupt/hostile container can claim arbitrary width/height; an
+    // unchecked product Int-overflows past the old length check and the
+    // raster allocation OOMs the task (an Error NonFatal doesn't catch)
+    def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int = 0): Int =
+      (from to hay.length - needle.length)
+        .find(i => needle.indices.forall(j => hay(i + j) == needle(j)))
+        .getOrElse(-1)
+    def patchDims(w: Long, h: Long): Array[Byte] = {
+      val b = Video.encodeAvi(6, 4, 2, 20000L, 3, Video.CodecRgb).clone()
+      val at = indexOf(b, "strf".getBytes("US-ASCII"))
+      assert(at > 0)
+      def putU32(o: Int, v: Long): Unit = {
+        b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+        b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      putU32(at + 12, w); putU32(at + 16, h) // strf data+4 / data+8
+      b
+    }
+    assert(Video.parseAvi(patchDims(0x40000000L, 4L)).isEmpty) // absurd width
+    assert(Video.parseAvi(patchDims(0x10000L, 4L)).isEmpty)    // > 2^16 axis
+    // both axes legal but the PRODUCT Int-overflows: 65535² ≈ 4.3e9
+    assert(Video.parseAvi(patchDims(0xFFFFL, 0xFFFFL)).isEmpty)
+    // sanity: the unpatched container still parses
+    assert(Video.parseAvi(Video.encodeAvi(6, 4, 2, 20000L, 3,
+      Video.CodecRgb)).nonEmpty)
+  }
+
+  test("a second video stream's frame chunks ('01db') are not interleaved") {
+    // frame chunks are named by STREAM ordinal; only the first 'vids'
+    // stream's chunks belong to the decoded sequence — rebadging one
+    // chunk as stream 01 must drop it from frames, not inflate them
+    def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int =
+      (from to hay.length - needle.length)
+        .find(i => needle.indices.forall(j => hay(i + j) == needle(j)))
+        .getOrElse(-1)
+    val b = Video.encodeAvi(6, 4, 3, 20000L, 3, Video.CodecRgb).clone()
+    val first = indexOf(b, "00db".getBytes("US-ASCII"), 0)
+    val second = indexOf(b, "00db".getBytes("US-ASCII"), first + 1)
+    assert(second > 0)
+    b(second) = '0'.toByte; b(second + 1) = '1'.toByte // 00db → 01db
+    val avi = Video.parseAvi(b).get
+    assert(avi.frames.length == 2, "the rebadged chunk must be excluded")
+  }
+
   test("corrupt payloads parse to None / zero rows, never a failure") {
     assert(Video.parseAvi(null).isEmpty)
     assert(Video.parseAvi(Array[Byte](1, 2, 3)).isEmpty)

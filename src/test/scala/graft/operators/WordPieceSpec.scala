@@ -140,4 +140,18 @@ class WordPieceSpec extends SparkSuite {
     assert(twice._1.length == 1) // only (a,##b) repeats
     assert((twice._1(0).getString(1), twice._1(0).getString(2)) == ("a", "##b"))
   }
+
+  test("tokenize default cap derives from the vocab: a >16-char learned piece still matches") {
+    // a fixed default cap of 16 would make greedy longest-match skip this
+    // piece silently (the r17 advisory) — the derived default must not
+    val longPiece = "##" + "a" * 20
+    val vocab = Set("x", longPiece, "##a")
+    val words = Seq("x" + "a" * 20).toDF("w")
+    val got = WordPiece.tokenize(words, vocab)
+      .select("pieces_joined").as[String].collect().toSeq
+    assert(got == Seq("x " + longPiece))
+    // the old fixed cap provably diverges on the same input
+    assert(WordPiece.greedySegment("x" + "a" * 20, vocab, 16) ==
+      Seq("x") ++ Seq.fill(20)("##a"))
+  }
 }

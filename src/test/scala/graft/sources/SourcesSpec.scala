@@ -162,4 +162,95 @@ class SourcesSpec extends SparkSuite {
       .select("body").as[String].collect()
     assert(got.toSeq == Seq(null))
   }
+
+  test("wetRecords: raw-UTF-8 header (non-ASCII URI) must not shift the body slice") {
+    val dir = Files.createTempDirectory("src-wet-u8hdr")
+    // a real-world WET record may carry the target URI as raw UTF-8; the
+    // blank line's CHARACTER offset then differs from its BYTE offset,
+    // and a char-as-byte slice starts the body early (r17 advisory)
+    val body = "exact body"
+    Files.writeString(dir.resolve("c.wet"),
+      s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://café.example/ü\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("body").as[String].collect()
+    assert(got.toSeq == Seq(body))
+  }
+
+  test("wetRecords: mis-split (body contains the record delimiter) → null body, not silent truncation") {
+    val dir = Files.createTempDirectory("src-wet-missplit")
+    // the body QUOTES a WARC dump, including the full compound delimiter
+    // — the text source cuts the record there, so the remaining bytes
+    // undershoot Content-Length: the damage must surface as a corrupt
+    // row (null body), never a silently shortened body
+    val body = "quoting a dump:\r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\nrest"
+    val tail = "tail body"
+    Files.writeString(dir.resolve("c.wet"),
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://q/p/1\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n" +
+        s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://q/p/2\r\n" +
+        s"Content-Length: ${tail.getBytes("UTF-8").length}\r\n\r\n$tail\r\n\r\n")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("uri", "body").as[(String, String)].collect().sortBy(_._1).toSeq
+    // the quoted delimiter splits record 1 AND fabricates a bogus record
+    // from its remainder — both must surface as corrupt (null body);
+    // record 2 is untouched
+    assert(got.map(_._2) == Seq(null, null, tail))
+  }
+
+  test("wetRecords: a lying Content-Length that cuts mid-codepoint → null body, not a task failure") {
+    val dir = Files.createTempDirectory("src-wet-midcp")
+    val body = "café" // 'é' = 2 bytes; length 4 cuts it in half
+    Files.writeString(dir.resolve("c.wet"),
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://m/p/1\r\n" +
+        s"Content-Length: 4\r\n\r\n$body\r\n\r\n")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("body").as[String].collect()
+    assert(got.toSeq == Seq(null))
+  }
+
+  test("warcResponses: HTTP status/headers split from payload, byte-exact") {
+    val dir = Files.createTempDirectory("src-warc")
+    def rec(uri: String, status: Int, ctype: String, payload: String) = {
+      val http = s"HTTP/1.1 $status OK\r\nContent-Type: $ctype\r\n\r\n$payload"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    }
+    // payload 2 contains a blank line AND an http-ish line — only the
+    // FIRST header terminator splits; payload 3 is multibyte
+    Files.writeString(dir.resolve("c.warc"),
+      rec("http://a/p/1", 200, "text/html; charset=UTF-8", "body one") +
+        rec("http://b/p/2", 404, "text/plain",
+          "para\r\n\r\nHTTP/1.1 999 FAKE\r\nrest") +
+        rec("http://c/p/3", 200, "text/plain", "thé café"))
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "rec_type", "http_status", "content_type", "body")
+      .as[(String, String, Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://a/p/1", "response", 200, "text/html; charset=UTF-8", "body one"),
+      ("http://b/p/2", "response", 404, "text/plain",
+        "para\r\n\r\nHTTP/1.1 999 FAKE\r\nrest"),
+      ("http://c/p/3", "response", 200, "text/plain", "thé café")))
+  }
+
+  test("warcResponses: gzipped .warc.gz reads transparently; missing HTTP terminator → nulls") {
+    val dir = Files.createTempDirectory("src-warc-gz")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\npayload"
+    val broken = "HTTP/1.1 200 OK\r\nContent-Type: text/plain" // no blank line
+    val recs =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://g/p/1\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n" +
+        s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://g/p/2\r\n" +
+        s"Content-Length: ${broken.length}\r\n\r\n$broken\r\n\r\n"
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("c.warc.gz")))
+    gz.write(recs.getBytes("UTF-8")); gz.close()
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "http_status", "body")
+      .as[(String, Option[Int], String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://g/p/1", Some(200), "payload"),
+      ("http://g/p/2", Some(200), null))) // status parses, payload can't
+  }
 }
