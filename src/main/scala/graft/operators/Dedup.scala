@@ -152,9 +152,25 @@ object Dedup {
       corpusMiningLegs(docs, idCol, textCol, bands, rowsPerBand, threshold,
         stagingDir, preStaged)
     val pairs = sinkPairs(minePairs, pairsSink)
-    val nearDupLosers = pairs.select(col("id_b").as(idCol)).distinct()
-    exactSurvivors.join(nearDupLosers, Seq(idCol), "left_anti")
+    survivorsFromPairs(exactSurvivors, pairs, idCol)
   }
+
+  /** One-pass survivor selection over an ALREADY-MINED near-dup pair
+    * relation — [[dedupCorpus]]'s final step factored out for pipelines
+    * that hold the pair set as a standing artifact (mined once at
+    * ingest, persisted for provenance, consumed by every downstream
+    * policy run): drop every doc that appears as the HIGHER id of some
+    * pair (`id_b` — [[minhashPairs]] emits `id_a < id_b`), keep the
+    * rest. Same single-pass approximation semantics as [[dedupCorpus]]
+    * (survivors are local minima, never a missed near-duplicate).
+    *
+    * Scale: one distinct over the pair relation's narrow `id_b` column
+    * + one id-keyed anti-join — pairs are tiny relative to the corpus,
+    * so this is the cheap end of the pipeline at any size. */
+  def survivorsFromPairs(exactSurvivors: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    exactSurvivors.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Standing sketch state for the corpus-dedup entry points: the
     * exact-dedup survivor id set and the [[signatureIndex]]-shaped
