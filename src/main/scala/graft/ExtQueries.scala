@@ -79,6 +79,18 @@ object ExtQueries {
   private val keywordBlocklist: Seq[String] =
     Seq("vector table", "big vector", "slow merge", "hash value", "zzz")
 
+  /** q_keyword_hits_ci's patterns — already in FOLDED form (lowercase,
+    * NFC-composed 'é'), so the face's output spelling equals the
+    * fold the oracle recomputes. */
+  private val ciKeywordPatterns: Seq[String] =
+    Seq("caf\u00e9", "scan", "table", "zzz") // composed NFC é
+
+  /** The planted tail every doc gets in q_keyword_hits_ci: a MIXED-CASE
+    * hit ("TABle") and a DECOMPOSED one ("cafe" + combining acute) —
+    * both provably invisible to the case-sensitive scan
+    * (KeywordsSpec pins the divergence). */
+  private val ciPlantedTail: String = " TABle cafe\u0301" // DECOMPOSED e+acute
+
   /** q_reg_domains' public-suffix fixture (the caller-provided PSL slice
     * — includes a private-section entry, `example.com`, so the face
     * exercises longest-match beating a shorter listed suffix). */
@@ -2270,6 +2282,29 @@ object ExtQueries {
       import s.implicits._
       val hits = Keywords.matchCounts(Tables.documents(s, dir), keywordPatterns)
       keywordPatterns.toDF("pattern")
+        .join(hits.groupBy(col("pattern"))
+          .agg(sum(col("n")).as("h"), count(lit(1)).as("d")),
+          Seq("pattern"), "left")
+        .select(col("pattern"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          coalesce(col("d"), lit(0L)).as("n_docs"))
+        .orderBy(col("pattern"))
+    }),
+
+    // the case-folded, NFC-normalized dial (r17 judge directive #2):
+    // patterns folded at automaton-build time, the text column composed
+    // through lower + the NFC kernel ahead of the codegen'd scan. Every
+    // doc carries a planted mixed-case hit ("TABle") and a DECOMPOSED
+    // one ("cafe"+U+0301) that the case-sensitive scan provably misses
+    // (KeywordsSpec pins the divergence); the oracle recomputes the
+    // fold (lower ∘ nfc_normalize) and every count from raw text
+    "q_keyword_hits_ci" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"), lit(ciPlantedTail)))
+      val hits = Keywords.matchCounts(docs, ciKeywordPatterns,
+        caseFold = true)
+      ciKeywordPatterns.toDF("pattern")
         .join(hits.groupBy(col("pattern"))
           .agg(sum(col("n")).as("h"), count(lit(1)).as("d")),
           Seq("pattern"), "left")
@@ -6355,6 +6390,26 @@ object ExtQueries {
          |    len(list_filter(range(1, len(d.text) - len(pats.p) + 2),
          |      i -> substr(d.text, CAST(i AS INT), len(pats.p)) = pats.p)) AS n
          |  FROM documents d CROSS JOIN pats)
+         |SELECT p AS pattern, CAST(sum(n) AS BIGINT) AS n_hits,
+         |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
+         |FROM h GROUP BY p ORDER BY pattern""".stripMargin
+    },
+
+    // the fold recomputed in the oracle (lower ∘ nfc_normalize — the
+    // engine's exact composition order) over the SAME planted tail,
+    // then every pattern recounted at every start position like
+    // q_keyword_hits; the patterns are already folded-form literals,
+    // so the VALUES list doubles as the folded automaton input
+    "q_keyword_hits_ci" -> {
+      val values = ciKeywordPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(p) AS (VALUES $values),
+         |d AS (SELECT doc_id,
+         |    lower(nfc_normalize(text || '$ciPlantedTail')) AS t
+         |  FROM documents),
+         |h AS (SELECT d.doc_id, pats.p,
+         |    len(list_filter(range(1, len(d.t) - len(pats.p) + 2),
+         |      i -> substr(d.t, CAST(i AS INT), len(pats.p)) = pats.p)) AS n
+         |  FROM d CROSS JOIN pats)
          |SELECT p AS pattern, CAST(sum(n) AS BIGINT) AS n_hits,
          |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs
          |FROM h GROUP BY p ORDER BY pattern""".stripMargin

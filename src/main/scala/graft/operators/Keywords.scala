@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
@@ -149,20 +149,46 @@ object Keywords {
       outB.map(_.toArray.sorted).toArray)
   }
 
+  /** Case/normalization fold — the dial every production blocklist
+    * runs on ("VIAGRA", decomposed "Ⅴiagra" lookalikes must hit the
+    * same pattern): NFC canonical composition first (so composed and
+    * decomposed spellings of the same glyph agree), then a
+    * locale-independent lowercase (ROOT — Spark's `lower` is
+    * locale-agnostic the same way, so driver-side pattern folding and
+    * the executor-side column fold land on identical chars). */
+  private[operators] def foldPattern(p: String): String =
+    java.text.Normalizer.normalize(p, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+
+  /** The matching column fold: same order as [[foldPattern]] — the NFC
+    * kernel expression, then the codegen'd `lower`. */
+  private def foldColumn(c: Column): Column =
+    lower(graft.functions.TextFunctions.nfcNormalize(c))
+
   /** The SPARSE hit relation: one row per (id, pattern) with its
     * occurrence count (n ≥ 1 only — misses emit nothing). The scan is
     * a codegen'd Catalyst expression ([[AhoMatchCounts]] — the
     * automaton rides the generated code as a reference object), so the
     * whole attach→scan→explode pipeline stays inside one
     * WholeStageCodegen span; pattern indices resolve to strings via a
-    * literal array, declaratively. */
+    * literal array, declaratively.
+    *
+    * `caseFold = true` turns on the case-insensitive, NFC-normalized
+    * dial: patterns are folded ONCE at automaton-build time
+    * ([[foldPattern]]) and the text column is composed through
+    * `lower` + NFC ahead of the scan — both stay codegen'd, and the
+    * output `pattern` column carries the caller's ORIGINAL spelling
+    * (two patterns that collide after folding count together under the
+    * first spelling; dedupe the list if that matters). */
   def matchCounts(df: DataFrame, patterns: Seq[String],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      caseFold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val ac = buildAutomaton(patterns)
+    val pats = if (caseFold) patterns.map(foldPattern) else patterns
+    val ac = buildAutomaton(pats)
     val patArr = array(patterns.map(lit): _*)
-    val hits = Bridge.column(
-      AhoMatchCounts(Bridge.expression(col(textCol)), ac))
+    val in = if (caseFold) foldColumn(col(textCol)) else col(textCol)
+    val hits = Bridge.column(AhoMatchCounts(Bridge.expression(in), ac))
     df.select(col(idCol), explode(hits).as("h"))
       .select(col(idCol),
         element_at(patArr, col("h.idx") + 1).as("pattern"),
@@ -172,13 +198,15 @@ object Keywords {
   /** Blocklist drop: rows whose text contains NO pattern — the
     * early-exit [[AhoContainsAny]] predicate as a plain codegen'd
     * filter (no explode, no join, no UDF, no object-serialization
-    * boundary; null text passes — nothing to match). */
+    * boundary; null text passes — nothing to match). `caseFold` as in
+    * [[matchCounts]]. */
   def filterNone(df: DataFrame, patterns: Seq[String],
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", caseFold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val ac = buildAutomaton(patterns)
-    val hit = Bridge.column(
-      AhoContainsAny(Bridge.expression(col(textCol)), ac))
+    val pats = if (caseFold) patterns.map(foldPattern) else patterns
+    val ac = buildAutomaton(pats)
+    val in = if (caseFold) foldColumn(col(textCol)) else col(textCol)
+    val hit = Bridge.column(AhoContainsAny(Bridge.expression(in), ac))
     df.filter(col(textCol).isNull || !hit)
   }
 }
