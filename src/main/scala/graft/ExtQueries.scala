@@ -97,6 +97,12 @@ object ExtQueries {
   private val pslFixture: Seq[String] =
     Seq("com", "co.uk", "org", "example.com")
 
+  /** q_reg_domains_psl's rule fixture — FULL PSL syntax, including a
+    * wildcard and its exception (the published `*.ck` / `!www.ck`
+    * example pair). */
+  private val pslRulesFixture: Seq[String] =
+    Seq("com", "co.uk", "org", "*.ck", "!www.ck")
+
   /** Shared by q_mix_sample's Spark and oracle sides (PII-pattern rule:
     * one definition, two renderings). es is deliberately absent → dropped. */
   private val mixRates: Map[String, Double] =
@@ -2504,6 +2510,30 @@ object ExtQueries {
         lit("/p")))
       Urls.registrableDomains(hosts, "doc_id", col("url"),
         pslFixture.toDF("suffix"))
+        .groupBy(col("reg_domain")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reg_domain"))
+    }),
+
+    // eTLD+1 under FULL PSL rule syntax (r17 judge directive #3): the
+    // generator cycles five URL shapes per doc_id mod-class — a plain
+    // match, a multi-label plain match, the exception (!www.ck), the
+    // wildcard (*.ck), and an unlisted-TLD fallback — and the oracle
+    // states each class's registrable domain straight from the
+    // generator arithmetic (the engine runs candidate explode + rule
+    // parse + exception-first struct-max + fallback; the oracle needs
+    // none of it)
+    "q_reg_domains_psl" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = Tables.documents(s, dir).withColumn("url",
+        concat(lit("http://"), element_at(array(
+          concat(col("source"), lit(".example.com/p")),
+          lit("a.blog.co.uk/x"),
+          lit("sub.www.ck/"),
+          concat(col("source"), lit(".bar.ck/p")),
+          lit("x.unlisted.test/")),
+          (col("doc_id") % 5).cast("int") + 1)))
+      Urls.registrableDomainsPsl(hosts, "doc_id", col("url"),
+        pslRulesFixture.toDF("rule"))
         .groupBy(col("reg_domain")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("reg_domain"))
     }),
@@ -5186,6 +5216,22 @@ object ExtQueries {
          |    WHEN 1 THEN 'blog.co.uk'
          |    WHEN 2 THEN 'mirror.org'
          |    ELSE 'intra.internal' END AS reg_domain,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY reg_domain""".stripMargin,
+
+    // each mod class's registrable domain from the generator arithmetic:
+    // plain 'com' (suffix+1 collapses per class), plain multi-label
+    // 'co.uk', the EXCEPTION (!www.ck → www.ck itself registrable), the
+    // WILDCARD (*.ck → <label>.ck is the suffix, so the whole 3-label
+    // host is registrable and per-source rows survive), and the
+    // unlisted-TLD fallback
+    "q_reg_domains_psl" ->
+      s"""SELECT CASE CAST(doc_id % 5 AS INT)
+         |    WHEN 0 THEN 'example.com'
+         |    WHEN 1 THEN 'blog.co.uk'
+         |    WHEN 2 THEN 'www.ck'
+         |    WHEN 3 THEN lower(source) || '.bar.ck'
+         |    ELSE 'unlisted.test' END AS reg_domain,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY reg_domain""".stripMargin,
 

@@ -112,7 +112,8 @@ object Urls {
     * last two labels); a host with no label left of its suffix (the
     * suffix itself, e.g. a bare `co.uk`) yields the host unchanged.
     * PSL wildcard (`*.ck`) and exception (`!www.ck`) rules are not
-    * interpreted — pre-expand them into the table if needed.
+    * interpreted here — [[registrableDomainsPsl]] handles the full rule
+    * syntax; this entry point stays for pre-expanded plain tables.
     *
     * Output: `(idCol, host, reg_domain)` — a narrow ledger the caller
     * joins or aggregates on.
@@ -123,6 +124,64 @@ object Urls {
     * candidates is one partial-agg-friendly struct-max keyed on the doc
     * id, and the fallback left-join is id-keyed narrow rows. Two
     * exchanges of (id, host)-width rows, document text untouched. */
+  /** Registrable domain (eTLD+1) under the FULL public-suffix-list rule
+    * syntax — plain rules plus wildcards (`*.ck`: every direct child of
+    * `ck` is a public suffix) and exceptions (`!www.ck`: despite a
+    * covering wildcard, `www.ck` is NOT a public suffix — the public
+    * suffix is the rule minus its leftmost label, so `www.ck` itself is
+    * registrable). Matching follows the published PSL algorithm: among
+    * matching rules an exception prevails outright; otherwise the rule
+    * with the most labels wins; a host matching nothing takes the
+    * fallback rule `*` (bare TLD). A host that IS a public suffix (no
+    * label left of it) yields itself unchanged — the
+    * [[registrableDomains]] convention.
+    *
+    * `rules` carries one raw PSL line per row in column `rule`
+    * (canonical-form hosts; comments/blank lines pre-stripped — the PSL
+    * file's framing, not its semantics). Same scale shape as
+    * [[registrableDomains]]: ≤ `maxSuffixLabels` candidate rows per doc
+    * against a BROADCAST rule table (the real PSL is ~10⁴ rows), one
+    * struct-max per doc (exception priority rides the struct's first
+    * field), narrow id-keyed rows throughout; text untouched. */
+  def registrableDomainsPsl(docs: DataFrame, idCol: String, urlCol: Column,
+      rules: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1, s"maxSuffixLabels=$maxSuffixLabels")
+    // parse the rule syntax ONCE, rule-table side: (base, kind) where a
+    // candidate suffix of k labels equal to `base` implies a public
+    // suffix of k (plain), k+1 (wildcard — the rule's own label count),
+    // or k−1 labels (exception — the rule minus its leftmost label)
+    val parsed = rules.select(
+      when(col("rule").startsWith("!"), substring(col("rule"), 2, 1 << 24))
+        .when(col("rule").startsWith("*."), substring(col("rule"), 3, 1 << 24))
+        .otherwise(col("rule")).as("base"),
+      when(col("rule").startsWith("!"), lit(2))
+        .when(col("rule").startsWith("*."), lit(1))
+        .otherwise(lit(0)).as("kind"))
+    val base = docs.select(col(idCol), canonicalHost(urlCol).as("host"))
+    val labels = split(col("host"), "\\.")
+    val cand = base.select(col(idCol), col("host"),
+      posexplode(transform(
+        sequence(lit(1), least(lit(maxSuffixLabels), size(labels))),
+        i => array_join(slice(labels, -i, i), "."))).as(Seq("__p", "suf")))
+      .withColumn("k", col("__p") + 1).drop("__p")
+    val matched = cand.join(broadcast(parsed), col("suf") === col("base"))
+      .select(col(idCol),
+        struct(
+          (col("kind") === 2).cast("int").as("prio"), // exception prevails
+          when(col("kind") === 1, col("k") + 1)       // then most labels
+            .when(col("kind") === 2, col("k") - 1)
+            .otherwise(col("k")).as("eff")).as("m"))
+      .groupBy(col(idCol)).agg(max(col("m")).as("m"))
+      .select(col(idCol), col("m.eff").as("__eff"))
+    val n = size(split(col("host"), "\\."))
+    val keep = least(col("__eff") + 1, n)
+    base.join(matched, Seq(idCol), "left")
+      .withColumn("__eff", coalesce(col("__eff"), lit(1))) // PSL fallback: *
+      .select(col(idCol), col("host"),
+        array_join(slice(split(col("host"), "\\."), -keep, keep), ".")
+          .as("reg_domain"))
+  }
+
   def registrableDomains(docs: DataFrame, idCol: String, urlCol: Column,
       suffixes: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
     require(maxSuffixLabels >= 1, s"maxSuffixLabels=$maxSuffixLabels")

@@ -74,6 +74,37 @@ class UrlsSpec extends SparkSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("registrableDomainsPsl: wildcard, exception, longest-rule, fallback — published PSL semantics") {
+    val rules = Seq("com", "co.uk", "org", "example.com",
+      "*.ck", "!www.ck").toDF("rule")
+    val docs = Seq(
+      (0L, "http://a.blog.shop.com/x"),  // plain com(1) -> shop.com
+      (1L, "https://b.shop.co.uk"),      // plain co.uk(2) -> shop.co.uk
+      (2L, "www.x.example.com"),         // example.com(2) beats com(1) -> x.example.com
+      (3L, "http://foo.bar.ck/"),        // *.ck: bar.ck is the suffix -> foo.bar.ck
+      (4L, "http://sub.www.ck/"),        // !www.ck beats *.ck -> www.ck
+      (5L, "http://a.sub.www.ck/"),      // exception still prevails deeper -> www.ck
+      (6L, "foo.ck"),                    // *.ck: host IS the suffix -> unchanged
+      (7L, "svc.intra.internal"),        // unlisted TLD fallback -> last 2
+      (8L, "/no/host")                   // hostless -> "" stratum
+    ).toDF("doc_id", "url")
+    val got = Urls.registrableDomainsPsl(docs, "doc_id", $"url", rules)
+      .select($"doc_id", $"reg_domain").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "shop.com", 1L -> "shop.co.uk",
+      2L -> "x.example.com", 3L -> "foo.bar.ck", 4L -> "www.ck",
+      5L -> "www.ck", 6L -> "foo.ck", 7L -> "intra.internal",
+      8L -> ""), s"got $got")
+    // a plain-rules-only table must agree with registrableDomains exactly
+    val plain = Seq("com", "co.uk", "org", "example.com")
+    val both = Urls.registrableDomainsPsl(docs.filter($"doc_id" < 3),
+        "doc_id", $"url", plain.toDF("rule"))
+      .select($"doc_id", $"reg_domain").as[(Long, String)].collect().toMap
+    val ref = Urls.registrableDomains(docs.filter($"doc_id" < 3),
+        "doc_id", $"url", plain.toDF("suffix"))
+      .select($"doc_id", $"reg_domain").as[(Long, String)].collect().toMap
+    assert(both == ref)
+  }
+
   test("domainFilter: broadcast blocklist anti-join; hostless rows survive") {
     val docs = Seq(
       (0L, "http://www.bad.com/x", "spam"),
