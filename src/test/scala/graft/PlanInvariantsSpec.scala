@@ -352,6 +352,52 @@ class PlanInvariantsSpec extends SparkSuite {
       s"the one exchange must key on domain (docs reduced to counts first):\n${stats.take(2000)}")
   }
 
+  test("q_crawl_pipeline: zero shuffles before the first aggregation") {
+    // the composed crawl-to-corpus plan must keep demux → blocklist →
+    // langid → quality gate entirely map-side: the only exchanges
+    // allowed below an un-aggregated file scan are broadcasts (the
+    // blocklist); the FIRST shuffle is the dedup hash aggregate
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // exchanges are inserted by EnsureRequirements (executedPlan, not
+    // sparkPlan); AQE off for the build so the tree is directly walkable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      SparkEntry.queries("q_crawl_pipeline")(spark, sf0001)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // does this subtree reach the raw crawl scan with no aggregation
+    // (partial agg = the map-side reduction) in between?
+    def exposesRawScan(n: SparkPlan): Boolean = n match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
+      case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.endsWith(".wet"))
+      case other => other.children.exists(exposesRawScan)
+    }
+    // HASH shuffles must never carry un-aggregated corpus rows; the one
+    // exempt exchange is the final ORDER BY's rangepartitioning (output
+    // presentation, not pipeline work — the survivor semi-join arrives
+    // broadcast, so the corpus itself reaches the sort unshuffled)
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    p.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+      if (s.outputPartitioning.isInstanceOf[HashPartitioning])
+        assert(!exposesRawScan(s.child),
+          s"a hash shuffle sits below the first aggregation:\n${p.toString.take(3000)}")
+    }
+    // the dedup aggregation exists and groups on the 8-byte hash
+    assert(p.toString.contains("HashAggregate") &&
+      p.toString.contains("xxhash64"),
+      "exact dedup must aggregate on the content hash")
+    // the blocklist drop must be a broadcast anti-join on the corpus side
+    assert(p.toString.contains("BroadcastHashJoin") &&
+      p.toString.contains("LeftAnti"),
+      s"blocklist must broadcast:\n${p.toString.take(2000)}")
+  }
+
   test("q_flagship: small dimension side is broadcast") {
     val p = plan("q_flagship")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
