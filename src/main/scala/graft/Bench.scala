@@ -225,11 +225,15 @@ object Bench {
     // BOTH lists are capped (full counts always present): a rename sweep
     // could otherwise put ~51 missing names (~1.3 KB) on the stdout line
     // and truncate the driver's 2000-byte tail mid-JSON
-    s"""{"r1_total":${sec3(baseTotal)},"r1_n":${base.size},""" +
-      s""""shared_n":${shared.size},"raw_ratio":${sec3(raw)},""" +
-      s""""comparable_ratio":${sec3(comparable)},""" +
+    // comparable + breaches FIRST (r17 judge directive #6): they are the
+    // readings that decide adjudication — raw drifts mechanically with
+    // catalog growth and is kept for continuity only
+    s"""{"comparable_ratio":${sec3(comparable)},""" +
       s""""breach_count":${breaches.size},""" +
-      breaches.take(8).map("\"" + _ + "\"").mkString("\"breaches\":[", ",", "]") +
+      breaches.take(8).map("\"" + _ + "\"").mkString("\"breaches\":[", ",", "],") +
+      s""""raw_ratio":${sec3(raw)},""" +
+      s""""r1_total":${sec3(baseTotal)},"r1_n":${base.size},""" +
+      s""""shared_n":${shared.size}""" +
       (if (missing.isEmpty) ""
       else s""","r1_missing_count":${missing.size},""" +
         missing.take(8).map("\"" + _ + "\"")

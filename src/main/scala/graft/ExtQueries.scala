@@ -4023,6 +4023,26 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
         .orderBy(col("frame_idx"))),
 
+    // magic-byte MIME dispatch (r18): five REAL container families —
+    // PNG / JPEG / GIF / RIFF-WAVE / RIFF-AVI, assigned by doc_id mod —
+    // sniffed from the payload BYTES by the codegen'd prefix CASE, and
+    // cross-checked against each writer's meta.mime (the metadata-
+    // integrity audit a crawl pipeline runs because Content-Type lies);
+    // the oracle states both columns from the id rule alone
+    "q_mime_sniff" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val all = Multimodal.attachPng(ids.filter(col("doc_id") % 5 === 0))
+        .unionByName(Multimodal.attachJpeg(ids.filter(col("doc_id") % 5 === 1)))
+        .unionByName(Multimodal.attachGif(ids.filter(col("doc_id") % 5 === 2)))
+        .unionByName(Multimodal.attachWav(ids.filter(col("doc_id") % 5 === 3)))
+        .unionByName(Video.attachAvi(ids.filter(col("doc_id") % 5 === 4),
+          _ => Video.CodecRgb))
+      val sniffed = Multimodal.sniffMime(col("media.payload"))
+      all.select(col("doc_id"), sniffed.as("mime_sniffed"),
+          (sniffed === col("media.meta.mime")).as("meta_agrees"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image decode (r13 directive #5): javax.imageio PNG round
     // trip. The payload is a real PNG encoded from a closed-form pixel
     // rule; the face's width/height/px_sum come from DECODING those
@@ -5711,6 +5731,19 @@ object ExtQueries {
     // closed-form oracle — one derivation for both the batch face and
     // the 3-batch checkpointed replay
     "q_media_stream_replay" -> mediaDecodeOracleSql,
+
+    // both columns from the id rule alone: the container class each doc
+    // was written as, and the (always-true) sniff==meta agreement — a
+    // sniff reading the wrong bytes or a writer stamping the wrong mime
+    // diverges on either column
+    "q_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+        |    ELSE 'video/x-msvideo' END AS mime_sniffed,
+        |  true AS meta_agrees
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // decoded PCM format + sample sum from the closed-form audio rule:
     // n = id%64+16 samples of s_i = ((id%1000 + 7i) mod 65536) − 32768

@@ -166,6 +166,18 @@ object ScaleSmoke {
           "window", "spark a", "the line", "batch p", "merge b",
           "sort ta", "group v", "stream f") ++
           (0 until 10000).map(i => f"kw!$i%05d"))),
+    // r18: the same scan at the blocklist CEILING the Keywords scaladoc
+    // claims viable (10⁵ patterns): wall time must stay on
+    // keyword_scan's curve — scan cost independent of pattern count —
+    // and the automaton's build time + serialized size are reported
+    // one-off in main() (SCALE.md pins the numbers)
+    "keyword_scan_100k" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Keywords.matchCounts(docs(s, dir),
+        Seq("a a", "able", "scan", "tab", "table", "zzz",
+          "vector table", "big vector", "slow merge", "hash value",
+          "window", "spark a", "the line", "batch p", "merge b",
+          "sort ta", "group v", "stream f") ++
+          (0 until 100000).map(i => f"kw!$i%06d"))),
     // r17: video demux + full-frame decode on the catalog subset —
     // per-row codec work, batched mapPartitions, nothing shuffles but
     // the (id, frame, sums) rows; the step ratio must track the video
@@ -222,6 +234,22 @@ object ScaleSmoke {
         op(spark, s"/root/testdata/$dir").count()
         (System.nanoTime() - t0) / 1e9
       }.min
+
+    // r18: automaton-ceiling evidence (the Keywords scaladoc claims
+    // 10⁵-pattern viability) — driver-side build time + serialized size
+    // at 100k patterns, printed alongside the scan curve that proves
+    // per-doc cost independent of pattern count
+    locally {
+      val pats = (0 until 100000).map(i => f"kw!$i%06d")
+      val t0 = System.nanoTime()
+      val ac = graft.operators.Keywords.buildAutomaton(pats)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(ac); oos.close()
+      println(f"automaton_100k build=$buildS%.2fs " +
+        f"serialized=${bos.size() / 1024.0 / 1024.0}%.1f MB")
+    }
 
     // warm-up at the smallest SF so timed runs hit the codegen cache
     ops.foreach { case (_, op) =>

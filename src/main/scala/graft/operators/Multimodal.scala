@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -56,6 +56,41 @@ object Multimodal {
         (pmod(octet_length(col(textCol)).cast("long") * lit(7919L), lit(1080L)) + 1)
           .cast("int").as("height"))
         .as("meta")))
+
+  /** Magic-byte MIME sniff over an opaque binary payload column — the
+    * pre-decode DISPATCH step of a multimodal ingest: route each blob
+    * to the right decoder (or quarantine) from the bytes themselves,
+    * never trusting upstream metadata (crawls lie about Content-Type
+    * constantly). Pure built-in expressions — binary `substring`
+    * prefix compares folded into one codegen'd CASE, no UDF, no
+    * object boundary — so the sniff rides the same scan stage as the
+    * payload read and the blob never moves for it.
+    *
+    * Signatures covered: PNG, JPEG (any JFIF/EXIF variant — the 3-byte
+    * SOI+marker prefix), GIF87a/89a, RIFF containers split at offset 8
+    * (WAVE → audio, 'AVI ' → video), PDF, gzip, zip. Unknown bytes →
+    * `application/octet-stream`; null payload → null (its own stratum,
+    * the corrupt-row contract). Returned names match the attach*
+    * writers' meta.mime strings, so `sniffMime(payload) === meta.mime`
+    * is the metadata-integrity audit (`q_mime_sniff`). */
+  def sniffMime(payload: Column): Column = {
+    def at(off1: Int, bytes: Array[Byte]): Column =
+      substring(payload, off1, bytes.length) === lit(bytes)
+    def ascii(off1: Int, s: String): Column =
+      at(off1, s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    when(payload.isNull, lit(null).cast("string"))
+      .when(at(1, Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)), "image/png")
+      .when(at(1, Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "image/jpeg")
+      .when(ascii(1, "GIF87a") || ascii(1, "GIF89a"), "image/gif")
+      .when(ascii(1, "RIFF") && ascii(9, "WAVE"), "audio/wav")
+      .when(ascii(1, "RIFF") && ascii(9, "AVI "), "video/x-msvideo")
+      .when(ascii(1, "%PDF-"), "application/pdf")
+      .when(at(1, Array(0x1F, 0x8B).map(_.toByte)), "application/gzip")
+      .when(at(1, Array('P', 'K', 0x03, 0x04).map(_.toByte)),
+        "application/zip")
+      .otherwise("application/octet-stream")
+  }
 
   /** Deterministic fake features for the generic-binary path: byte-sum
     * "luma", length, crc. The REAL codec twins live above

@@ -84,6 +84,12 @@ class BenchMetricSpec extends AnyFunSuite {
     assert(parsed.path("breach_count").asInt() == 1)
     assert(parsed.path("breaches").get(0).asText() == "q_b:5.000(r1 2.000)")
     assert(parsed.path("r1_missing").get(0).asText() == "q_gone")
+    // field ORDER contract (r17 judge directive #6): the adjudicating
+    // readings — comparable ratio + breach list — lead the block
+    assert(block.startsWith("{\"comparable_ratio\":"),
+      s"comparable_ratio must be the first field: ${block.take(60)}")
+    assert(block.indexOf("\"breaches\":") < block.indexOf("\"raw_ratio\":"),
+      "breaches must precede the raw ratio")
     // the block lands in BOTH lines — the driver's artifact is the
     // captured stdout tail, so the gate must be adjudicable from it
     val (printed, full) = Bench.metricLine(cur, "/sf", baseline = Some(block))

@@ -262,4 +262,35 @@ class MultimodalSpec extends SparkSuite {
       .select($"media.payload").head().getAs[Array[Byte]](0)
     assert((one(0) & 0xFF) == 0xFF && (one(1) & 0xFF) == 0xD8, "JPEG SOI magic")
   }
+
+  test("sniffMime: magic bytes route every real container; unknown/garbage/null stratified") {
+    val rows = Seq[(Long, Array[Byte])](
+      (0L, Multimodal.encodePng(6, 4, 1)),
+      (1L, Multimodal.encodeJpeg(6, 4, 1)),
+      (2L, Multimodal.encodeGif(6, 4, 2, 1)),
+      (3L, Multimodal.encodeWav(16, 1)),
+      (4L, Video.encodeAvi(6, 4, 2, 20000L, 1, Video.CodecRgb)),
+      (5L, "%PDF-1.7 fake".getBytes("US-ASCII")),
+      (6L, Array(0x1F, 0x8B, 0x08, 0x00).map(_.toByte)),
+      (7L, Array('P'.toInt, 'K'.toInt, 0x03, 0x04).map(_.toByte)),
+      (8L, "just some text".getBytes("US-ASCII")),
+      (9L, Array.empty[Byte]),
+      (10L, null)
+    )
+    val got = rows.toDF("id", "payload")
+      .select($"id", Multimodal.sniffMime($"payload").as("m"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      0L -> Some("image/png"), 1L -> Some("image/jpeg"),
+      2L -> Some("image/gif"), 3L -> Some("audio/wav"),
+      4L -> Some("video/x-msvideo"), 5L -> Some("application/pdf"),
+      6L -> Some("application/gzip"), 7L -> Some("application/zip"),
+      8L -> Some("application/octet-stream"),
+      9L -> Some("application/octet-stream"), 10L -> None), s"got $got")
+    // a RIFF prefix WITHOUT a known form tag must not claim wav/avi
+    val riffOnly = Seq((0L, "RIFF1234JUNK".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+      .select(Multimodal.sniffMime($"payload")).as[String].collect()
+    assert(riffOnly.toSeq == Seq("application/octet-stream"))
+  }
 }
