@@ -103,6 +103,20 @@ object ExtQueries {
   private val pslRulesFixture: Seq[String] =
     Seq("com", "co.uk", "org", "*.ck", "!www.ck")
 
+  /** One oracle for both WET faces: every engine column is parsed from
+    * the rendered dump file(s); this recomputes them all from the
+    * documents table the fixture was rendered from — uri/type from the
+    * render rule, length and body md5 from the text. `q_wet_scan` (one
+    * batch file) and `q_wet_ingest_replay` (three streamed files,
+    * checkpointed restart) must land on it verbatim. */
+  private val wetScanOracleSql: String =
+    """SELECT doc_id, 'conversion' AS rec_type,
+      |  'http://' || source || '.example.com/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS uri,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+      |  md5(text) AS body_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Shared by q_mix_sample's Spark and oracle sides (PII-pattern rule:
     * one definition, two renderings). es is deliberately absent → dropped. */
   private val mixRates: Map[String, Double] =
@@ -1300,22 +1314,84 @@ object ExtQueries {
       val rows = Tables.documents(s, dir)
         .select(col("doc_id").cast("long"), col("source"), col("text"))
         .orderBy(col("doc_id")).collect()
-      val sb = new StringBuilder
-      rows.foreach { r =>
-        val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
-        // Content-Length is BYTES per the WARC spec (== chars only for
-        // ASCII; the fixture corpus is ASCII, but write it correctly)
-        val nBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-        sb.append("WARC/1.0\r\n")
-          .append("WARC-Type: conversion\r\n")
-          .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
-          .append(s"Content-Length: $nBytes\r\n")
-          .append("\r\n")
-          .append(text)
-          .append("\r\n\r\n")
-      }
       java.nio.file.Files.writeString(
-        rootPath.resolve("corpus.wet"), sb.toString)
+        rootPath.resolve("corpus.wet"), renderWet(rows))
+      root
+    })
+
+  /** Render document rows as spec'd WET conversion records — shared by
+    * the batch fixture ([[wetFixture]]) and the streamed-arrival one
+    * ([[wetIngestFixture]]); Content-Length is BYTES per the WARC spec
+    * (== chars only for ASCII; the fixture corpus is ASCII, but write
+    * it correctly). */
+  private def renderWet(rows: Array[org.apache.spark.sql.Row]): String = {
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      val nBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      sb.append("WARC/1.0\r\n")
+        .append("WARC-Type: conversion\r\n")
+        .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+        .append(s"Content-Length: $nBytes\r\n")
+        .append("\r\n")
+        .append(text)
+        .append("\r\n\r\n")
+    }
+    sb.toString
+  }
+
+  private val wetIngestBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streamed crawl-bucket ingest fixture: the WET corpus arrives as
+    * THREE dump files landing in a watched directory over time — the
+    * production shape (a crawler drops finished dumps into a bucket and
+    * the ingest job tails it). [[graft.sources.Sources.wetStream]]
+    * (file streaming source, `maxFilesPerTrigger = 1`) demuxes each
+    * micro-batch inside the streaming plan into an append parquet sink
+    * (exactly-once via the sink log), with a checkpointed RESTART
+    * between file 2 and file 3 — so the replay covers multi-batch file
+    * discovery AND recovery. The sink read-back must equal the batch
+    * face's oracle verbatim (`q_wet_ingest_replay` shares q_wet_scan's
+    * SQL). Same first-touch-rebuild + md5(dir)+pid contract as
+    * [[wetFixture]]. */
+  private def wetIngestFixture(s: SparkSession, dir: String): String =
+    wetIngestBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_wet_ingest_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath.resolve("in"))
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      def writePart(i: Int): Unit = java.nio.file.Files.writeString(
+        rootPath.resolve("in").resolve(s"part$i.wet"),
+        renderWet(rows.filter(_.getLong(0) % 3 == i)))
+      def drain(): Unit = {
+        val q = graft.sources.Sources.wetStream(s, s"$root/in")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writePart(0)
+      val q = graft.sources.Sources.wetStream(s, s"$root/in")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        writePart(1)
+        q.processAllAvailable()
+      } finally q.stop()
+      writePart(2) // arrives while the job is DOWN — the restart leg
+      drain()
       root
     })
 
@@ -1941,6 +2017,7 @@ object ExtQueries {
     pctReplayFixture(s, dir)
     scd2ReplayFixture(s, dir)
     asofReplayFixture(s, dir)
+    wetIngestFixture(s, dir)
     bpeRulesCached(s, dir)
     ()
   }
@@ -2406,6 +2483,21 @@ object ExtQueries {
           regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long").as("doc_id"),
           col("rec_type"), col("uri"), col("content_length"),
           col("http_status"), col("content_type"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))),
+
+    // the streamed crawl-bucket twin: three dump files arriving over
+    // time (one per micro-batch, maxFilesPerTrigger=1) with a
+    // checkpointed restart before the last file — the ingest job a
+    // production crawl pipeline runs against a bucket directory; the
+    // parquet-sink read-back is gated on the BATCH face's oracle
+    // verbatim (file discovery, per-batch demux, exactly-once recovery
+    // all under the same hash)
+    "q_wet_ingest_replay" -> ((s, dir) =>
+      s.read.parquet(s"${wetIngestFixture(s, dir)}/sink")
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long").as("doc_id"),
+          col("rec_type"), col("uri"), col("content_length"),
           md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))),
 
@@ -6638,13 +6730,11 @@ object ExtQueries {
     // every engine column is parsed from the rendered WET file; this
     // recomputes them all from the source-of-truth documents table —
     // uri/type from the render rule, length and body md5 from the text
-    "q_wet_scan" ->
-      """SELECT doc_id, 'conversion' AS rec_type,
-        |  'http://' || source || '.example.com/p/' ||
-        |    CAST(doc_id AS VARCHAR) AS uri,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-        |  md5(text) AS body_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wet_scan" -> wetScanOracleSql,
+
+    // the streamed 3-file checkpointed ingest must land on the batch
+    // face's oracle verbatim — one derivation for both
+    "q_wet_ingest_replay" -> wetScanOracleSql,
 
     // every engine column parsed from the rendered WARC response dump;
     // this recomputes them from the documents table + the render rule —

@@ -51,9 +51,34 @@ object Sources {
     * Output: `(rec_type, uri, content_length, body)`. Header parse
     * failures surface as empty strings / null lengths rather than task
     * failures (the corrupt-row contract). */
-  def wetRecords(spark: SparkSession, path: String): DataFrame = {
+  def wetRecords(spark: SparkSession, path: String): DataFrame =
+    wetParse(spark.read.option("lineSep", WetRecordSep).text(path))
+
+  /** The streamed twin: the same demux over the FILE STREAMING source —
+    * the "tail a crawl bucket" ingest path (new dump files land in a
+    * directory; each micro-batch parses the newly arrived files).
+    * `maxFilesPerTrigger = 1` keeps per-batch work file-sized; the
+    * record split + header/body parse are identical to [[wetRecords]]
+    * by construction ([[wetParse]] is shared), so a checkpointed replay
+    * must land on the batch face's oracle verbatim
+    * (`q_wet_ingest_replay`). */
+  def wetStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    wetParse(spark.readStream
+      .option("lineSep", WetRecordSep)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(path))
+
+  /** The compound record boundary: the spec'd blank-line terminator PLUS
+    * the next record's version line, so a lone "WARC/1.0" inside a body
+    * cannot split a record. */
+  private val WetRecordSep = "\r\n\r\nWARC/1.0\r\n"
+
+  /** Shared WET demux over the lineSep-split raw text relation — one
+    * definition for the batch reader and the streaming twin. */
+  private def wetParse(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
+    raw
       // the FIRST record carries its own leading version line (no
       // separator precedes it); trailing empty splits drop
       .select(regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "").as("rec"))
