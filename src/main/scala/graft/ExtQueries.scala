@@ -2738,6 +2738,21 @@ object ExtQueries {
 
     // ---- dedup ----------------------------------------------------------
 
+    // corpus snapshot diff (r18): the what-changed-since-last-crawl
+    // audit — old = ids mod 10 < 9, new = ids mod 10 ≥ 1 with every
+    // mod-7 doc's text refreshed, so all four statuses (added/removed/
+    // changed/unchanged) are populated; comparison is by content hash
+    // on narrow (id, hash) rows, text never crosses the exchange. The
+    // oracle states each id's status from the generator arithmetic.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 10 < 9)
+      val newSnap = docs.filter(col("doc_id") % 10 >= 1)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [refreshed]"))).otherwise(col("text")))
+      Dedup.snapshotDiff(oldSnap, newSnap).orderBy(col("doc_id"))
+    }),
+
     // span-level duplicated-substring coverage (Lee et al. 2021): token
     // positions covered by a corpus-repeated 3-gram, interval-union per doc
     "q_dup_spans" -> ((s, dir) =>
@@ -6357,6 +6372,18 @@ object ExtQueries {
         |  SELECT doc_id, row_number() OVER (
         |    PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // each id's diff status straight from the generator arithmetic (the
+    // engine runs two hash projections + a full-outer id join; the
+    // oracle needs none of it — CASE order resolves the overlaps:
+    // removed/added membership first, then the mod-7 refresh)
+    "q_corpus_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'removed'
+        |       WHEN doc_id % 10 = 9 THEN 'added'
+        |       WHEN doc_id % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),

@@ -109,6 +109,32 @@ object Dedup {
     * Scale: an anti-join on narrow ids only — the delta side is one
     * batch, so the roster probe broadcasts the delta's id partitions or
     * sort-merges on the 8-byte key; corpus text is never read. */
+  /** Corpus snapshot diff — "what changed since the last crawl": per
+    * doc id, whether it was `added`, `removed`, `changed` (same id,
+    * different content), or `unchanged` between two snapshots. The
+    * audit every periodic-refresh pipeline runs before deciding what to
+    * re-process (re-dedup/re-embed only `added ∪ changed`; retire
+    * `removed` from standing indexes), and the freshness ledger a
+    * training-data release notes.
+    *
+    * Comparison is by 8-byte content hash (xxhash64 of `keyCol` — the
+    * [[hashIndex]] collision trade), so document text never crosses the
+    * exchange: each side reduces to (id, hash) at the scan, the
+    * full-outer join runs on narrow id-keyed rows, and at 100 TB the
+    * join is sort-merge on ~16 bytes/doc — or broadcast when one side
+    * is a day's delta. Output: `(idCol, status)`. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", keyCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol), xxhash64(col(keyCol)).as("__h_old"))
+    val n = newSnap.select(col(idCol), xxhash64(col(keyCol)).as("__h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   def guardReingest(delta: DataFrame, roster: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     delta.join(roster.select(col(idCol)), Seq(idCol), "left_anti")

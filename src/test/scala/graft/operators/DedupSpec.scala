@@ -533,4 +533,15 @@ class DedupSpec extends SparkSuite {
     assert(staged == default, "staged and persisted paths must agree")
     graft.operators.Staging.drop(spark, dir)
   }
+
+  test("snapshotDiff: all four statuses; content compared, not row identity") {
+    val oldSnap = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
 }
