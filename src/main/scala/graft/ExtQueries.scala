@@ -117,6 +117,16 @@ object ExtQueries {
       |  md5(text) AS body_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q_script_mix's planted per-mod-class tails — one non-Latin script
+    * each (Cyrillic / Greek / Han / Arabic) plus a Latin-only class;
+    * shared verbatim by the face and the oracle CASE. */
+  private val scriptMixTails: Seq[String] = Seq(
+    " текст", // Cyrillic
+    " κείμενο", // Greek
+    " 中文文本", // Han
+    " نص عربي", // Arabic (two words)
+    "") // Latin only
+
   /** Shared by q_mix_sample's Spark and oracle sides (PII-pattern rule:
     * one definition, two renderings). es is deliberately absent → dropped. */
   private val mixRates: Map[String, Double] =
@@ -2276,6 +2286,24 @@ object ExtQueries {
         .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
         .select(col("doc_id"), col("label"), col("lang_pred"),
           col("score_scaled"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // script-mix audit (r18): per-doc Unicode-script histogram +
+    // dominant non-Latin script + mixed flag — planted tails put one
+    // non-Latin script per mod class (and none for the last), so every
+    // count column, the struct-max argmax, and both mixed branches are
+    // exercised; counts are engine-portable character classes (Java
+    // \p{IsX} ≡ RE2 \p{X}) the oracle recounts independently
+    "q_script_mix" -> ((s, dir) => {
+      val planted = element_at(array(scriptMixTails.map(lit): _*),
+        (col("doc_id") % 5).cast("int") + 1)
+      TextAnalysis.scriptMix(
+        Tables.documents(s, dir)
+          .withColumn("text", concat(col("text"), planted)))
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_greek"), col("n_han"), col("n_arabic"),
+          col("main_other"), col("mixed"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6494,6 +6522,39 @@ object ExtQueries {
          |  FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1)
          |SELECT lang_pred, count(*) AS n FROM pred
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+    },
+
+    // independent recount of every script histogram column (RE2 \p{X}
+    // classes vs the engine's Java \p{IsX}), the same (count, name
+    // DESC) argmax as the engine's struct max, and the presence sum
+    "q_script_mix" -> {
+      val tails = scriptMixTails.map(t => s"'${t.replace("'", "''")}'")
+      s"""WITH d AS (SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 0 THEN ${tails(0)} WHEN 1 THEN ${tails(1)}
+         |      WHEN 2 THEN ${tails(2)} WHEN 3 THEN ${tails(3)}
+         |      ELSE ${tails(4)} END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '\\p{Latin}')) AS BIGINT) AS n_latin,
+         |    CAST(len(regexp_extract_all(t, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(t, '\\p{Greek}')) AS BIGINT) AS n_greek,
+         |    CAST(len(regexp_extract_all(t, '\\p{Han}')) AS BIGINT) AS n_han,
+         |    CAST(len(regexp_extract_all(t, '\\p{Arabic}')) AS BIGINT) AS n_arabic
+         |  FROM d),
+         |s AS (SELECT doc_id, 'arabic' AS s, n_arabic AS n FROM c
+         |  UNION ALL SELECT doc_id, 'cyrillic', n_cyrillic FROM c
+         |  UNION ALL SELECT doc_id, 'greek', n_greek FROM c
+         |  UNION ALL SELECT doc_id, 'han', n_han FROM c),
+         |b AS (SELECT doc_id, s, n, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY n DESC, s DESC) AS rn FROM s)
+         |SELECT c.doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+         |  CASE WHEN b.n > 0 THEN b.s ELSE 'none' END AS main_other,
+         |  (CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT) +
+         |   CAST(n_greek > 0 AS INT) + CAST(n_han > 0 AS INT) +
+         |   CAST(n_arabic > 0 AS INT)) >= 2 AS mixed
+         |FROM c JOIN b ON c.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY c.doc_id""".stripMargin
     },
 
     "q_embed_normalize" ->

@@ -228,6 +228,44 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Per-document Unicode SCRIPT histogram — the script-mix audit a
+    * crawl-cleanup pass runs alongside language ID: mixed-script
+    * documents flag lookalike spam ("Ⅴiagra"), mojibake remnants, and
+    * boilerplate-injected pages that a token-level langid scores
+    * confidently wrong. Counts per script ride codegen'd
+    * `regexp_count` character classes (Java `\p{IsX}` ≡ RE2 `\p{X}`
+    * for these five majority scripts — engine-portable, the property
+    * the oracle parity rests on); `main_other` is the dominant
+    * NON-Latin script (the langid struct-max tie convention: count,
+    * then name descending; `none` when no non-Latin char), `mixed` is
+    * ≥ 2 scripts present. Narrow one-pass projection, no shuffle.
+    *
+    * Output: `(…, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+    * main_other, mixed)`. */
+  def scriptMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scripts = Seq("arabic" -> "\\p{IsArabic}", "cyrillic" -> "\\p{IsCyrillic}",
+      "greek" -> "\\p{IsGreek}", "han" -> "\\p{IsHan}")
+    def cnt(pat: String): Column =
+      regexp_count(col(textCol), lit(pat)).cast("long")
+    val nLatin = cnt("\\p{IsLatin}")
+    val scored = array(scripts.map { case (n, p) =>
+      struct(cnt(p).as("n"), lit(n).as("s"))
+    }: _*)
+    val best = array_max(scored)
+    val present = (nLatin > 0).cast("int") +
+      scripts.map { case (_, p) => (cnt(p) > 0).cast("int") }
+        .reduce(_ + _)
+    docs.withColumn("n_latin", nLatin)
+      .withColumn("n_cyrillic", cnt("\\p{IsCyrillic}"))
+      .withColumn("n_greek", cnt("\\p{IsGreek}"))
+      .withColumn("n_han", cnt("\\p{IsHan}"))
+      .withColumn("n_arabic", cnt("\\p{IsArabic}"))
+      .withColumn("main_other",
+        when(best.getField("n") > 0, best.getField("s"))
+          .otherwise(lit("none")))
+      .withColumn("mixed", present >= 2)
+  }
+
   /** Hashed character-bigram buckets of a text column — the fastText-
     * shape feature map shared by [[langProfileTrain]] and
     * [[langProfilePredict]]: every 2-character window, Karp–Rabin folded

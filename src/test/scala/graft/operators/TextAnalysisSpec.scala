@@ -535,4 +535,23 @@ class TextAnalysisSpec extends SparkSuite {
       .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
     assert(again == pred)
   }
+
+  test("scriptMix: counts, dominant non-Latin script, mixed flag") {
+    val docs = Seq(
+      (1L, "plain latin only"),
+      (2L, "latin with \u0442\u0435\u043a\u0441\u0442 inside"),      // + 5 Cyrillic
+      (3L, "\u4e2d\u6587 and \u03b1\u03b2\u03b3\u03b4 mixed"),       // 2 Han + 4 Greek + latin
+      (4L, "12345 .,;!")                                          // no letters at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(docs)
+      .select($"doc_id", $"n_latin", $"n_cyrillic", $"n_greek", $"n_han",
+        $"n_arabic", $"main_other", $"mixed")
+      .as[(Long, Long, Long, Long, Long, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 14L, 0L, 0L, 0L, 0L, "none", false))
+    assert(got(2L) == (2L, 15L, 5L, 0L, 0L, 0L, "cyrillic", true))
+    // greek (4) beats han (2); latin + greek + han = 3 scripts -> mixed
+    assert(got(3L) == (3L, 8L, 0L, 4L, 2L, 0L, "greek", true))
+    assert(got(4L) == (4L, 0L, 0L, 0L, 0L, 0L, "none", false))
+  }
 }
