@@ -210,6 +210,59 @@ class SourcesSpec extends SparkSuite {
     assert(got.toSeq == Seq(null))
   }
 
+  test("wetStream: file-streaming demux equals the batch reader on the same dir") {
+    val dir = Files.createTempDirectory("src-wet-stream")
+    val in = dir.resolve("in"); Files.createDirectories(in)
+    def rec(i: Int) = {
+      val body = s"stream body $i"
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://s/p/$i\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    }
+    Files.writeString(in.resolve("a.wet"), rec(1) + rec(2))
+    Files.writeString(in.resolve("b.wet"), rec(3))
+    val q = Sources.wetStream(spark, in.toString)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/sink")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/sink")
+      .select("uri", "body").as[(String, String)].collect().toSet
+    val batch = Sources.wetRecords(spark, in.toString)
+      .select("uri", "body").as[(String, String)].collect().toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
+  test("fuzz: corrupted WET dumps never throw — every row is parsed-or-null") {
+    val dir = Files.createTempDirectory("src-wet-fuzz")
+    val base = (1 to 5).map { i =>
+      val body = s"fuzz body $i with café ${"x" * i}"
+      val n = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://f/p/$i\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+    }.mkString.getBytes("UTF-8")
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 25) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(6))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      java.nio.file.Files.write(dir.resolve(s"t$trial.wet"), mutated)
+      // must not throw — corrupt records surface as null/empty fields,
+      // never task failures (the corrupt-row contract; a byte flip can
+      // hit the separator, a header, a length digit, or the body)
+      val rows = Sources.wetRecords(spark, dir.resolve(s"t$trial.wet").toString)
+        .collect()
+      rows.foreach { r =>
+        val body = r.getAs[String]("body")
+        val len = if (r.isNullAt(r.fieldIndex("content_length"))) -1L
+          else r.getAs[Long]("content_length")
+        // a non-null body is exactly Content-Length bytes by contract
+        if (body != null)
+          assert(body.getBytes("UTF-8").length == len, s"trial $trial")
+      }
+    }
+  }
+
   test("warcResponses: HTTP status/headers split from payload, byte-exact") {
     val dir = Files.createTempDirectory("src-warc")
     def rec(uri: String, status: Int, ctype: String, payload: String) = {
