@@ -110,8 +110,15 @@ object Sources {
         val hdrEnd = locate("\r\n\r\n", col("rec")) // 1-based char pos
         val bodyStart =
           octet_length(col("rec").substr(lit(1), hdrEnd + lit(3))) + lit(1)
+        // clamp before the int cast: a corrupt/hostile record can claim
+        // a Content-Length beyond Int range, and ANSI cast overflow is
+        // a task failure — clamped, the slice just comes up short of
+        // the claimed length, so the equality gate below nulls the body
+        // (the corrupt-row contract)
         encode(col("rec"), "UTF-8")
-          .substr(bodyStart, col("content_length").cast("int"))
+          .substr(bodyStart,
+            least(col("content_length"), lit(Int.MaxValue.toLong))
+              .cast("int"))
       })
       .withColumn("body",
         when(locate("\r\n\r\n", col("rec")) > 0 &&

@@ -199,6 +199,16 @@ class SourcesSpec extends SparkSuite {
     assert(got.map(_._2) == Seq(null, null, tail))
   }
 
+  test("wetRecords: a Content-Length beyond Int range → null body, not an ANSI cast overflow") {
+    val dir = Files.createTempDirectory("src-wet-bigcl")
+    Files.writeString(dir.resolve("c.wet"),
+      "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://b/p/1\r\n" +
+        "Content-Length: 99999999999\r\n\r\ntiny actual body\r\n\r\n")
+    val got = Sources.wetRecords(spark, dir.toString)
+      .select("content_length", "body").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((99999999999L, null)))
+  }
+
   test("wetRecords: a lying Content-Length that cuts mid-codepoint → null body, not a task failure") {
     val dir = Files.createTempDirectory("src-wet-midcp")
     val body = "café" // 'é' = 2 bytes; length 4 cuts it in half
