@@ -273,6 +273,28 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("fuzz: corrupted WARC response dumps never throw") {
+    val dir = Files.createTempDirectory("src-warc-fuzz")
+    val base = (1 to 4).map { i =>
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\npayload $i é"
+      val n = http.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://f/p/$i\r\n" +
+        s"Content-Length: $n\r\n\r\n$http\r\n\r\n"
+    }.mkString.getBytes("UTF-8")
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 25) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(6))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      java.nio.file.Files.write(dir.resolve(s"t$trial.warc"), mutated)
+      // the flip can hit the record separator, a WARC header, the HTTP
+      // status line, the header terminator, or the payload — every
+      // outcome must be a row with null/degraded fields, never a throw
+      Sources.warcResponses(spark, dir.resolve(s"t$trial.warc").toString)
+        .collect()
+    }
+  }
+
   test("warcResponses: HTTP status/headers split from payload, byte-exact") {
     val dir = Files.createTempDirectory("src-warc")
     def rec(uri: String, status: Int, ctype: String, payload: String) = {
