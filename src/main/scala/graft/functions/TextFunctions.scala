@@ -61,6 +61,25 @@ object TextFunctions {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Locale-ROOT lowercase (kernel expression). Spark's built-in `lower`
+    * takes `String.toLowerCase()` under the JVM DEFAULT locale on any
+    * string carrying a non-ASCII char (`UTF8String.toLowerCaseSlow`), so
+    * under a tr/az default locale 'I' folds to dotless 'ı' and a
+    * driver-side `Locale.ROOT` pattern fold no longer matches the
+    * executor-side column fold. This kernel pins `Locale.ROOT` on both
+    * sides regardless of JVM configuration — use it wherever a fold must
+    * agree with [[java.util.Locale.ROOT]]-folded reference strings. */
+  def rootLower(text: Column): Column =
+    Bridge.column(RootLower(Bridge.expression(text)))
+
+  /** ROOT-lowercase kernel: the all-ASCII fast path delegates to
+    * UTF8String's branch-free ASCII fold (same cost as built-in `lower`
+    * on ASCII); only strings with a non-ASCII char pay the String hop. */
+  def rootLowerKernel(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) s.toLowerCaseAscii // ASCII-only fast path, locale-free
+    else UTF8String.fromString(s.toString.toLowerCase(java.util.Locale.ROOT))
+  }
+
   /** Word n-gram shingles (strings), e.g. k=3 → "a b c" windows.
     *
     * Kernel expression, not an HOF chain: the previous
@@ -280,6 +299,21 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.nfcKernel($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+case class RootLower(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "root_lower"
+
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.rootLowerKernel(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFunctions.rootLowerKernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RootLower =
     copy(child = newChild)
 }
 

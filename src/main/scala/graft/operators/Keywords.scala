@@ -153,17 +153,36 @@ object Keywords {
     * runs on ("VIAGRA", decomposed "Ⅴiagra" lookalikes must hit the
     * same pattern): NFC canonical composition first (so composed and
     * decomposed spellings of the same glyph agree), then a
-    * locale-independent lowercase (ROOT — Spark's `lower` is
-    * locale-agnostic the same way, so driver-side pattern folding and
-    * the executor-side column fold land on identical chars). */
+    * locale-independent lowercase (`Locale.ROOT`). The column side
+    * deliberately does NOT use Spark's `lower`: on any string carrying
+    * a non-ASCII char, built-in `lower` falls back to the JVM DEFAULT
+    * locale (`UTF8String.toLowerCaseSlow`), so under a tr/az locale
+    * 'I' folds to dotless 'ı' and silently stops matching the
+    * ROOT-folded patterns — both sides fold through ROOT instead. */
   private[operators] def foldPattern(p: String): String =
     java.text.Normalizer.normalize(p, java.text.Normalizer.Form.NFC)
       .toLowerCase(java.util.Locale.ROOT)
 
   /** The matching column fold: same order as [[foldPattern]] — the NFC
-    * kernel expression, then the codegen'd `lower`. */
+    * kernel expression, then the ROOT-lowercase kernel (both codegen'd,
+    * both locale-pinned). */
   private def foldColumn(c: Column): Column =
-    lower(graft.functions.TextFunctions.nfcNormalize(c))
+    graft.functions.TextFunctions.rootLower(
+      graft.functions.TextFunctions.nfcNormalize(c))
+
+  /** Fold + DEDUPE a pattern list: distinct folded forms, each carrying
+    * the FIRST original spelling that folded to it — so two caller
+    * patterns that collide after folding ("Café", "CAFÉ") become
+    * ONE automaton output reporting the combined count once, under the
+    * first spelling, instead of one full-count row per original. */
+  private def foldDistinct(patterns: Seq[String]): (Seq[String], Seq[String]) = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    patterns.foreach { p =>
+      val f = foldPattern(p)
+      if (!seen.contains(f)) seen(f) = p
+    }
+    (seen.keys.toSeq, seen.values.toSeq)
+  }
 
   /** The SPARSE hit relation: one row per (id, pattern) with its
     * occurrence count (n ≥ 1 only — misses emit nothing). The scan is
@@ -175,18 +194,21 @@ object Keywords {
     *
     * `caseFold = true` turns on the case-insensitive, NFC-normalized
     * dial: patterns are folded ONCE at automaton-build time
-    * ([[foldPattern]]) and the text column is composed through
-    * `lower` + NFC ahead of the scan — both stay codegen'd, and the
-    * output `pattern` column carries the caller's ORIGINAL spelling
-    * (two patterns that collide after folding count together under the
-    * first spelling; dedupe the list if that matters). */
+    * ([[foldPattern]]) and the text column is composed through the
+    * ROOT-lowercase + NFC kernels ahead of the scan — both stay
+    * codegen'd. Patterns that collide after folding are DEDUPED at
+    * build time ([[foldDistinct]]): the combined occurrence count is
+    * reported exactly once, under the first colliding spelling — never
+    * one full-count row per original (which would double-count any
+    * sum over the relation). */
   def matchCounts(df: DataFrame, patterns: Seq[String],
       textCol: String = "text", idCol: String = "doc_id",
       caseFold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val pats = if (caseFold) patterns.map(foldPattern) else patterns
+    val (pats, display) =
+      if (caseFold) foldDistinct(patterns) else (patterns, patterns)
     val ac = buildAutomaton(pats)
-    val patArr = array(patterns.map(lit): _*)
+    val patArr = array(display.map(lit): _*)
     val in = if (caseFold) foldColumn(col(textCol)) else col(textCol)
     val hits = Bridge.column(AhoMatchCounts(Bridge.expression(in), ac))
     df.select(col(idCol), explode(hits).as("h"))
@@ -203,7 +225,7 @@ object Keywords {
   def filterNone(df: DataFrame, patterns: Seq[String],
       textCol: String = "text", caseFold: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val pats = if (caseFold) patterns.map(foldPattern) else patterns
+    val pats = if (caseFold) foldDistinct(patterns)._1 else patterns
     val ac = buildAutomaton(pats)
     val in = if (caseFold) foldColumn(col(textCol)) else col(textCol)
     val hit = Bridge.column(AhoContainsAny(Bridge.expression(in), ac))

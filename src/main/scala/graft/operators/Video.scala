@@ -390,18 +390,23 @@ object Video {
         // reject oversized claims BEFORE the full decode allocates
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(frame))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
-              w.toLong * h > MaxPixels) None
-            else Option(reader.read(0))
-          } finally { reader.dispose(); iis.close() }
-        }
+        // iis closes on EVERY path: the no-reader branch would otherwise
+        // leak the ImageInputStream (and its disk-cache file) per
+        // unreadable frame
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+              if (w <= 0 || h <= 0 || w > 0xFFFF || h > 0xFFFF ||
+                w.toLong * h > MaxPixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -144,19 +144,27 @@ object Sources {
     import org.apache.spark.sql.functions._
     wetRecords(spark, path)
       .withColumnRenamed("body", "__http")
+      // header extraction runs over the HEADER SECTION ONLY (the char
+      // prefix up to and including the first blank line) — a payload
+      // line that happens to spell "content-type: …" (quoted HTTP,
+      // multipart bodies) must never be misattributed as the response
+      // header; a block with no header terminator yields an empty
+      // prefix, so status/type null out with the body
+      .withColumn("__hdr",
+        col("__http").substr(lit(1), locate("\r\n\r\n", col("__http")) + lit(1)))
       .withColumn("http_status",
-        nullif(regexp_extract(col("__http"), "^HTTP/1\\.[01] (\\d{3})", 1),
+        nullif(regexp_extract(col("__hdr"), "^HTTP/1\\.[01] (\\d{3})", 1),
           lit("")).cast("int"))
       .withColumn("content_type",
-        when(regexp_extract(col("__http"), "(?mi)^content-type: ([^\\r\\n]+)", 1)
+        when(regexp_extract(col("__hdr"), "(?mi)^content-type: ([^\\r\\n]+)", 1)
             =!= "",
-          regexp_extract(col("__http"), "(?mi)^content-type: ([^\\r\\n]+)", 1)))
+          regexp_extract(col("__hdr"), "(?mi)^content-type: ([^\\r\\n]+)", 1)))
       .withColumn("body",
         when(locate("\r\n\r\n", col("__http")) > 0,
           col("__http").substr(
             locate("\r\n\r\n", col("__http")) + lit(4),
             length(col("__http")))))
-      .drop("__http")
+      .drop("__http", "__hdr")
   }
 
   /** CSV with an explicit schema and header control. */

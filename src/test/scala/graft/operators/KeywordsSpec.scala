@@ -121,4 +121,36 @@ class KeywordsSpec extends SparkSuite {
     assert(ac.countAll("abc").toSeq == Seq(1L, 1L, 1L, 1L, 1L))
     assert(ac.countAll("abab").toSeq == Seq(2L, 2L, 0L, 0L, 0L))
   }
+
+  test("caseFold column fold pins Locale.ROOT even under a tr default locale") {
+    import spark.implicits._
+    // Under a Turkish JVM default locale, String.toLowerCase folds 'I'
+    // to dotless 'ı' — and Spark's built-in lower() takes exactly that
+    // path for any string carrying a non-ASCII char. The engine fold
+    // must pin ROOT on both sides so the driver-folded pattern still
+    // matches the executor-folded text.
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // non-ASCII char (é) forces the slow (locale-sensitive) path in
+      // built-in lower; "VIAGRA" must still fold I → i, not I → ı
+      val docs = Seq((1L, "café VIAGRA spam")).toDF("doc_id", "text")
+      val hits = Keywords.matchCounts(docs, Seq("viagra"), caseFold = true)
+        .select("doc_id", "pattern", "n").as[(Long, String, Long)]
+        .collect().toSeq
+      assert(hits == Seq((1L, "viagra", 1L)))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("patterns colliding after folding report the combined count ONCE") {
+    import spark.implicits._
+    val docs = Seq((1L, "Café café CAFÉ")).toDF("doc_id", "text")
+    // three spellings fold to the same pattern — the hit relation must
+    // carry ONE row (first spelling, combined count), not one full-count
+    // row per original (which would triple any sum over the relation)
+    val hits = Keywords.matchCounts(docs,
+      Seq("Café", "CAFÉ", "café"), caseFold = true)
+      .select("pattern", "n").as[(String, Long)].collect().toSeq
+    assert(hits == Seq(("Café", 3L)))
+  }
 }

@@ -336,6 +336,28 @@ class SourcesSpec extends SparkSuite {
       .as[(String, Option[Int], String)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
       ("http://g/p/1", Some(200), "payload"),
-      ("http://g/p/2", Some(200), null))) // status parses, payload can't
+      // no header terminator → the WHOLE http split nulls (status/type/
+      // body) — header extraction runs over the terminated header
+      // section only, so a terminator-less block is a corrupt row, and
+      // a payload line spelling "content-type: …" can never be
+      // misattributed as a response header
+      ("http://g/p/2", None, null)))
+  }
+
+  test("warcResponses: a payload line spelling an http header is never misattributed") {
+    val dir = Files.createTempDirectory("src-warc-payload-hdr")
+    // real header block has NO Content-Type; the payload QUOTES one —
+    // content_type must stay null (header-section-only extraction)
+    val http = "HTTP/1.1 200 OK\r\nServer: x\r\n\r\n" +
+      "quoted response follows:\r\ncontent-type: text/evil\r\nrest"
+    val recs =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://q/p/1\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    Files.writeString(dir.resolve("c.warc"), recs)
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "http_status", "content_type", "body")
+      .as[(String, Option[Int], Option[String], String)].collect().toSeq
+    assert(got == Seq(("http://q/p/1", Some(200), None,
+      "quoted response follows:\r\ncontent-type: text/evil\r\nrest")))
   }
 }
