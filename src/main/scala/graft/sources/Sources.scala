@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Batch source readers (the S-rows of SURVEY.md §2.1 beyond Kafka, plus the
@@ -75,14 +75,45 @@ object Sources {
   private val WetRecordSep = "\r\n\r\nWARC/1.0\r\n"
 
   /** Shared WET demux over the lineSep-split raw text relation — one
-    * definition for the batch reader and the streaming twin. */
+    * definition for the batch reader and the streaming twin. The text
+    * surface: the binary core's body validated as UTF-8 (the WET spec's
+    * encoding; invalid bytes → NULL, the corrupt-row contract). */
   private def wetParse(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wetParseBinary(raw)
+      .withColumn("body", try_validate_utf8(col("body_bin").cast("string")))
+      .drop("body_bin")
+  }
+
+  /** The BYTES surface of the record demux: `body_bin` is the raw
+    * Content-Length slice, unvalidated — the input for payloads that
+    * are NOT UTF-8 text (compressed/chunked HTTP payloads, images in
+    * `resource` records). The slice must never round-trip through a
+    * String re-encode (invalid sequences would silently become U+FFFD),
+    * so it is carved with `cast(binary)` — the raw UTF8String bytes. */
+  def wetRecordsBinary(spark: SparkSession, path: String): DataFrame =
+    wetParseBinary(spark.read.option("lineSep", WetRecordSep).text(path))
+
+  private def wetParseBinary(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw
       // the FIRST record carries its own leading version line (no
-      // separator precedes it); trailing empty splits drop
-      .select(regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "").as("rec"))
-      .filter(length(col("rec")) > 0)
+      // separator precedes it); trailing empty splits drop. The strip
+      // is a BYTE slice (startsWith compares bytes; the binary substr
+      // is byte-positioned over the 10-byte ASCII prefix) — NEVER a
+      // regexp_replace, whose String round-trip would silently rewrite
+      // any invalid-UTF-8 payload byte (compressed HTTP bodies, binary
+      // resources) to U+FFFD before the Content-Length slice
+      .select(
+        when(col("value").startsWith("WARC/1.0\r\n"),
+          col("value").cast("binary")
+            .substr(lit(11), octet_length(col("value"))))
+          .otherwise(col("value").cast("binary")).as("recb"))
+      .filter(octet_length(col("recb")) > 0)
+      // the string VIEW wraps the same raw bytes (cast, not decode) —
+      // header regexes/locate only ever match within the ASCII header
+      // prefix, so the invalid payload bytes behind it are inert
+      .withColumn("rec", col("recb").cast("string"))
       .select(
         regexp_extract(col("rec"), "(?m)^WARC-Type: (\\S+)", 1).as("rec_type"),
         regexp_extract(col("rec"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("uri"),
@@ -91,21 +122,21 @@ object Sources {
         // fragment (a mis-split remainder) must be a corrupt ROW
         nullif(regexp_extract(col("rec"), "(?m)^Content-Length: (\\d+)", 1),
           lit("")).cast("long").as("content_length"),
-        col("rec"))
-      // WARC Content-Length is BYTES, so the slice runs on the UTF-8
-      // encoding. The blank line is found at a CHARACTER offset
-      // (locate), then converted to a BYTE offset via the encoded
-      // length of the char prefix — exact even when a header field
-      // (e.g. a raw-UTF-8 WARC-Target-URI) carries multibyte chars.
+        col("rec"), col("recb"))
+      // WARC Content-Length is BYTES, so the slice runs on the raw
+      // bytes (`cast(binary)` — never `encode`, whose String hop
+      // replaces invalid sequences with U+FFFD and would corrupt
+      // non-UTF-8 payload bytes). The blank line is found at a
+      // CHARACTER offset (locate — the WARC header block is ASCII, so
+      // the char scan cannot mis-step before the first terminator),
+      // then converted to a BYTE offset via the encoded length of the
+      // char prefix — exact even when a header field (e.g. a raw-UTF-8
+      // WARC-Target-URI) carries multibyte chars.
       // Corrupt rows surface as NULL body, never a task failure:
       //  - no header terminator (locate = 0);
       //  - short slice (mis-split: a body containing the full record
       //    delimiter truncates this record — the byte count disagrees
-      //    with Content-Length, so the damage is flagged, not silent);
-      //  - a slice that cuts mid-codepoint (a lying Content-Length):
-      //    the raw bytes are wrapped unvalidated (binary→string cast)
-      //    and gated by try_validate_utf8, which nulls malformed UTF-8
-      //    instead of raising like Spark 4's strict decode().
+      //    with Content-Length, so the damage is flagged, not silent).
       .withColumn("__b", {
         val hdrEnd = locate("\r\n\r\n", col("rec")) // 1-based char pos
         val bodyStart =
@@ -115,56 +146,123 @@ object Sources {
         // a task failure — clamped, the slice just comes up short of
         // the claimed length, so the equality gate below nulls the body
         // (the corrupt-row contract)
-        encode(col("rec"), "UTF-8")
+        col("recb")
           .substr(bodyStart,
             least(col("content_length"), lit(Int.MaxValue.toLong))
               .cast("int"))
       })
-      .withColumn("body",
+      .withColumn("body_bin",
         when(locate("\r\n\r\n", col("rec")) > 0 &&
             octet_length(col("__b")) === col("content_length"),
-          try_validate_utf8(col("__b").cast("string"))))
-      .drop("rec", "__b")
+          col("__b")))
+      .drop("rec", "recb", "__b")
   }
 
-  /** Full WARC `response` records — the upstream of WET: per record the
-    * WARC header block, then an HTTP response (status line + headers +
-    * payload) whose total byte length is the WARC `Content-Length`. The
-    * demux shares [[wetRecords]]' declarative machinery (multi-char
-    * `lineSep` record split, byte-exact Content-Length slice, null-body
-    * corrupt-row contract); on top of it the HTTP block is split at ITS
-    * first blank line into status/headers and payload.
+  /** Full WARC `response` records, BYTES surface — the upstream of WET:
+    * per record the WARC header block, then an HTTP response (status
+    * line + headers + payload) whose total byte length is the WARC
+    * `Content-Length`. The demux shares [[wetRecordsBinary]]'s
+    * declarative machinery (multi-char `lineSep` record split,
+    * byte-exact Content-Length slice, null-body corrupt-row contract);
+    * on top of it the HTTP block is split at ITS first blank line —
+    * found by the byte-exact [[graft.functions.HttpFunctions.binIndexOf]]
+    * kernel, since compressed payload bytes would derail a char-based
+    * `locate` — into status/headers and payload, and the payload is
+    * decoded through the transfer/content codings real crawl dumps
+    * actually carry: `Transfer-Encoding: chunked` framing removal, then
+    * `Content-Encoding: gzip`/`deflate` decompression (identity/absent
+    * pass through; an UNRECOGNIZED coding — br, zstd — nulls the body
+    * rather than leaking compressed bytes downstream as if they were
+    * content).
     *
-    * Output: `(rec_type, uri, content_length, http_status, content_type,
-    * body)` — `body` is the HTTP payload; `http_status`/`content_type`
-    * come out of codegen'd `regexp_extract`s over the header block
-    * (case-insensitive header name per RFC 9110). A content block with
-    * no HTTP header terminator yields null status/type/body. */
-  def warcResponses(spark: SparkSession, path: String): DataFrame = {
+    * Output: `(rec_type, uri, content_length, http_status,
+    * content_type, transfer_encoding, content_encoding, body)` with
+    * `body` BINARY (decoded payload bytes). Header extraction runs over
+    * the HEADER SECTION ONLY (the prefix up to the first blank line,
+    * case-insensitive names per RFC 9110) — a payload line spelling
+    * "content-type: …" is never misattributed; a block with no header
+    * terminator yields null status/type/encodings/body. Every decode
+    * failure (bad chunk framing, bad gzip/zlib stream, a decompressed
+    * size past `maxDecodedBytes` — the bomb guard) is a NULL body,
+    * never a task failure. */
+  def warcResponsesBinary(spark: SparkSession, path: String,
+      maxDecodedBytes: Int = graft.functions.HttpFunctions.DefaultMaxDecodedBytes)
+      : DataFrame = {
     import org.apache.spark.sql.functions._
-    wetRecords(spark, path)
-      .withColumnRenamed("body", "__http")
-      // header extraction runs over the HEADER SECTION ONLY (the char
-      // prefix up to and including the first blank line) — a payload
-      // line that happens to spell "content-type: …" (quoted HTTP,
-      // multipart bodies) must never be misattributed as the response
-      // header; a block with no header terminator yields an empty
-      // prefix, so status/type null out with the body
+    import graft.functions.HttpFunctions.{binIndexOf, chunkedDecode, gunzip, inflate}
+    def header(name: String): Column = {
+      val v = regexp_extract(col("__hdr"), s"(?mi)^$name: ([^\\r\\n]+)", 1)
+      when(v =!= "", v)
+    }
+    wetRecordsBinary(spark, path)
+      .withColumnRenamed("body_bin", "__http")
+      .withColumn("__e", binIndexOf(col("__http"), "\r\n\r\n")) // 1-based byte pos
+      // the header section is ASCII by spec; a fuzzed/binary prefix
+      // fails UTF-8 validation and nulls all header-derived columns
       .withColumn("__hdr",
-        col("__http").substr(lit(1), locate("\r\n\r\n", col("__http")) + lit(1)))
+        when(col("__e") > 0, try_validate_utf8(
+          col("__http").substr(lit(1), col("__e") + lit(1)).cast("string"))))
       .withColumn("http_status",
         nullif(regexp_extract(col("__hdr"), "^HTTP/1\\.[01] (\\d{3})", 1),
           lit("")).cast("int"))
-      .withColumn("content_type",
-        when(regexp_extract(col("__hdr"), "(?mi)^content-type: ([^\\r\\n]+)", 1)
-            =!= "",
-          regexp_extract(col("__hdr"), "(?mi)^content-type: ([^\\r\\n]+)", 1)))
+      .withColumn("content_type", header("content-type"))
+      .withColumn("transfer_encoding", lower(trim(header("transfer-encoding"))))
+      .withColumn("content_encoding", lower(trim(header("content-encoding"))))
+      .withColumn("__p0",
+        when(col("__e") > 0,
+          col("__http").substr(col("__e") + lit(4), length(col("__http")))))
+      // RFC 9112: chunked is always the LAST transfer coding, so framing
+      // removal precedes content decoding
+      .withColumn("__p1",
+        when(col("transfer_encoding").isNull, col("__p0"))
+          .when(col("transfer_encoding").contains("chunked"),
+            chunkedDecode(col("__p0")))
+          .otherwise(col("__p0")))
       .withColumn("body",
-        when(locate("\r\n\r\n", col("__http")) > 0,
-          col("__http").substr(
-            locate("\r\n\r\n", col("__http")) + lit(4),
-            length(col("__http")))))
-      .drop("__http", "__hdr")
+        when(col("content_encoding").isNull ||
+            col("content_encoding") === "identity", col("__p1"))
+          .when(col("content_encoding").isin("gzip", "x-gzip"),
+            gunzip(col("__p1"), maxDecodedBytes))
+          .when(col("content_encoding") === "deflate",
+            inflate(col("__p1"), maxDecodedBytes))
+          .otherwise(lit(null).cast("binary")))
+      .select(col("rec_type"), col("uri"), col("content_length"),
+        col("http_status"), col("content_type"),
+        col("transfer_encoding"), col("content_encoding"), col("body"))
+  }
+
+  /** Full WARC `response` records, TEXT surface — [[warcResponsesBinary]]
+    * plus charset-aware payload decode: the charset is resolved from the
+    * Content-Type `charset=` parameter, else sniffed from an HTML
+    * `<meta charset=…>` / `<meta http-equiv … content="…charset=…">` in
+    * the first KiB of the payload (decoded as ISO-8859-1 for the sniff —
+    * total, ASCII-transparent), else UTF-8 (the modern-web default).
+    * The decode is STRICT per charset (a lying header → NULL body, never
+    * U+FFFD mojibake silently entering the corpus).
+    *
+    * Output: the binary surface's columns plus `charset`, with `body`
+    * re-typed STRING (decoded text). */
+  def warcResponses(spark: SparkSession, path: String,
+      maxDecodedBytes: Int = graft.functions.HttpFunctions.DefaultMaxDecodedBytes)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HttpFunctions.charsetDecode
+    val csToken = "([A-Za-z0-9][A-Za-z0-9._:-]*)"
+    warcResponsesBinary(spark, path, maxDecodedBytes)
+      .withColumnRenamed("body", "__bin")
+      .withColumn("__cs_hdr",
+        nullif(regexp_extract(col("content_type"),
+          s"""(?i)charset\\s*=\\s*["']?$csToken""", 1), lit("")))
+      .withColumn("__sniff",
+        charsetDecode(col("__bin").substr(lit(1), lit(1024)), lit("ISO-8859-1")))
+      .withColumn("__cs_meta",
+        nullif(regexp_extract(col("__sniff"),
+          s"""(?i)<meta[^>]{0,200}?charset\\s*=\\s*["']?$csToken""", 1),
+          lit("")))
+      .withColumn("charset",
+        coalesce(col("__cs_hdr"), col("__cs_meta"), lit("UTF-8")))
+      .withColumn("body", charsetDecode(col("__bin"), col("charset")))
+      .drop("__bin", "__cs_hdr", "__sniff", "__cs_meta")
   }
 
   /** CSV with an explicit schema and header control. */

@@ -360,4 +360,140 @@ class SourcesSpec extends SparkSuite {
     assert(got == Seq(("http://q/p/1", Some(200), None,
       "quoted response follows:\r\ncontent-type: text/evil\r\nrest")))
   }
+
+  // ---- HTTP payload transfer/content/charset decoding ------------------
+
+  private def gzipB(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private def zlibB(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def chunkB(b: Array[Byte], sz: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    b.grouped(sz).foreach { c =>
+      out.write(s"${c.length.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(c)
+      out.write("\r\n".getBytes("US-ASCII"))
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Render one WARC response record with a BINARY http payload. */
+  private def warcRec(out: java.io.ByteArrayOutputStream, uri: String,
+      headers: Seq[String], payload: Array[Byte]): Unit = {
+    val hdr = (s"HTTP/1.1 200 OK" +: headers).mkString("", "\r\n", "\r\n\r\n")
+      .getBytes("US-ASCII")
+    val n = hdr.length + payload.length
+    out.write((s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $n\r\n\r\n").getBytes("US-ASCII"))
+    out.write(hdr); out.write(payload)
+    out.write("\r\n\r\n".getBytes("US-ASCII"))
+  }
+
+  test("warcResponses: chunked / gzip / deflate / chunked+gzip payloads decode") {
+    val dir = Files.createTempDirectory("src-warc-enc")
+    val text = "the decoded payload — café ✓"
+    val raw = text.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    warcRec(out, "http://e/p/1", Seq("Content-Type: text/plain"), raw)
+    warcRec(out, "http://e/p/2",
+      Seq("Content-Type: text/plain", "Transfer-Encoding: chunked"),
+      chunkB(raw, 7))
+    warcRec(out, "http://e/p/3",
+      Seq("Content-Type: text/plain", "Content-Encoding: gzip"), gzipB(raw))
+    warcRec(out, "http://e/p/4",
+      Seq("Content-Type: text/plain", "Content-Encoding: deflate"), zlibB(raw))
+    warcRec(out, "http://e/p/5",
+      Seq("Content-Type: text/plain", "Content-Encoding: gzip",
+        "Transfer-Encoding: chunked"), chunkB(gzipB(raw), 5))
+    // unknown content coding: body must NULL, not leak compressed bytes
+    warcRec(out, "http://e/p/6",
+      Seq("Content-Type: text/plain", "Content-Encoding: br"), raw)
+    java.nio.file.Files.write(dir.resolve("c.warc"), out.toByteArray)
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "transfer_encoding", "content_encoding", "body")
+      .as[(String, Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://e/p/1", None, None, Some(text)),
+      ("http://e/p/2", Some("chunked"), None, Some(text)),
+      ("http://e/p/3", None, Some("gzip"), Some(text)),
+      ("http://e/p/4", None, Some("deflate"), Some(text)),
+      ("http://e/p/5", Some("chunked"), Some("gzip"), Some(text)),
+      ("http://e/p/6", None, Some("br"), None)))
+  }
+
+  test("warcResponses: charset resolution — header param, meta sniff, default") {
+    val dir = Files.createTempDirectory("src-warc-cs")
+    val out = new java.io.ByteArrayOutputStream()
+    // header charset param wins
+    warcRec(out, "http://c/p/1",
+      Seq("Content-Type: text/plain; charset=ISO-8859-1"),
+      "café ±".getBytes("ISO-8859-1"))
+    warcRec(out, "http://c/p/2",
+      Seq("Content-Type: text/html; charset=windows-1252"),
+      "café €’".getBytes("windows-1252"))
+    // no param → meta sniff
+    warcRec(out, "http://c/p/3", Seq("Content-Type: text/html"),
+      "<meta charset=\"ISO-8859-1\"><p>naïve".getBytes("ISO-8859-1"))
+    // nothing → UTF-8 default
+    warcRec(out, "http://c/p/4", Seq("Content-Type: text/plain"),
+      "plain utf-8 ✓".getBytes("UTF-8"))
+    // header LIES (claims utf-8, ships latin-1 bytes) → null, not mojibake
+    warcRec(out, "http://c/p/5",
+      Seq("Content-Type: text/plain; charset=utf-8"),
+      "café".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("c.warc"), out.toByteArray)
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "charset", "body")
+      .as[(String, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://c/p/1", "ISO-8859-1", Some("café ±")),
+      ("http://c/p/2", "windows-1252", Some("café €’")),
+      ("http://c/p/3", "ISO-8859-1", Some("<meta charset=\"ISO-8859-1\"><p>naïve")),
+      ("http://c/p/4", "UTF-8", Some("plain utf-8 ✓")),
+      ("http://c/p/5", "utf-8", None)))
+  }
+
+  test("fuzz: corrupted ENCODED WARC dumps (chunked+gzip) never throw") {
+    val dir = Files.createTempDirectory("src-warc-enc-fuzz")
+    val base = {
+      val out = new java.io.ByteArrayOutputStream()
+      (1 to 4).foreach { i =>
+        val raw = s"fuzz payload $i café".getBytes("UTF-8")
+        warcRec(out, s"http://f/p/$i",
+          Seq("Content-Type: text/plain; charset=utf-8",
+            "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+          chunkB(gzipB(raw), 6))
+      }
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 25) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(6))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      java.nio.file.Files.write(dir.resolve(s"t$trial.warc"), mutated)
+      // the flip can hit chunk framing, the gzip stream, a charset name,
+      // a header, or the separator — every outcome must be a row with
+      // null/degraded fields, never a task failure
+      Sources.warcResponses(spark, dir.resolve(s"t$trial.warc").toString)
+        .collect()
+      Sources.warcResponsesBinary(spark, dir.resolve(s"t$trial.warc").toString)
+        .collect()
+    }
+  }
 }
