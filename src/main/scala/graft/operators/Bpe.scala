@@ -49,17 +49,52 @@ import graft.functions.TextFunctions.tokens
 object Bpe {
 
   def bpeTrain(docs: DataFrame, merges: Int, textCol: String = "text",
-      stagingDir: Option[String] = None): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1, got $merges")
-    val spark = docs.sparkSession
-    import spark.implicits._
+      stagingDir: Option[String] = None): DataFrame =
+    trainLoop(wordFreqVocab(docs, textCol, split(col("w"), "")),
+      merges, stagingDir)
 
-    // the one corpus-sized job: word frequency table, split to chars
-    val vocab0 = docs
+  /** BYTE-LEVEL BPE training — the production pretraining default
+    * (GPT-2/Llama family): the base alphabet is the word's UTF-8
+    * BYTES, so every input tokenizes with no `[UNK]` by construction —
+    * any Unicode word decomposes into base-alphabet symbols, and
+    * merges only ever concatenate them.
+    *
+    * Symbols are hex-pair strings ("68","65",… — two chars per byte),
+    * so the whole relational merge loop ([[trainLoop]] — pair counts,
+    * deterministic arg-max, greedy left-to-right application) is REUSED
+    * verbatim over byte symbols, merged symbols are unambiguous byte
+    * sequences ("6865" = the two bytes 0x68 0x65), and every value
+    * stays engine-portable integer/string work: the oracle re-derives
+    * the byte split as `regexp_extract_all(hex(encode(w)), '..')` and
+    * re-runs the identical recurrence, putting the WHOLE byte-level
+    * training loop under the hash gate like `q_bpe_train`. */
+  def byteBpeTrain(docs: DataFrame, merges: Int, textCol: String = "text",
+      stagingDir: Option[String] = None): DataFrame =
+    trainLoop(wordFreqVocab(docs, textCol, byteSyms(col("w"))),
+      merges, stagingDir)
+
+  /** UTF-8 bytes of a string as hex-pair symbols — `hex` is uppercase
+    * in Spark AND DuckDB, and the `..` extraction walks the hex string
+    * two chars at a time, so both engines derive identical symbol
+    * arrays. */
+  private[graft] def byteSyms(word: Column): Column =
+    regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0))
+
+  /** The one corpus-sized job: word frequency table + initial symbol
+    * split (chars for classic BPE, hex-pair bytes for byte-level). */
+  private def wordFreqVocab(docs: DataFrame, textCol: String,
+      symsOf: Column): DataFrame =
+    docs
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), split(col("w"), "").as("syms"))
+      .select(col("w"), col("cnt"), symsOf.as("syms"))
+
+  private def trainLoop(vocab0: DataFrame, merges: Int,
+      stagingDir: Option[String]): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = vocab0.sparkSession
+    import spark.implicits._
     var vocab = stagingDir match {
       case Some(dir) => Staging.stageAt(vocab0, dir, "bpe_vocab")._1
       case None      => vocab0.localCheckpoint()
@@ -143,7 +178,18 @@ object Bpe {
     * driver-local Seq because merge tables are small by construction
     * (one driver round each). */
   def bpeTokens(word: Column, rules: Seq[(String, String)]): Column =
-    rules.foldLeft(split(word, "")) { case (syms, (a, b)) =>
+    applyRulesFold(split(word, ""), rules)
+
+  /** Byte-level apply: the same greedy fold over the word's hex-pair
+    * byte symbols. Output tokens are hex strings (unambiguous byte
+    * sequences); every token is in `{256 base bytes} ∪ {merged}` by
+    * construction — no `[UNK]` exists in this tokenizer family. */
+  def byteBpeTokens(word: Column, rules: Seq[(String, String)]): Column =
+    applyRulesFold(byteSyms(word), rules)
+
+  private def applyRulesFold(syms0: Column,
+      rules: Seq[(String, String)]): Column =
+    rules.foldLeft(syms0) { case (syms, (a, b)) =>
       aggregate(syms, array().cast("array<string>"),
         (acc, x) =>
           when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),

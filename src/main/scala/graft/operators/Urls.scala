@@ -56,6 +56,72 @@ object Urls {
     regexp_replace(noWww, "\\.+$", "")
   }
 
+  /** Query parameters every crawl pipeline strips before URL-level
+    * dedup: pure click-tracking noise that multiplies one page into
+    * thousands of distinct URLs. `utm_*` is handled as a PREFIX rule in
+    * [[canonicalUrl]]; these are the exact-name complements. */
+  val defaultTrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+
+  /** Full-URL canonicalization — the URL-level dedup key every crawl
+    * pipeline computes (the other half of crawl dedup, next to content
+    * hashing): one canonical spelling per page so that tracking-param /
+    * fragment / case / dot-segment / default-port variants collapse.
+    *
+    * Transforms (each a standard member of the canonicalization suites
+    * shipped by crawl tooling):
+    *  - scheme lowercased; a scheme-less URL defaults to `http`;
+    *  - host via [[canonicalHost]] (lowercase, userinfo/`www.`/trailing
+    *    dots stripped);
+    *  - default port dropped (`:80` under http, `:443` under https);
+    *    any other explicit port kept;
+    *  - path dot-segments resolved (RFC 3986 §5.2.4: `.` dropped, `..`
+    *    pops — never above the root), duplicate and trailing slashes
+    *    collapsed; the empty path renders as `/`;
+    *  - query: tracking params stripped (`utm_*` prefix +
+    *    [[defaultTrackingParams]]), remaining params BYTE-SORTED for a
+    *    stable spelling, `?` dropped when nothing survives;
+    *  - fragment always dropped (never sent to the server).
+    *
+    * Pure built-in expressions + array HOFs over anchored regexes —
+    * no UDF, null URL → null. A URL with no host canonicalizes around
+    * an empty authority (its own stratum downstream, like
+    * [[canonicalHost]]). */
+  def canonicalUrl(url: Column,
+      dropParams: Seq[String] = defaultTrackingParams): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme0 = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val scheme = when(scheme0 === "", lit("http")).otherwise(scheme0)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val restNoUser = regexp_replace(rest, "^[^/?#@]*@", "")
+    val authority = regexp_extract(restNoUser, "^([^/?#]*)", 1)
+    val port = nullif(regexp_extract(authority, ":([0-9]+)$", 1), lit(""))
+    val keepPort = port.isNotNull &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val pathRaw = regexp_extract(restNoUser, "^[^/?#]*(/[^?#]*)", 1)
+    // dot-segment resolution as one array fold: '.' and empty segments
+    // (duplicate slashes) drop in the filter; '..' pops the accumulator
+    // (clamped at the root, per the RFC's remove_dot_segments)
+    val segs = filter(split(pathRaw, "/"), x => x =!= "" && x =!= ".")
+    val resolved = aggregate(segs, array().cast("array<string>"),
+      (acc, x) => when(x === "..",
+          when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1))
+            .otherwise(acc))
+        .otherwise(concat(acc, array(x))))
+    val path = concat(lit("/"), array_join(resolved, "/"))
+    val qRaw = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(qRaw, "&"), p => {
+      val k = regexp_extract(p, "^([^=]*)", 1)
+      p =!= "" && !k.startsWith("utm_") && !k.isInCollection(dropParams)
+    })
+    val query = when(size(kept) > 0,
+      concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), canonicalHost(url),
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path, query)
+  }
+
   /** Per-domain corpus volumes: `(domain, n_docs, n_tokens)` — the
     * domain-level ledger a corpus audit and every quota/mixing decision
     * reads. One projection reduces each document to its token count

@@ -105,6 +105,37 @@ class UrlsSpec extends SparkSuite {
     assert(both == ref)
   }
 
+  test("canonicalUrl: every transform class, one golden per rule") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("url").select(Urls.canonicalUrl($"url")).head().getString(0)
+    // scheme lowercase + default
+    assert(canon("HTTPS://Example.com/a") == "https://example.com/a")
+    assert(canon("example.com/a") == "http://example.com/a")
+    // default-port strip is SCHEME-AWARE; other ports kept
+    assert(canon("http://e.com:80/a") == "http://e.com/a")
+    assert(canon("https://e.com:443/a") == "https://e.com/a")
+    assert(canon("https://e.com:80/a") == "https://e.com:80/a")
+    assert(canon("http://e.com:8080/a") == "http://e.com:8080/a")
+    // dot segments, duplicate + trailing slashes
+    assert(canon("http://e.com/a/./b/../c/") == "http://e.com/a/c")
+    assert(canon("http://e.com//x///y/../z") == "http://e.com/x/z")
+    assert(canon("http://e.com/../../a") == "http://e.com/a") // root clamp
+    assert(canon("http://e.com") == "http://e.com/")
+    // fragment drop
+    assert(canon("http://e.com/a#sec?not=query") == "http://e.com/a")
+    // tracking strip + stable query sort; lone '?' drops
+    assert(canon("http://e.com/a?utm_source=x&b=2&a=1&fbclid=z&gclid=1") ==
+      "http://e.com/a?a=1&b=2")
+    assert(canon("http://e.com/a?utm_campaign=c") == "http://e.com/a")
+    assert(canon("http://e.com/a?") == "http://e.com/a")
+    // host canonicalization rides along (www, userinfo, trailing dot)
+    assert(canon("http://u:p@WWW.E.com.:80/a?b=1#f") == "http://e.com/a?b=1")
+    // null in → null out
+    val n = Seq(Tuple1(null: String)).toDF("url")
+      .select(Urls.canonicalUrl($"url").isNull).head().getBoolean(0)
+    assert(n)
+  }
+
   test("domainFilter: broadcast blocklist anti-join; hostless rows survive") {
     val docs = Seq(
       (0L, "http://www.bad.com/x", "spam"),

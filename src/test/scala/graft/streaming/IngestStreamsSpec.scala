@@ -583,4 +583,58 @@ class IngestStreamsSpec extends SparkSuite {
     assert(IngestStreams.loadIndex(spark, dir).as[Long].collect().toSet ==
       Set(10L, 11L, 20L))
   }
+
+  test("composed crawl ingest: wetStream→blocklist→langid→quality→dedup, restart-safe") {
+    import graft.operators.{TextAnalysis, Urls}
+    val dir = Files.createTempDirectory("crawl-ingest").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // 9 docs: one blocked domain, one quality-fail (too short), one
+    // cross-file exact dup (doc 7 repeats doc 1's text — arrives in a
+    // LATER file, must be rejected by the standing index after restart)
+    val body = (1 to 8).map(i =>
+      ("join hash scan row filter merge column batch " * 8) + s"doc $i").toArray
+    val texts = Map(
+      1L -> body(0), 2L -> body(1), 3L -> "too short",
+      4L -> body(3), 5L -> body(4), 6L -> body(5),
+      7L -> body(0) /* dup of 1 */, 8L -> body(7), 9L -> body(6))
+    val host = Map[Long, String](3L -> "ok", 5L -> "blocked").withDefaultValue("ok")
+    def render(ids: Seq[Long]): String = ids.map { id =>
+      val t = texts(id)
+      val n = t.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://${host(id)}.ex.com/p/$id\r\n" +
+        s"Content-Length: $n\r\n\r\n$t\r\n\r\n"
+    }.mkString
+    def writePart(i: Int, ids: Seq[Long]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/in/part$i.wet"),
+        render(ids))
+    def pipeline() = {
+      val recs = graft.sources.Sources.wetStream(spark, s"$dir/in")
+        .select(regexp_extract($"uri", "/p/(\\d+)", 1).cast("long").as("doc_id"),
+          $"uri", $"body".as("text"))
+      val unblocked = Urls.domainFilter(recs, $"uri",
+        Seq("blocked.ex.com").toDF("domain"))
+      val gated = TextAnalysis.qualityRules(TextAnalysis.languageId(unblocked),
+        requiredWords = Seq("join", "hash", "scan", "row")).filter($"keep")
+      IngestStreams.dedupIngest(gated, s"$dir/idx", s"$dir/out", s"$dir/ckpt")
+    }
+    writePart(0, Seq(1L, 2L, 3L))
+    val q = pipeline()
+    try { q.processAllAvailable(); writePart(1, Seq(4L, 5L, 6L)); q.processAllAvailable() }
+    finally q.stop()
+    writePart(2, Seq(7L, 8L, 9L)) // arrives while DOWN — the restart leg
+    val q2 = pipeline()
+    try q2.processAllAvailable() finally q2.stop()
+    val admitted = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    // 3 fails quality, 5 is blocklisted, 7 is a cross-restart dup of 1
+    assert(admitted == Set(1L, 2L, 4L, 6L, 8L, 9L), s"got $admitted")
+    // restart-safe index: exactly one hash per admitted distinct text
+    val idx = IngestStreams.loadIndex(spark, s"$dir/idx").as[Long].collect().toSeq
+    assert(idx.size == idx.distinct.size && idx.size == 6, s"index: $idx")
+    val expected = Seq(1L, 2L, 4L, 6L, 8L, 9L)
+      .map(id => Seq(texts(id)).toDF("t")
+        .select(xxhash64($"t")).as[Long].head()).toSet
+    assert(idx.toSet == expected)
+  }
 }
