@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Keywords, Multimodal, Profile, Similarity, TextAnalysis, TextPrep, Unigram, Urls, Video, WordPiece}
+import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Keywords, Links, Multimodal, Profile, Robots, Similarity, TextAnalysis, TextPrep, Unigram, Urls, Video, WordPiece}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -162,6 +162,63 @@ object ExtQueries {
   private val pslRulesFixture: Seq[String] =
     Seq("com", "co.uk", "org", "*.ck", "!www.ck")
 
+  /** q_robots_filter's per-host robots.txt fixture. Host `a` has a
+    * SPECIFIC group for the probe agent (so its `*` group must be
+    * ignored per RFC 9309 — the `Disallow: /ok` there would flip class
+    * 3 if wrongly applied) exercising prefix-rule precedence, the
+    * allow-override, and a `*…$` wildcard rule; host `b` has only a `*`
+    * group (applies to every agent) with an exact-length Allow/Disallow
+    * tie (→ allow); host `c` has no robots.txt at all (→ allow). */
+  private val robotsFixture: Seq[(String, String)] = Seq(
+    "a.example.com" -> Seq(
+      "# crawl policy",
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "Allow: /private/pub/",
+      "Disallow: /*.pdf$",
+      "Allow: /",
+      "",
+      "User-agent: *",
+      "Disallow: /ok").mkString("\n"),
+    "b.example.com" -> Seq(
+      "User-agent: *",
+      "Disallow: /tmp",
+      "Allow: /dup",
+      "Disallow: /dup").mkString("\n"))
+
+  /** Planted HTML pages for the link-graph faces (q_link_extract,
+    * q_host_graph, q_host_rank): each doc is a page at
+    * `http://{source}.example.com/dir/page{id}.html` carrying TWO
+    * anchors — a double-quoted href cycling the external/absolute
+    * reference classes (mod 4: absolute → ext{id%5}.example.org,
+    * network-path → cdn.example.net, absolute-path and plain-relative →
+    * the page's own host) and a single-quoted UPPERCASE-tag href
+    * cycling the intra-host relative classes (mod 3: `../`, query-only,
+    * dot-segment chain). Extraction order is quote-style-major
+    * ([[graft.operators.Links.extractLinks]]), so link_no 0 is always
+    * the double-quoted ref. All targets derive from doc_id arithmetic —
+    * the oracles restate them without touching any URL machinery. */
+  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+    val refA = element_at(array(
+      concat(lit("http://ext"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/p")),
+      lit("//cdn.example.net/lib"),
+      concat(lit("/local/"), col("doc_id").cast("string")),
+      lit("sub/page")), (col("doc_id") % 4).cast("int") + 1)
+    val refB = element_at(array(
+      concat(lit("../up/"), col("doc_id").cast("string")),
+      lit("?v=2"),
+      lit("a/./b/../c")), (col("doc_id") % 3).cast("int") + 1)
+    Tables.documents(s, dir)
+      .withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/dir/page"), col("doc_id").cast("string"),
+        lit(".html")))
+      .withColumn("html", concat(
+        lit("<html><body><p>pre</p><a href=\""), refA,
+        lit("\">x</a><div><A CLASS='k' HREF='"), refB,
+        lit("'>y</A></div></body></html>")))
+  }
+
   /** One oracle for both WET faces: every engine column is parsed from
     * the rendered dump file(s); this recomputes them all from the
     * documents table the fixture was rendered from — uri/type from the
@@ -304,33 +361,62 @@ object ExtQueries {
     * BIGINT sums) is exact, so the gate is bit-for-bit, not
     * tolerance-based. The explicit CASTs keep DuckDB's sum() (which
     * widens BIGINT → HUGEINT) in the same int64 domain Spark computes in. */
-  private lazy val pageRankOracleSql: String = {
+  /** One PageRank power-iteration round as a DuckDB CTE — the
+    * scaled-integer recurrence of [[graft.operators.Graph.pageRank]],
+    * shared by every pageRank-shaped oracle (q_pagerank over the
+    * bipartite order graph, q_host_rank over the extracted host link
+    * graph). Expects CTEs `e(u, v)`, `nodes(id)`, `outd(id, od)`,
+    * `c(n)` and the previous round `pr(i-1)` in scope. */
+  private def prRoundCte(i: Int): String = {
     val scale = "1000000000000"
-    def roundCte(i: Int): String =
-      s"""pr$i AS (
-         |  SELECT nd.id,
-         |    CAST((15 * ($scale // c.n)) // 100
-         |      + (85 * (CAST(coalesce(s.insum, 0) AS BIGINT) + d.dang // c.n)) // 100
-         |      AS BIGINT) AS pr
-         |  FROM nodes nd
-         |  CROSS JOIN c
-         |  CROSS JOIN (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
-         |              FROM pr${i - 1} p LEFT JOIN outd o ON p.id = o.id
-         |              WHERE o.id IS NULL) d
-         |  LEFT JOIN (SELECT e.v AS id, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
-         |             FROM e JOIN pr${i - 1} p ON e.u = p.id
-         |                    JOIN outd o ON e.u = o.id
-         |             GROUP BY e.v) s ON nd.id = s.id)""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
-       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    s"""pr$i AS (
+       |  SELECT nd.id,
+       |    CAST((15 * ($scale // c.n)) // 100
+       |      + (85 * (CAST(coalesce(s.insum, 0) AS BIGINT) + d.dang // c.n)) // 100
+       |      AS BIGINT) AS pr
+       |  FROM nodes nd
+       |  CROSS JOIN c
+       |  CROSS JOIN (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dang
+       |              FROM pr${i - 1} p LEFT JOIN outd o ON p.id = o.id
+       |              WHERE o.id IS NULL) d
+       |  LEFT JOIN (SELECT e.v AS id, CAST(sum(p.pr // o.od) AS BIGINT) AS insum
+       |             FROM e JOIN pr${i - 1} p ON e.u = p.id
+       |                    JOIN outd o ON e.u = o.id
+       |             GROUP BY e.v) s ON nd.id = s.id)""".stripMargin
+  }
+
+  /** The shared CTE prologue of a pageRank oracle over an arbitrary
+    * edge relation: `edgesCte` must define `e(u, v)` (already
+    * distinct-safe — the prologue re-distincts nothing; q_pagerank's
+    * puts DISTINCT inside it). */
+  private def pageRankChainSql(edgesCte: String, rounds: Int): String =
+    s"""WITH e AS ($edgesCte),
        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
        |outd AS (SELECT u AS id, count(*) AS od FROM e GROUP BY u),
        |c AS (SELECT count(*) AS n FROM nodes),
-       |pr0 AS (SELECT id, $scale // (SELECT n FROM c) AS pr FROM nodes),
+       |pr0 AS (SELECT id, 1000000000000 // (SELECT n FROM c) AS pr FROM nodes),
        |""".stripMargin +
-      (1 to 5).map(roundCte).mkString(",\n") +
-      "\nSELECT id, pr AS pr_scaled FROM pr5 ORDER BY id"
-  }
+      (1 to rounds).map(prRoundCte).mkString(",\n") +
+      s"\nSELECT id, pr AS pr_scaled FROM pr$rounds ORDER BY id"
+
+  private lazy val pageRankOracleSql: String = pageRankChainSql(
+    """SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    rounds = 5)
+
+  /** q_host_rank oracle: the identical scaled-integer recurrence over
+    * the EXTRACTED host link graph — edges re-derived from the planted
+    * href arithmetic (only reference classes 0/1 leave the page's own
+    * host; the extN/cdn targets are dangling sinks, so the dangling
+    * redistribution is live exactly like q_pagerank's suppliers). */
+  private lazy val hostRankOracleSql: String = pageRankChainSql(
+    """SELECT DISTINCT src_host AS u, dst_host AS v FROM (
+      |    SELECT source || '.example.com' AS src_host,
+      |      CASE WHEN doc_id % 4 = 0
+      |             THEN 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+      |           WHEN doc_id % 4 = 1 THEN 'cdn.example.net' END AS dst_host
+      |    FROM documents) t WHERE dst_host IS NOT NULL""".stripMargin,
+    rounds = 3)
 
   /** q_ppr oracle: [[graft.operators.Graph.personalizedPageRank]]'s
     * seeded recurrence unrolled one CTE per round over the sparse
@@ -3335,6 +3421,98 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RFC 3986 reference resolution composed with canonicalization —
+    // the link-target normalization step of out-link processing: each
+    // doc plants one (base, ref) pair per reference class (plain
+    // relative, ./, ../, absolute-path, network-path, query-only,
+    // empty, absolute) from doc_id arithmetic; the oracle states the
+    // resolved canonical target per class straight from the arithmetic
+    // (the engine runs the whole dispatch + merge + dot-segment
+    // machinery; the oracle needs none of it)
+    "q_url_resolve" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("base", concat(lit("http://"), col("source"),
+          lit(".example.com/b/c/d?bq=1")))
+        .withColumn("ref", element_at(array(
+          lit("g"), lit("./g"), lit("../g"), lit("/g"),
+          lit("//other.example.net/g"), lit("?y=1"), lit(""),
+          lit("https://abs.example.org/z")),
+          (col("doc_id") % 8).cast("int") + 1))
+        .select(col("doc_id"),
+          Urls.canonicalUrl(Urls.resolveUrl(col("base"), col("ref")))
+            .as("resolved"))
+        .orderBy(col("doc_id"))),
+
+    // HTML out-link extraction end to end: planted pages carry one
+    // double-quoted and one single-quoted (uppercase-tag) anchor whose
+    // hrefs cycle through the reference classes; the engine extracts,
+    // resolves against the page URL, and canonicalizes — the oracle
+    // derives both targets per doc from the planting arithmetic
+    "q_link_extract" -> ((s, dir) =>
+      Links.outlinks(linkPages(s, dir), col("url"), col("html"),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"), col("link_no"))),
+
+    // the host-level link graph those pages induce: self edges (the
+    // relative/query refs resolve back to the page's own host) must
+    // drop, externals aggregate to (src_host, dst_host, n_links) —
+    // hosts only cross the exchange, never HTML
+    "q_host_graph" -> ((s, dir) =>
+      Links.hostGraph(linkPages(s, dir), col("url"), col("html"))
+        .orderBy(col("src_host"), col("dst_host"))),
+
+    // crawl-authority composition: the SAME extracted host graph fed
+    // straight into the scaled-integer PageRank (ext*/cdn targets are
+    // dangling sinks, so redistribution is live); the oracle re-derives
+    // the edge set from the href arithmetic and unrolls the identical
+    // 3-round recurrence — extraction, graph reduction, and ranking
+    // under ONE hash
+    "q_host_rank" -> ((s, dir) =>
+      Graph.pageRank(
+        Links.hostGraph(linkPages(s, dir), col("url"), col("html")),
+        srcCol = "src_host", dstCol = "dst_host", rounds = 3)
+        .orderBy(col("id"))),
+
+    // robots.txt URL gate (RFC 9309): planted per-host files exercise
+    // specific-group-beats-*, longest-match precedence, the allow
+    // override, a *…$ wildcard rule, an exact-length tie (→ allow), a
+    // *-only host, and a host with no robots at all; the oracle states
+    // each mod-class's verdict directly
+    "q_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("http://"), element_at(array(
+          lit("a.example.com/private/x"),
+          lit("a.example.com/private/pub/y"),
+          lit("a.example.com/doc/f"),
+          lit("a.example.com/ok/z"),
+          lit("b.example.com/tmp/x"),
+          lit("b.example.com/dup"),
+          lit("c.example.com/any/")), (col("doc_id") % 7).cast("int") + 1),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 2, lit(".pdf")).otherwise(lit("")))
+          .as("url"))
+      Robots.filter(urls, "doc_id", col("url"),
+        robotsFixture.toDF("host", "robots_txt"), "GraftBot")
+        .orderBy(col("doc_id"))
+    }),
+
+    // CDX-style archive index over the WARC response dump: SURT url
+    // key (reversed host labels — one domain's records sort
+    // contiguously, the range-scan property the format exists for) +
+    // url/status/mime/payload-digest, sorted by urlkey; every column
+    // re-derived by the oracle from the fixture's render arithmetic
+    "q_cdx_index" -> ((s, dir) =>
+      graft.sources.Sources.warcResponses(s,
+          s"${warcFixture(s, dir)}/corpus.warc")
+        .select(
+          Urls.surtKey(col("uri")).as("urlkey"),
+          col("uri").as("url"),
+          col("http_status").as("status"),
+          trim(regexp_extract(col("content_type"), "^([^;]+)", 1)).as("mime"),
+          md5(col("body")).as("digest"))
+        .orderBy(col("urlkey"))),
+
     // ---- dedup ----------------------------------------------------------
 
     // corpus snapshot diff (r18): the what-changed-since-last-crawl
@@ -6094,6 +6272,97 @@ object ExtQueries {
          |    ELSE 'unlisted.test' END AS reg_domain,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY reg_domain""".stripMargin,
+
+    // each reference class's resolved canonical target straight from
+    // the planting arithmetic (the engine runs the RFC 3986 dispatch +
+    // path merge + remove_dot_segments; the oracle needs none of it)
+    "q_url_resolve" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'http://' || source || '.example.com/b/c/g'
+        |    WHEN 1 THEN 'http://' || source || '.example.com/b/c/g'
+        |    WHEN 2 THEN 'http://' || source || '.example.com/b/g'
+        |    WHEN 3 THEN 'http://' || source || '.example.com/g'
+        |    WHEN 4 THEN 'http://other.example.net/g'
+        |    WHEN 5 THEN 'http://' || source || '.example.com/b/c/d?y=1'
+        |    WHEN 6 THEN 'http://' || source || '.example.com/b/c/d?bq=1'
+        |    ELSE 'https://abs.example.org/z' END AS resolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both planted anchors' canonical targets per doc, restated from
+    // the href arithmetic (link_no 0 = the double-quoted ref, 1 = the
+    // single-quoted one — the extraction-order contract)
+    "q_link_extract" ->
+      """WITH l AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS link_no,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |        '.example.org/p'
+        |      WHEN 1 THEN 'http://cdn.example.net/lib'
+        |      WHEN 2 THEN 'http://' || source || '.example.com/local/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      ELSE 'http://' || source || '.example.com/dir/sub/page'
+        |      END AS target
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT),
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
+        |        CAST(doc_id AS VARCHAR) || '.html?v=2'
+        |      ELSE 'http://' || source || '.example.com/dir/a/c' END
+        |  FROM documents)
+        |SELECT doc_id, link_no, target FROM l
+        |ORDER BY doc_id, link_no""".stripMargin,
+
+    // the host-graph edges those pages induce: only classes 0/1 of the
+    // double-quoted ref leave the page's own host (everything else is a
+    // self edge and must NOT appear)
+    "q_host_graph" ->
+      """WITH e AS (SELECT source || '.example.com' AS src_host,
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        |         WHEN doc_id % 4 = 1 THEN 'cdn.example.net' END AS dst_host
+        |  FROM documents)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e WHERE dst_host IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_host_rank" -> hostRankOracleSql,
+
+    // each mod class's RFC 9309 verdict stated directly: classes 0/2/4
+    // hit a longest-match Disallow (prefix, *…$ wildcard, *-group),
+    // 1/3 a longer/only Allow, 5 the exact-length tie (→ allow), 6 a
+    // host with no robots.txt (→ allow)
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 4 THEN 'b.example.com' WHEN 5 THEN 'b.example.com'
+        |    WHEN 6 THEN 'c.example.com' ELSE 'a.example.com' END AS host,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/pub/y'
+        |    WHEN 2 THEN '/doc/f' WHEN 3 THEN '/ok/z' WHEN 4 THEN '/tmp/x'
+        |    WHEN 5 THEN '/dup' ELSE '/any/' END ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 7 = 2 THEN '.pdf' ELSE '' END AS path,
+        |  doc_id % 7 NOT IN (0, 2, 4) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the CDX row per response record from the WARC fixture's render
+    // arithmetic: SURT key from the target URI, status/mime from the
+    // mod cycles, digest from the doc text the payload was rendered from
+    "q_cdx_index" ->
+      """SELECT 'com,example,' || source || ')/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS urlkey,
+        |  'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END AS INT)
+        |    AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+        |       ELSE 'text/plain' END AS mime,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY urlkey""".stripMargin,
 
     "q_ngram_topk" ->
       s"""WITH grams AS (

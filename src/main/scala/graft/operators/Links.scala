@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML out-link extraction and web-graph construction — the crawl
+  * stage between page fetch and frontier/ranking: pull every `<a href>`
+  * from fetched HTML, resolve it against the page URL (hrefs are
+  * overwhelmingly relative), canonicalize, and reduce to the host-level
+  * link graph that feeds PageRank-style authority scoring and frontier
+  * prioritization.
+  *
+  * Extraction is pure `regexp_extract_all` over the raw HTML (both
+  * quote styles, attribute order independent) — one codegen'd
+  * projection, no parser state, no UDF. Resolution/canonicalization is
+  * [[Urls.resolveUrl]]/[[Urls.canonicalUrl]] composition. The graph
+  * reduction projects each page to `(src_host, dst_host)` rows BEFORE
+  * the aggregation exchange, so page HTML never shuffles: at 100 TB the
+  * exchange carries host-pair rows (bounded by the edge count, and
+  * map-side combine collapses repeated pairs per partition first).
+  * Reference behavior surface: idavkaev/kafka-streams-task processes
+  * keyed streams; link extraction is the crawl-corpus analogue of its
+  * parse-and-rekey maps (AddressMapper.java:14 re-keys on a parsed
+  * field the way [[hostGraph]] re-keys pages on their link hosts).
+  */
+object Links {
+
+  /** Every `href` value of every `<a>` tag, document order, as an array
+    * column: double- and single-quoted attributes, any attribute order
+    * (`<a class=… href=…>`), case-insensitive tag/attribute names.
+    * Unquoted hrefs (rare, legal HTML5) match up to the first space or
+    * `>`. Null HTML → null. */
+  def extractLinks(html: Column): Column = {
+    val a = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*"
+    concat(
+      regexp_extract_all(html, lit(a + "\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(html, lit(a + "'([^']*)'"), lit(1)),
+      regexp_extract_all(html, lit(a + "([^\\s\"'>][^\\s>]*)"), lit(1)))
+  }
+
+  /** `(href, anchor_text)` struct pairs for `<a href=…>text</a>` tags
+    * (double-quoted hrefs; anchor text is the raw inner HTML up to the
+    * closing tag) — the anchor-text corpus link-based quality signals
+    * and query-independent relevance features train on. Two group
+    * extractions over ONE pattern, zipped — Spark's subexpression
+    * elimination shares the scan. */
+  def extractAnchors(html: Column): Column = {
+    val p = lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>")
+    arrays_zip(
+      regexp_extract_all(html, p, lit(1)).as("href"),
+      regexp_extract_all(html, p, lit(2)).as("anchor"))
+  }
+
+  /** One row per out-link: `(<id cols…>, link_no, target)` where
+    * `target` is the canonical absolute URL of the `link_no`-th href on
+    * the page (0-based document order, quote-style extraction order as
+    * [[extractLinks]]). Non-hierarchical/non-web refs — `mailto:`,
+    * `javascript:`, `tel:`, anything whose RESOLVED form isn't
+    * `http(s)://` — are dropped before canonicalization (they are not
+    * fetchable link targets, and [[Urls.canonicalUrl]] is an http(s)
+    * normalizer); `link_no` still numbers the ORIGINAL href positions,
+    * so it stays stable under the drop. Pages with no links vanish
+    * (inner explode — the out-link relation, not a page audit). HTML is
+    * dropped as soon as the href array is built, before any explode. */
+  def outlinks(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      idCols: Seq[String]): DataFrame =
+    pages
+      .select(idCols.map(col) :+ urlCol.as("__base") :+
+        extractLinks(htmlCol).as("__refs"): _*)
+      .select(idCols.map(col) :+ col("__base") :+
+        posexplode(col("__refs")).as(Seq("link_no", "__ref")): _*)
+      .select(idCols.map(col) :+ col("link_no") :+
+        Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"): _*)
+      .where(col("__abs").rlike("(?i)^https?://"))
+      .select(idCols.map(col) :+ col("link_no") :+
+        Urls.canonicalUrl(col("__abs")).as("target"): _*)
+
+  /** The host-level link graph: `(src_host, dst_host, n_links)` —
+    * src = the page URL's canonical host, dst = each out-link target's
+    * canonical host, n_links = how many links point that way. Only
+    * `http(s)://` targets count (the [[outlinks]] scheme gate — a
+    * `mailto:` is not an edge); self edges (intra-host navigation —
+    * the overwhelming majority of links on a real page) are dropped
+    * unless `includeSelf`; empty hosts are always dropped. Each page
+    * reduces to bare host pairs before the single hash aggregate, so
+    * the exchange never carries HTML and map-side combine collapses the
+    * per-page fanout first. Feed the result straight to
+    * [[Graph.pageRank]]/[[Graph.kCorePeel]] — hosts are the node ids. */
+  def hostGraph(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      includeSelf: Boolean = false): DataFrame = {
+    val pairs = pages
+      .select(Urls.canonicalHost(urlCol).as("src_host"),
+        explode(extractLinks(htmlCol)).as("__ref"),
+        urlCol.as("__base"))
+      .select(col("src_host"),
+        Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
+      .where(col("__abs").rlike("(?i)^https?://"))
+      .select(col("src_host"), Urls.canonicalHost(col("__abs")).as("dst_host"))
+      .where(col("dst_host").isNotNull && col("dst_host") =!= "")
+    val kept = if (includeSelf) pairs
+      else pairs.where(col("src_host") =!= col("dst_host"))
+    kept.groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+}

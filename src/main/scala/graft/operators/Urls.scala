@@ -122,6 +122,68 @@ object Urls {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path, query)
   }
 
+  /** RFC 3986 §5.2 reference resolution: the absolute target URL of a
+    * reference `ref` found on a page whose URL is `base` — the step
+    * between link EXTRACTION and link CANONICALIZATION in every crawl
+    * frontier/out-link pipeline (hrefs are overwhelmingly relative).
+    *
+    * Dispatch per the RFC's transform-references algorithm:
+    *  - `ref` carries a scheme (`s:…`) → ref is already absolute;
+    *  - network-path (`//host/p`) → base scheme + ref;
+    *  - absolute-path (`/p`) → base scheme+authority + ref;
+    *  - query-only (`?q`) → base scheme+authority+path + ref;
+    *  - empty / fragment-only → base itself (fragment dropped — it
+    *    never reaches the server);
+    *  - relative path → merged with the base path's directory (the
+    *    base path up to and including its last `/`; an authority-only
+    *    base merges against `/`).
+    *
+    * Dot-segments in the merged path are NOT resolved here — the
+    * canonical pipeline is `canonicalUrl(resolveUrl(base, ref))`, and
+    * [[canonicalUrl]] performs remove_dot_segments (plus the
+    * normalizations the RFC leaves to the application). Pure anchored
+    * regex + conditional expressions, codegen'd; null base or ref →
+    * null. `base` is assumed absolute (a crawl's page URLs are). */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val b = regexp_replace(trim(base), "#.*$", "")
+    val r = regexp_replace(trim(ref), "#.*$", "")
+    val scheme = regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val schemeAuth =
+      regexp_extract(b, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val path = regexp_extract(b, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathOrRoot = when(path === "", lit("/")).otherwise(path)
+    // the base path's directory: everything up to and incl. the last '/'
+    val dir = regexp_replace(pathOrRoot, "/[^/]*$", "/")
+    val pathQuery =
+      regexp_extract(b, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(base.isNull || ref.isNull, lit(null).cast("string"))
+      .when(r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), r)
+      .when(r.startsWith("//"), concat(scheme, lit(":"), r))
+      .when(r.startsWith("/"), concat(schemeAuth, r))
+      .when(r.startsWith("?"), concat(schemeAuth, pathOrRoot, r))
+      .when(r === "", concat(schemeAuth, pathQuery))
+      .otherwise(concat(schemeAuth, dir, r))
+  }
+
+  /** SURT-form URL key (`com,example)/path?query`) — the sort key of
+    * the CDX index format crawl archives publish (CommonCrawl's
+    * `cdx-*.gz`): host labels REVERSED and comma-joined, so one domain's
+    * records — and one registrable domain's subdomains — are
+    * lexicographically contiguous and range-scannable; then `)` and the
+    * canonical path+query. Built on [[canonicalUrl]], so every
+    * canonicalization class (case, default port, dot-segments,
+    * tracking params, fragment) collapses before the key forms; a
+    * non-default port rides after the host labels (`com,example:8080)`).
+    * Pure expressions; null URL → null. */
+  def surtKey(url: Column): Column = {
+    val cu = canonicalUrl(url)
+    val host = regexp_extract(cu, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    val port = regexp_extract(cu, "^[a-z][a-z0-9+.-]*://[^/?#]*?(:[0-9]+)(?:[/?#]|$)", 1)
+    val rest = regexp_replace(cu, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    concat(array_join(reverse(split(host, "\\.")), ","), port, lit(")"),
+      when(rest === "", lit("/")).otherwise(rest))
+  }
+
   /** Per-domain corpus volumes: `(domain, n_docs, n_tokens)` — the
     * domain-level ledger a corpus audit and every quota/mixing decision
     * reads. One projection reduces each document to its token count

@@ -498,4 +498,66 @@ class PlanInvariantsSpec extends SparkSuite {
       s"attach→demux→decode must be exchange-free:\n${p.take(2000)}")
     assert(!p.contains("Join"), "decode path must not join")
   }
+
+  test("hostGraph: HTML reduces to host pairs before the ONLY exchange") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // at 100 TB the page HTML must never cross a shuffle: the plan is
+    // scan → extract/resolve/canonicalize projection → partial agg →
+    // ONE hash exchange of (src_host, dst_host) rows → final agg
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      graft.operators.Links.hostGraph(
+        Tables.documents(spark, sf0001)
+          .withColumn("url", concat(lit("http://h"), col("doc_id"), lit(".com/p")))
+          .withColumn("html",
+            concat(lit("<a href=\"http://ext.org/"), col("doc_id"), lit("\">x</a>"))),
+        col("url"), col("html"))
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"expected exactly one shuffle (the edge agg), got ${exchanges.size}:\n${p.toString.take(2000)}")
+    val shuffled = exchanges.head.child.output.map(_.name).toSet
+    assert(!shuffled.exists(n => n.contains("html") || n.contains("text")),
+      s"HTML/text must not cross the exchange, got $shuffled")
+  }
+
+  test("robots filter: URL side joins once on host, judgment is in-projection") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the corpus-side URL relation must see exactly one exchange (the
+    // host equi-join); the per-URL verdict is an array HOF inside the
+    // join projection — no second shuffle, no per-rule row explosion
+    // crossing an exchange (robots-SIDE exchanges are fine: that table
+    // is hosts-sized, not corpus-sized)
+    import spark.implicits._
+    val robots = Seq(("h0.com", "User-agent: *\nDisallow: /x"))
+      .toDF("host", "robots_txt")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      graft.operators.Robots.filter(
+        Tables.documents(spark, sf0001)
+          .withColumn("url", concat(lit("http://h"), col("doc_id") % 3, lit(".com/p"))),
+        "doc_id", col("url"), robots, "bot")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // exchanges whose child reads the documents scan: exactly one
+    def readsDocs(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collectLeaves().exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.exists(_.contains("documents"))
+        case _ => false
+      }
+    val docExchanges = p.collect {
+      case e: ShuffleExchangeExec if readsDocs(e.child) => e
+    }
+    // ≤ 1: a hosts-sized rules table broadcasts (0 corpus shuffles —
+    // this fixture); a web-scale one makes it a host equi-join (1).
+    // The judgment itself must never add a second corpus shuffle.
+    assert(docExchanges.size <= 1,
+      s"URL side must shuffle at most once (the host join), got ${docExchanges.size}:\n${p.toString.take(2000)}")
+  }
 }

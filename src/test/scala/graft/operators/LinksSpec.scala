@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Extraction-form coverage for [[Links.extractLinks]] /
+  * [[Links.extractAnchors]] and local references for the
+  * outlink/host-graph reductions. */
+class LinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h").select(Links.extractLinks($"h").as("l"))
+      .as[Seq[String]].collect()(0)
+
+  test("extractLinks: quote styles, attribute order, tag case, unquoted") {
+    assert(links("""<a href="/x">t</a>""") == Seq("/x"))
+    assert(links("""<a href='/y'>t</a>""") == Seq("/y"))
+    assert(links("""<A HREF="/up">t</A>""") == Seq("/up"))
+    assert(links("""<a class="k" rel=nofollow href="/z">t</a>""") == Seq("/z"))
+    // unquoted (legal HTML5): up to the first whitespace or '>'
+    assert(links("""<a href=/plain>t</a>""") == Seq("/plain"))
+    assert(links("""<a href=/p rel=x>t</a>""") == Seq("/p"))
+    // double-quoted matches list before single-quoted (extraction-order
+    // contract the q_link_extract face's link_no relies on)
+    assert(links("""<a href='/b'>1</a><a href="/a">2</a>""") ==
+      Seq("/a", "/b"))
+    // non-anchor hrefs (link/area) are NOT <a> tags and don't match
+    assert(links("""<link href="/css"><a href="/only">t</a>""") ==
+      Seq("/only"))
+    assert(links("<p>no links</p>") == Seq.empty)
+    // null HTML propagates
+    val n = Seq((1, null: String)).toDF("i", "h")
+      .select(Links.extractLinks($"h")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("extractAnchors: (href, anchor_text) pairs in document order") {
+    val got = Seq(
+      """<a href="/a">first</a> mid <a class=k href="/b"><b>second</b></a>""")
+      .toDF("h")
+      .select(explode(Links.extractAnchors($"h")).as("p"))
+      .select($"p.href", $"p.anchor").as[(String, String)].collect().toSeq
+    assert(got == Seq("/a" -> "first", "/b" -> "<b>second</b>"))
+  }
+
+  test("outlinks: resolve + canonicalize against the page URL") {
+    val pages = Seq(
+      (1L, "http://www.Site.com/dir/page.html",
+        """<a href="../up">u</a><a href="?v=2">q</a>""" +
+          """<a href="//cdn.example.net/l">c</a>""")).toDF(
+      "doc_id", "url", "html")
+    val got = Links.outlinks(pages, $"url", $"html", Seq("doc_id"))
+      .orderBy($"link_no")
+      .select($"link_no", $"target").as[(Int, String)].collect().toSeq
+    assert(got == Seq(
+      0 -> "http://site.com/up",
+      1 -> "http://site.com/dir/page.html?v=2",
+      2 -> "http://cdn.example.net/l"))
+  }
+
+  test("hostGraph: self edges drop, host-less targets drop, counts") {
+    val pages = Seq(
+      // two links to ext.org, one self link, one mailto (no host)
+      (1L, "http://a.com/p",
+        """<a href="http://ext.org/1">x</a><a href="http://ext.org/2">y</a>""" +
+          """<a href="/self">s</a><a href="mailto:z@q.com">m</a>"""),
+      (2L, "http://b.com/p", """<a href="//ext.org/3">x</a>""")).toDF(
+      "doc_id", "url", "html")
+    val got = Links.hostGraph(pages, $"url", $"html")
+      .orderBy($"src_host", $"dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a.com", "ext.org", 2L), ("b.com", "ext.org", 1L)))
+    // includeSelf keeps the intra-host edge
+    val self = Links.hostGraph(pages, $"url", $"html", includeSelf = true)
+      .where($"src_host" === $"dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    assert(self == Seq(("a.com", "a.com", 1L)))
+  }
+}

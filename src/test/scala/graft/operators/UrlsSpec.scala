@@ -148,4 +148,63 @@ class UrlsSpec extends SparkSuite {
       .select($"doc_id", $"domain").as[(Long, String)].collect().toMap
     assert(kept == Map(1L -> "good.org", 3L -> ""), s"got $kept")
   }
+
+  test("resolveUrl: RFC 3986 §5.4 reference classes (raw, dot-segments intact)") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/./g", // dot-segments resolve downstream
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "" -> "http://a/b/c/d;p?q",
+      "#s" -> "http://a/b/c/d;p?q", // fragment never reaches the server
+      "../../g" -> "http://a/b/c/../../g",
+      "mailto:z@q.com" -> "mailto:z@q.com", // own scheme → pass-through
+      "HTTPS://X.org/p#f" -> "HTTPS://X.org/p")
+    val got = cases.map(_._1).toDF("ref")
+      .select(Urls.resolveUrl(lit(base), $"ref").as("r"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // authority-only base merges relative refs against '/'
+    val r2 = Seq("g").toDF("ref")
+      .select(Urls.resolveUrl(lit("http://h.com"), $"ref"))
+      .as[String].collect()(0)
+    assert(r2 == "http://h.com/g")
+  }
+
+  test("resolveUrl ∘ canonicalUrl: the composed link-target pipeline") {
+    val base = "http://a.com/b/c/d?q=1"
+    val cases = Seq(
+      "./g" -> "http://a.com/b/c/g",
+      "../../g" -> "http://a.com/g",
+      "../../../g" -> "http://a.com/g", // clamped at the root
+      "g/../h" -> "http://a.com/b/c/h",
+      "/x/./y/../z" -> "http://a.com/x/z")
+    val got = cases.map(_._1).toDF("ref")
+      .select(Urls.canonicalUrl(Urls.resolveUrl(lit(base), $"ref")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("surtKey: reversed host labels, port kept, canonical tail") {
+    val cases = Seq(
+      "http://www.Example.COM:80/a/../b?utm_source=x&b=2&a=1#f" ->
+        "com,example)/b?a=1&b=2",
+      "https://sub.example.co.uk:8443/p" -> "uk,co,example,sub:8443)/p",
+      "http://example.com" -> "com,example)/",
+      "HTTPS://example.org/x/" -> "org,example)/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.surtKey($"url").as("k")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // SURT's point: one registrable domain's subdomains sort contiguously
+    val keys = Seq("http://b.example.com/", "http://example.com/",
+      "http://a.example.com/", "http://examplez.com/")
+      .toDF("url").select(Urls.surtKey($"url").as("k"))
+      .as[String].collect().toSeq.sorted
+    assert(keys == Seq("com,example)/", "com,example,a)/",
+      "com,example,b)/", "com,examplez)/"))
+  }
 }
