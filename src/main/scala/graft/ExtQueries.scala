@@ -198,7 +198,16 @@ object ExtQueries {
     * ([[graft.operators.Links.extractLinks]]), so link_no 0 is always
     * the double-quoted ref. All targets derive from doc_id arithmetic —
     * the oracles restate them without touching any URL machinery. */
-  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+  private def linkPages(s: SparkSession, dir: String): DataFrame =
+    linkPageCols(Tables.documents(s, dir))
+
+  /** The url/html planting itself, over ANY relation carrying
+    * (doc_id, source) — the streamed link-ingest replay feeds the same
+    * construction through a MemoryStream, so batch face and streamed
+    * twin render identical pages. Anchor TEXTS vary by doc_id arithmetic
+    * (`a{id%10}` / `b{id%7}`) so the anchor-corpus face has a non-trivial
+    * distinct-set per target. */
+  private def linkPageCols(df: DataFrame): DataFrame = {
     val refA = element_at(array(
       concat(lit("http://ext"), (col("doc_id") % 5).cast("string"),
         lit(".example.org/p")),
@@ -209,15 +218,25 @@ object ExtQueries {
       concat(lit("../up/"), col("doc_id").cast("string")),
       lit("?v=2"),
       lit("a/./b/../c")), (col("doc_id") % 3).cast("int") + 1)
-    Tables.documents(s, dir)
+    df
       .withColumn("url", concat(lit("http://"), col("source"),
         lit(".example.com/dir/page"), col("doc_id").cast("string"),
         lit(".html")))
       .withColumn("html", concat(
         lit("<html><body><p>pre</p><a href=\""), refA,
-        lit("\">x</a><div><A CLASS='k' HREF='"), refB,
-        lit("'>y</A></div></body></html>")))
+        lit("\">a"), (col("doc_id") % 10).cast("string"),
+        lit("</a><div><A CLASS='k' HREF='"), refB,
+        lit("'>b"), (col("doc_id") % 7).cast("string"),
+        lit("</A></div></body></html>")))
   }
+
+  /** q_crawl_frontier's robots fixture: cdn disallows its whole /lib
+    * section, ext2 disallows everything — two of the candidate hosts
+    * must vanish from the frontier; every other host has no robots.txt
+    * (allowed). */
+  private val frontierRobotsFixture: Seq[(String, String)] = Seq(
+    "cdn.example.net" -> "User-agent: *\nDisallow: /lib",
+    "ext2.example.org" -> "User-agent: *\nDisallow: /")
 
   /** One oracle for both WET faces: every engine column is parsed from
     * the rendered dump file(s); this recomputes them all from the
@@ -403,6 +422,19 @@ object ExtQueries {
     """SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     rounds = 5)
+
+  /** One derivation for the batch host graph AND its streamed 3-batch
+    * ingest twin (edge counts are additive across any batch split, so
+    * `q_host_graph` and `q_link_ingest_replay` gate on it verbatim). */
+  private lazy val hostGraphOracleSql: String =
+    """WITH e AS (SELECT source || '.example.com' AS src_host,
+      |    CASE WHEN doc_id % 4 = 0
+      |           THEN 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+      |         WHEN doc_id % 4 = 1 THEN 'cdn.example.net' END AS dst_host
+      |  FROM documents)
+      |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      |FROM e WHERE dst_host IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q_host_rank oracle: the identical scaled-integer recurrence over
     * the EXTRACTED host link graph — edges re-derived from the planted
@@ -968,6 +1000,22 @@ object ExtQueries {
         kSrc.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
         kq.processAllAvailable()
       } finally kq.stop()
+      // the host link-graph ingest over the SAME 3-batch split (its own
+      // stream + checkpoint; rows carry (doc_id, source) since the
+      // planted page derives from both): q_link_ingest_replay reads the
+      // accumulated batch partitions back as the standing edge-keyed
+      // sums — additive across any batch split, so the batch face's
+      // oracle gates it verbatim
+      val lSrc = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val lq = graft.streaming.IngestStreams.linkIngest(
+        linkPageCols(lSrc.toDF().toDF("doc_id", "source")),
+        col("url"), col("html"),
+        s"$root/link_index", s"$root/link_ckpt")
+      try (0 until 3).foreach { b =>
+        lSrc.addData(urlRows.filter(_._1 % 3 == b).map(r => (r._1, r._3)): _*)
+        lq.processAllAvailable()
+      } finally lq.stop()
       root
     })
 
@@ -3512,6 +3560,45 @@ object ExtQueries {
           trim(regexp_extract(col("content_type"), "^([^;]+)", 1)).as("mime"),
           md5(col("body")).as("digest"))
         .orderBy(col("urlkey"))),
+
+    // the anchor-text corpus over the same planted pages: per canonical
+    // target, in-link count + sorted capped distinct anchor texts (the
+    // link-based relevance signal); anchors vary by doc_id arithmetic so
+    // distinct-set/cap/sort are all live — the oracle re-derives pairs
+    // from the planting and re-aggregates with list HOFs
+    "q_anchor_text" -> ((s, dir) =>
+      Links.anchorCorpus(linkPages(s, dir), col("url"), col("html"))
+        .orderBy(col("target"))),
+
+    // the composed CRAWL FRONTIER as one plan: out-link extraction →
+    // URL-level dedup with in-link priority → already-crawled anti-join
+    // (half of the /local targets planted as seen) → robots gate (cdn's
+    // /lib section and all of ext2 disallowed) → per-host politeness
+    // top-2 (rank window → the RewriteWindowTopK aggregate); the oracle
+    // re-derives candidates/seen/verdicts/ranks from the planting
+    // arithmetic alone
+    "q_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val seen = Tables.documents(s, dir)
+        .where(col("doc_id") % 8 === 2)
+        .select(concat(lit("http://"), col("source"),
+          lit(".example.com/local/"), col("doc_id").cast("string"))
+          .as("url"))
+      Links.frontier(linkPages(s, dir), col("url"), col("html"),
+        seen, frontierRobotsFixture.toDF("host", "robots_txt"),
+        "graftbot", perHostK = 2)
+        .orderBy(col("host"), col("rank"))
+    }),
+
+    // the STREAMED link-graph twin: the same planted pages arrive over
+    // a 3-batch checkpointed MemoryStream ingest, each batch landing
+    // its partial edge counts as a batch-keyed partition; the standing
+    // graph is the read-time edge sum and must equal the batch face
+    // VERBATIM (edge counts are additive across any batch split)
+    "q_link_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readLinkGraph(s,
+          s"${ingestReplayFixture(s, dir)}/link_index")
+        .orderBy(col("src_host"), col("dst_host"))),
 
     // ---- dedup ----------------------------------------------------------
 
@@ -6319,17 +6406,84 @@ object ExtQueries {
     // the host-graph edges those pages induce: only classes 0/1 of the
     // double-quoted ref leave the page's own host (everything else is a
     // self edge and must NOT appear)
-    "q_host_graph" ->
-      """WITH e AS (SELECT source || '.example.com' AS src_host,
-        |    CASE WHEN doc_id % 4 = 0
-        |           THEN 'ext' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
-        |         WHEN doc_id % 4 = 1 THEN 'cdn.example.net' END AS dst_host
-        |  FROM documents)
-        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
-        |FROM e WHERE dst_host IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_host_graph" -> hostGraphOracleSql,
+
+    // the 3-batch streamed ingest's standing edge sums must land on the
+    // batch face's derivation verbatim (edge counts are additive)
+    "q_link_ingest_replay" -> hostGraphOracleSql,
 
     "q_host_rank" -> hostRankOracleSql,
+
+    // per-target anchor sets re-derived from the planting arithmetic:
+    // pair CTE (targetA × 'a{id%10}', targetB × 'b{id%7}'), then the
+    // same distinct-sort-cap aggregation with list HOFs
+    "q_anchor_text" ->
+      """WITH a AS (
+        |  SELECT CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |        '.example.org/p'
+        |      WHEN 1 THEN 'http://cdn.example.net/lib'
+        |      WHEN 2 THEN 'http://' || source || '.example.com/local/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      ELSE 'http://' || source || '.example.com/dir/sub/page'
+        |      END AS target,
+        |    'a' || CAST(doc_id % 10 AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
+        |        CAST(doc_id AS VARCHAR) || '.html?v=2'
+        |      ELSE 'http://' || source || '.example.com/dir/a/c' END,
+        |    'b' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents)
+        |SELECT target, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  array_to_string(
+        |    list_slice(list_sort(list_distinct(list(anchor))), 1, 5), ',')
+        |    AS anchors
+        |FROM a GROUP BY target ORDER BY target""".stripMargin,
+
+    // the whole frontier re-derived from the planting arithmetic:
+    // candidate targets + in-link counts from the href CASEs, seen =
+    // the planted /local subset (doc_id % 8 = 2), the robots verdicts
+    // stated as two host-prefix drops, rank by (n_refs desc, url)
+    "q_crawl_frontier" ->
+      """WITH l AS (
+        |  SELECT CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+        |        '.example.org/p'
+        |      WHEN 1 THEN 'http://cdn.example.net/lib'
+        |      WHEN 2 THEN 'http://' || source || '.example.com/local/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      ELSE 'http://' || source || '.example.com/dir/sub/page'
+        |      END AS target
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
+        |        CAST(doc_id AS VARCHAR) || '.html?v=2'
+        |      ELSE 'http://' || source || '.example.com/dir/a/c' END
+        |  FROM documents),
+        |cand AS (SELECT target, CAST(count(*) AS BIGINT) AS n_refs
+        |  FROM l GROUP BY target),
+        |unseen AS (SELECT * FROM cand WHERE target NOT IN (
+        |  SELECT 'http://' || source || '.example.com/local/' ||
+        |    CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 8 = 2)),
+        |gated AS (SELECT regexp_extract(target, '^http://([^/]*)', 1)
+        |    AS host, target, n_refs
+        |  FROM unseen
+        |  WHERE target NOT LIKE 'http://cdn.example.net/%'
+        |    AND target NOT LIKE 'http://ext2.example.org/%'),
+        |ranked AS (SELECT host, target AS url, n_refs,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY n_refs DESC, target) AS INT) AS rank
+        |  FROM gated)
+        |SELECT host, url, n_refs, rank FROM ranked WHERE rank <= 2
+        |ORDER BY host, rank""".stripMargin,
 
     // each mod class's RFC 9309 verdict stated directly: classes 0/2/4
     // hit a longest-match Disallow (prefix, *…$ wildcard, *-group),

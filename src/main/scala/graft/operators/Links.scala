@@ -39,16 +39,21 @@ object Links {
   }
 
   /** `(href, anchor_text)` struct pairs for `<a href=…>text</a>` tags
-    * (double-quoted hrefs; anchor text is the raw inner HTML up to the
-    * closing tag) — the anchor-text corpus link-based quality signals
-    * and query-independent relevance features train on. Two group
-    * extractions over ONE pattern, zipped — Spark's subexpression
+    * (both quote styles, quote-style-major order like [[extractLinks]];
+    * anchor text is the raw inner HTML up to the closing tag) — the
+    * anchor-text corpus link-based quality signals and
+    * query-independent relevance features train on. Two group
+    * extractions per pattern, zipped — Spark's subexpression
     * elimination shares the scan. */
   def extractAnchors(html: Column): Column = {
-    val p = lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>")
-    arrays_zip(
-      regexp_extract_all(html, p, lit(1)).as("href"),
-      regexp_extract_all(html, p, lit(2)).as("anchor"))
+    def pairs(q: String): Column = {
+      val p = lit(
+        s"(?is)<a\\b[^>]*?\\bhref\\s*=\\s*$q([^$q]*)$q[^>]*>(.*?)</a>")
+      arrays_zip(
+        regexp_extract_all(html, p, lit(1)).as("href"),
+        regexp_extract_all(html, p, lit(2)).as("anchor"))
+    }
+    concat(pairs("\""), pairs("'"))
   }
 
   /** One row per out-link: `(<id cols…>, link_no, target)` where
@@ -101,5 +106,69 @@ object Links {
       else pairs.where(col("src_host") =!= col("dst_host"))
     kept.groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** The anchor-text corpus: per canonical link target, how many
+    * anchors point at it and the distinct anchor texts (sorted,
+    * `maxAnchors`-capped — the cap bounds the row payload the way a
+    * collect-set over a popular target must be). Anchor text is the
+    * query-independent relevance/label signal link-based quality
+    * scoring trains on. Same scale shape as [[hostGraph]]: pages reduce
+    * to (target, anchor) pairs before the single aggregation exchange;
+    * HTML never shuffles; non-http(s) targets drop. */
+  def anchorCorpus(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      maxAnchors: Int = 5): DataFrame = {
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
+    pages
+      .select(urlCol.as("__base"),
+        explode(extractAnchors(htmlCol)).as("__a"))
+      .select(Urls.resolveUrl(col("__base"), col("__a.href")).as("__abs"),
+        col("__a.anchor").as("__anchor"))
+      .where(col("__abs").rlike("(?i)^https?://"))
+      .select(Urls.canonicalUrl(col("__abs")).as("target"), col("__anchor"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_anchors"),
+        array_join(
+          slice(sort_array(collect_set(col("__anchor"))), 1, maxAnchors),
+          ",").as("anchors"))
+  }
+
+  /** The crawl FRONTIER: which URLs to fetch next, composed as one
+    * Catalyst plan from the stages a production crawler runs —
+    *  1. out-link extraction + resolution + canonicalization
+    *     ([[outlinks]]; HTML never leaves the scan stage);
+    *  2. URL-level dedup with in-link count as priority (ONE hash
+    *     aggregate on the canonical URL — the n_refs priority is free
+    *     in the same exchange);
+    *  3. drop already-crawled URLs (`seen`, column `url` — canonical
+    *     form; a corpus-scale ledger, so a key-partitioned LEFT ANTI
+    *     equi-join, broadcast only if the optimizer decides);
+    *  4. robots gate for `agent` ([[Robots.filter]] — one host-keyed
+    *     join, in-projection judgment);
+    *  5. per-host politeness quota: the top `perHostK` candidates per
+    *     destination host by (n_refs desc, url asc) — a rank window the
+    *     RewriteWindowTopK rule collapses to a k-bounded aggregate.
+    * Output: `(host, url, n_refs, rank)`. */
+  def frontier(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      seen: DataFrame, robots: DataFrame, agent: String,
+      perHostK: Int = 2): DataFrame = {
+    require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
+    val cands = outlinks(pages, urlCol, htmlCol, Seq.empty)
+      .groupBy(col("target")).agg(count(lit(1)).as("n_refs"))
+    val unseen = cands.join(
+      seen.select(col("url").as("target")).distinct(),
+      Seq("target"), "left_anti")
+    val verdicts = Robots.filter(unseen.select(col("target")), "target",
+      col("target"), robots, agent)
+    val gated = unseen.join(
+      verdicts.where(col("allowed")).select(col("target"), col("host")),
+      Seq("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_refs").desc, col("target"))
+    gated.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perHostK)
+      .select(col("host"), col("target").as("url"), col("n_refs"),
+        col("rank"))
   }
 }

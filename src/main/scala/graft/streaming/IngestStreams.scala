@@ -477,6 +477,48 @@ object IngestStreams {
       }
       .start()
 
+  /** Streaming maintenance of the standing host-level LINK GRAPH —
+    * [[graft.operators.Links.hostGraph]] kept fresh as pages arrive
+    * (the web graph a crawler's ranking/frontier reads is never built
+    * in one shot; it accretes with the crawl). Identical additive
+    * contract to [[domainIngest]]: per micro-batch one
+    * extract/resolve/canonicalize pass + one partial-agg groupBy over
+    * the BATCH only, landed as its own batch-keyed partition; the
+    * standing graph is the read-time edge-keyed sum
+    * ([[readLinkGraph]] — edge counts are additive across batches by
+    * construction). */
+  def linkIngest(pages: DataFrame, urlCol: org.apache.spark.sql.Column,
+      htmlCol: org.apache.spark.sql.Column,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          graft.operators.Links.hostGraph(batch, urlCol, htmlCol),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing link graph of a [[linkIngest]] index: edge-keyed sums
+    * across batch partitions — equals the one-shot `Links.hostGraph`
+    * over the concatenated batches (gated end-to-end through the
+    * 3-batch replay as `q_link_ingest_replay`, on the q_host_graph
+    * oracle verbatim). An absent/empty directory is the empty graph. */
+  def readLinkGraph(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src_host", StringType),
+          StructField("dst_host", StringType),
+          StructField("n_links", LongType))))
+    else
+      spark.read.parquet(indexDir)
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(sum(col("n_links")).as("n_links"))
+  }
+
   /** Streaming maintenance of the standing per-pattern hit ledger —
     * [[graft.operators.Keywords.matchCounts]] kept fresh by the ingest
     * stream (the statistic a blocklist/spam dial is tuned against).

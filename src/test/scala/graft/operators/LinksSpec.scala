@@ -77,4 +77,43 @@ class LinksSpec extends SparkSuite {
       .as[(String, String, Long)].collect().toSeq
     assert(self == Seq(("a.com", "a.com", 1L)))
   }
+
+  test("anchorCorpus: distinct-sort-cap per target, both quote styles") {
+    val pages = Seq(
+      (1L, "http://a.com/p",
+        """<a href="http://t.org/x">beta</a><a href='http://t.org/x'>alpha</a>""" +
+          """<a href="http://t.org/x">beta</a><a href="mailto:z@q">skip</a>"""),
+      (2L, "http://b.com/p",
+        """<a href="http://t.org/x">gamma</a>""")).toDF(
+      "doc_id", "url", "html")
+    val got = Links.anchorCorpus(pages, $"url", $"html", maxAnchors = 2)
+      .as[(String, Long, String)].collect().toSeq
+    // 4 anchors total (mailto dropped), distinct {alpha,beta,gamma}
+    // sorted then capped at 2
+    assert(got == Seq(("http://t.org/x", 4L, "alpha,beta")))
+  }
+
+  test("frontier: dedup priority, seen anti-join, robots gate, per-host quota") {
+    val mk = (n: Long, t: String) => (n, "http://src.com/p",
+      s"""<a href="$t">x</a>""")
+    val pages = (
+      // 3 links → t.org/a, 2 → t.org/b, 1 each → t.org/c, t.org/seen,
+      // blocked.org/x
+      (1L to 3L).map(i => mk(i, "http://t.org/a")) ++
+        (4L to 5L).map(i => mk(i, "http://t.org/b")) ++
+        Seq(mk(6L, "http://t.org/c"), mk(7L, "http://t.org/seen"),
+          mk(8L, "http://blocked.org/x"))).toDF("doc_id", "url", "html")
+    val seen = Seq("http://t.org/seen").toDF("url")
+    val robots = Seq(("blocked.org", "User-agent: *\nDisallow: /"))
+      .toDF("host", "robots_txt")
+    val got = Links.frontier(pages, $"url", $"html", seen, robots,
+      "bot", perHostK = 2)
+      .orderBy($"host", $"rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    // blocked.org gone (robots), /seen gone (ledger), t.org keeps its
+    // top-2 by in-link count
+    assert(got == Seq(
+      ("t.org", "http://t.org/a", 3L, 1),
+      ("t.org", "http://t.org/b", 2L, 2)))
+  }
 }
