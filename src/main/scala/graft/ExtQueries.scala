@@ -1809,6 +1809,60 @@ object ExtQueries {
   private val htmlWrapSuffix: String =
     "</p>&nbsp;&amp;amp; <b>tail</b></body></html>"
 
+  private val sitemapBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Sitemap fixture: two urlset files (docs split by doc_id parity —
+    * the per-file parallelism surface) plus one sitemap INDEX naming
+    * them, rendered per the sitemaps.org protocol from doc_id
+    * arithmetic — `&` in the mod-3 query class is entity-escaped in the
+    * XML (the spec REQUIRES it), so the engine's decode is load-bearing.
+    * Same first-touch-rebuild + md5(dir)+pid contract as
+    * [[warcFixture]]. */
+  private def sitemapFixture(s: SparkSession, dir: String): String =
+    sitemapBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_sitemap_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"))
+        .orderBy(col("doc_id")).collect()
+      val sets = Array.fill(2)(new StringBuilder(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"))
+      rows.foreach { r =>
+        val (id, src) = (r.getLong(0), r.getString(1))
+        val loc = s"http://$src.example.com/p/$id" +
+          (if (id % 3 == 0) "?a=1&amp;b=2" else "")
+        val sb = sets((id % 2).toInt)
+        sb.append("  <url>\n    <loc>").append(loc).append("</loc>\n")
+        if (id % 4 == 0)
+          sb.append(f"    <lastmod>2026-02-${id % 28 + 1}%02d</lastmod>\n")
+        if (id % 3 == 0) sb.append("    <changefreq>daily</changefreq>\n")
+        else if (id % 3 == 1) sb.append("    <changefreq>weekly</changefreq>\n")
+        if (id % 5 == 0)
+          sb.append(s"    <priority>0.${id % 10}</priority>\n")
+        sb.append("  </url>\n")
+      }
+      sets.zipWithIndex.foreach { case (sb, i) =>
+        java.nio.file.Files.writeString(
+          rootPath.resolve(s"sitemap_$i.xml"), sb.append("</urlset>\n").toString)
+      }
+      java.nio.file.Files.writeString(rootPath.resolve("sitemap_index.xml"),
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          (0 until 2).map(i =>
+            s"  <sitemap>\n    <loc>http://site.example.com/sitemap_$i.xml</loc>\n" +
+              "    <lastmod>2026-03-01</lastmod>\n  </sitemap>\n").mkString +
+          "</sitemapindex>\n")
+      root
+    })
+
   private val warcHtmlBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3599,6 +3653,18 @@ object ExtQueries {
       graft.streaming.IngestStreams.readLinkGraph(s,
           s"${ingestReplayFixture(s, dir)}/link_index")
         .orderBy(col("src_host"), col("dst_host"))),
+
+    // sitemap ingestion (sitemaps.org): two rendered urlset files + the
+    // index naming them, read as one per-file-parallel scan; the
+    // entity-escaped `&amp;` class, optional-field NULLs, and the
+    // urlset/index kind split are all oracle-stated from the render
+    // arithmetic
+    "q_sitemap_scan" -> ((s, dir) =>
+      graft.sources.Sources.sitemapEntries(s,
+          s"${sitemapFixture(s, dir)}/*.xml")
+        .select(col("kind"), col("loc"), col("lastmod"),
+          col("changefreq"), col("priority"))
+        .orderBy(col("kind"), col("loc"))),
 
     // ---- dedup ----------------------------------------------------------
 
@@ -6484,6 +6550,31 @@ object ExtQueries {
         |  FROM gated)
         |SELECT host, url, n_refs, rank FROM ranked WHERE rank <= 2
         |ORDER BY host, rank""".stripMargin,
+
+    // every sitemap entry re-derived from the render arithmetic: the
+    // mod-3 class carries the entity-escaped query (the oracle states
+    // the DECODED form), optional fields NULL off their mod classes,
+    // the index rows constant
+    "q_sitemap_scan" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    'http://' || source || '.example.com/p/' ||
+        |      CAST(doc_id AS VARCHAR) ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+        |    CASE WHEN doc_id % 4 = 0 THEN '2026-02-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily'
+        |      WHEN 1 THEN 'weekly' END AS changefreq,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '0.' || CAST(doc_id % 10 AS VARCHAR) END AS priority
+        |  FROM documents)
+        |SELECT kind, loc, lastmod, changefreq, priority FROM (
+        |  SELECT 'urlset' AS kind, loc, lastmod, changefreq, priority
+        |  FROM u
+        |  UNION ALL
+        |  SELECT 'index', 'http://site.example.com/sitemap_' ||
+        |    CAST(i AS VARCHAR) || '.xml', '2026-03-01', NULL, NULL
+        |  FROM range(2) t(i)) z
+        |ORDER BY kind, loc""".stripMargin,
 
     // each mod class's RFC 9309 verdict stated directly: classes 0/2/4
     // hit a longest-match Disallow (prefix, *…$ wildcard, *-group),

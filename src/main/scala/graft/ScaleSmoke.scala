@@ -187,7 +187,61 @@ object ScaleSmoke {
         graft.operators.Video.attachAvi(
           docs(s, dir).filter(col("doc_id") % 5 === 0)
             .select(col("doc_id")),
-          _ => graft.operators.Video.CodecRgb))))
+          _ => graft.operators.Video.CodecRgb))),
+    // r19: out-link extraction → host graph — extract/resolve/
+    // canonicalize are per-row projections and the only exchange
+    // carries host pairs, so the step ratio must track page volume
+    // linearly (a super-linear step would mean HTML crossed a shuffle)
+    "link_graph" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Links.hostGraph(linkPages(docs(s, dir)),
+        col("url"), col("html"))),
+    // r19: robots gate — per-URL judgment is an in-projection array HOF
+    // after one host join against a FIXED-SIZE rules table; linear in
+    // URL volume, independent of verdict mix
+    "robots" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Robots.filter(
+        docs(s, dir).select(col("doc_id"),
+          concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")).as("url")),
+        "doc_id", col("url"),
+        (0 until 7).map(i =>
+          (s"h$i.com", "User-agent: *\nDisallow: /private\nAllow: /p"))
+          .toDF("host", "robots_txt"), "bot")
+    }),
+    // r19: the composed frontier — dedup agg + seen anti-join + robots
+    // + per-host top-k; every exchange carries canonical-URL-width rows
+    "frontier" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.operators.Links.frontier(linkPages(docs(s, dir)),
+        col("url"), col("html"),
+        docs(s, dir).select(concat(lit("http://ext0.example.org/p"))
+          .as("url")).limit(1),
+        Seq(("ext2.example.org", "User-agent: *\nDisallow: /"))
+          .toDF("host", "robots_txt"),
+        "bot", perHostK = 2)
+    }))
+
+  /** The link-face page construction (ExtQueries.linkPageCols' shape):
+    * two anchors per doc whose hrefs cycle the reference classes. */
+  private def linkPages(df: DataFrame): DataFrame = {
+    val refA = element_at(array(
+      concat(lit("http://ext"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/p")),
+      lit("//cdn.example.net/lib"),
+      concat(lit("/local/"), col("doc_id").cast("string")),
+      lit("sub/page")), (col("doc_id") % 4).cast("int") + 1)
+    val refB = element_at(array(
+      concat(lit("../up/"), col("doc_id").cast("string")),
+      lit("?v=2"),
+      lit("a/./b/../c")), (col("doc_id") % 3).cast("int") + 1)
+    df.withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/dir/page"), col("doc_id").cast("string"),
+        lit(".html")))
+      .withColumn("html", concat(
+        lit("<html><body><a href=\""), refA,
+        lit("\">a</a><a href='"), refB, lit("'>b</a></body></html>")))
+  }
 
   private val ccIncBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -425,4 +425,54 @@ object Sources {
         .options(kafkaBatchOptions(
           bootstrapServers, topic, startingOffsets, endingOffsets))
         .load())
+
+  /** XML entity decodes for sitemap `<loc>` values, `&amp;` LAST (the
+    * [[graft.operators.TextPrep.HtmlEntities]] ordering rule — the
+    * sitemaps.org spec REQUIRES URLs to be entity-escaped, so every
+    * consumer must undo exactly these five). */
+  private val XmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&apos;" -> "'", "&amp;" -> "&")
+
+  /** Sitemap ingestion (sitemaps.org protocol) — the crawl-seed source
+    * next to robots.txt: one row per `<url>` entry of a urlset sitemap
+    * or per `<sitemap>` entry of a sitemap INDEX, with the fields the
+    * protocol defines: `(file, kind, loc, lastmod, changefreq,
+    * priority)`. `kind` is `urlset` or `index` (an index's `loc`s are
+    * more sitemaps to fetch — the recursion is the caller's crawl loop,
+    * not a hidden driver walk); absent optional fields are NULL;
+    * `loc` is entity-decoded per the spec ([[XmlEntities]]);
+    * `priority` stays the spec's decimal STRING (no float drift).
+    *
+    * Read shape: `wholetext` per file — the protocol caps one sitemap
+    * at 50 MB uncompressed / 50k entries, so a file is always one
+    * bounded row, and a crawl's many sitemaps parallelize per-file
+    * exactly like the WET/WARC dumps. Parsing is one codegen'd
+    * `regexp_extract_all` + explode + per-entry field extracts: no XML
+    * parser state, no UDF; a malformed entry yields NULL fields, never
+    * a task failure (the corrupt-row contract of the WET demux). */
+  def sitemapEntries(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def field(name: String): Column = {
+      val v = regexp_extract(col("__e"),
+        s"(?s)<$name>\\s*(.*?)\\s*</$name>", 1)
+      when(v =!= "", v)
+    }
+    val decodedLoc = XmlEntities.foldLeft(field("loc")) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+      .withColumn("kind",
+        when(col("value").rlike("(?s)<sitemapindex[\\s>]"), lit("index"))
+          .otherwise(lit("urlset")))
+      .select(col("file"), col("kind"),
+        explode(regexp_extract_all(col("value"),
+          lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1)))
+          .as("__e"))
+      .select(col("file"), col("kind"),
+        decodedLoc.as("loc"), field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"),
+        field("priority").as("priority"))
+  }
 }

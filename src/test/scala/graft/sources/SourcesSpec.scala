@@ -496,4 +496,37 @@ class SourcesSpec extends SparkSuite {
         .collect()
     }
   }
+
+  test("sitemapEntries: kind split, entity decode, optional NULLs, malformed entry") {
+    val dir = Files.createTempDirectory("graft-sitemap-spec")
+    Files.writeString(dir.resolve("u.xml"),
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>http://a.com/p?x=1&amp;y=2&lt;z&gt;</loc>
+        |    <lastmod>2026-01-02</lastmod>
+        |    <changefreq>daily</changefreq>
+        |    <priority>0.8</priority>
+        |  </url>
+        |  <url><loc>http://a.com/q</loc></url>
+        |  <url><lastmod>2026-01-03</lastmod></url>
+        |</urlset>
+        |""".stripMargin)
+    Files.writeString(dir.resolve("i.xml"),
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>http://a.com/u.xml</loc></sitemap>
+        |</sitemapindex>
+        |""".stripMargin)
+    val got = Sources.sitemapEntries(spark, s"$dir/*.xml")
+      .select($"kind", $"loc", $"lastmod", $"changefreq", $"priority")
+      .as[(String, Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq.sortBy(r => (r._1, r._2.getOrElse("")))
+    assert(got == Seq(
+      ("index", Some("http://a.com/u.xml"), None, None, None),
+      // the loc-less malformed entry: NULL fields except the one present
+      ("urlset", None, Some("2026-01-03"), None, None),
+      ("urlset", Some("http://a.com/p?x=1&y=2<z>"), Some("2026-01-02"),
+        Some("daily"), Some("0.8")),
+      ("urlset", Some("http://a.com/q"), None, None, None)))
+  }
 }
