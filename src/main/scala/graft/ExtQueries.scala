@@ -1863,6 +1863,54 @@ object ExtQueries {
       root
     })
 
+  private val warcRedirectBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WARC `response` fixture with REDIRECTS: per doc_id mod 4 a plain
+    * 200 (no Location — must NOT appear in the redirect map), a 301
+    * with an ABSOLUTE Location, a 302 with a RELATIVE one (RFC 9110
+    * allows it; resolution is load-bearing), and a 308 with a
+    * scheme-relative one. Same render contract as [[warcFixture]]. */
+  private def warcRedirectFixture(s: SparkSession, dir: String): String =
+    warcRedirectBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_warc_redir_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"))
+        .orderBy(col("doc_id")).collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val (id, src) = (r.getLong(0), r.getString(1))
+        val (status, loc) = (id % 4) match {
+          case 0 => (200, None)
+          case 1 => (301, Some(s"http://moved.example.net/p/$id"))
+          case 2 => (302, Some(s"/new/$id"))
+          case _ => (308, Some(s"//alt.example.org/$id"))
+        }
+        val http = s"HTTP/1.1 $status X\r\n" +
+          loc.map(l => s"Location: $l\r\n").getOrElse("") +
+          "Content-Type: text/plain\r\n\r\nmoved"
+        val nBytes =
+          http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+          .append(s"Content-Length: $nBytes\r\n")
+          .append("\r\n")
+          .append(http)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.writeString(
+        rootPath.resolve("corpus.warc"), sb.toString)
+      root
+    })
+
   private val warcHtmlBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3665,6 +3713,20 @@ object ExtQueries {
         .select(col("kind"), col("loc"), col("lastmod"),
           col("changefreq"), col("priority"))
         .orderBy(col("kind"), col("loc"))),
+
+    // the redirect map off a WARC dump: 3xx responses' Location headers
+    // (absolute / RELATIVE / scheme-relative — resolution against the
+    // record URI is load-bearing) become canonical (src, dst) aliasing
+    // edges; 200s must not appear; the oracle states every class from
+    // the render arithmetic
+    "q_redirect_map" -> ((s, dir) =>
+      Links.redirectEdges(graft.sources.Sources.warcResponses(s,
+          s"${warcRedirectFixture(s, dir)}/corpus.warc"))
+        .select(
+          regexp_extract(col("src"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("status"), col("src"), col("dst"))
+        .orderBy(col("doc_id"))),
 
     // ---- dedup ----------------------------------------------------------
 
@@ -6575,6 +6637,24 @@ object ExtQueries {
         |    CAST(i AS VARCHAR) || '.xml', '2026-03-01', NULL, NULL
         |  FROM range(2) t(i)) z
         |ORDER BY kind, loc""".stripMargin,
+
+    // each redirect class's canonical (src, dst) from the render
+    // arithmetic — the relative and scheme-relative classes state the
+    // RESOLVED absolute form; the 200 class is absent
+    "q_redirect_map" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 301
+        |    WHEN 2 THEN 302 ELSE 308 END AS INT) AS status,
+        |  'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS src,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'http://moved.example.net/p/' ||
+        |      CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'http://' || source || '.example.com/new/' ||
+        |      CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://alt.example.org/' || CAST(doc_id AS VARCHAR)
+        |    END AS dst
+        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id""".stripMargin,
 
     // each mod class's RFC 9309 verdict stated directly: classes 0/2/4
     // hit a longest-match Disallow (prefix, *…$ wildcard, *-group),

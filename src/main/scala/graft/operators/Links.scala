@@ -133,6 +133,28 @@ object Links {
           ",").as("anchors"))
   }
 
+  /** HTTP redirect edges from a WARC response relation
+    * ([[graft.sources.Sources.warcResponses]] columns `uri`,
+    * `http_status`, `location`): one `(src, dst, status)` row per 3xx
+    * response with a Location header, both sides resolved
+    * (Location is commonly RELATIVE — RFC 9110 allows it) and
+    * canonicalized. This is the URL-aliasing evidence a crawl pipeline
+    * folds into canonicalization: a redirect map joined against the
+    * URL ledger collapses moved pages into their targets before
+    * content dedup ever runs. Pure projection + filter — no shuffle;
+    * chain resolution (a→b→c) is the caller's fixed-point join over
+    * this relation, exactly like [[Graph.connectedComponents]] over
+    * any edge list. */
+  def redirectEdges(responses: DataFrame): DataFrame =
+    responses
+      .where(col("http_status").isin(301, 302, 303, 307, 308) &&
+        col("location").isNotNull)
+      .select(
+        Urls.canonicalUrl(col("uri")).as("src"),
+        Urls.canonicalUrl(Urls.resolveUrl(col("uri"), col("location")))
+          .as("dst"),
+        col("http_status").as("status"))
+
   /** The crawl FRONTIER: which URLs to fetch next, composed as one
     * Catalyst plan from the stages a production crawler runs —
     *  1. out-link extraction + resolution + canonicalization

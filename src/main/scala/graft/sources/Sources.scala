@@ -206,6 +206,9 @@ object Sources {
         nullif(regexp_extract(col("__hdr"), "^HTTP/1\\.[01] (\\d{3})", 1),
           lit("")).cast("int"))
       .withColumn("content_type", header("content-type"))
+      // the redirect target of a 3xx response (RFC 9110 §10.2.2) — the
+      // URL-aliasing evidence a crawl's canonicalization/dedup consumes
+      .withColumn("location", header("location"))
       .withColumn("transfer_encoding", lower(trim(header("transfer-encoding"))))
       .withColumn("content_encoding", lower(trim(header("content-encoding"))))
       .withColumn("__p0",
@@ -227,7 +230,7 @@ object Sources {
             inflate(col("__p1"), maxDecodedBytes))
           .otherwise(lit(null).cast("binary")))
       .select(col("rec_type"), col("uri"), col("content_length"),
-        col("http_status"), col("content_type"),
+        col("http_status"), col("content_type"), col("location"),
         col("transfer_encoding"), col("content_encoding"), col("body"))
   }
 
