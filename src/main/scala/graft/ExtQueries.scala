@@ -232,11 +232,16 @@ object ExtQueries {
 
   /** q_crawl_frontier's robots fixture: cdn disallows its whole /lib
     * section, ext2 disallows everything — two of the candidate hosts
-    * must vanish from the frontier; every other host has no robots.txt
-    * (allowed). */
+    * must vanish from the frontier. The ext1 + per-src entries carry
+    * ONLY a Crawl-delay (q_fetch_schedule's dial) — a delay-only group
+    * has no allow/disallow rules, so it must NOT disturb the frontier's
+    * verdicts; hosts without an entry take the schedule's 1 s default. */
   private val frontierRobotsFixture: Seq[(String, String)] = Seq(
     "cdn.example.net" -> "User-agent: *\nDisallow: /lib",
-    "ext2.example.org" -> "User-agent: *\nDisallow: /")
+    "ext2.example.org" -> "User-agent: *\nDisallow: /",
+    "ext1.example.org" -> "User-agent: *\nCrawl-delay: 7") ++
+    (0 until 20).map(i =>
+      s"src$i.example.com" -> s"User-agent: *\nCrawl-delay: ${2 + i % 5}")
 
   /** One oracle for both WET faces: every engine column is parsed from
     * the rendered dump file(s); this recomputes them all from the
@@ -422,6 +427,45 @@ object ExtQueries {
     """SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
     rounds = 5)
+
+  /** The frontier derivation's shared CTE chain (candidates → seen
+    * anti-filter → robots gate → rank) — `q_crawl_frontier` selects the
+    * ranked rows, `q_fetch_schedule` layers the Crawl-delay arithmetic
+    * on top of the SAME chain. */
+  private lazy val frontierOracleCtes: String =
+    """WITH l AS (
+      |  SELECT CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
+      |        '.example.org/p'
+      |      WHEN 1 THEN 'http://cdn.example.net/lib'
+      |      WHEN 2 THEN 'http://' || source || '.example.com/local/' ||
+      |        CAST(doc_id AS VARCHAR)
+      |      ELSE 'http://' || source || '.example.com/dir/sub/page'
+      |      END AS target
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
+      |        CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
+      |        CAST(doc_id AS VARCHAR) || '.html?v=2'
+      |      ELSE 'http://' || source || '.example.com/dir/a/c' END
+      |  FROM documents),
+      |cand AS (SELECT target, CAST(count(*) AS BIGINT) AS n_refs
+      |  FROM l GROUP BY target),
+      |unseen AS (SELECT * FROM cand WHERE target NOT IN (
+      |  SELECT 'http://' || source || '.example.com/local/' ||
+      |    CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 8 = 2)),
+      |gated AS (SELECT regexp_extract(target, '^http://([^/]*)', 1)
+      |    AS host, target, n_refs
+      |  FROM unseen
+      |  WHERE target NOT LIKE 'http://cdn.example.net/%'
+      |    AND target NOT LIKE 'http://ext2.example.org/%'),
+      |ranked AS (SELECT host, target AS url, n_refs,
+      |    CAST(row_number() OVER (PARTITION BY host
+      |      ORDER BY n_refs DESC, target) AS INT) AS rank
+      |  FROM gated)""".stripMargin
 
   /** One derivation for the batch host graph AND its streamed 3-batch
     * ingest twin (edge counts are additive across any batch split, so
@@ -1868,9 +1912,11 @@ object ExtQueries {
 
   /** WARC `response` fixture with REDIRECTS: per doc_id mod 4 a plain
     * 200 (no Location — must NOT appear in the redirect map), a 301
-    * with an ABSOLUTE Location, a 302 with a RELATIVE one (RFC 9110
-    * allows it; resolution is load-bearing), and a 308 with a
-    * scheme-relative one. Same render contract as [[warcFixture]]. */
+    * whose ABSOLUTE Location points at the NEXT record's URI (which is
+    * itself a 302 — a real two-hop chain, the collapse face's
+    * evidence), a 302 with a RELATIVE Location (RFC 9110 allows it;
+    * resolution is load-bearing), and a 308 with a scheme-relative
+    * one. Same render contract as [[warcFixture]]. */
   private def warcRedirectFixture(s: SparkSession, dir: String): String =
     warcRedirectBuilt.computeIfAbsent(dir, { _ =>
       val dirHash = java.security.MessageDigest.getInstance("MD5")
@@ -1885,10 +1931,15 @@ object ExtQueries {
         .select(col("doc_id").cast("long"), col("source"))
         .orderBy(col("doc_id")).collect()
       val sb = new StringBuilder
-      rows.foreach { r =>
+      rows.zipWithIndex.foreach { case (r, i) =>
         val (id, src) = (r.getLong(0), r.getString(1))
         val (status, loc) = (id % 4) match {
           case 0 => (200, None)
+          case 1 if i + 1 < rows.length =>
+            // chain head: 301 to the NEXT record's URI (a 302, since
+            // id+1 ≡ 2 mod 4 — contiguous ids make this total)
+            (301, Some(s"http://${rows(i + 1).getString(1)}.example.com" +
+              s"/p/${id + 1}"))
           case 1 => (301, Some(s"http://moved.example.net/p/$id"))
           case 2 => (302, Some(s"/new/$id"))
           case _ => (308, Some(s"//alt.example.org/$id"))
@@ -3727,6 +3778,45 @@ object ExtQueries {
             .as("doc_id"),
           col("status"), col("src"), col("dst"))
         .orderBy(col("doc_id"))),
+
+    // multi-hop collapse over the same map by pointer doubling: the
+    // 301 heads chain through their 302 successor to /new/{id+1}
+    // (hops 2), the 302/308 classes are terminal (hops 1); the oracle
+    // states every final target from the render arithmetic via one
+    // doc_id+1 self-join
+    "q_redirect_collapse" -> ((s, dir) =>
+      Links.collapseRedirects(
+        Links.redirectEdges(graft.sources.Sources.warcResponses(s,
+          s"${warcRedirectFixture(s, dir)}/corpus.warc")), maxHops = 8)
+        .select(
+          regexp_extract(col("src"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("src"), col("dst"), col("hops"))
+        .orderBy(col("doc_id"))),
+
+    // frontier + Crawl-delay → the per-host FETCH SCHEDULE: each
+    // candidate's offset is (rank−1) × the host's governing-group
+    // Crawl-delay (default 1 s — politeness floor); delay-only robots
+    // groups must not disturb the allow/disallow verdicts (the src
+    // hosts' entries carry ONLY a Crawl-delay)
+    "q_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val robots = frontierRobotsFixture.toDF("host", "robots_txt")
+      val seen = Tables.documents(s, dir)
+        .where(col("doc_id") % 8 === 2)
+        .select(concat(lit("http://"), col("source"),
+          lit(".example.com/local/"), col("doc_id").cast("string"))
+          .as("url"))
+      Links.frontier(linkPages(s, dir), col("url"), col("html"),
+          seen, robots, "graftbot", perHostK = 2)
+        .join(Robots.crawlDelays(robots, col("host"), col("robots_txt"),
+          "graftbot"), Seq("host"), "left")
+        .withColumn("delay_s", coalesce(col("delay_s"), lit(1)))
+        .withColumn("fetch_offset_s", (col("rank") - 1) * col("delay_s"))
+        .select(col("host"), col("url"), col("rank"), col("delay_s"),
+          col("fetch_offset_s"))
+        .orderBy(col("host"), col("rank"))
+    }),
 
     // ---- dedup ----------------------------------------------------------
 
@@ -6576,42 +6666,24 @@ object ExtQueries {
     // candidate targets + in-link counts from the href CASEs, seen =
     // the planted /local subset (doc_id % 8 = 2), the robots verdicts
     // stated as two host-prefix drops, rank by (n_refs desc, url)
-    "q_crawl_frontier" ->
-      """WITH l AS (
-        |  SELECT CASE CAST(doc_id % 4 AS INT)
-        |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
-        |        '.example.org/p'
-        |      WHEN 1 THEN 'http://cdn.example.net/lib'
-        |      WHEN 2 THEN 'http://' || source || '.example.com/local/' ||
-        |        CAST(doc_id AS VARCHAR)
-        |      ELSE 'http://' || source || '.example.com/dir/sub/page'
-        |      END AS target
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT CASE CAST(doc_id % 3 AS INT)
-        |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
-        |        CAST(doc_id AS VARCHAR)
-        |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
-        |        CAST(doc_id AS VARCHAR) || '.html?v=2'
-        |      ELSE 'http://' || source || '.example.com/dir/a/c' END
-        |  FROM documents),
-        |cand AS (SELECT target, CAST(count(*) AS BIGINT) AS n_refs
-        |  FROM l GROUP BY target),
-        |unseen AS (SELECT * FROM cand WHERE target NOT IN (
-        |  SELECT 'http://' || source || '.example.com/local/' ||
-        |    CAST(doc_id AS VARCHAR)
-        |  FROM documents WHERE doc_id % 8 = 2)),
-        |gated AS (SELECT regexp_extract(target, '^http://([^/]*)', 1)
-        |    AS host, target, n_refs
-        |  FROM unseen
-        |  WHERE target NOT LIKE 'http://cdn.example.net/%'
-        |    AND target NOT LIKE 'http://ext2.example.org/%'),
-        |ranked AS (SELECT host, target AS url, n_refs,
-        |    CAST(row_number() OVER (PARTITION BY host
-        |      ORDER BY n_refs DESC, target) AS INT) AS rank
-        |  FROM gated)
+    "q_crawl_frontier" -> (frontierOracleCtes +
+      """
         |SELECT host, url, n_refs, rank FROM ranked WHERE rank <= 2
-        |ORDER BY host, rank""".stripMargin,
+        |ORDER BY host, rank""".stripMargin),
+
+    // the schedule on top of the same frontier derivation: delay from
+    // the planted Crawl-delay arithmetic (src hosts 2 + N%5, ext1 = 7,
+    // everything else the 1 s default), offset = (rank−1) × delay
+    "q_fetch_schedule" -> (frontierOracleCtes +
+      """,
+        |delayed AS (SELECT host, url, rank,
+        |    CASE WHEN host LIKE 'src%' THEN 2 +
+        |      CAST(regexp_extract(host, '^src([0-9]+)', 1) AS INT) % 5
+        |    WHEN host = 'ext1.example.org' THEN 7 ELSE 1 END AS delay_s
+        |  FROM ranked WHERE rank <= 2)
+        |SELECT host, url, rank, CAST(delay_s AS INT) AS delay_s,
+        |  CAST((rank - 1) * delay_s AS INT) AS fetch_offset_s
+        |FROM delayed ORDER BY host, rank""".stripMargin),
 
     // every sitemap entry re-derived from the render arithmetic: the
     // mod-3 class carries the entity-escaped query (the oracle states
@@ -6640,21 +6712,45 @@ object ExtQueries {
 
     // each redirect class's canonical (src, dst) from the render
     // arithmetic — the relative and scheme-relative classes state the
-    // RESOLVED absolute form; the 200 class is absent
+    // RESOLVED absolute form, the 301 class points at the next record's
+    // URI (the chain head — one doc_id+1 self-join re-derives the
+    // successor's host); the 200 class is absent
     "q_redirect_map" ->
-      """SELECT doc_id,
-        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 301
+      """SELECT d.doc_id,
+        |  CAST(CASE CAST(d.doc_id % 4 AS INT) WHEN 1 THEN 301
         |    WHEN 2 THEN 302 ELSE 308 END AS INT) AS status,
-        |  'http://' || source || '.example.com/p/' ||
-        |    CAST(doc_id AS VARCHAR) AS src,
-        |  CASE CAST(doc_id % 4 AS INT)
-        |    WHEN 1 THEN 'http://moved.example.net/p/' ||
-        |      CAST(doc_id AS VARCHAR)
-        |    WHEN 2 THEN 'http://' || source || '.example.com/new/' ||
-        |      CAST(doc_id AS VARCHAR)
-        |    ELSE 'http://alt.example.org/' || CAST(doc_id AS VARCHAR)
+        |  'http://' || d.source || '.example.com/p/' ||
+        |    CAST(d.doc_id AS VARCHAR) AS src,
+        |  CASE CAST(d.doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'http://' || d2.source || '.example.com/p/' ||
+        |      CAST(d.doc_id + 1 AS VARCHAR)
+        |    WHEN 2 THEN 'http://' || d.source || '.example.com/new/' ||
+        |      CAST(d.doc_id AS VARCHAR)
+        |    ELSE 'http://alt.example.org/' || CAST(d.doc_id AS VARCHAR)
         |    END AS dst
-        |FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id""".stripMargin,
+        |FROM documents d
+        |LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |WHERE d.doc_id % 4 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the collapse: 301 heads resolve THROUGH their 302 successor to
+    // its /new target (hops 2), the 302/308 classes are terminal
+    // (hops 1) — finals and hop counts all from the same self-join
+    "q_redirect_collapse" ->
+      """SELECT d.doc_id,
+        |  'http://' || d.source || '.example.com/p/' ||
+        |    CAST(d.doc_id AS VARCHAR) AS src,
+        |  CASE CAST(d.doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'http://' || d2.source || '.example.com/new/' ||
+        |      CAST(d.doc_id + 1 AS VARCHAR)
+        |    WHEN 2 THEN 'http://' || d.source || '.example.com/new/' ||
+        |      CAST(d.doc_id AS VARCHAR)
+        |    ELSE 'http://alt.example.org/' || CAST(d.doc_id AS VARCHAR)
+        |    END AS dst,
+        |  CAST(CASE WHEN d.doc_id % 4 = 1 THEN 2 ELSE 1 END AS INT)
+        |    AS hops
+        |FROM documents d
+        |LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |WHERE d.doc_id % 4 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     // each mod class's RFC 9309 verdict stated directly: classes 0/2/4
     // hit a longest-match Disallow (prefix, *…$ wildcard, *-group),

@@ -155,6 +155,48 @@ object Links {
           .as("dst"),
         col("http_status").as("status"))
 
+  /** Multi-hop redirect collapse: the FINAL target of every redirect
+    * source under the [[redirectEdges]] map, by POINTER DOUBLING — each
+    * round composes the map with itself (`f ∘ f`), so `k` self-joins
+    * resolve chains up to `2^k` hops: log-round cost where naive
+    * iteration pays one join per hop. Every join is an equi-join on
+    * canonical-URL-width rows. Output `(src, dst, hops)`; a chain
+    * longer than `maxHops` — or a redirect CYCLE, which real crawls do
+    * contain — stops at the bound with `hops >= maxHops`, so callers
+    * can quarantine unresolved rows instead of looping forever.
+    *
+    * Each round's result is STAGED ([[Staging.stage]] — the
+    * [[Graph.pageRank]] lineage-truncation rule) before it joins with
+    * itself: un-staged, round k would carry 2^k copies of the upstream
+    * plan (for [[redirectEdges]] that is 2^k WARC scans), the exact
+    * exponential-lineage trap iterative self-composition sets. With
+    * `stagingDir` the rounds checkpoint to parquet (the 100 TB shape);
+    * without it, executor-local persist. */
+  def collapseRedirects(edges: DataFrame, maxHops: Int = 8,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val rounds = math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt
+    var f = Staging.stage(
+      edges.select(col("src"), col("dst"), lit(1).as("hops")),
+      stagingDir, "redir_0")
+    for (r <- 0 until rounds) {
+      // both sides renamed before the self-join so every reference is
+      // name-unambiguous (the classic self-join attribute trap)
+      val left = f.select(col("src").as("__ls"), col("dst").as("__ld"),
+        col("hops").as("__lh"))
+      val right = f.select(col("src").as("__rs"), col("dst").as("__rd"),
+        col("hops").as("__rh"))
+      f = Staging.stage(
+        left.join(right, col("__ld") === col("__rs"), "left")
+          .select(col("__ls").as("src"),
+            coalesce(col("__rd"), col("__ld")).as("dst"),
+            least(col("__lh") + coalesce(col("__rh"), lit(0)), lit(maxHops))
+              .as("hops")),
+        stagingDir, s"redir_${r + 1}")
+    }
+    f
+  }
+
   /** The crawl FRONTIER: which URLs to fetch next, composed as one
     * Catalyst plan from the stages a production crawler runs —
     *  1. out-link extraction + resolution + canonicalization

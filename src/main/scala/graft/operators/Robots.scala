@@ -44,6 +44,36 @@ object Robots {
     * `Disallow:` idiom falls out naturally). */
   def agentRules(robots: DataFrame, hostCol: Column, txtCol: Column,
       agent: String): DataFrame = {
+    val (grouped, groupSel) = governingGroups(robots, hostCol, txtCol, agent)
+    val rules = grouped
+      .where(col("__field").isin("allow", "disallow") && col("__value") =!= "")
+      .select(col("host"), col("__gid"),
+        (col("__field") === "allow").cast("int").as("allow"),
+        col("__value").as("__p"))
+      .join(groupSel, Seq("host", "__gid"))
+      .select(col("host"), col("allow"),
+        // precedence length: pattern octets excluding a trailing '$'
+        length(regexp_replace(col("__p"), "\\$$", "")).as("len"),
+        // pattern -> LIKE: escape LIKE specials first ('*' and '$' are
+        // not LIKE specials, so they pass through untouched), then
+        // '*' -> '%'; a trailing '$' anchors the end (drop it, no
+        // trailing '%'), otherwise the rule is a prefix -> append '%'
+        {
+          val esc = regexp_replace(col("__p"), "([%_\\\\])", "\\\\$1")
+          val star = regexp_replace(esc, "\\*", "%")
+          when(col("__p").endsWith("$"), regexp_replace(star, "\\$$", ""))
+            .otherwise(concat(star, lit("%"))).as("pat")
+        })
+    rules.groupBy(col("host"))
+      .agg(reverse(array_sort(collect_list(
+        struct(col("len"), col("allow"), col("pat"))))).as("rules"))
+  }
+
+  /** Shared group machinery: the classified/grouped robots lines and
+    * the (host, gid) set of groups GOVERNING `agent` per RFC 9309
+    * (specific groups when any exists, else `*` groups). */
+  private def governingGroups(robots: DataFrame, hostCol: Column,
+      txtCol: Column, agent: String): (DataFrame, DataFrame) = {
     val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
     val lines = robots
       .select(hostCol.as("host"),
@@ -74,28 +104,26 @@ object Robots {
       .where(col("__spec") === 1 ||
         (col("__star") === 1 && col("__anySpec") === 0))
       .select(col("host"), col("__gid"))
-    val rules = grouped
-      .where(col("__field").isin("allow", "disallow") && col("__value") =!= "")
+    (grouped, groupSel)
+  }
+
+  /** Per-host `Crawl-delay` (the de-facto extension most engines except
+    * Google honor) under the SAME group selection as [[agentRules]]:
+    * `(host, delay_s)` for every host whose governing group carries a
+    * numeric Crawl-delay; fractional values round UP (politeness errs
+    * slow), several values take the MAX. Hosts with none yield no row —
+    * the caller's default applies. */
+  def crawlDelays(robots: DataFrame, hostCol: Column, txtCol: Column,
+      agent: String): DataFrame = {
+    val (grouped, groupSel) = governingGroups(robots, hostCol, txtCol, agent)
+    grouped
+      .where(col("__field") === "crawl-delay" &&
+        col("__value").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .select(col("host"), col("__gid"),
-        (col("__field") === "allow").cast("int").as("allow"),
-        col("__value").as("__p"))
+        ceil(col("__value").cast("double")).cast("int").as("__d"))
       .join(groupSel, Seq("host", "__gid"))
-      .select(col("host"), col("allow"),
-        // precedence length: pattern octets excluding a trailing '$'
-        length(regexp_replace(col("__p"), "\\$$", "")).as("len"),
-        // pattern -> LIKE: escape LIKE specials first ('*' and '$' are
-        // not LIKE specials, so they pass through untouched), then
-        // '*' -> '%'; a trailing '$' anchors the end (drop it, no
-        // trailing '%'), otherwise the rule is a prefix -> append '%'
-        {
-          val esc = regexp_replace(col("__p"), "([%_\\\\])", "\\\\$1")
-          val star = regexp_replace(esc, "\\*", "%")
-          when(col("__p").endsWith("$"), regexp_replace(star, "\\$$", ""))
-            .otherwise(concat(star, lit("%"))).as("pat")
-        })
-    rules.groupBy(col("host"))
-      .agg(reverse(array_sort(collect_list(
-        struct(col("len"), col("allow"), col("pat"))))).as("rules"))
+      .groupBy(col("host"))
+      .agg(max(col("__d")).as("delay_s"))
   }
 
   /** `urls` (id column `idCol`, URL in `urlCol`) judged against

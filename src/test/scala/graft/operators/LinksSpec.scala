@@ -116,4 +116,21 @@ class LinksSpec extends SparkSuite {
       ("t.org", "http://t.org/a", 3L, 1),
       ("t.org", "http://t.org/b", 2L, 2)))
   }
+
+  test("collapseRedirects: chains resolve, cycles stop at the bound") {
+    val edges = Seq(
+      ("a", "b", 301), ("b", "c", 302), ("c", "d", 301), // 3-hop chain
+      ("e", "f", 302),                                   // 1 hop
+      ("x", "y", 301), ("y", "x", 301)                   // CYCLE
+    ).toDF("src", "dst", "status")
+    val got = Links.collapseRedirects(edges, maxHops = 8)
+      .as[(String, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(got.filter(_._1 != "x").filter(_._1 != "y") == Seq(
+      ("a", "d", 3), ("b", "d", 2), ("c", "d", 1), ("e", "f", 1)))
+    // the cycle rows are CLAMPED at maxHops — the quarantine marker —
+    // instead of looping forever
+    got.filter(r => r._1 == "x" || r._1 == "y").foreach { r =>
+      assert(r._3 == 8, s"cycle row should clamp at maxHops, got $r")
+    }
+  }
 }

@@ -107,4 +107,19 @@ class RobotsSpec extends SparkSuite {
     assert(judge(txt, "bot", Seq("/search?q=beer", "/search")) ==
       Seq(false, true))
   }
+
+  test("crawlDelays: governing group only, ceil, max, non-numeric dropped") {
+    val robots = Seq(
+      // specific group (delay 3.2 → ceil 4) beats the * group's 9
+      ("a.com", Seq("User-agent: graftbot", "Crawl-delay: 3.2",
+        "", "User-agent: *", "Crawl-delay: 9").mkString("\n")),
+      // two values in the governing group → max; junk value ignored
+      ("b.com", Seq("User-agent: *", "Crawl-delay: 2",
+        "Crawl-delay: 5", "Crawl-delay: fast").mkString("\n")),
+      // no delay line at all → no row
+      ("c.com", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt")
+    val got = Robots.crawlDelays(robots, $"host", $"robots_txt", "GraftBot")
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a.com" -> 4, "b.com" -> 5))
+  }
 }
