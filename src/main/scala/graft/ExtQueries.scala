@@ -179,12 +179,16 @@ object ExtQueries {
       "Allow: /",
       "",
       "User-agent: *",
-      "Disallow: /ok").mkString("\n"),
+      "Disallow: /ok",
+      "",
+      "Sitemap: http://a.example.com/sitemap_index.xml").mkString("\n"),
     "b.example.com" -> Seq(
       "User-agent: *",
       "Disallow: /tmp",
       "Allow: /dup",
-      "Disallow: /dup").mkString("\n"))
+      "Disallow: /dup",
+      "SITEMAP: http://b.example.com/sm1.xml", // field case folds
+      "Sitemap: http://b.example.com/sm2.xml").mkString("\n"))
 
   /** Planted HTML pages for the link-graph faces (q_link_extract,
     * q_host_graph, q_host_rank): each doc is a page at
@@ -1904,6 +1908,52 @@ object ExtQueries {
             s"  <sitemap>\n    <loc>http://site.example.com/sitemap_$i.xml</loc>\n" +
               "    <lastmod>2026-03-01</lastmod>\n  </sitemap>\n").mkString +
           "</sitemapindex>\n")
+      root
+    })
+
+  private val warcMimeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WARC `response` fixture whose payloads are REAL container bytes
+    * (the q_mime_sniff encoders: PNG/JPEG/GIF/WAV/AVI by doc_id mod 5)
+    * with a Content-Type header that LIES on odd ids (`text/html`) —
+    * the crawl-reality audit input: server-claimed type vs what the
+    * bytes actually are. Binary render via [[warcRecBytes]]. */
+  private def warcMimeFixture(s: SparkSession, dir: String): String =
+    warcMimeBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_warc_mime_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val all = Multimodal.attachPng(ids.filter(col("doc_id") % 5 === 0))
+        .unionByName(Multimodal.attachJpeg(ids.filter(col("doc_id") % 5 === 1)))
+        .unionByName(Multimodal.attachGif(ids.filter(col("doc_id") % 5 === 2)))
+        .unionByName(Multimodal.attachWav(ids.filter(col("doc_id") % 5 === 3)))
+        .unionByName(Video.attachAvi(ids.filter(col("doc_id") % 5 === 4),
+          _ => Video.CodecRgb))
+      val rows = all.select(col("doc_id"), col("media.payload"))
+        .orderBy(col("doc_id")).collect()
+      val out = new java.io.ByteArrayOutputStream()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val mime = (id % 5) match {
+          case 0 => "image/png"
+          case 1 => "image/jpeg"
+          case 2 => "image/gif"
+          case 3 => "audio/wav"
+          case _ => "video/x-msvideo"
+        }
+        val claimed = if (id % 2 == 0) mime else "text/html"
+        warcRecBytes(out, s"http://m.example.com/p/$id",
+          Seq(s"Content-Type: $claimed"), r.getAs[Array[Byte]](1))
+      }
+      java.nio.file.Files.write(rootPath.resolve("corpus.warc"),
+        out.toByteArray)
       root
     })
 
@@ -3817,6 +3867,35 @@ object ExtQueries {
           col("fetch_offset_s"))
         .orderBy(col("host"), col("rank"))
     }),
+
+    // sitemap DISCOVERY off robots.txt (group-independent Sitemap:
+    // lines, field case-insensitive) — the other half of the crawl-seed
+    // loop next to q_sitemap_scan's ingestion
+    "q_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      // anchored on the documents table only to keep the face
+      // SF-invariant in shape; the fixture is the robots table
+      val _ = Tables.documents(s, dir)
+      Robots.sitemapUrls(robotsFixture.toDF("host", "robots_txt"))
+        .orderBy(col("host"), col("sitemap_url"))
+    }),
+
+    // server-claimed Content-Type vs what the payload bytes actually
+    // are (magic-byte sniff over REAL container payloads riding a
+    // binary WARC render) — the audit every multimodal crawl ingest
+    // runs because crawl Content-Type lies; odd ids claim text/html
+    // over image/audio/video bytes and must disagree
+    "q_warc_mime_audit" -> ((s, dir) =>
+      graft.sources.Sources.warcResponsesBinary(s,
+          s"${warcMimeFixture(s, dir)}/corpus.warc")
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          trim(regexp_extract(col("content_type"), "^([^;]+)", 1))
+            .as("claimed"),
+          Multimodal.sniffMime(col("body")).as("sniffed"))
+        .withColumn("agree", col("claimed") === col("sniffed"))
+        .orderBy(col("doc_id"))),
 
     // ---- dedup ----------------------------------------------------------
 
@@ -6769,6 +6848,32 @@ object ExtQueries {
         |    CASE WHEN doc_id % 7 = 2 THEN '.pdf' ELSE '' END AS path,
         |  doc_id % 7 NOT IN (0, 2, 4) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Sitemap: lines planted in the robots fixture, verbatim (the
+    // face parses them back out of the raw files)
+    "q_robots_sitemaps" ->
+      """SELECT * FROM (VALUES
+        |  ('a.example.com', 'http://a.example.com/sitemap_index.xml'),
+        |  ('b.example.com', 'http://b.example.com/sm1.xml'),
+        |  ('b.example.com', 'http://b.example.com/sm2.xml'))
+        |  t(host, sitemap_url)
+        |ORDER BY host, sitemap_url""".stripMargin,
+
+    // claimed-vs-sniffed per the render arithmetic: the true mime from
+    // the mod-5 encoder class, the claim lying (text/html) on odd ids
+    "q_warc_mime_audit" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+        |      ELSE 'video/x-msvideo' END AS mime
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN mime ELSE 'text/html' END
+        |    AS claimed,
+        |  mime AS sniffed,
+        |  doc_id % 2 = 0 AS agree
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // the CDX row per response record from the WARC fixture's render
     // arithmetic: SURT key from the target URI, status/mime from the

@@ -70,7 +70,8 @@ object Links {
   def outlinks(pages: DataFrame, urlCol: Column, htmlCol: Column,
       idCols: Seq[String]): DataFrame =
     pages
-      .select(idCols.map(col) :+ urlCol.as("__base") :+
+      .select(idCols.map(col) :+
+        effectiveBase(urlCol, htmlCol).as("__base") :+
         extractLinks(htmlCol).as("__refs"): _*)
       .select(idCols.map(col) :+ col("__base") :+
         posexplode(col("__refs")).as(Seq("link_no", "__ref")): _*)
@@ -96,7 +97,7 @@ object Links {
     val pairs = pages
       .select(Urls.canonicalHost(urlCol).as("src_host"),
         explode(extractLinks(htmlCol)).as("__ref"),
-        urlCol.as("__base"))
+        effectiveBase(urlCol, htmlCol).as("__base"))
       .select(col("src_host"),
         Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
       .where(col("__abs").rlike("(?i)^https?://"))
@@ -120,7 +121,7 @@ object Links {
       maxAnchors: Int = 5): DataFrame = {
     require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
     pages
-      .select(urlCol.as("__base"),
+      .select(effectiveBase(urlCol, htmlCol).as("__base"),
         explode(extractAnchors(htmlCol)).as("__a"))
       .select(Urls.resolveUrl(col("__base"), col("__a.href")).as("__abs"),
         col("__a.anchor").as("__anchor"))
@@ -131,6 +132,19 @@ object Links {
         array_join(
           slice(sort_array(collect_set(col("__anchor"))), 1, maxAnchors),
           ",").as("anchors"))
+  }
+
+  /** The page's effective resolution base per the HTML spec: the FIRST
+    * `<base href>` when present (browsers honor the first), itself
+    * resolved against the page URL (a RELATIVE base href is legal),
+    * else the page URL. Every resolver here ([[outlinks]],
+    * [[hostGraph]], [[anchorCorpus]]) resolves hrefs against this —
+    * pages that set `<base>` are common enough on the real web that
+    * ignoring it mis-resolves every relative link they carry. */
+  def effectiveBase(urlCol: Column, htmlCol: Column): Column = {
+    val b = regexp_extract(htmlCol,
+      "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    when(b =!= "", Urls.resolveUrl(urlCol, b)).otherwise(urlCol)
   }
 
   /** HTTP redirect edges from a WARC response relation

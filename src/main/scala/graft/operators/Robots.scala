@@ -126,6 +126,26 @@ object Robots {
       .agg(max(col("__d")).as("delay_s"))
   }
 
+  /** `Sitemap:` lines — sitemap DISCOVERY, the robots.txt side of the
+    * crawl-seed loop (RFC 9309 §2.2.4 "other records": group-INDEPENDENT,
+    * so no agent parameter; a sitemap applies to every crawler). One row
+    * per (host, sitemap URL); comments stripped, field name
+    * case-insensitive, the URL kept verbatim (it is already absolute by
+    * spec). Feed the `sitemap_url`s to
+    * [[graft.sources.Sources.sitemapEntries]]. */
+  def sitemapUrls(robots: DataFrame, hostCol: Column = col("host"),
+      txtCol: Column = col("robots_txt")): DataFrame =
+    robots
+      .select(hostCol.as("host"),
+        explode(split(txtCol, "\r?\n")).as("__raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .where(lower(col("__line")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
+          .as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+
   /** `urls` (id column `idCol`, URL in `urlCol`) judged against
     * `robots` for `agent`: output `(idCol, host, path, allowed)` where
     * `allowed` is the RFC 9309 verdict — longest matching rule wins,

@@ -117,6 +117,30 @@ class LinksSpec extends SparkSuite {
       ("t.org", "http://t.org/b", 2L, 2)))
   }
 
+  test("base href: relative refs resolve against <base>, not the page URL") {
+    val pages = Seq(
+      // absolute base on another host
+      (1L, "http://a.com/dir/p.html",
+        """<head><base href="http://cdn.b.com/x/"></head><a href="img">i</a>"""),
+      // RELATIVE base href — itself resolved against the page URL first
+      (2L, "http://a.com/dir/p.html",
+        """<base href='/root/'><a href="f">t</a>"""),
+      // no base — page URL governs
+      (3L, "http://a.com/dir/p.html", """<a href="f">t</a>""")).toDF(
+      "doc_id", "url", "html")
+    val got = Links.outlinks(pages, $"url", $"html", Seq("doc_id"))
+      .orderBy($"doc_id").select($"doc_id", $"target")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      1L -> "http://cdn.b.com/x/img",
+      2L -> "http://a.com/root/f",
+      3L -> "http://a.com/dir/f"))
+    // the host graph's SRC stays the page's host even under a foreign base
+    val g = Links.hostGraph(pages.where($"doc_id" === 1), $"url", $"html")
+      .as[(String, String, Long)].collect().toSeq
+    assert(g == Seq(("a.com", "cdn.b.com", 1L)))
+  }
+
   test("collapseRedirects: chains resolve, cycles stop at the bound") {
     val edges = Seq(
       ("a", "b", 301), ("b", "c", 302), ("c", "d", 301), // 3-hop chain

@@ -108,6 +108,20 @@ class RobotsSpec extends SparkSuite {
       Seq(false, true))
   }
 
+  test("sitemapUrls: group-independent, case-folded field, comments stripped") {
+    val robots = Seq(
+      ("a.com", Seq("User-agent: x", "Disallow: /",
+        "Sitemap: http://a.com/sm.xml # primary",
+        "SITEMAP: http://a.com/sm2.xml").mkString("\n")),
+      ("b.com", "User-agent: *\nDisallow:")).toDF("host", "robots_txt")
+    val got = Robots.sitemapUrls(robots)
+      .orderBy($"host", $"sitemap_url")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("a.com", "http://a.com/sm.xml"),
+      ("a.com", "http://a.com/sm2.xml")))
+  }
+
   test("crawlDelays: governing group only, ceil, max, non-numeric dropped") {
     val robots = Seq(
       // specific group (delay 3.2 → ceil 4) beats the * group's 9
