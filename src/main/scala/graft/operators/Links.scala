@@ -70,9 +70,12 @@ object Links {
   def outlinks(pages: DataFrame, urlCol: Column, htmlCol: Column,
       idCols: Seq[String]): DataFrame =
     pages
-      .select(idCols.map(col) :+
-        effectiveBase(urlCol, htmlCol).as("__base") :+
+      .select(idCols.map(col) :+ urlCol.as("__u") :+
+        baseHref(htmlCol).as("__bh") :+
         extractLinks(htmlCol).as("__refs"): _*)
+      .select(idCols.map(col) :+
+        effectiveBaseOf(col("__u"), col("__bh")).as("__base") :+
+        col("__refs"): _*)
       .select(idCols.map(col) :+ col("__base") :+
         posexplode(col("__refs")).as(Seq("link_no", "__ref")): _*)
       .select(idCols.map(col) :+ col("link_no") :+
@@ -96,8 +99,13 @@ object Links {
       includeSelf: Boolean = false): DataFrame = {
     val pairs = pages
       .select(Urls.canonicalHost(urlCol).as("src_host"),
-        explode(extractLinks(htmlCol)).as("__ref"),
-        effectiveBase(urlCol, htmlCol).as("__base"))
+        urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
+        extractLinks(htmlCol).as("__refs"))
+      .select(col("src_host"),
+        effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
+        col("__refs"))
+      .select(col("src_host"), col("__base"),
+        explode(col("__refs")).as("__ref"))
       .select(col("src_host"),
         Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
       .where(col("__abs").rlike("(?i)^https?://"))
@@ -121,8 +129,11 @@ object Links {
       maxAnchors: Int = 5): DataFrame = {
     require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
     pages
-      .select(effectiveBase(urlCol, htmlCol).as("__base"),
-        explode(extractAnchors(htmlCol)).as("__a"))
+      .select(urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
+        extractAnchors(htmlCol).as("__as"))
+      .select(effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
+        col("__as"))
+      .select(col("__base"), explode(col("__as")).as("__a"))
       .select(Urls.resolveUrl(col("__base"), col("__a.href")).as("__abs"),
         col("__a.anchor").as("__anchor"))
       .where(col("__abs").rlike("(?i)^https?://"))
@@ -141,11 +152,24 @@ object Links {
     * [[hostGraph]], [[anchorCorpus]]) resolves hrefs against this —
     * pages that set `<base>` are common enough on the real web that
     * ignoring it mis-resolves every relative link they carry. */
-  def effectiveBase(urlCol: Column, htmlCol: Column): Column = {
-    val b = regexp_extract(htmlCol,
+  def effectiveBase(urlCol: Column, htmlCol: Column): Column =
+    effectiveBaseOf(urlCol, baseHref(htmlCol))
+
+  /** The raw first `<base href>` value (empty string when absent). */
+  private[operators] def baseHref(htmlCol: Column): Column =
+    regexp_extract(htmlCol,
       "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-    when(b =!= "", Urls.resolveUrl(urlCol, b)).otherwise(urlCol)
-  }
+
+  /** [[effectiveBase]] over an ALREADY-EXTRACTED base-href column. The
+    * operators here extract the href in its OWN projection and pass the
+    * attribute in: Spark's subexpression elimination skips
+    * conditionally-evaluated branches, so inlining the html regex into
+    * [[Urls.resolveUrl]]'s CaseWhens re-scans the whole page ~8 times
+    * per row (measured 4x on q_host_graph); behind a projection
+    * boundary it runs once, and CollapseProject keeps the boundary
+    * because the alias is non-cheap and multiply-referenced. */
+  private[operators] def effectiveBaseOf(urlCol: Column, bh: Column): Column =
+    when(bh =!= "", Urls.resolveUrl(urlCol, bh)).otherwise(urlCol)
 
   /** HTTP redirect edges from a WARC response relation
     * ([[graft.sources.Sources.warcResponses]] columns `uri`,
