@@ -1994,8 +1994,15 @@ object ExtQueries {
           case 2 => (302, Some(s"/new/$id"))
           case _ => (308, Some(s"//alt.example.org/$id"))
         }
+        // the 200 class carries the conditional-GET validators the
+        // recrawl ledger face reads back (redirects carry none)
+        val validators = if (status == 200)
+          "ETag: \"v" + id + "\"\r\n" +
+            f"Last-Modified: Sat, 01 Feb 2026 00:${id % 60}%02d:00 GMT\r\n"
+        else ""
         val http = s"HTTP/1.1 $status X\r\n" +
           loc.map(l => s"Location: $l\r\n").getOrElse("") +
+          validators +
           "Content-Type: text/plain\r\n\r\nmoved"
         val nBytes =
           http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
@@ -3867,6 +3874,21 @@ object ExtQueries {
           col("fetch_offset_s"))
         .orderBy(col("host"), col("rank"))
     }),
+
+    // the conditional-GET recrawl ledger: per fetched (200) URL the
+    // ETag/Last-Modified validators a polite recrawler persists to send
+    // If-None-Match / If-Modified-Since next visit (redirects carry
+    // none and must be absent); both validators oracle-stated from the
+    // render arithmetic
+    "q_recrawl_ledger" -> ((s, dir) =>
+      graft.sources.Sources.warcResponses(s,
+          s"${warcRedirectFixture(s, dir)}/corpus.warc")
+        .where(col("http_status") === 200)
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("uri").as("url"), col("etag"), col("last_modified"))
+        .orderBy(col("doc_id"))),
 
     // sitemap DISCOVERY off robots.txt (group-independent Sitemap:
     // lines, field case-insensitive) — the other half of the crawl-seed
@@ -6848,6 +6870,18 @@ object ExtQueries {
         |    CASE WHEN doc_id % 7 = 2 THEN '.pdf' ELSE '' END AS path,
         |  doc_id % 7 NOT IN (0, 2, 4) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the 200-class validators from the render arithmetic; redirect
+    // rows filtered out by status
+    "q_recrawl_ledger" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  '"v' || CAST(doc_id AS VARCHAR) || '"' AS etag,
+        |  'Sat, 01 Feb 2026 00:' ||
+        |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+        |    ':00 GMT' AS last_modified
+        |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin,
 
     // the Sitemap: lines planted in the robots fixture, verbatim (the
     // face parses them back out of the raw files)

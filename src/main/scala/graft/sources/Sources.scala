@@ -209,6 +209,11 @@ object Sources {
       // the redirect target of a 3xx response (RFC 9110 §10.2.2) — the
       // URL-aliasing evidence a crawl's canonicalization/dedup consumes
       .withColumn("location", header("location"))
+      // the conditional-GET validators (RFC 9110 §8.8) — what a polite
+      // recrawler persists per URL to send If-None-Match /
+      // If-Modified-Since and skip unchanged pages next visit
+      .withColumn("etag", header("etag"))
+      .withColumn("last_modified", header("last-modified"))
       .withColumn("transfer_encoding", lower(trim(header("transfer-encoding"))))
       .withColumn("content_encoding", lower(trim(header("content-encoding"))))
       .withColumn("__p0",
@@ -231,6 +236,7 @@ object Sources {
           .otherwise(lit(null).cast("binary")))
       .select(col("rec_type"), col("uri"), col("content_length"),
         col("http_status"), col("content_type"), col("location"),
+        col("etag"), col("last_modified"),
         col("transfer_encoding"), col("content_encoding"), col("body"))
   }
 
