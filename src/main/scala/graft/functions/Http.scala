@@ -60,6 +60,15 @@ object HttpFunctions {
   def inflate(bin: Column, maxBytes: Int = DefaultMaxDecodedBytes): Column =
     Bridge.column(InflateBytes(Bridge.expression(bin), maxBytes))
 
+  /** Decompress a `Content-Encoding: zstd` (RFC 8878) payload — live on
+    * the real web since Chrome/Firefox shipped it; decoded with the
+    * zstd-jni bundled in the Spark distribution (no new dependency).
+    * Same contract as [[gunzip]]: NULL on any stream error or past
+    * `maxBytes` (zstd's high ratios make the bomb guard MORE
+    * load-bearing here, not less). */
+  def zstdDecode(bin: Column, maxBytes: Int = DefaultMaxDecodedBytes): Column =
+    Bridge.column(ZstdDecompressBytes(Bridge.expression(bin), maxBytes))
+
   /** Decode bytes to text under a named charset (a COLUMN — per-row
     * charsets, resolved from Content-Type / meta sniffing). Strict
     * decode (REPORT on malformed/unmappable): an unknown charset name or
@@ -184,6 +193,32 @@ object HttpFunctions {
     finally inf.end()
   }
 
+  def zstdKernel(in: Array[Byte], maxBytes: Int): Array[Byte] =
+    try {
+      val zs = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(in))
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(in.length * 4, 64), 1 << 16))
+        val buf = new Array[Byte](8192)
+        var n = zs.read(buf)
+        while (n >= 0) {
+          if (n > 0) {
+            if (out.size.toLong + n > maxBytes) return null // bomb guard
+            out.write(buf, 0, n)
+          }
+          n = zs.read(buf)
+        }
+        out.toByteArray
+      } finally zs.close()
+    } catch {
+      // zstd-jni surfaces malformed frames as IOException subclasses and
+      // (for some truncations) RuntimeException — either is a corrupt
+      // ROW, never a task failure
+      case _: java.io.IOException => null
+      case _: RuntimeException => null
+    }
+
   def charsetDecodeKernel(in: Array[Byte], name: UTF8String): UTF8String = {
     val cs =
       try java.nio.charset.Charset.forName(name.toString.trim)
@@ -276,6 +311,19 @@ case class InflateBytes(child: Expression, maxBytes: Int)
   override protected def kernelCall(c: String): String =
     s"graft.functions.HttpFunctions.inflateKernel($c, $maxBytes)"
   override protected def withNewChildInternal(newChild: Expression): InflateBytes =
+    copy(child = newChild)
+}
+
+/** `zstd_decode(bin)` — RFC 8878 decompression, bomb-guarded. */
+case class ZstdDecompressBytes(child: Expression, maxBytes: Int)
+    extends NullableBytesKernel {
+  override def prettyName: String = "zstd_decode"
+  override def nullSafeEval(input: Any): Any =
+    HttpFunctions.zstdKernel(input.asInstanceOf[Array[Byte]], maxBytes)
+  override protected def kernelCall(c: String): String =
+    s"graft.functions.HttpFunctions.zstdKernel($c, $maxBytes)"
+  override protected def withNewChildInternal(
+      newChild: Expression): ZstdDecompressBytes =
     copy(child = newChild)
 }
 

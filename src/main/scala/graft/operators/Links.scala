@@ -58,8 +58,11 @@ object Links {
 
   /** One row per out-link: `(<id cols…>, link_no, target)` where
     * `target` is the canonical absolute URL of the `link_no`-th href on
-    * the page (0-based document order, quote-style extraction order as
-    * [[extractLinks]]). Non-hierarchical/non-web refs — `mailto:`,
+    * the page. `link_no` numbers EXTRACTION order, which is
+    * quote-style-MAJOR like [[extractLinks]] (all double-quoted hrefs,
+    * then single-quoted, then unquoted — each class in document order):
+    * on a mixed-quote page it is NOT document position, it is a stable
+    * per-page ordinal. Non-hierarchical/non-web refs — `mailto:`,
     * `javascript:`, `tel:`, anything whose RESOLVED form isn't
     * `http(s)://` — are dropped before canonicalization (they are not
     * fetchable link targets, and [[Urls.canonicalUrl]] is an http(s)
@@ -118,13 +121,25 @@ object Links {
   }
 
   /** The anchor-text corpus: per canonical link target, how many
-    * anchors point at it and the distinct anchor texts (sorted,
-    * `maxAnchors`-capped — the cap bounds the row payload the way a
-    * collect-set over a popular target must be). Anchor text is the
+    * anchors point at it and the lexicographically-first `maxAnchors`
+    * DISTINCT anchor texts (ascending). Anchor text is the
     * query-independent relevance/label signal link-based quality
     * scoring trains on. Same scale shape as [[hostGraph]]: pages reduce
-    * to (target, anchor) pairs before the single aggregation exchange;
-    * HTML never shuffles; non-http(s) targets drop. */
+    * to (target, anchor) pairs before any exchange; HTML never
+    * shuffles; non-http(s) targets drop.
+    *
+    * Aggregation is TWO k-bounded levels, never an unbounded buffer: a
+    * `collect_set` + slice would accrete EVERY distinct anchor of a hot
+    * target (a wikipedia.org front page has ~10⁷) into ONE aggregation
+    * buffer row before the cap ran — the skewed-key blowup this
+    * codebase's guards exist to avoid. Instead (1) a hash aggregate on
+    * (target, anchor) dedups pairs and counts — the hot key's distinct
+    * anchors spread across partitions by the PAIR key; (2) the
+    * k-bounded string-tie heap ([[graft.functions.TopK.topKByOrdStrTie]],
+    * constant ord → pure `tie ASC` = lexicographic) ships ≤ `maxAnchors`
+    * entries per (partition, target). Result is IDENTICAL to
+    * sorted-distinct-then-cap — the heap keeps the k smallest of the
+    * full distinct set — at bounded memory per group. */
   def anchorCorpus(pages: DataFrame, urlCol: Column, htmlCol: Column,
       maxAnchors: Int = 5): DataFrame = {
     require(maxAnchors >= 1, s"maxAnchors must be >= 1, got $maxAnchors")
@@ -138,10 +153,13 @@ object Links {
         col("__a.anchor").as("__anchor"))
       .where(col("__abs").rlike("(?i)^https?://"))
       .select(Urls.canonicalUrl(col("__abs")).as("target"), col("__anchor"))
+      .groupBy(col("target"), col("__anchor"))
+      .agg(count(lit(1)).as("__n"))
       .groupBy(col("target"))
-      .agg(count(lit(1)).as("n_anchors"),
+      .agg(sum(col("__n")).as("n_anchors"),
         array_join(
-          slice(sort_array(collect_set(col("__anchor"))), 1, maxAnchors),
+          graft.functions.TopK.topKByOrdStrTie(
+            col("__anchor"), lit(0), col("__anchor"), maxAnchors),
           ",").as("anchors"))
   }
 
@@ -214,8 +232,18 @@ object Links {
       stagingDir: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val rounds = math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt
+    // pointer doubling REQUIRES a functional edge map (one dst per src):
+    // real WARCs capture the same URI repeatedly, and duplicate src rows
+    // would fan out multiplicatively at each self-join round (up to
+    // 2^rounds rows with conflicting outputs). Reduce to one row per src
+    // first — deterministic arg-max by (status, dst): the highest-status
+    // capture wins (308/307 beat 302), dst breaking ties stably.
+    val functional = edges
+      .groupBy(col("src"))
+      .agg(max(struct(col("status"), col("dst"))).as("__m"))
+      .select(col("src"), col("__m.dst").as("dst"))
     var f = Staging.stage(
-      edges.select(col("src"), col("dst"), lit(1).as("hops")),
+      functional.select(col("src"), col("dst"), lit(1).as("hops")),
       stagingDir, "redir_0")
     for (r <- 0 until rounds) {
       // both sides renamed before the self-join so every reference is
@@ -253,18 +281,27 @@ object Links {
     * Output: `(host, url, n_refs, rank)`. */
   def frontier(pages: DataFrame, urlCol: Column, htmlCol: Column,
       seen: DataFrame, robots: DataFrame, agent: String,
-      perHostK: Int = 2): DataFrame = {
+      perHostK: Int = 2): DataFrame =
+    frontierWithPolicy(pages, urlCol, htmlCol, seen,
+      Robots.agentPolicy(robots, col("host"), col("robots_txt"), agent),
+      perHostK)
+
+  /** [[frontier]] against a PRE-PARSED robots policy
+    * ([[Robots.agentPolicy]]/[[Robots.agentPolicyWithStatus]] output) —
+    * the shape that shares ONE robots parse with every other policy
+    * consumer (a fetch scheduler, an audit). The robots judgment runs
+    * on the PRE-canonicalization resolved URL (the min resolved
+    * spelling per canonical target): RFC 9309 rules match literal
+    * octets, and canonicalization rewrites exactly the octets rules
+    * anchor on (trailing slash, raw query) — so the gate sees what a
+    * fetcher would actually request, while dedup/priority key on the
+    * canonical form. The verdict lands IN-ROW ([[Robots.gate]]), so the
+    * candidate aggregate appears in the plan exactly once — no
+    * re-join of the `unseen` subplan against itself. */
+  def frontierWithPolicy(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      seen: DataFrame, policy: DataFrame, perHostK: Int = 2): DataFrame = {
     require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
-    val cands = outlinks(pages, urlCol, htmlCol, Seq.empty)
-      .groupBy(col("target")).agg(count(lit(1)).as("n_refs"))
-    val unseen = cands.join(
-      seen.select(col("url").as("target")).distinct(),
-      Seq("target"), "left_anti")
-    val verdicts = Robots.filter(unseen.select(col("target")), "target",
-      col("target"), robots, agent)
-    val gated = unseen.join(
-      verdicts.where(col("allowed")).select(col("target"), col("host")),
-      Seq("target"))
+    val gated = gatedCandidates(pages, urlCol, htmlCol, seen, policy)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("n_refs").desc, col("target"))
@@ -272,5 +309,55 @@ object Links {
       .where(col("rank") <= perHostK)
       .select(col("host"), col("target").as("url"), col("n_refs"),
         col("rank"))
+  }
+
+  /** The per-host FETCH SCHEDULE — [[frontierWithPolicy]] composed with
+    * the governing group's `Crawl-delay` in ONE plan and ONE robots
+    * parse: [[Robots.gate]] rides the full policy row, so `delay_s`
+    * arrives on the same host join that judged the URL and the schedule
+    * needs no second policy parse or join. Each candidate's offset is
+    * `(rank − 1) × delay` with `defaultDelayS` for hosts whose
+    * governing group carries no Crawl-delay (politeness floor).
+    * Output: `(host, url, rank, delay_s, fetch_offset_s)`. */
+  def fetchSchedule(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      seen: DataFrame, policy: DataFrame, perHostK: Int = 2,
+      defaultDelayS: Int = 1): DataFrame = {
+    require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
+    val gated = gatedCandidates(pages, urlCol, htmlCol, seen, policy)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_refs").desc, col("target"))
+    gated.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perHostK)
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelayS)))
+      .withColumn("fetch_offset_s", (col("rank") - 1) * col("delay_s"))
+      .select(col("host"), col("target").as("url"), col("rank"),
+        col("delay_s"), col("fetch_offset_s"))
+  }
+
+  /** Shared frontier core: out-link extraction → canonical-URL dedup
+    * with in-link priority (the per-target min RESOLVED spelling rides
+    * the same aggregate — the URL a fetcher would request) →
+    * already-crawled anti-join → in-row robots gate on the resolved
+    * spelling. Output keeps every policy passthrough column. */
+  private def gatedCandidates(pages: DataFrame, urlCol: Column,
+      htmlCol: Column, seen: DataFrame, policy: DataFrame): DataFrame = {
+    val cands = pages
+      .select(urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
+        extractLinks(htmlCol).as("__refs"))
+      .select(effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
+        col("__refs"))
+      .select(col("__base"), explode(col("__refs")).as("__ref"))
+      .select(Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
+      .where(col("__abs").rlike("(?i)^https?://"))
+      .select(Urls.canonicalUrl(col("__abs")).as("target"), col("__abs"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_refs"), min(col("__abs")).as("__fetch"))
+    val unseen = cands.join(
+      seen.select(col("url").as("target")).distinct(),
+      Seq("target"), "left_anti")
+    Robots.gate(unseen, col("__fetch"), policy)
+      .where(col("allowed"))
+      .drop("__fetch", "path", "allowed")
   }
 }

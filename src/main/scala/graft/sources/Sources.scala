@@ -170,8 +170,9 @@ object Sources {
     * `locate` — into status/headers and payload, and the payload is
     * decoded through the transfer/content codings real crawl dumps
     * actually carry: `Transfer-Encoding: chunked` framing removal, then
-    * `Content-Encoding: gzip`/`deflate` decompression (identity/absent
-    * pass through; an UNRECOGNIZED coding — br, zstd — nulls the body
+    * `Content-Encoding: gzip`/`deflate`/`zstd` decompression (identity/absent
+    * pass through; an UNRECOGNIZED coding — br, which has no decoder in
+    * the Spark distribution and is documented out of scope — nulls the body
     * rather than leaking compressed bytes downstream as if they were
     * content).
     *
@@ -189,12 +190,18 @@ object Sources {
       maxDecodedBytes: Int = graft.functions.HttpFunctions.DefaultMaxDecodedBytes)
       : DataFrame = {
     import org.apache.spark.sql.functions._
-    import graft.functions.HttpFunctions.{binIndexOf, chunkedDecode, gunzip, inflate}
+    import graft.functions.HttpFunctions.{binIndexOf, chunkedDecode, gunzip, inflate, zstdDecode}
     def header(name: String): Column = {
       val v = regexp_extract(col("__hdr"), s"(?mi)^$name: ([^\\r\\n]+)", 1)
       when(v =!= "", v)
     }
     wetRecordsBinary(spark, path)
+      // a REAL .warc interleaves request/response/metadata records per
+      // fetch (the CommonCrawl layout) — this relation is the RESPONSE
+      // rows by name and contract; a request's "GET / HTTP/1.1" block or
+      // a metadata record's key-value body must never surface as a
+      // null-status response row
+      .where(col("rec_type") === "response")
       .withColumnRenamed("body_bin", "__http")
       .withColumn("__e", binIndexOf(col("__http"), "\r\n\r\n")) // 1-based byte pos
       // the header section is ASCII by spec; a fuzzed/binary prefix
@@ -233,6 +240,8 @@ object Sources {
             gunzip(col("__p1"), maxDecodedBytes))
           .when(col("content_encoding") === "deflate",
             inflate(col("__p1"), maxDecodedBytes))
+          .when(col("content_encoding") === "zstd",
+            zstdDecode(col("__p1"), maxDecodedBytes))
           .otherwise(lit(null).cast("binary")))
       .select(col("rec_type"), col("uri"), col("content_length"),
         col("http_status"), col("content_type"), col("location"),

@@ -313,6 +313,8 @@ class PlanInvariantsSpec extends SparkSuite {
     val docs = graft.Tables.documents(spark, sf0001)
     Seq(
       "stripHtml" -> graft.operators.TextPrep.stripHtml(docs),
+      "mainContent" -> graft.operators.TextPrep.mainContent(
+        docs.withColumnRenamed("text", "html")),
       "repetition" -> graft.operators.TextAnalysis.repetition(docs)
     ).foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
@@ -522,6 +524,38 @@ class PlanInvariantsSpec extends SparkSuite {
     val shuffled = exchanges.head.child.output.map(_.name).toSet
     assert(!shuffled.exists(n => n.contains("html") || n.contains("text")),
       s"HTML/text must not cross the exchange, got $shuffled")
+  }
+
+  test("q_anchor_text: per-target anchors aggregate via the k-bounded heap, never collect_set") {
+    // collect_set accretes EVERY distinct anchor of a hot target into
+    // one aggregation buffer row before any cap (a wikipedia.org front
+    // page has ~10^7 distinct anchors → a multi-GB buffer on one key);
+    // the two-level shape dedups on the PAIR key then ships ≤ k entries
+    // per (partition, target) via topk_by_ord
+    val p = plan("q_anchor_text")
+    assert(p.contains("topk_by_ord"),
+      s"anchor cap must be the k-bounded heap:\n${p.take(2000)}")
+    assert(!p.contains("collect_set"),
+      s"no unbounded distinct-set buffer may appear:\n${p.take(2000)}")
+  }
+
+  test("q_fetch_schedule / q_crawl_frontier: ONE robots parse, no duplicated candidate aggregate") {
+    // r19 'What's wrong' #2/#3: the schedule used to parse the robots
+    // table twice (frontier's gate + a separate crawlDelays call) and
+    // the frontier re-joined its own `unseen` subplan to apply the
+    // verdict. The in-row gate + shared agentPolicy delete both: the
+    // group-assembly window (`lag`) appears once, and the candidate
+    // aggregate (n_refs) is defined once.
+    Seq("q_fetch_schedule", "q_crawl_frontier").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val p = df.queryExecution.optimizedPlan.toString
+      val parses = "\\blag\\(".r.findAllIn(p).size
+      assert(parses == 1,
+        s"$name: robots group assembly must run once, found $parses:\n${p.take(3000)}")
+      val candAggs = "count\\(1\\) AS n_refs".r.findAllIn(p).size
+      assert(candAggs == 1,
+        s"$name: candidate aggregate must appear once, found $candAggs:\n${p.take(3000)}")
+    }
   }
 
   test("robots filter: URL side joins once on host, judgment is in-projection") {

@@ -90,6 +90,23 @@ class HttpSpec extends SparkSuite {
     assert(HttpFunctions.gunzipKernel(big, 1 << 21) != null)
   }
 
+  test("zstdKernel: round-trip, truncation/garbage → null, bomb guard") {
+    val payload = ("zstd payload × unicode ✓" * 10).getBytes("UTF-8")
+    val z = com.github.luben.zstd.Zstd.compress(payload)
+    assert(HttpFunctions.zstdKernel(z, 1 << 20).sameElements(payload))
+    // truncated frame
+    assert(HttpFunctions.zstdKernel(z.dropRight(4), 1 << 20) == null)
+    // garbage (no zstd magic)
+    assert(HttpFunctions.zstdKernel("not zstd at all".getBytes("UTF-8"),
+      1 << 20) == null)
+    // bomb guard: 1 MiB of zeros compresses to ~100 B — the cap must
+    // stop the inflation, not the allocation
+    val bomb = com.github.luben.zstd.Zstd.compress(new Array[Byte](1 << 20))
+    assert(bomb.length < (1 << 12), "precondition: high-ratio input")
+    assert(HttpFunctions.zstdKernel(bomb, 1 << 16) == null)
+    assert(HttpFunctions.zstdKernel(bomb, 1 << 21) != null)
+  }
+
   test("charsetDecodeKernel: strict decode per charset; lies → null") {
     import org.apache.spark.unsafe.types.UTF8String
     def dec(b: Array[Byte], cs: String): String = {

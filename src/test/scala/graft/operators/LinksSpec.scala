@@ -93,6 +93,21 @@ class LinksSpec extends SparkSuite {
     assert(got == Seq(("http://t.org/x", 4L, "alpha,beta")))
   }
 
+  test("anchorCorpus: hot target with >> maxAnchors distinct anchors stays k-bounded and exact") {
+    // one target accumulating 200 distinct anchor texts (plus repeats):
+    // the k-bounded heap must return the lexicographic first k of the
+    // FULL distinct set and the exact total count — identical semantics
+    // to sorted-distinct-then-cap, without the unbounded buffer
+    val pages = (0 until 200).map { i =>
+      val a = f"a$i%03d"
+      (i.toLong, s"http://p$i.com/x",
+        s"""<a href="http://hot.org/t">$a</a><a href="http://hot.org/t">$a</a>""")
+    }.toDF("doc_id", "url", "html")
+    val got = Links.anchorCorpus(pages, $"url", $"html", maxAnchors = 3)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(("http://hot.org/t", 400L, "a000,a001,a002")))
+  }
+
   test("frontier: dedup priority, seen anti-join, robots gate, per-host quota") {
     val mk = (n: Long, t: String) => (n, "http://src.com/p",
       s"""<a href="$t">x</a>""")
@@ -156,5 +171,64 @@ class LinksSpec extends SparkSuite {
     got.filter(r => r._1 == "x" || r._1 == "y").foreach { r =>
       assert(r._3 == 8, s"cycle row should clamp at maxHops, got $r")
     }
+  }
+
+  test("collapseRedirects: duplicate src captures reduce to one edge (no fanout)") {
+    // real WARCs capture the same URI repeatedly — the pointer-doubling
+    // map must be FUNCTIONAL or duplicates fan out 2^rounds; the
+    // arg-max (status, dst) pick keeps the highest-status capture
+    val edges = Seq(
+      ("a", "old", 302), ("a", "b", 308), ("a", "older", 301), // 3 captures of a
+      ("b", "c", 301), ("b", "c", 301)                         // exact dup
+    ).toDF("src", "dst", "status")
+    val got = Links.collapseRedirects(edges, maxHops = 8)
+      .as[(String, String, Int)].collect().toSeq.sortBy(_._1)
+    // one row per src — and a resolves THROUGH the winning 308 edge
+    assert(got == Seq(("a", "c", 2), ("b", "c", 1)))
+  }
+
+  test("fetchSchedule: one-policy frontier + delay arithmetic in-row") {
+    val mk = (n: Long, t: String) => (n, "http://src.com/p",
+      s"""<a href="$t">x</a>""")
+    val pages = (
+      (1L to 3L).map(i => mk(i, "http://t.org/a")) ++
+        (4L to 5L).map(i => mk(i, "http://t.org/b")) ++
+        Seq(mk(6L, "http://nodelay.org/c"))).toDF("doc_id", "url", "html")
+    val seen = Seq.empty[String].toDF("url")
+    val policy = Robots.agentPolicy(
+      Seq(("t.org", "User-agent: *\nCrawl-delay: 5"))
+        .toDF("host", "robots_txt"),
+      $"host", $"robots_txt", "bot")
+    val got = Links.fetchSchedule(pages, $"url", $"html", seen, policy,
+      perHostK = 2)
+      .orderBy($"host", $"rank")
+      .as[(String, String, Int, Int, Int)].collect().toSeq
+    // t.org ranks by in-link count with its declared 5 s delay;
+    // nodelay.org takes the 1 s default
+    assert(got == Seq(
+      ("nodelay.org", "http://nodelay.org/c", 1, 1, 0),
+      ("t.org", "http://t.org/a", 1, 5, 0),
+      ("t.org", "http://t.org/b", 2, 5, 5)))
+  }
+
+  test("frontier: robots judged on the PRE-canonicalization resolved URL") {
+    // the page links to /private/ (trailing slash) — canonicalization
+    // drops the trailing slash, so judging the CANONICAL form would
+    // slip past 'Disallow: /private/' and fetch a robots-disallowed
+    // URL (the r19 ADVICE politeness gap); the gate must see the
+    // resolved spelling a fetcher would actually request
+    val pages = Seq(
+      (1L, "http://s.com/p",
+        """<a href="http://s.com/private/">f</a>"""),
+      (2L, "http://s.com/p", """<a href="http://s.com/ok">g</a>""")).toDF(
+      "doc_id", "url", "html")
+    val seen = Seq.empty[String].toDF("url")
+    val robots = Seq(("s.com", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "robots_txt")
+    val got = Links.frontier(pages, $"url", $"html", seen, robots,
+      "bot", perHostK = 5)
+      .select($"url").as[String].collect().toSeq
+    assert(got == Seq("http://s.com/ok"),
+      s"the disallowed /private/ target must not enter the frontier: $got")
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Verdict pins for [[Recrawl.decide]] — every class a periodic
+  * recrawler meets: never-fetched, validator-less previous fetch,
+  * sitemap-says-unchanged, sitemap-says-changed, unusable dates. */
+class RecrawlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ledger = Seq(
+    // full validators, fetched 2026-02-01
+    ("http://s.com/a", Some("\"v1\""),
+      Some("Sat, 01 Feb 2026 00:05:00 GMT")),
+    // etag only — no fetch DATE, so lastmod can never prove "unchanged"
+    ("http://s.com/b", Some("\"v2\""), None),
+    // a ledger row with NO validators at all → unconditional fetch
+    ("http://s.com/c", None, None),
+    // malformed HTTP-date → unusable fetch date → revalidate
+    ("http://s.com/d", Some("\"v4\""), Some("not a date"))).toDF(
+    "url", "etag", "last_modified")
+
+  private def verdicts(entries: Seq[(String, Option[String])]): Map[String, String] =
+    Recrawl.decide(entries.toDF("loc", "lastmod"), ledger)
+      .select($"url", $"verdict").as[(String, String)]
+      .collect().toMap
+
+  test("skip only when the sitemap lastmod is on/before the recorded copy") {
+    val got = verdicts(Seq(
+      ("http://s.com/a", Some("2026-01-15")), // before fetch → skip
+      ("http://s.com/x", Some("2026-01-15")))) // no ledger row → fetch
+    assert(got == Map("http://s.com/a" -> "skip", "http://s.com/x" -> "fetch"))
+    // same-day lastmod is also a skip (on/before)
+    assert(verdicts(Seq(("http://s.com/a", Some("2026-02-01")))) ==
+      Map("http://s.com/a" -> "skip"))
+  }
+
+  test("revalidate when changed, when lastmod is absent, or when dates are unusable") {
+    val got = verdicts(Seq(
+      ("http://s.com/a", Some("2026-03-10")), // after fetch → revalidate
+      ("http://s.com/a", None),               // no claim → revalidate
+      ("http://s.com/b", Some("2026-01-01")), // no fetch date → revalidate
+      ("http://s.com/d", Some("2026-01-01")), // malformed fetch date
+      ("http://s.com/a", Some("02/30/2026"))  // malformed lastmod
+    ).distinct)
+    // /a appears with three entries — map collapses; check via full rows
+    val rows = Recrawl.decide(Seq(
+      ("http://s.com/a", Some("2026-03-10")),
+      ("http://s.com/b", Some("2026-01-01")),
+      ("http://s.com/d", Some("2026-01-01")),
+      ("http://s.com/a", None: Option[String])).toDF("loc", "lastmod"),
+      ledger)
+      .select($"verdict").as[String].collect().toSeq
+    assert(rows.forall(_ == "revalidate"), s"got $rows")
+    assert(got("http://s.com/b") == "revalidate")
+    assert(got("http://s.com/d") == "revalidate")
+  }
+
+  test("fetch when the previous response carried no validators") {
+    assert(verdicts(Seq(("http://s.com/c", Some("2026-01-01")))) ==
+      Map("http://s.com/c" -> "fetch"))
+  }
+}

@@ -136,4 +136,81 @@ class RobotsSpec extends SparkSuite {
       .as[(String, Int)].collect().toMap
     assert(got == Map("a.com" -> 4, "b.com" -> 5))
   }
+
+  test("product tokens: version suffix strips, longest matching prefix governs") {
+    // a robots line "graftbot/1.0" must govern the agent token
+    // "graftbot" (version strip), and a caller passing "GraftBot/1.2"
+    // means the token "graftbot" (caller-side strip + fold)
+    val versioned = Seq("User-agent: graftbot/1.0",
+      "Disallow: /private").mkString("\n")
+    assert(judge(versioned, "GraftBot/1.2", Seq("/private/x", "/pub")) ==
+      Seq(false, true))
+    // of "graft" and "graftbot" (both case-insensitive prefixes of the
+    // agent token), ONLY the longest governs — its rules replace, not
+    // merge with, the shorter group's
+    val twoPrefixes = Seq(
+      "User-agent: graft", "Disallow: /a",
+      "", "User-agent: graftbot", "Disallow: /b").mkString("\n")
+    assert(judge(twoPrefixes, "graftbot", Seq("/a/x", "/b/x")) ==
+      Seq(true, false))
+    // a token that is NOT a prefix of the agent falls to *
+    val nonPrefix = Seq(
+      "User-agent: graftbot-images", "Disallow: /img",
+      "", "User-agent: *", "Disallow: /star").mkString("\n")
+    assert(judge(nonPrefix, "graftbot", Seq("/img/x", "/star/x")) ==
+      Seq(true, false))
+  }
+
+  test("agentPolicy: rules AND delay from one parse; delay-only group yields empty rules") {
+    val robots = Seq(
+      ("a.com", Seq("User-agent: *", "Disallow: /x",
+        "Crawl-delay: 2.5").mkString("\n")),
+      ("b.com", "User-agent: *\nCrawl-delay: 7"),
+      ("c.com", "User-agent: *\nDisallow: /y")).toDF("host", "robots_txt")
+    val got = Robots.agentPolicy(robots, $"host", $"robots_txt", "bot")
+      .select($"host", size($"rules"), $"delay_s")
+      .as[(String, Int, Option[Int])].collect().toSeq
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "a.com" -> ((1, Some(3))), "b.com" -> ((0, Some(7))),
+      "c.com" -> ((1, None))))
+    // the delay-only host's empty rule array judges to ALLOWED
+    val urls = Seq((1L, "http://b.com/anything")).toDF("id", "url")
+    val verdict = Robots.gate(urls, $"url",
+      Robots.agentPolicy(robots, $"host", $"robots_txt", "bot"))
+      .select($"allowed").as[Boolean].collect().toSeq
+    assert(verdict == Seq(true))
+  }
+
+  test("fetch-status semantics: 4xx allow-all, 5xx disallow-all, 2xx parses") {
+    val robots = Seq(
+      // adversarial bodies: the 404's Disallow:/ and the 503's Allow:/
+      // must both be IGNORED
+      ("ok.com", "User-agent: *\nDisallow: /private", 200),
+      ("gone.com", "User-agent: *\nDisallow: /", 404),
+      ("down.com", "User-agent: *\nAllow: /", 503)).toDF(
+      "host", "robots_txt", "http_status")
+    val urls = Seq(
+      (0L, "http://ok.com/private/x"), (1L, "http://ok.com/pub"),
+      (2L, "http://gone.com/anything"), (3L, "http://down.com/anything"),
+      (4L, "http://norow.com/x")).toDF("id", "url")
+    val got = Robots.filterWithStatus(urls, "id", $"url", robots, "bot")
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq
+    assert(got == Seq(false, true, true, false, true))
+  }
+
+  test("gate: caller columns and policy extras (delay_s) ride through in-row") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x\nCrawl-delay: 3"))
+      .toDF("host", "robots_txt")
+    val urls = Seq((1L, "http://a.com/x/1", "payload"),
+      (2L, "http://a.com/ok", "payload2")).toDF("id", "url", "extra")
+    val got = Robots.gate(urls, $"url",
+      Robots.agentPolicy(robots, $"host", $"robots_txt", "bot"))
+      .orderBy($"id")
+      .select($"id", $"extra", $"allowed", $"delay_s")
+      .as[(Long, String, Boolean, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, "payload", false, Some(3)),
+      (2L, "payload2", true, Some(3))))
+  }
 }

@@ -176,6 +176,47 @@ class TextPrepSpec extends SparkSuite {
     assert(got(2L) == "plain text, no markup at all")
   }
 
+  test("mainContent: chrome blocks drop whole, link-farm blocks drop by density, inline links survive") {
+    val docs = Seq(
+      (1L, "<html><body>" +
+        "<header>Site Chrome</header>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav>" +
+        // link farm: anchor text is ~all the visible text → drops
+        "<div><a href=\"/1\">one</a> <a href=\"/2\">two</a> " +
+        "<a href=\"/3\">three</a></div>" +
+        // real content with one inline link — the link TEXT must survive
+        "<div><p>Real body text here with an inline " +
+        "<a href=\"/ref\">reference</a> kept.</p></div>" +
+        "<aside>related</aside><footer>copyright</footer></body></html>"),
+      // nested-attribute nav + uppercase tags fold the same way
+      (2L, "<NAV class='x'><a href='/'>m1</a></NAV><p>only text</p>"),
+      // page that is ALL chrome → empty main text
+      (3L, "<nav><a href='/'>m</a></nav><footer>f</footer>")).toDF(
+      "doc_id", "html")
+    val got = TextPrep.mainContent(docs)
+      .select($"doc_id", $"main_text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Real body text here with an inline reference kept.",
+      s"got '${got(1L)}'")
+    assert(got(2L) == "only text", s"got '${got(2L)}'")
+    assert(got(3L) == "", s"got '${got(3L)}'")
+  }
+
+  test("mainContent: density threshold is a dial; a backreferenced close tag matches its opener") {
+    // <nav> must close at </nav>, never at the </footer> that follows —
+    // a non-backreferenced alternation would eat the paragraph between
+    val docs = Seq((1L,
+      "<nav>m</nav><p>between</p><footer>f</footer>")).toDF("doc_id", "html")
+    assert(TextPrep.mainContent(docs).select($"main_text")
+      .as[String].head() == "between")
+    // at maxLinkDensity = 1.0 even a pure link block survives
+    val farm = Seq((1L, "<div><a href='/1'>one</a></div>")).toDF(
+      "doc_id", "html")
+    assert(TextPrep.mainContent(farm, maxLinkDensity = 1.0)
+      .select($"main_text").as[String].head() == "one")
+    assert(TextPrep.mainContent(farm, maxLinkDensity = 0.5)
+      .select($"main_text").as[String].head() == "")
+  }
+
   test("redactPii: plants are found, counted, and replaced") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@corp.example.org from 192.168.0.17 or 555-123-4567"),

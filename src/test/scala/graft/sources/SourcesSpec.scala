@@ -468,7 +468,7 @@ class SourcesSpec extends SparkSuite {
       ("http://c/p/5", "utf-8", None)))
   }
 
-  test("fuzz: corrupted ENCODED WARC dumps (chunked+gzip) never throw") {
+  test("fuzz: corrupted ENCODED WARC dumps (chunked+gzip+zstd) never throw") {
     val dir = Files.createTempDirectory("src-warc-enc-fuzz")
     val base = {
       val out = new java.io.ByteArrayOutputStream()
@@ -478,6 +478,10 @@ class SourcesSpec extends SparkSuite {
           Seq("Content-Type: text/plain; charset=utf-8",
             "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
           chunkB(gzipB(raw), 6))
+        warcRec(out, s"http://f/z/$i",
+          Seq("Content-Type: text/plain; charset=utf-8",
+            "Content-Encoding: zstd"),
+          com.github.luben.zstd.Zstd.compress(raw))
       }
       out.toByteArray
     }
@@ -495,6 +499,39 @@ class SourcesSpec extends SparkSuite {
       Sources.warcResponsesBinary(spark, dir.resolve(s"t$trial.warc").toString)
         .collect()
     }
+  }
+
+  test("mixed-record WARC: request/metadata records never surface as responses") {
+    val dir = Files.createTempDirectory("src-warc-mixed")
+    val sb = new StringBuilder
+    def rec(recType: String, uri: String, block: String): Unit = {
+      val n = block.getBytes("UTF-8").length
+      sb.append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $recType\r\n")
+        .append(s"WARC-Target-URI: $uri\r\n")
+        .append(s"Content-Length: $n\r\n\r\n")
+        .append(block).append("\r\n\r\n")
+    }
+    // the CommonCrawl per-fetch triple; the request block deliberately
+    // carries header-shaped lines a sloppy demux could misattribute
+    rec("request", "http://m/p/1",
+      "GET /p/1 HTTP/1.1\r\nHost: m\r\nAccept: text/html\r\n\r\n")
+    rec("response", "http://m/p/1",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nbody one")
+    rec("metadata", "http://m/p/1", "fetchTimeMs: 12\r\n")
+    rec("request", "http://m/p/2",
+      "GET /p/2 HTTP/1.1\r\nHost: m\r\n\r\n")
+    rec("response", "http://m/p/2",
+      "HTTP/1.1 404 NF\r\nContent-Type: text/plain\r\n\r\nbody two")
+    rec("metadata", "http://m/p/2", "outlink: http://m/x\r\n")
+    Files.writeString(dir.resolve("m.warc"), sb.toString)
+    val got = Sources.warcResponses(spark, dir.resolve("m.warc").toString)
+      .orderBy($"uri")
+      .select($"uri", $"rec_type", $"http_status", $"body")
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(got == Seq(
+      ("http://m/p/1", "response", 200, "body one"),
+      ("http://m/p/2", "response", 404, "body two")))
   }
 
   test("sitemapEntries: kind split, entity decode, optional NULLs, malformed entry") {
