@@ -2079,6 +2079,59 @@ object ExtQueries {
       root
     })
 
+  private val warcChromeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WARC `response` fixture whose payloads are CHROME-LADEN HTML pages
+    * (the q_main_content template: header/nav/link-farm/aside/footer
+    * around each doc's text) — the input of the MAIN-CONTENT-production
+    * face `q_warc_to_main`: response records in, clean corpus text out,
+    * i.e. the step that beats WET-style whole-page strips. Same
+    * render/contract as [[warcHtmlFixture]]. */
+  private def warcChromeFixture(s: SparkSession, dir: String): String =
+    warcChromeBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_warc_chrome_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val html =
+          "<html><head><script>var z = 9;</script><title>T</title>" +
+            "</head><body>" +
+            s"<header>Site $src</header>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav>" +
+            "<div><a href=\"/r/1\">rel one</a> <a href=\"/r/2\">rel two</a> " +
+            "<a href=\"/r/3\">rel three</a></div>" +
+            s"<div><p>$text</p></div>" +
+            s"<p>tail ${id % 7} <a href=\"/more\">more</a></p>" +
+            "<aside>related junk</aside>" +
+            "<footer>copyright site</footer></body></html>"
+        val http =
+          s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n$html"
+        val nBytes =
+          http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+          .append(s"Content-Length: $nBytes\r\n")
+          .append("\r\n")
+          .append(http)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.writeString(
+        rootPath.resolve("corpus.warc"), sb.toString)
+      root
+    })
+
   // ---- WARC fixtures with ENCODED payloads (transfer/content/charset) --
 
   /** Deterministic strict encode for fixture rendering: REPORT on any
@@ -3633,6 +3686,23 @@ object ExtQueries {
               .as("doc_id"),
             col("body").as("text")))
         .select(col("doc_id"), col("text_plain"))
+        .orderBy(col("doc_id"))),
+
+    // MAIN-CONTENT PRODUCTION end to end — the step that beats the WET
+    // conversion above: chrome-laden crawl pages (header/nav/link-farm/
+    // aside/footer around each doc's text) arrive as WARC responses,
+    // the demux and the block-level extraction run in ONE plan, and the
+    // nav/footer/link-farm text provably never reaches the corpus while
+    // the body and its inline link text survive
+    "q_warc_to_main" -> ((s, dir) =>
+      TextPrep.mainContent(
+        graft.sources.Sources.warcResponses(s,
+          s"${warcChromeFixture(s, dir)}/corpus.warc")
+          .select(
+            regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+              .as("doc_id"),
+            col("body").as("html")))
+        .select(col("doc_id"), col("main_text"))
         .orderBy(col("doc_id"))),
 
     // HTTP TRANSFER/CONTENT DECODING (r19 — the r18 judge's missing-#1):
@@ -5764,6 +5834,20 @@ object ExtQueries {
   /** HTML strip + entity decode mirrored in DuckDB, built from the SAME
     * pattern lists the Spark operator uses (`(?s)` rides inline — both
     * regex dialects accept it; DuckDB needs the 'g' flag for replace-all). */
+  /** One oracle for BOTH main-content faces (`q_main_content` over
+    * planted columns, `q_warc_to_main` over the chrome-laden WARC
+    * render): exactly the surviving content reconstructed — body text +
+    * the low-density tail with its inline link text — run through the
+    * shared strip/decode/collapse chain so whitespace/entity handling
+    * agrees with the engine's. */
+  private lazy val mainContentOracleSql: String =
+    s"""SELECT doc_id, $htmlCleanSql AS main_text
+       |FROM (SELECT doc_id,
+       |    text || ' tail ' || CAST(doc_id % 7 AS VARCHAR) || ' more'
+       |      AS text
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   private val htmlCleanSql: String = {
     val stripped = TextPrep.HtmlStripPatterns.foldLeft("text") { (acc, pat) =>
       s"regexp_replace($acc, '${pat.replace("'", "''")}', ' ', 'g')"
@@ -7953,13 +8037,11 @@ object ExtQueries {
     // title/header/nav/link-farm/aside/footer all provably absent; the
     // shared strip/decode/collapse chain runs over the reconstruction
     // so whitespace and entity handling agree with the engine's
-    "q_main_content" ->
-      s"""SELECT doc_id, $htmlCleanSql AS main_text
-         |FROM (SELECT doc_id,
-         |    text || ' tail ' || CAST(doc_id % 7 AS VARCHAR) || ' more'
-         |      AS text
-         |  FROM documents)
-         |ORDER BY doc_id""".stripMargin,
+    "q_main_content" -> mainContentOracleSql,
+
+    // the WARC-composed production lands on the SAME surviving-content
+    // derivation (the demux legs are proven under q_warc_scan)
+    "q_warc_to_main" -> mainContentOracleSql,
 
     // the WET-production composition lands on the SAME strip derivation
     // (the engine additionally proved the demux legs under q_warc_scan)
