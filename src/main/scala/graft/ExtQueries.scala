@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Keywords, Links, Multimodal, Profile, Recrawl, Robots, Similarity, TextAnalysis, TextPrep, Unigram, Urls, Video, WordPiece}
+import graft.operators.{Bpe, Dedup, EmbeddingPrep, Funnel, Fuzzy, Graph, Keywords, Links, Multimodal, PageMeta, Profile, Recrawl, Robots, Similarity, TextAnalysis, TextPrep, Unigram, Urls, Video, WordPiece}
 
 /** North-star extension queries (SURVEY.md §2.10): dedup, similarity search,
   * text analysis, multimodal — over `documents` / `embeddings`.
@@ -264,6 +264,189 @@ object ExtQueries {
     (0 until 20).map(i =>
       s"src$i.example.com" -> s"User-agent: *\nCrawl-delay: ${2 + i % 5}")
 
+  /** Planted metadata pages for the page-directive faces (q_html_meta,
+    * q_canonical_cluster, q_index_admission): every head field
+    * present/absent/spelled off doc_id mod classes —
+    *  - `<html lang>`: absent on mod-3 class 2; value 'xx' on mod-6
+    *    class 0 else the doc's lang column; SPELLED uppercase on mod-5
+    *    class 0 (extraction must lowercase);
+    *  - `<title>`: absent on mod-7 class 3; tag case + internal
+    *    whitespace/newline on mod-2 class 0 (collapse + trim proven);
+    *  - `<meta description>`: absent on mod-4 class 1; attribute order
+    *    flips on mod 2, quote style on mod 5, name case on mod 3;
+    *  - `og:title`: present on mod-5 class 0 only;
+    *  - `<meta robots>`: present on mod-6 classes 0/1/2 with content
+    *    "noindex" / "nofollow, noarchive" / "NONE" (the `none` = both
+    *    class, case-insensitive);
+    *  - `<link rel=canonical>`: absent on mod-4 class 3; ABSOLUTE href
+    *    on even ids, RELATIVE `../c/N` (resolved against the page URL)
+    *    on odd; attribute order flips on mod 3.
+    * Constant DECOY tags (`name="description2"`, `name="robotsx"`,
+    * `rel="canonicalx"`) must never match the anchored value patterns.
+    * The oracle restates every column from this arithmetic. */
+  private def metaPages(df: DataFrame): DataFrame = {
+    val langVal = when(col("doc_id") % 6 === 0, lit("xx"))
+      .otherwise(col("lang"))
+    val langAttr = when(col("doc_id") % 3 === 2, lit(""))
+      .otherwise(concat(lit(" lang=\""),
+        when(col("doc_id") % 5 === 0, upper(langVal)).otherwise(langVal),
+        lit("\"")))
+    val titleSeg = when(col("doc_id") % 7 === 3, lit(""))
+      .otherwise(concat(
+        when(col("doc_id") % 2 === 0, lit("<TITLE>Doc  "))
+          .otherwise(lit("<title>Doc  ")),
+        (col("doc_id") % 11).cast("string"), lit("\n "), col("source"),
+        when(col("doc_id") % 2 === 0, lit(" </TITLE>"))
+          .otherwise(lit(" </title>"))))
+    val q = when(col("doc_id") % 5 === 0, lit("'")).otherwise(lit("\""))
+    val descVal = concat(lit("d"), (col("doc_id") % 13).cast("string"),
+      lit(" summary"))
+    val descName = when(col("doc_id") % 3 === 0, lit("Description"))
+      .otherwise(lit("description"))
+    val descSeg = when(col("doc_id") % 4 === 1, lit(""))
+      .otherwise(when(col("doc_id") % 2 === 0,
+        concat(lit("<meta content="), q, descVal, q, lit(" name="), q,
+          descName, q, lit(">")))
+        .otherwise(concat(lit("<meta name="), q, descName, q,
+          lit(" content="), q, descVal, q, lit(">"))))
+    val ogSeg = when(col("doc_id") % 5 === 0,
+      concat(lit("<meta property=\"og:title\" content=\"og"),
+        (col("doc_id") % 9).cast("string"), lit("\">")))
+      .otherwise(lit(""))
+    val robotsSeg = when(col("doc_id") % 6 < 3,
+      concat(lit("<meta name=\"robots\" content=\""),
+        element_at(array(lit("noindex"), lit("nofollow, noarchive"),
+          lit("NONE")), (col("doc_id") % 6).cast("int") + 1),
+        lit("\">")))
+      .otherwise(lit(""))
+    val canonHref = when(col("doc_id") % 2 === 0,
+      concat(lit("http://canon.example.com/c/"),
+        (col("doc_id") % 50).cast("string")))
+      .otherwise(concat(lit("../c/"), (col("doc_id") % 50).cast("string")))
+    val canonSeg = when(col("doc_id") % 4 === 3, lit(""))
+      .otherwise(when(col("doc_id") % 3 === 0,
+        concat(lit("<link href=\""), canonHref,
+          lit("\" rel=\"canonical\">")))
+        .otherwise(concat(lit("<link rel=\"canonical\" href=\""),
+          canonHref, lit("\">"))))
+    df
+      .withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/m/"), col("doc_id").cast("string")))
+      .withColumn("html", concat(
+        lit("<html"), langAttr, lit("><head>"),
+        titleSeg, descSeg, ogSeg, robotsSeg, canonSeg,
+        lit("<meta name=\"description2\" content=\"zz\">" +
+          "<meta name=\"robotsx\" content=\"noindex\">" +
+          "<link rel=\"canonicalx\" href=\"/zz\">" +
+          "</head><body><p>body</p></body></html>")))
+  }
+
+  /** Planted pages for q_nofollow_links: four anchors in document order
+    * — an href-less `<a name=…>` decoy (link_no 0, silently dropped), a
+    * plain followable link (1, kept), an explicit rel=nofollow in both
+    * spellings (2 — quoted lowercase on even ids, UNQUOTED UPPERCASE on
+    * odd; always dropped), and a rel-token cycle (3 — "ugc nofollow"
+    * drops, "me" keeps, "nofollower" keeps: the token-split trap). Pages
+    * on mod-7 class 0 carry `<meta robots nofollow>` and contribute
+    * NOTHING. The oracle restates survivors + link numbers from the
+    * arithmetic. */
+  private def nofollowPages(df: DataFrame): DataFrame = {
+    val robotsSeg = when(col("doc_id") % 7 === 0,
+      lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .otherwise(lit(""))
+    val a2 = when(col("doc_id") % 2 === 0,
+      concat(lit("<a rel=\"nofollow\" href='/nf/"),
+        col("doc_id").cast("string"), lit("'>n</a>")))
+      .otherwise(concat(lit("<a REL=NOFOLLOW href=\"/nf/"),
+        col("doc_id").cast("string"), lit("\">n</a>")))
+    val rel3 = element_at(array(lit("ugc nofollow"), lit("me"),
+      lit("nofollower")), (col("doc_id") % 3).cast("int") + 1)
+    df
+      .withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/n/page"), col("doc_id").cast("string"),
+        lit(".html")))
+      .withColumn("html", concat(
+        lit("<html><head>"), robotsSeg, lit("</head><body>"),
+        lit("<a name=\"top\">x</a>"),
+        lit("<a href=\"/k/"), (col("doc_id") % 20).cast("string"),
+        lit("\">k</a>"), a2,
+        lit("<a href=\"/u/"), (col("doc_id") % 9).cast("string"),
+        lit("\" rel=\""), rel3, lit("\">u</a>"),
+        lit("</body></html>")))
+  }
+
+  /** Planted pages for q_hreflang: a self alternate in the page's own
+    * lang (hreflang spelled UPPERCASE on mod-7 class 0 — extraction
+    * must lowercase; hreflang-before-href attribute order on even ids;
+    * single quotes on mod-5 class 0), a RELATIVE-href `es` variant on
+    * mod-3 classes ≠ 1 (resolution live), an `x-default` on mod-4
+    * class 0, plus two constant decoys — an alternate WITHOUT hreflang
+    * (an RSS feed link) and a stylesheet WITH hreflang — that must
+    * both drop. */
+  private def hreflangPages(df: DataFrame): DataFrame = {
+    val q = when(col("doc_id") % 5 === 0, lit("'")).otherwise(lit("\""))
+    val selfUrl = concat(lit("http://"), col("source"),
+      lit(".example.com/h/"), col("doc_id").cast("string"))
+    val selfLang = when(col("doc_id") % 7 === 0, upper(col("lang")))
+      .otherwise(col("lang"))
+    val selfTag = when(col("doc_id") % 2 === 0,
+      concat(lit("<link hreflang="), q, selfLang, q,
+        lit(" rel="), q, lit("alternate"), q,
+        lit(" href="), q, selfUrl, q, lit(">")))
+      .otherwise(concat(lit("<link rel="), q, lit("alternate"), q,
+        lit(" hreflang="), q, selfLang, q,
+        lit(" href="), q, selfUrl, q, lit(">")))
+    val esTag = when(col("doc_id") % 3 === 1, lit(""))
+      .otherwise(concat(lit("<link rel=\"alternate\" hreflang=\"es\" " +
+        "href=\"/es/"), col("doc_id").cast("string"), lit("\">")))
+    val xdTag = when(col("doc_id") % 4 === 0,
+      concat(lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\""),
+        selfUrl, lit("\">")))
+      .otherwise(lit(""))
+    df
+      .withColumn("url", selfUrl)
+      .withColumn("html", concat(
+        lit("<html><head>"), selfTag, esTag, xdTag,
+        lit("<link rel=\"alternate\" type=\"application/rss+xml\" " +
+          "href=\"/feed\">" +
+          "<link rel=\"stylesheet\" hreflang=\"en\" href=\"/css\">" +
+          "</head><body><p>b</p></body></html>")))
+  }
+
+  /** q_frontier_polite's planted pages: the [[linkPageCols]] reference
+    * classes with NOFOLLOW noise layered on — the first (double-quoted)
+    * anchor carries `rel="nofollow"` on mod-9 class 0, and mod-13
+    * class 0 pages carry a page-level `<meta robots nofollow>` (their
+    * links must not be discovered at all). The polite frontier's
+    * candidate pool is the impolite one minus exactly those rows. */
+  private def politeLinkPages(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(s, dir)
+    val refA = element_at(array(
+      concat(lit("http://ext"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/p")),
+      lit("//cdn.example.net/lib"),
+      concat(lit("/local/"), col("doc_id").cast("string")),
+      lit("sub/page")), (col("doc_id") % 4).cast("int") + 1)
+    val refB = element_at(array(
+      concat(lit("../up/"), col("doc_id").cast("string")),
+      lit("?v=2"),
+      lit("a/./b/../c")), (col("doc_id") % 3).cast("int") + 1)
+    val relA = when(col("doc_id") % 9 === 0, lit(" rel=\"nofollow\""))
+      .otherwise(lit(""))
+    val metaSeg = when(col("doc_id") % 13 === 0,
+      lit("<meta name=\"robots\" content=\"nofollow\">"))
+      .otherwise(lit(""))
+    df
+      .withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/dir/page"), col("doc_id").cast("string"),
+        lit(".html")))
+      .withColumn("html", concat(
+        lit("<html><head>"), metaSeg, lit("</head><body><p>pre</p><a"),
+        relA, lit(" href=\""), refA,
+        lit("\">a</a><div><A CLASS='k' HREF='"), refB,
+        lit("'>b</A></div></body></html>")))
+  }
+
   /** One oracle for both WET faces: every engine column is parsed from
     * the rendered dump file(s); this recomputes them all from the
     * documents table the fixture was rendered from — uri/type from the
@@ -453,8 +636,11 @@ object ExtQueries {
     * anti-filter → robots gate → rank) — `q_crawl_frontier` selects the
     * ranked rows, `q_fetch_schedule` layers the Crawl-delay arithmetic
     * on top of the SAME chain. */
-  private lazy val frontierOracleCtes: String =
-    """WITH l AS (
+  /** The frontier derivation parameterized by per-anchor WHERE clauses
+    * (empty for the impolite face; the nofollow drops for
+    * q_frontier_polite — one derivation, both faces). */
+  private def frontierCtesFor(whereA: String, whereB: String): String =
+    s"""WITH l AS (
       |  SELECT CASE CAST(doc_id % 4 AS INT)
       |      WHEN 0 THEN 'http://ext' || CAST(doc_id % 5 AS VARCHAR) ||
       |        '.example.org/p'
@@ -463,7 +649,7 @@ object ExtQueries {
       |        CAST(doc_id AS VARCHAR)
       |      ELSE 'http://' || source || '.example.com/dir/sub/page'
       |      END AS target
-      |  FROM documents
+      |  FROM documents$whereA
       |  UNION ALL
       |  SELECT CASE CAST(doc_id % 3 AS INT)
       |      WHEN 0 THEN 'http://' || source || '.example.com/up/' ||
@@ -471,7 +657,19 @@ object ExtQueries {
       |      WHEN 1 THEN 'http://' || source || '.example.com/dir/page' ||
       |        CAST(doc_id AS VARCHAR) || '.html?v=2'
       |      ELSE 'http://' || source || '.example.com/dir/a/c' END
-      |  FROM documents),
+      |  FROM documents$whereB),""".stripMargin + frontierCtesTail
+
+  private lazy val frontierOracleCtes: String = frontierCtesFor("", "")
+
+  /** The polite variant: anchor A vanishes on its rel=nofollow class
+    * (mod 9) and BOTH anchors vanish on the meta-nofollow pages
+    * (mod 13). */
+  private lazy val politeFrontierOracleCtes: String = frontierCtesFor(
+    " WHERE doc_id % 13 <> 0 AND doc_id % 9 <> 0",
+    " WHERE doc_id % 13 <> 0")
+
+  private val frontierCtesTail: String =
+    """
       |cand AS (SELECT target, CAST(count(*) AS BIGINT) AS n_refs
       |  FROM l GROUP BY target),
       |unseen AS (SELECT * FROM cand WHERE target NOT IN (
@@ -1081,6 +1279,25 @@ object ExtQueries {
         lSrc.addData(urlRows.filter(_._1 % 3 == b).map(r => (r._1, r._3)): _*)
         lq.processAllAvailable()
       } finally lq.stop()
+      // the canonical-cluster ledger ingest over the SAME 3-batch split
+      // (rows carry (doc_id, lang, source) since the metaPages planting
+      // derives from all three): q_meta_ingest_replay reads the batch
+      // partitions back as the per-canonical (sum n_pages, min min_url)
+      // fold — additive/min-associative across any split, so the batch
+      // face's oracle gates it verbatim
+      val mRows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val mSrc = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val mq = graft.streaming.IngestStreams.metaIngest(
+        metaPages(mSrc.toDF().toDF("doc_id", "lang", "source")),
+        col("url"), col("html"),
+        s"$root/meta_index", s"$root/meta_ckpt")
+      try (0 until 3).foreach { b =>
+        mSrc.addData(mRows.filter(_._1 % 3 == b).toSeq: _*)
+        mq.processAllAvailable()
+      } finally mq.stop()
       root
     })
 
@@ -2064,6 +2281,59 @@ object ExtQueries {
         val html = htmlWrapPrefix + text + htmlWrapSuffix
         val http =
           s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n$html"
+        val nBytes =
+          http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+          .append(s"Content-Length: $nBytes\r\n")
+          .append("\r\n")
+          .append(http)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.writeString(
+        rootPath.resolve("corpus.warc"), sb.toString)
+      root
+    })
+
+  private val warcRobotsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** WARC `response` fixture carrying BOTH noindex channels: an
+    * `X-Robots-Tag` response header on the mod-5 classes (class 1 a
+    * real `noindex`, class 2 a decoy `noarchive, nosnippet` that must
+    * NOT trip the verdict) and a `<meta name=robots content=noindex>`
+    * in the HTML payload on the mod-3 class 0 — the q_warc_noindex
+    * input. Same render/contract as [[warcHtmlFixture]]. */
+  private def warcRobotsFixture(s: SparkSession, dir: String): String =
+    warcRobotsBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_warc_robots_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"))
+        .orderBy(col("doc_id")).collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val (id, src) = (r.getLong(0), r.getString(1))
+        val meta =
+          if (id % 3 == 0) "<meta name=\"robots\" content=\"noindex\">"
+          else ""
+        val html =
+          s"<html><head><title>T</title>$meta</head>" +
+            s"<body><p>p$id</p></body></html>"
+        val xr =
+          if (id % 5 == 1) "X-Robots-Tag: noindex\r\n"
+          else if (id % 5 == 2) "X-Robots-Tag: noarchive, nosnippet\r\n"
+          else ""
+        val http =
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+            s"$xr\r\n$html"
         val nBytes =
           http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         sb.append("WARC/1.0\r\n")
@@ -3070,6 +3340,29 @@ object ExtQueries {
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val stopSql = TextAnalysis.stopwords("en").mkString("['", "', '", "']")
 
+  /** Shared per-doc langid derivation (q_text_langid + q_lang_audit):
+    * one score row per (doc, lang) from the SAME stopword map the
+    * operator uses; argmax tie-break mirrors Spark's array_max over
+    * (score, lang) structs — score DESC then lang DESC. Ends with the
+    * `pred(doc_id, lang_pred)` CTE consumers select from. */
+  private lazy val langidPredCtes: String = {
+    val unions = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val list = ws.mkString("['", "', '", "']")
+      s"SELECT doc_id, '$l' AS lang, " +
+        s"CAST(len(list_filter(toks, t -> list_contains($list, t))) AS INT) " +
+        s"AS score FROM toks"
+    }.mkString("\nUNION ALL\n")
+    s"""toks AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |s AS ($unions),
+       |best AS (SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, lang DESC) AS rn FROM s),
+       |pred AS (SELECT t.doc_id,
+       |    CASE WHEN regexp_matches(t.text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+       |         WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+       |  FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1)""".stripMargin
+  }
+
   /** One SQL, two queries: q_contamination (exact broadcast path) and
     * q_contamination_bloom (bloom-prefiltered, output-identical). */
   private lazy val contaminationSql =
@@ -3954,6 +4247,137 @@ object ExtQueries {
     "q_anchor_text" -> ((s, dir) =>
       Links.anchorCorpus(linkPages(s, dir), col("url"), col("html"))
         .orderBy(col("target"))),
+
+    // PAGE-LEVEL DIRECTIVES (r20 — the layer after robots.txt): every
+    // head field/directive extracted in one narrow pass over planted
+    // pages whose fields derive from doc_id arithmetic (presence,
+    // attribute order, quote style, tag/name case, the none=both robots
+    // class, absolute AND relative rel=canonical hrefs) with constant
+    // decoy tags that must never match; the oracle restates every
+    // column from the arithmetic
+    "q_html_meta" -> ((s, dir) =>
+      PageMeta.pageMeta(metaPages(Tables.documents(s, dir)),
+          col("url"), col("html"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang_attr"), col("title"),
+          col("description"), col("og_title"), col("canonical"),
+          col("noindex"), col("nofollow"))
+        .orderBy(col("doc_id"))),
+
+    // rel=canonical clustering — the crawl-side dedup signal: pages
+    // sharing a declared canonical target collapse (undeclared pages
+    // self-cluster per RFC 6596); cluster key, size, and the
+    // lexicographically-first member all re-derived by the oracle from
+    // the planting arithmetic
+    "q_canonical_cluster" -> ((s, dir) =>
+      PageMeta.canonicalClusters(metaPages(Tables.documents(s, dir)),
+          col("url"), col("html"))
+        .orderBy(col("canonical"))),
+
+    // INDEX ADMISSION end to end: noindex pages (the "noindex" and
+    // "NONE" robots-meta classes) drop BEFORE the canonical collapse,
+    // so cluster sizes and representatives shift exactly where the
+    // directive bites — the decision an indexer actually makes per page
+    "q_index_admission" -> ((s, dir) =>
+      PageMeta.indexAdmission(metaPages(Tables.documents(s, dir)),
+          col("url"), col("html"))
+        .orderBy(col("canonical"))),
+
+    // nofollow-aware out-links: anchor-level rel=nofollow in both
+    // spellings, the rel TOKEN-split trap ("nofollower" keeps,
+    // "ugc nofollow" drops), an href-less anchor consuming a link_no,
+    // and page-level meta-robots nofollow wiping whole pages; link_no
+    // is true document order (single-alternation tag extraction)
+    "q_nofollow_links" -> ((s, dir) =>
+      Links.politeOutlinks(nofollowPages(Tables.documents(s, dir)),
+          col("url"), col("html"), Seq("doc_id"))
+        .orderBy(col("doc_id"), col("link_no"))),
+
+    // declared-vs-detected language audit: the <html lang> declaration
+    // (planted per mod class, absent on one) against the stopword/CJK
+    // langid over the SAME page's body text, in one plan — the
+    // mislabeled-page evidence a multilingual corpus filter needs
+    // before trusting site metadata
+    "q_lang_audit" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .withColumn("url", concat(lit("http://"), col("source"),
+          lit(".example.com/l/"), col("doc_id").cast("string")))
+        .withColumn("html", concat(
+          element_at(array(lit("<html lang=\"en\">"),
+            lit("<html lang=\"ZH\">"), lit("<html lang=\"xx\">"),
+            lit("<html>")), (col("doc_id") % 4).cast("int") + 1),
+          lit("<head><title>x</title></head><body>"), col("text"),
+          lit("</body></html>")))
+      TextAnalysis.languageId(
+        PageMeta.pageMeta(pages, col("url"), col("html"),
+          Seq("doc_id", "text")))
+        .select(col("doc_id"), col("lang_attr"), col("lang_pred"),
+          coalesce(col("lang_attr") === col("lang_pred"), lit(false))
+            .as("agree"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BOTH noindex channels off a crawl dump in one plan: the
+    // X-Robots-Tag response header (now surfaced by the WARC demux —
+    // the only noindex signal for non-HTML payloads; the "noarchive,
+    // nosnippet" decoy class must NOT trip it) and the payload's
+    // robots meta, under the same token rules; indexable = neither
+    "q_warc_noindex" -> ((s, dir) => {
+      val r = graft.sources.Sources.warcResponses(s,
+          s"${warcRobotsFixture(s, dir)}/corpus.warc")
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("uri"), col("body"),
+          PageMeta.noindexDirective(col("x_robots_tag")).as("hdr_noindex"))
+      PageMeta.pageMeta(r, col("uri"), col("body"),
+          Seq("doc_id", "hdr_noindex"))
+        .select(col("doc_id"), col("hdr_noindex"),
+          col("noindex").as("meta_noindex"),
+          (!(col("hdr_noindex") || col("noindex"))).as("indexable"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the canonical-cluster ledger maintained by the ingest stream
+    // (3-batch checkpointed replay): read-time (sum, min) fold across
+    // batch partitions must equal the one-shot batch operator — the
+    // q_canonical_cluster oracle gates it verbatim
+    "q_meta_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readCanonicalClusters(s,
+          s"${ingestReplayFixture(s, dir)}/meta_index")
+        .orderBy(col("canonical"))),
+
+    // hreflang alternate map (the multilingual variant clustering
+    // signal): one row per rel=alternate+hreflang link tag — self
+    // variant in the page's own lang (UPPERCASE spelling class must
+    // lowercase), a RELATIVE-href es variant (resolution live), the
+    // x-default sentinel, and two decoy tags (alternate without
+    // hreflang, stylesheet with) that must drop
+    "q_hreflang" -> ((s, dir) =>
+      PageMeta.alternates(hreflangPages(Tables.documents(s, dir)),
+          col("url"), col("html"), Seq("doc_id"))
+        .orderBy(col("doc_id"), col("hreflang"), col("target"))),
+
+    // the NOFOLLOW-HONORING frontier: same composed pipeline as
+    // q_crawl_frontier but discovery runs through the polite tag-level
+    // extraction — anchors with rel=nofollow and all links of
+    // meta-nofollow pages never become candidates, so their in-link
+    // counts, ranks, and in some hosts the whole candidate vanish; the
+    // oracle is the frontier derivation minus exactly those rows
+    "q_frontier_polite" -> ((s, dir) => {
+      import s.implicits._
+      val seen = Tables.documents(s, dir)
+        .where(col("doc_id") % 8 === 2)
+        .select(concat(lit("http://"), col("source"),
+          lit(".example.com/local/"), col("doc_id").cast("string"))
+          .as("url"))
+      Links.frontierWithPolicy(politeLinkPages(s, dir),
+        col("url"), col("html"), seen,
+        Robots.agentPolicy(
+          frontierRobotsFixture.toDF("host", "robots_txt"),
+          col("host"), col("robots_txt"), "graftbot"),
+        perHostK = 2, honorNofollow = true)
+        .orderBy(col("host"), col("rank"))
+    }),
 
     // the composed CRAWL FRONTIER as one plan: out-link extraction →
     // URL-level dedup with in-link priority → already-crawled anti-join
@@ -5834,6 +6258,25 @@ object ExtQueries {
   /** HTML strip + entity decode mirrored in DuckDB, built from the SAME
     * pattern lists the Spark operator uses (`(?s)` rides inline — both
     * regex dialects accept it; DuckDB needs the 'g' flag for replace-all). */
+  /** One oracle for the batch canonical-cluster face AND its streamed
+    * ledger twin (`q_canonical_cluster`, `q_meta_ingest_replay`): the
+    * per-page canonical target restated from the metaPages arithmetic,
+    * grouped to (size, lexicographically-first member). */
+  private val canonicalClusterOracleSql: String =
+    """WITH tgt AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 3 THEN 'http://' || source ||
+      |        '.example.com/m/' || CAST(doc_id AS VARCHAR)
+      |      WHEN doc_id % 2 = 0 THEN 'http://canon.example.com/c/' ||
+      |        CAST(doc_id % 50 AS VARCHAR)
+      |      ELSE 'http://' || source || '.example.com/c/' ||
+      |        CAST(doc_id % 50 AS VARCHAR) END AS canonical,
+      |    'http://' || source || '.example.com/m/' ||
+      |      CAST(doc_id AS VARCHAR) AS page_cu
+      |  FROM documents)
+      |SELECT canonical, CAST(count(*) AS BIGINT) AS n_pages,
+      |  min(page_cu) AS min_url
+      |FROM tgt GROUP BY canonical ORDER BY canonical""".stripMargin
+
   /** One oracle for BOTH main-content faces (`q_main_content` over
     * planted columns, `q_warc_to_main` over the chrome-laden WARC
     * render): exactly the surviving content reconstructed — body text +
@@ -7017,6 +7460,117 @@ object ExtQueries {
         |    AS anchors
         |FROM a GROUP BY target ORDER BY target""".stripMargin,
 
+    // every head field restated from the metaPages arithmetic: the
+    // lang/title/description/og/robots/canonical presence classes,
+    // spelling noise (case, quotes, attribute order, whitespace) all
+    // collapsing to the stated values, the relative canonical resolved
+    // to its absolute form, and the none=both robots class
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       WHEN doc_id % 6 = 0 THEN 'xx' ELSE lang END AS lang_attr,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       ELSE 'Doc ' || CAST(doc_id % 11 AS VARCHAR) || ' ' || source
+        |       END AS title,
+        |  CASE WHEN doc_id % 4 = 1 THEN NULL
+        |       ELSE 'd' || CAST(doc_id % 13 AS VARCHAR) || ' summary'
+        |       END AS description,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'og' || CAST(doc_id % 9 AS VARCHAR) END AS og_title,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'http://canon.example.com/c/' ||
+        |         CAST(doc_id % 50 AS VARCHAR)
+        |       ELSE 'http://' || source || '.example.com/c/' ||
+        |         CAST(doc_id % 50 AS VARCHAR)
+        |       END AS canonical,
+        |  doc_id % 6 IN (0, 2) AS noindex,
+        |  doc_id % 6 IN (1, 2) AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-page canonical target from the same arithmetic (self-cluster
+    // when undeclared), grouped: size + lexicographically-first member
+    "q_canonical_cluster" -> canonicalClusterOracleSql,
+
+    // the streamed ledger must land on the batch derivation verbatim
+    // (the additive/min-merge read-time fold is the only new machinery)
+    "q_meta_ingest_replay" -> canonicalClusterOracleSql,
+
+    // both channels stated per mod class: the header verdict (class 1
+    // only — the class-2 decoy directives never trip it), the payload
+    // meta verdict, and their disjunction
+    "q_warc_noindex" ->
+      """SELECT doc_id,
+        |  doc_id % 5 = 1 AS hdr_noindex,
+        |  doc_id % 3 = 0 AS meta_noindex,
+        |  NOT (doc_id % 5 = 1 OR doc_id % 3 = 0) AS indexable
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same collapse AFTER the noindex gate (robots-meta classes
+    // "noindex" and "NONE" drop) — sizes/representatives shift exactly
+    // where the directive bites
+    "q_index_admission" ->
+      """WITH tgt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 3 THEN 'http://' || source ||
+        |        '.example.com/m/' || CAST(doc_id AS VARCHAR)
+        |      WHEN doc_id % 2 = 0 THEN 'http://canon.example.com/c/' ||
+        |        CAST(doc_id % 50 AS VARCHAR)
+        |      ELSE 'http://' || source || '.example.com/c/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) END AS canonical,
+        |    'http://' || source || '.example.com/m/' ||
+        |      CAST(doc_id AS VARCHAR) AS page_cu
+        |  FROM documents WHERE doc_id % 6 NOT IN (0, 2))
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_pages,
+        |  min(page_cu) AS min_url
+        |FROM tgt GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    // survivors + document-order link numbers from the nofollowPages
+    // arithmetic: the href-less decoy holds link_no 0, the plain link
+    // (1) survives everywhere, the explicit-nofollow (2) never does,
+    // the rel-cycle slot (3) survives on its "me"/"nofollower" token
+    // classes, and the meta-nofollow pages (mod-7 class 0) vanish
+    "q_nofollow_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, 1 AS link_no,
+        |    'http://' || source || '.example.com/k/' ||
+        |      CAST(doc_id % 20 AS VARCHAR) AS target
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |    'http://' || source || '.example.com/u/' ||
+        |      CAST(doc_id % 9 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 0)
+        |SELECT doc_id, CAST(link_no AS INT) AS link_no, target FROM l
+        |ORDER BY doc_id, link_no""".stripMargin,
+
+    // every alternate row from the hreflangPages arithmetic: the self
+    // variant (lang lowercased), the resolved es variant, the x-default
+    // class — decoys absent by construction
+    "q_hreflang" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang AS hreflang,
+        |    'http://' || source || '.example.com/h/' ||
+        |      CAST(doc_id AS VARCHAR) AS target
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'es',
+        |    'http://' || source || '.example.com/es/' ||
+        |      CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 <> 1
+        |  UNION ALL
+        |  SELECT doc_id, 'x-default',
+        |    'http://' || source || '.example.com/h/' ||
+        |      CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT doc_id, hreflang, target FROM a
+        |ORDER BY doc_id, hreflang, target""".stripMargin,
+
+    // the polite frontier: the same derivation minus the rel=nofollow
+    // anchor class and the meta-nofollow pages' rows
+    "q_frontier_polite" -> (politeFrontierOracleCtes +
+      """
+        |SELECT host, url, n_refs, rank FROM ranked WHERE rank <= 2
+        |ORDER BY host, rank""".stripMargin),
+
     // the whole frontier re-derived from the planting arithmetic:
     // candidate targets + in-link counts from the href CASEs, seen =
     // the planted /local subset (doc_id % 8 = 2), the robots verdicts
@@ -8183,28 +8737,24 @@ object ExtQueries {
         |                  WHERE c.doc_id % 10 < 7 AND c.text = g.text)
         |ORDER BY doc_id""".stripMargin,
 
-    "q_text_langid" -> {
-      // one score row per (doc, lang), built from the SAME stopword map the
-      // operator uses; argmax tie-break mirrors Spark's array_max over
-      // (score, lang) structs: score DESC then lang DESC
-      val unions = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-        val list = ws.mkString("['", "', '", "']")
-        s"SELECT doc_id, '$l' AS lang, " +
-          s"CAST(len(list_filter(toks, t -> list_contains($list, t))) AS INT) " +
-          s"AS score FROM toks"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |s AS ($unions),
-         |best AS (SELECT doc_id, lang, score,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY score DESC, lang DESC) AS rn FROM s),
-         |pred AS (SELECT t.doc_id,
-         |    CASE WHEN regexp_matches(t.text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
-         |         WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
-         |  FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1)
+    "q_text_langid" ->
+      s"""WITH $langidPredCtes
          |SELECT lang_pred, count(*) AS n FROM pred
-         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-    },
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // the declared <html lang> per mod class joined against the SAME
+    // per-doc langid derivation q_text_langid is gated on; agreement
+    // null-safe (an undeclared page never "agrees")
+    "q_lang_audit" ->
+      s"""WITH $langidPredCtes,
+         |dec AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en'
+         |      WHEN 1 THEN 'zh' WHEN 2 THEN 'xx' END AS lang_attr
+         |  FROM documents)
+         |SELECT d.doc_id, d.lang_attr, p.lang_pred,
+         |  coalesce(d.lang_attr = p.lang_pred, false) AS agree
+         |FROM dec d JOIN pred p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // independent recount of every script histogram column (RE2 \p{X}
     // classes vs the engine's Java \p{IsX}), the same (count, name

@@ -87,6 +87,69 @@ object Links {
       .select(idCols.map(col) :+ col("link_no") :+
         Urls.canonicalUrl(col("__abs")).as("target"): _*)
 
+  /** NOFOLLOW-AWARE out-links — [[outlinks]] composed with the two
+    * link-following directives a polite crawler honors (the published
+    * robots-meta / rel=nofollow conventions):
+    *  - page-level: a `<meta name=robots>` carrying `nofollow` (or
+    *    `none`) means NO link on the page may be followed — the page
+    *    contributes zero rows;
+    *  - anchor-level: an `<a>` whose `rel` attribute contains the
+    *    `nofollow` TOKEN (comma/whitespace-separated, case-insensitive
+    *    — `rel="ugc nofollow"` drops, `rel="nofollower"` does not)
+    *    is skipped.
+    *
+    * Extraction here is one alternation pass over full `<a …>` opening
+    * tags, so `link_no` is TRUE DOCUMENT ORDER (unlike [[outlinks]]'
+    * quote-style-major ordinal) and numbers the original anchor
+    * positions — stable under the drops, like [[outlinks]]' scheme
+    * gate. Per-tag attribute pulls run on the short extracted tag
+    * strings; the document-width work is three unconditional regexes in
+    * one projection (tag list, robots meta, base href), after which
+    * HTML is dropped — nothing wide survives to the explode. Output:
+    * `(<idCols…>, link_no, target)` with `target` canonical like
+    * [[outlinks]]. */
+  def politeOutlinks(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      idCols: Seq[String]): DataFrame =
+    politeResolved(pages, urlCol, htmlCol, idCols)
+      .select(idCols.map(col) :+ col("link_no") :+
+        Urls.canonicalUrl(col("__abs")).as("target"): _*)
+
+  /** The shared polite-extraction core ([[politeOutlinks]] + the
+    * `honorNofollow` frontier path): per followable anchor the RESOLVED
+    * pre-canonicalization absolute target (`__abs`) and the
+    * document-order `link_no`. Page-level meta-nofollow gate, per-anchor
+    * rel-token gate, non-http(s) drop — HTML is reduced to tag strings
+    * in the first projection and never survives to the explode. */
+  private def politeResolved(pages: DataFrame, urlCol: Column,
+      htmlCol: Column, idCols: Seq[String]): DataFrame = {
+    val s0 = pages.select(idCols.map(col) :+ urlCol.as("__u") :+
+      regexp_extract_all(htmlCol, lit("(?is)<a\\b[^>]*>"), lit(0))
+        .as("__tags") :+
+      PageMeta.pageNofollow(htmlCol).as("__nf") :+
+      baseHref(htmlCol).as("__bh"): _*)
+    val relToks = filter(
+      split(lower(coalesce(PageMeta.attrOf(col("__tag"), "rel"), lit(""))),
+        "[,\\s]+"),
+      x => x =!= "")
+    s0.where(!col("__nf"))
+      .select(idCols.map(col) :+
+        effectiveBaseOf(col("__u"), col("__bh")).as("__base") :+
+        col("__tags"): _*)
+      .select(idCols.map(col) :+ col("__base") :+
+        posexplode(col("__tags")).as(Seq("link_no", "__tag")): _*)
+      // rel is a LINK-TYPE list — only the nofollow token matters here
+      // (`none` is a robots-META directive, not a rel link type)
+      .where(!array_contains(relToks, "nofollow"))
+      // href staged in its own projection before resolveUrl (which
+      // references its `ref` ~8x across conditional branches) — the
+      // pageMeta canonical-pipeline staging rule
+      .select(idCols.map(col) :+ col("link_no") :+ col("__base") :+
+        PageMeta.attrOf(col("__tag"), "href").as("__href"): _*)
+      .select(idCols.map(col) :+ col("link_no") :+
+        Urls.resolveUrl(col("__base"), col("__href")).as("__abs"): _*)
+      .where(col("__abs").rlike("(?i)^https?://"))
+  }
+
   /** The host-level link graph: `(src_host, dst_host, n_links)` —
     * src = the page URL's canonical host, dst = each out-link target's
     * canonical host, n_links = how many links point that way. Only
@@ -299,9 +362,11 @@ object Links {
     * candidate aggregate appears in the plan exactly once — no
     * re-join of the `unseen` subplan against itself. */
   def frontierWithPolicy(pages: DataFrame, urlCol: Column, htmlCol: Column,
-      seen: DataFrame, policy: DataFrame, perHostK: Int = 2): DataFrame = {
+      seen: DataFrame, policy: DataFrame, perHostK: Int = 2,
+      honorNofollow: Boolean = false): DataFrame = {
     require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
-    val gated = gatedCandidates(pages, urlCol, htmlCol, seen, policy)
+    val gated =
+      gatedCandidates(pages, urlCol, htmlCol, seen, policy, honorNofollow)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("n_refs").desc, col("target"))
@@ -321,9 +386,10 @@ object Links {
     * Output: `(host, url, rank, delay_s, fetch_offset_s)`. */
   def fetchSchedule(pages: DataFrame, urlCol: Column, htmlCol: Column,
       seen: DataFrame, policy: DataFrame, perHostK: Int = 2,
-      defaultDelayS: Int = 1): DataFrame = {
+      defaultDelayS: Int = 1, honorNofollow: Boolean = false): DataFrame = {
     require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
-    val gated = gatedCandidates(pages, urlCol, htmlCol, seen, policy)
+    val gated =
+      gatedCandidates(pages, urlCol, htmlCol, seen, policy, honorNofollow)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("n_refs").desc, col("target"))
@@ -341,15 +407,23 @@ object Links {
     * already-crawled anti-join → in-row robots gate on the resolved
     * spelling. Output keeps every policy passthrough column. */
   private def gatedCandidates(pages: DataFrame, urlCol: Column,
-      htmlCol: Column, seen: DataFrame, policy: DataFrame): DataFrame = {
-    val cands = pages
-      .select(urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
-        extractLinks(htmlCol).as("__refs"))
-      .select(effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
-        col("__refs"))
-      .select(col("__base"), explode(col("__refs")).as("__ref"))
-      .select(Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
-      .where(col("__abs").rlike("(?i)^https?://"))
+      htmlCol: Column, seen: DataFrame, policy: DataFrame,
+      honorNofollow: Boolean = false): DataFrame = {
+    // honorNofollow switches extraction to the polite tag-level path
+    // (page meta-nofollow + per-anchor rel gate) — a production crawler
+    // must not DISCOVER through links the page told it not to follow
+    val resolved =
+      if (honorNofollow)
+        politeResolved(pages, urlCol, htmlCol, Nil).select(col("__abs"))
+      else pages
+        .select(urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
+          extractLinks(htmlCol).as("__refs"))
+        .select(effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
+          col("__refs"))
+        .select(col("__base"), explode(col("__refs")).as("__ref"))
+        .select(Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
+        .where(col("__abs").rlike("(?i)^https?://"))
+    val cands = resolved
       .select(Urls.canonicalUrl(col("__abs")).as("target"), col("__abs"))
       .groupBy(col("target"))
       .agg(count(lit(1)).as("n_refs"), min(col("__abs")).as("__fetch"))

@@ -177,7 +177,8 @@ object Sources {
     * content).
     *
     * Output: `(rec_type, uri, content_length, http_status,
-    * content_type, transfer_encoding, content_encoding, body)` with
+    * content_type, location, etag, last_modified, x_robots_tag,
+    * transfer_encoding, content_encoding, body)` with
     * `body` BINARY (decoded payload bytes). Header extraction runs over
     * the HEADER SECTION ONLY (the prefix up to the first blank line,
     * case-insensitive names per RFC 9110) — a payload line spelling
@@ -221,6 +222,11 @@ object Sources {
       // If-Modified-Since and skip unchanged pages next visit
       .withColumn("etag", header("etag"))
       .withColumn("last_modified", header("last-modified"))
+      // the header-side indexing directive (Google/Bing's X-Robots-Tag
+      // convention — the only noindex channel for non-HTML payloads);
+      // raw value here, token semantics at the consumer (PageMeta's
+      // rules, shared with the meta-tag channel)
+      .withColumn("x_robots_tag", header("x-robots-tag"))
       .withColumn("transfer_encoding", lower(trim(header("transfer-encoding"))))
       .withColumn("content_encoding", lower(trim(header("content-encoding"))))
       .withColumn("__p0",
@@ -245,7 +251,7 @@ object Sources {
           .otherwise(lit(null).cast("binary")))
       .select(col("rec_type"), col("uri"), col("content_length"),
         col("http_status"), col("content_type"), col("location"),
-        col("etag"), col("last_modified"),
+        col("etag"), col("last_modified"), col("x_robots_tag"),
         col("transfer_encoding"), col("content_encoding"), col("body"))
   }
 

@@ -519,6 +519,51 @@ object IngestStreams {
         .agg(sum(col("n_links")).as("n_links"))
   }
 
+  /** Streaming maintenance of the standing CANONICAL-CLUSTER ledger —
+    * [[graft.operators.PageMeta.canonicalClusters]] kept fresh as pages
+    * arrive: the rel=canonical dedup signal accretes with the crawl
+    * like the link graph does. Identical additive contract to
+    * [[domainIngest]] with one twist: the ledger merges per canonical
+    * target as (SUM n_pages, MIN min_url) — count is additive and min
+    * is associative across any batch split, so the read-time fold
+    * ([[readCanonicalClusters]]) equals the one-shot batch operator
+    * over the concatenated corpus. Per batch: one metadata pass + one
+    * partial-agg groupBy over the BATCH only; HTML never leaves the
+    * batch scan. */
+  def metaIngest(pages: DataFrame, urlCol: org.apache.spark.sql.Column,
+      htmlCol: org.apache.spark.sql.Column,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          graft.operators.PageMeta.canonicalClusters(batch, urlCol, htmlCol),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing canonical-cluster ledger of a [[metaIngest]] index:
+    * per-canonical (sum, min) across batch partitions — equals the
+    * one-shot `PageMeta.canonicalClusters` over the concatenated
+    * batches (gated end-to-end as `q_meta_ingest_replay`, on the
+    * q_canonical_cluster oracle verbatim). Absent/empty directory →
+    * empty ledger. */
+  def readCanonicalClusters(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("canonical", StringType),
+          StructField("n_pages", LongType),
+          StructField("min_url", StringType))))
+    else
+      spark.read.parquet(indexDir)
+        .groupBy(col("canonical"))
+        .agg(sum(col("n_pages")).as("n_pages"),
+          min(col("min_url")).as("min_url"))
+  }
+
   /** Streaming maintenance of the standing per-pattern hit ledger —
     * [[graft.operators.Keywords.matchCounts]] kept fresh by the ingest
     * stream (the statistic a blocklist/spam dial is tuned against).

@@ -526,6 +526,36 @@ class PlanInvariantsSpec extends SparkSuite {
       s"HTML/text must not cross the exchange, got $shuffled")
   }
 
+  test("pageMeta: one narrow pass, no exchange; clusters shuffle URL rows only") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pages = Tables.documents(spark, sf0001)
+      .withColumn("url", concat(lit("http://h"), col("doc_id"), lit(".com/p")))
+      .withColumn("html", concat(lit("<html><head><title>t</title>" +
+        "<link rel=\"canonical\" href=\"/c\"></head><body>"), col("text"),
+        lit("</body></html>")))
+    // the metadata record itself is a pure projection chain
+    val mp = graft.operators.PageMeta.pageMeta(
+      pages, col("url"), col("html"), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!mp.contains("Exchange"),
+      s"pageMeta must stay a narrow per-row transform:\n${mp.take(2000)}")
+    // the cluster reduction: pages reduce to canonical-URL strings
+    // before the ONE hash exchange — HTML/text never cross it
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try
+      graft.operators.PageMeta.canonicalClusters(pages, col("url"), col("html"))
+        .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"expected exactly one shuffle (the cluster agg), got ${exchanges.size}:\n${p.toString.take(2000)}")
+    val shuffled = exchanges.head.child.output.map(_.name).toSet
+    assert(!shuffled.exists(n => n.contains("html") || n.contains("text")),
+      s"HTML/text must not cross the exchange, got $shuffled")
+  }
+
   test("q_anchor_text: per-target anchors aggregate via the k-bounded heap, never collect_set") {
     // collect_set accretes EVERY distinct anchor of a hot target into
     // one aggregation buffer row before any cap (a wikipedia.org front

@@ -108,6 +108,30 @@ class LinksSpec extends SparkSuite {
     assert(got == Seq(("http://hot.org/t", 400L, "a000,a001,a002")))
   }
 
+  test("politeOutlinks: document-order link_no, rel token gate, page-level nofollow") {
+    val pages = Seq(
+      // mixed quotes: politeOutlinks numbers TRUE document order (vs
+      // outlinks' quote-style-major ordinal); the href-less named
+      // anchor consumes a slot; rel variants gate per token
+      (1L, "http://a.com/d/p.html",
+        """<a name="top">x</a><a href='/one'>1</a>""" +
+          """<a rel="nofollow" href="/drop">2</a>""" +
+          """<a href="/two" REL=NOFOLLOW>3</a>""" +
+          """<a href="/keep" rel="nofollower">4</a>""" +
+          """<a href="/ugc" rel="ugc , NoFollow">5</a>"""),
+      // page-level meta nofollow: contributes nothing
+      (2L, "http://b.com/p",
+        """<head><meta name="robots" content="none"></head>""" +
+          """<a href="/never">x</a>""")).toDF("doc_id", "url", "html")
+    val got = Links.politeOutlinks(pages, $"url", $"html", Seq("doc_id"))
+      .orderBy($"doc_id", $"link_no")
+      .select($"doc_id", $"link_no", $"target")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, "http://a.com/one"),
+      (1L, 4, "http://a.com/keep")))
+  }
+
   test("frontier: dedup priority, seen anti-join, robots gate, per-host quota") {
     val mk = (n: Long, t: String) => (n, "http://src.com/p",
       s"""<a href="$t">x</a>""")
@@ -130,6 +154,28 @@ class LinksSpec extends SparkSuite {
     assert(got == Seq(
       ("t.org", "http://t.org/a", 3L, 1),
       ("t.org", "http://t.org/b", 2L, 2)))
+  }
+
+  test("frontier honorNofollow: nofollow'd links are never discovered") {
+    val pages = Seq(
+      (1L, "http://src.com/p",
+        """<a href="http://t.org/a">x</a>""" +
+          """<a rel="nofollow" href="http://t.org/hidden">y</a>"""),
+      // page-level meta nofollow: its link must not become a candidate
+      (2L, "http://src.com/q",
+        """<head><meta name="robots" content="nofollow"></head>""" +
+          """<a href="http://t.org/never">z</a>""")).toDF(
+      "doc_id", "url", "html")
+    val seen = Seq.empty[String].toDF("url")
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    def urls(honor: Boolean): Seq[String] =
+      Links.frontierWithPolicy(pages, $"url", $"html", seen,
+        Robots.agentPolicy(robots, $"host", $"robots_txt", "bot"),
+        perHostK = 5, honorNofollow = honor)
+        .orderBy($"url").select($"url").as[String].collect().toSeq
+    assert(urls(false) == Seq("http://t.org/a", "http://t.org/hidden",
+      "http://t.org/never"))
+    assert(urls(true) == Seq("http://t.org/a"))
   }
 
   test("base href: relative refs resolve against <base>, not the page URL") {

@@ -193,6 +193,52 @@ class IngestStreamsSpec extends SparkSuite {
       Seq(("a.com", 3L, 4L), ("b.org", 2L, 5L)))
   }
 
+  test("metaIngest: streamed cluster ledger equals batch canonicalClusters; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("metaingest").toString
+    val (indexDir, ckpt) = (s"$dir/meta_idx", s"$dir/ckpt")
+    assert(IngestStreams.readCanonicalClusters(spark, indexDir).count() == 0L)
+    def page(url: String, canon: Option[String]): (String, String) =
+      (url, "<html><head>" +
+        canon.map(c => s"""<link rel="canonical" href="$c">""").getOrElse("") +
+        "</head><body></body></html>")
+    // the "main" cluster is split ACROSS batches with its min member in
+    // the LATER batch — the read-time (sum, min) fold is live, not a
+    // per-batch identity
+    val b1 = Seq(page("http://a.com/p2", Some("http://a.com/main")),
+      page("http://b.com/solo", None))
+    val b2 = Seq(page("http://a.com/p1", Some("http://a.com/main")))
+    val src = MemoryStream[(String, String)]
+    val q = IngestStreams.metaIngest(
+      src.toDF().toDF("url", "html"), $"url", $"html", indexDir, ckpt)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"canonical").as[(String, Long, String)].collect().toSeq
+    val expected = rows(graft.operators.PageMeta.canonicalClusters(
+      (b1 ++ b2).toDF("url", "html"), $"url", $"html"))
+    assert(rows(IngestStreams.readCanonicalClusters(spark, indexDir)) ==
+      expected)
+    assert(expected == Seq(
+      ("http://a.com/main", 2L, "http://a.com/p1"),
+      ("http://b.com/solo", 1L, "http://b.com/solo")))
+    // the ledger survives the query: a NEW stream over the same dir
+    // keeps accumulating and the min keeps tightening
+    val src2 = MemoryStream[(String, String)]
+    val q2 = IngestStreams.metaIngest(
+      src2.toDF().toDF("url", "html"), $"url", $"html", indexDir,
+      s"$dir/ckpt2")
+    src2.addData(page("http://a.com/p0", Some("http://a.com/main")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows(IngestStreams.readCanonicalClusters(spark, indexDir)) ==
+      Seq(("http://a.com/main", 3L, "http://a.com/p0"),
+        ("http://b.com/solo", 1L, "http://b.com/solo")))
+  }
+
   test("dfIngest: streamed df index equals batch dfIndex; compaction sum-preserving; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("dfingest").toString
