@@ -2304,7 +2304,11 @@ object ExtQueries {
     * real `noindex`, class 2 a decoy `noarchive, nosnippet` that must
     * NOT trip the verdict) and a `<meta name=robots content=noindex>`
     * in the HTML payload on the mod-3 class 0 — the q_warc_noindex
-    * input. Same render/contract as [[warcHtmlFixture]]. */
+    * input. Doubles as q_recrawl_cadence's fetch ledger: per-record
+    * `WARC-Date` capture times (a stale January copy on mod-8 class 0,
+    * a fresh March 1 on class 4, March 2–4 otherwise) and `ETag`
+    * validators on even ids only. Same render/contract as
+    * [[warcHtmlFixture]]. */
   private def warcRobotsFixture(s: SparkSession, dir: String): String =
     warcRobotsBuilt.computeIfAbsent(dir, { _ =>
       val dirHash = java.security.MessageDigest.getInstance("MD5")
@@ -2331,14 +2335,26 @@ object ExtQueries {
           if (id % 5 == 1) "X-Robots-Tag: noindex\r\n"
           else if (id % 5 == 2) "X-Robots-Tag: noarchive, nosnippet\r\n"
           else ""
+        // validators for the cadence face: ETag on even ids only (the
+        // validator-less odd rows make the stale→fetch class live)
+        val etag = if (id % 2 == 0) s"ETag: \"v$id\"\r\n" else ""
         val http =
           "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
-            s"$xr\r\n$html"
+            s"$xr$etag\r\n$html"
         val nBytes =
           http.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        // the capture time q_recrawl_cadence ages content by: the
+        // lastmod-present class (id % 4 = 0) splits into a stale
+        // January copy (id % 8 = 0) and a fresh March 1 one (= 4);
+        // everything else fetched 2026-03-02..04 by id % 4
+        val wd =
+          if (id % 8 == 0) "2026-01-15T00:00:00Z"
+          else if (id % 8 == 4) "2026-03-01T00:00:00Z"
+          else s"2026-03-0${1 + id % 4}T12:00:00Z"
         sb.append("WARC/1.0\r\n")
           .append("WARC-Type: response\r\n")
           .append(s"WARC-Target-URI: http://$src.example.com/p/$id\r\n")
+          .append(s"WARC-Date: $wd\r\n")
           .append(s"Content-Length: $nBytes\r\n")
           .append("\r\n")
           .append(http)
@@ -4531,6 +4547,32 @@ object ExtQueries {
         .where(col("http_status") === 200)
         .select(col("uri").as("url"), col("etag"), col("last_modified"))
       Recrawl.decide(entries, ledger)
+        .select(
+          regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("url"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CADENCE-AWARE recrawl decision: the two pieces of evidence the
+    // plain decide face lacks — the FETCH date (the WARC record's
+    // capture time, now surfaced as warc_date) and the sitemap's
+    // declared changefreq. Every verdict class is live by arithmetic:
+    // query locs miss the ledger (fetch), the lastmod class splits
+    // stale-January (revalidate via ETag) vs fresh-March (skip), the
+    // weekly class splits fresh-by-cadence (skip — even without
+    // validators) vs stale (revalidate with ETag / fetch without), the
+    // no-cadence class falls to the validator rule
+    "q_recrawl_cadence" -> ((s, dir) => {
+      val entries = graft.sources.Sources.sitemapEntries(s,
+          s"${sitemapFixture(s, dir)}/*.xml")
+        .where(col("kind") === "urlset")
+      val ledger = graft.sources.Sources.warcResponses(s,
+          s"${warcRobotsFixture(s, dir)}/corpus.warc")
+        .select(col("uri").as("url"), col("etag"), col("last_modified"),
+          Recrawl.warcDate(col("warc_date")).as("fetch_date"))
+      Recrawl.decideWithCadence(entries, ledger,
+        to_date(lit("2026-03-10")))
         .select(
           regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long")
             .as("doc_id"),
@@ -7736,6 +7778,28 @@ object ExtQueries {
         |  CASE WHEN doc_id % 3 = 0 OR doc_id % 4 <> 0 THEN 'fetch'
         |       WHEN doc_id % 28 = 0 THEN 'skip'
         |       ELSE 'revalidate' END AS verdict
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // each cadence verdict stated per mod class: query locs miss the
+    // ledger; the lastmod class (mod 4 = 0, non-query) splits by the
+    // planted capture date (January copy stale → revalidate via its
+    // even-id ETag; March 1 copy → skip); the weekly class (mod 3 = 1)
+    // is fresh-by-cadence only at age 6 days (mod 4 = 3), else
+    // validator-split; the no-cadence class is validator-split
+    "q_recrawl_cadence" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'fetch'
+        |       WHEN doc_id % 4 = 0 THEN
+        |         CASE WHEN doc_id % 8 = 0 THEN 'revalidate' ELSE 'skip' END
+        |       WHEN doc_id % 3 = 1 THEN
+        |         CASE WHEN doc_id % 4 = 3 THEN 'skip'
+        |              WHEN doc_id % 2 = 0 THEN 'revalidate'
+        |              ELSE 'fetch' END
+        |       WHEN doc_id % 2 = 0 THEN 'revalidate'
+        |       ELSE 'fetch' END AS verdict
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the Sitemap: lines planted in the robots fixture, verbatim (the

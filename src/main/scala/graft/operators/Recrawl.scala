@@ -44,6 +44,78 @@ object Recrawl {
     * `entries` carries `loc` (+ optional `lastmod`, W3C date);
     * `ledger` carries `url`, `etag`, `last_modified` (HTTP-date).
     * Output: `(url, lastmod, etag, last_modified, verdict)`. */
+  /** WARC-Date (ISO 8601, `2026-03-01T12:00:00Z`) → DATE; malformed →
+    * NULL. The record's capture time is the fetch date a recrawl
+    * scheduler ages content by. */
+  def warcDate(c: Column): Column =
+    try_to_timestamp(
+      regexp_extract(c, "^([0-9]{4}-[0-9]{2}-[0-9]{2})", 1),
+      lit("yyyy-MM-dd")).cast("date")
+
+  /** The sitemaps.org `changefreq` hint as a freshness period in DAYS
+    * (day granularity — `always`/`hourly` are never fresh at it,
+    * `never` is always fresh); unknown/absent → 0 (no cadence claim,
+    * never fresh by it). */
+  def cadencePeriodDays(changefreq: Column): Column =
+    when(lower(changefreq) === "daily", lit(1))
+      .when(lower(changefreq) === "weekly", lit(7))
+      .when(lower(changefreq) === "monthly", lit(30))
+      .when(lower(changefreq) === "yearly", lit(365))
+      .when(lower(changefreq) === "never", lit(Int.MaxValue))
+      .otherwise(lit(0))
+
+  /** [[decide]] extended with the evidence a real recrawler also has —
+    * the FETCH date (the ledger's `fetch_date`, from the WARC record's
+    * capture time) and the sitemap's declared change cadence
+    * (`changefreq`). Verdict, first match wins:
+    *  1. no ledger row → `fetch` (unconditional GET);
+    *  2. sitemap `lastmod` present: on/before our copy's date
+    *     (`fetch_date`, falling back to the response Last-Modified) →
+    *     `skip` (the site says nothing changed); AFTER it → the copy is
+    *     stale by the site's own statement → `revalidate` with
+    *     validators, else `fetch`;
+    *  3. no lastmod, but a declared cadence and a fetch date, and the
+    *     copy is younger than the period → `skip` (fresh by cadence —
+    *     note this can skip even validator-less rows, which [[decide]]
+    *     alone would re-fetch);
+    *  4. validators present → `revalidate` (conditional GET);
+    *  5. `fetch`.
+    * `entries` carries `loc`/`lastmod`/`changefreq`; `ledger` carries
+    * `url`/`etag`/`last_modified`/`fetch_date` (DATE); `now` is the
+    * scheduler's date (a plan literal in tests — determinism).
+    * Output: `(url, lastmod, changefreq, etag, last_modified,
+    * fetch_date, verdict)`. One left equi-join on the URL, verdict in
+    * projection — [[decide]]'s scale shape unchanged. */
+  def decideWithCadence(entries: DataFrame, ledger: DataFrame,
+      now: Column): DataFrame =
+    entries
+      .select(col("loc").as("url"), col("lastmod"), col("changefreq"))
+      .join(
+        ledger.select(col("url"), col("etag"), col("last_modified"),
+          col("fetch_date")),
+        Seq("url"), "left")
+      .withColumn("__row",
+        col("etag").isNotNull || col("last_modified").isNotNull ||
+          col("fetch_date").isNotNull)
+      .withColumn("__have",
+        col("etag").isNotNull || col("last_modified").isNotNull)
+      .withColumn("__copy",
+        coalesce(col("fetch_date"), httpDate(col("last_modified"))))
+      .withColumn("__lm",
+        try_to_timestamp(col("lastmod"), lit("yyyy-MM-dd")).cast("date"))
+      .withColumn("verdict",
+        when(!col("__row"), lit("fetch"))
+          .when(col("__lm").isNotNull && col("__copy").isNotNull,
+            when(col("__lm") <= col("__copy"), lit("skip"))
+              .otherwise(when(col("__have"), lit("revalidate"))
+                .otherwise(lit("fetch"))))
+          .when(col("fetch_date").isNotNull &&
+            datediff(now, col("fetch_date")) <
+              cadencePeriodDays(col("changefreq")), lit("skip"))
+          .when(col("__have"), lit("revalidate"))
+          .otherwise(lit("fetch")))
+      .drop("__row", "__have", "__copy", "__lm")
+
   def decide(entries: DataFrame, ledger: DataFrame): DataFrame =
     entries
       .select(col("loc").as("url"), col("lastmod"))

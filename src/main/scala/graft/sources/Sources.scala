@@ -117,6 +117,10 @@ object Sources {
       .select(
         regexp_extract(col("rec"), "(?m)^WARC-Type: (\\S+)", 1).as("rec_type"),
         regexp_extract(col("rec"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("uri"),
+        // the record's capture time (WARC-Date, ISO 8601) — the FETCH
+        // date a recrawl scheduler ages content by (absent → null)
+        nullif(regexp_extract(col("rec"), "(?m)^WARC-Date: (\\S+)", 1),
+          lit("")).as("warc_date"),
         // the regexp yields digits or '' (absent header) — guard the ''
         // before casting: ANSI mode throws on it, and a headerless
         // fragment (a mis-split remainder) must be a corrupt ROW
@@ -176,7 +180,7 @@ object Sources {
     * rather than leaking compressed bytes downstream as if they were
     * content).
     *
-    * Output: `(rec_type, uri, content_length, http_status,
+    * Output: `(rec_type, uri, warc_date, content_length, http_status,
     * content_type, location, etag, last_modified, x_robots_tag,
     * transfer_encoding, content_encoding, body)` with
     * `body` BINARY (decoded payload bytes). Header extraction runs over
@@ -249,7 +253,8 @@ object Sources {
           .when(col("content_encoding") === "zstd",
             zstdDecode(col("__p1"), maxDecodedBytes))
           .otherwise(lit(null).cast("binary")))
-      .select(col("rec_type"), col("uri"), col("content_length"),
+      .select(col("rec_type"), col("uri"), col("warc_date"),
+        col("content_length"),
         col("http_status"), col("content_type"), col("location"),
         col("etag"), col("last_modified"), col("x_robots_tag"),
         col("transfer_encoding"), col("content_encoding"), col("body"))

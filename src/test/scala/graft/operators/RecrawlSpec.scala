@@ -60,4 +60,51 @@ class RecrawlSpec extends SparkSuite {
     assert(verdicts(Seq(("http://s.com/c", Some("2026-01-01")))) ==
       Map("http://s.com/c" -> "fetch"))
   }
+
+  test("decideWithCadence: fetch-date evidence, cadence skip, validator fallback") {
+    import org.apache.spark.sql.functions.{lit, to_date}
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val cl = Seq(
+      // fetched March 1, etag — lastmod comparisons use the FETCH date
+      ("http://s.com/a", Some("\"v1\""), None: Option[String],
+        Some(d("2026-03-01"))),
+      // fetched March 8, NO validators — cadence can still skip it
+      ("http://s.com/b", None: Option[String], None: Option[String],
+        Some(d("2026-03-08"))),
+      // fetched February 1, no validators
+      ("http://s.com/c", None: Option[String], None: Option[String],
+        Some(d("2026-02-01"))),
+      // validators but NO fetch date → cadence can't hold, revalidate
+      ("http://s.com/d", Some("\"v4\""), None: Option[String],
+        None: Option[Date])).toDF(
+      "url", "etag", "last_modified", "fetch_date")
+    def got(entries: Seq[(String, Option[String], Option[String])]) =
+      Recrawl.decideWithCadence(
+        entries.toDF("loc", "lastmod", "changefreq"), cl,
+        to_date(lit("2026-03-10")))
+        .select($"url", $"verdict").as[(String, String)].collect().toMap
+    assert(got(Seq(
+      // lastmod before the March-1 fetch → skip (site says unchanged)
+      ("http://s.com/a", Some("2026-02-20"), None),
+      // lastmod AFTER the fetch → stale → revalidate via etag
+      ("http://s.com/x", Some("2026-02-20"), None))) ==
+      Map("http://s.com/a" -> "skip", "http://s.com/x" -> "fetch"))
+    assert(got(Seq(("http://s.com/a", Some("2026-03-05"), None))) ==
+      Map("http://s.com/a" -> "revalidate"))
+    // cadence: weekly copy aged 2 days is fresh (skip, even with no
+    // validators); the same copy under daily cadence is stale → fetch
+    assert(got(Seq(("http://s.com/b", None, Some("weekly")))) ==
+      Map("http://s.com/b" -> "skip"))
+    assert(got(Seq(("http://s.com/b", None, Some("daily")))) ==
+      Map("http://s.com/b" -> "fetch"))
+    // 'never' is always fresh; unknown cadence never is
+    assert(got(Seq(("http://s.com/c", None, Some("never")))) ==
+      Map("http://s.com/c" -> "skip"))
+    assert(got(Seq(("http://s.com/c", None, Some("sometimes")))) ==
+      Map("http://s.com/c" -> "fetch"))
+    // no fetch date: cadence can't hold, validators decide
+    assert(got(Seq(("http://s.com/d", None, Some("yearly")))) ==
+      Map("http://s.com/d" -> "revalidate"))
+  }
 }
