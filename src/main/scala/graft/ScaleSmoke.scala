@@ -220,7 +220,38 @@ object ScaleSmoke {
         Seq(("ext2.example.org", "User-agent: *\nDisallow: /"))
           .toDF("host", "robots_txt"),
         "bot", perHostK = 2)
-    }))
+    }),
+    // r20: page-metadata extraction — one head-prefix doc-width regex
+    // per page + short-string field pulls, staged one hop per
+    // projection; pure per-row work, so the step must track page
+    // volume linearly (a projection-collapse regression that re-runs
+    // the canonical pipeline per reference shows up super-linearly,
+    // the 500 KB-plan trap SCALE.md §r20 documents)
+    "page_meta" -> ((s: SparkSession, dir: String) =>
+      graft.operators.PageMeta.pageMeta(metaPages(docs(s, dir)),
+        col("url"), col("html"), Seq("doc_id"))),
+    // r20: the canonical collapse on top — adds one canonicalUrl per
+    // page and ONE hash aggregate over canonical-URL-width rows; HTML
+    // never crosses the exchange, so the step stays linear
+    "canonical_cluster" -> ((s: SparkSession, dir: String) =>
+      graft.operators.PageMeta.canonicalClusters(metaPages(docs(s, dir)),
+        col("url"), col("html"))))
+
+  /** Directive-laden page construction (the q_html_meta planting's
+    * shape, constants only where the smoke doesn't need variance). */
+  private def metaPages(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/m/"), col("doc_id").cast("string")))
+      .withColumn("html", concat(
+        lit("<html lang=\"en\"><head><title>Doc "),
+        (col("doc_id") % 11).cast("string"),
+        lit("</title><meta name=\"description\" content=\"d"),
+        (col("doc_id") % 13).cast("string"),
+        lit("\"><meta name=\"robots\" content=\"noarchive\">" +
+          "<link rel=\"canonical\" href=\"../c/"),
+        (col("doc_id") % 50).cast("string"),
+        lit("\"></head><body><p>"), col("text"),
+        lit("</p></body></html>")))
 
   /** The link-face page construction (ExtQueries.linkPageCols' shape):
     * two anchors per doc whose hrefs cycle the reference classes. */
