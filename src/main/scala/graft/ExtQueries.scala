@@ -341,6 +341,59 @@ object ExtQueries {
           "</head><body><p>body</p></body></html>")))
   }
 
+  /** Planted pages for q_meta_refresh — every parser branch live off
+    * doc_id mod classes:
+    *  - mod-5 class 0: double-quoted absolute target carrying a
+    *    tracking param (`?utm_source=x&b=2` — canonicalization must
+    *    strip/sort to `?b=2`), delay `id % 30`; on mod-10 class 0 a
+    *    SECOND refresh tag follows and must lose (first wins);
+    *  - class 1: single-quoted content, UPPERCASE `HTTP-EQUIV`/`URL=`,
+    *    spaces around the separator, RELATIVE target `../r/{id%20}` —
+    *    resolved against the effective base (`<base href="/b/c/">` on
+    *    the mod-3 class-0 pages shifts it to `/b/r/…`, else `/r/…`);
+    *  - class 2: attribute order flipped, COMMA separator, bare
+    *    (unquoted) absolute-path target, constant delay 5;
+    *  - class 3: reload-only `content="30"` (no url=) → drops;
+    *  - class 4: no refresh tag → drops.
+    * Constant decoys on every page: `http-equiv="refreshx"` and a body
+    * `url=` string outside `<head>` — neither may match. The oracle
+    * restates delay and target from this arithmetic. */
+  private def refreshPages(df: DataFrame): DataFrame = {
+    val baseSeg = when(col("doc_id") % 3 === 0,
+      lit("<base href=\"/b/c/\">")).otherwise(lit(""))
+    val refreshSeg = when(col("doc_id") % 5 === 0, concat(
+      lit("<meta http-equiv=\"refresh\" content=\""),
+      (col("doc_id") % 30).cast("string"),
+      lit("; url=http://go.example.com/t/"),
+      (col("doc_id") % 40).cast("string"),
+      lit("?utm_source=x&b=2\">"),
+      when(col("doc_id") % 10 === 0,
+        lit("<meta http-equiv=\"refresh\" " +
+          "content=\"99; url=http://second.example.com/\">"))
+        .otherwise(lit(""))))
+      .when(col("doc_id") % 5 === 1, concat(
+        lit("<meta HTTP-EQUIV='Refresh' content='"),
+        (col("doc_id") % 7).cast("string"),
+        lit(" ; URL=../r/"), (col("doc_id") % 20).cast("string"),
+        lit("'>")))
+      .when(col("doc_id") % 5 === 2, concat(
+        lit("<meta content=\"5,url=/abs/"),
+        (col("doc_id") % 7).cast("string"),
+        lit("\" http-equiv=\"refresh\">")))
+      .when(col("doc_id") % 5 === 3,
+        lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+      .otherwise(lit(""))
+    df
+      .withColumn("url", concat(lit("http://"), col("source"),
+        lit(".example.com/f/"), col("doc_id").cast("string")))
+      .withColumn("html", concat(
+        lit("<html><head>"), baseSeg, refreshSeg,
+        lit("<meta http-equiv=\"refreshx\" " +
+          "content=\"0; url=http://evil.example.com/\">" +
+          "</head><body><p>url=http://nope.example.com/</p>" +
+          "</body></html>")))
+  }
+
   /** Planted pages for q_nofollow_links: four anchors in document order
     * — an href-less `<a name=…>` decoy (link_no 0, silently dropped), a
     * plain followable link (1, kept), an explicit rel=nofollow in both
@@ -2648,6 +2701,69 @@ object ExtQueries {
       root
     })
 
+  private val warcBomBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-class non-ASCII tails for [[warcBomFixture]] — each class's
+    * decode gate only bites if the payload leaves ASCII. */
+  private val bomTails: Seq[String] = Seq(
+    " bom ✓", // 0: UTF-8 BOM under a LYING latin-1 header
+    " seize ★", // 1: UTF-16LE BOM, nothing declared
+    " über π", // 2: UTF-16BE BOM under a lying UTF-8 header
+    " plain é") // 3: no BOM, honest UTF-8 (the unchanged control path)
+
+  /** WARC `response` fixture exercising BOM-over-declaration charset
+    * precedence (the WHATWG sniffing order): doc_id mod 4 routes
+    *  0. UTF-8 BOM + UTF-8 bytes under `charset=ISO-8859-1` — a LYING
+    *     header; honoring it decodes (latin-1 is total) but yields
+    *     `Ã©`-style mojibake plus a `ï»¿` prefix → md5 breaks;
+    *  1. UTF-16LE BOM, no declaration anywhere — the UTF-8 default
+    *     would hit the 0xFF signature byte (never valid UTF-8) → NULL;
+    *  2. UTF-16BE BOM under a lying `charset=UTF-8` → same NULL trap;
+    *  3. no BOM, honest UTF-8 — the control class proving the BOM path
+    *     changes nothing when no signature is present.
+    * The oracle recomputes every class's text from the documents table
+    * and the shared tails; the BOM itself must NOT surface in the
+    * decoded body (signature, not content). */
+  private def warcBomFixture(s: SparkSession, dir: String): String =
+    warcBomBuilt.computeIfAbsent(dir, { _ =>
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val root =
+        s"/tmp/graft_warc_bom_${dirHash}_p${ProcessHandle.current().pid()}"
+      val rootPath = java.nio.file.Paths.get(root)
+      org.apache.commons.io.FileUtils.deleteQuietly(rootPath.toFile)
+      java.nio.file.Files.createDirectories(rootPath)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val out = new java.io.ByteArrayOutputStream()
+      rows.foreach { r =>
+        val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val uri = s"http://$src.example.com/p/$id"
+        val cls = (id % 4).toInt
+        val body = text + bomTails(cls)
+        val (hdrs, payload) = cls match {
+          case 0 => (Seq("Content-Type: text/plain; charset=ISO-8859-1"),
+            Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+              encodeStrict(body, "UTF-8"))
+          case 1 => (Seq("Content-Type: text/plain"),
+            Array(0xFF, 0xFE).map(_.toByte) ++
+              encodeStrict(body, "UTF-16LE"))
+          case 2 => (Seq("Content-Type: text/plain; charset=UTF-8"),
+            Array(0xFE, 0xFF).map(_.toByte) ++
+              encodeStrict(body, "UTF-16BE"))
+          case _ => (Seq("Content-Type: text/plain; charset=UTF-8"),
+            encodeStrict(body, "UTF-8"))
+        }
+        warcRecBytes(out, uri, hdrs, payload)
+      }
+      java.nio.file.Files.write(
+        rootPath.resolve("corpus.warc"), out.toByteArray)
+      root
+    })
+
   private val videoReplayBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4051,6 +4167,22 @@ object ExtQueries {
           col("charset"), md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))),
 
+    // BOM-over-declaration precedence (the WHATWG sniffing order): a
+    // Unicode byte-order mark in the payload outranks any declared
+    // charset — UTF-8 BOM under a lying latin-1 header (honoring the
+    // header would yield mojibake + a ï»¿ prefix), UTF-16LE/BE BOMs
+    // whose signature bytes are never valid UTF-8 (the non-BOM path
+    // would NULL them), and a no-BOM control class; the BOM itself must
+    // not surface in the decoded text
+    "q_warc_bom" -> ((s, dir) =>
+      graft.sources.Sources.warcResponses(s,
+        s"${warcBomFixture(s, dir)}/corpus.warc")
+        .select(
+          regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("charset"), md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))),
+
     // ---- URL / domain pre-filter ---------------------------------------
     // The fixture corpus carries no URL column, so the faces synthesize a
     // MESSY one with pure doc_id arithmetic ([[syntheticUrlCol]] — the
@@ -4103,6 +4235,37 @@ object ExtQueries {
         .select(col("doc_id"), col("n_dups"))
         .join(c, Seq("doc_id"), "inner")
         .select(col("doc_id"), col("canonical_url"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CRAWLER-TRAP SIGNALS — the frontier pre-filter against infinite
+    // URL spaces: a calendar-trap class (repeated path segments), a
+    // pathological-depth class (18 segments), a parameter-bloat class
+    // (13 params), an oversize-URL class (545+ chars), and two normal
+    // classes; every signal column and the trap verdict restated by the
+    // oracle from the same construction
+    "q_url_traps" -> ((s, dir) => {
+      val u = when(col("doc_id") % 6 === 0, concat(
+          lit("http://t.example.com/cal/2026/01/2026/01/2026/01/d"),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 6 === 1, concat(
+          lit("http://t.example.com/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10" +
+            "/s11/s12/s13/s14/s15/s16/s17/d"),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 6 === 2, concat(
+          lit("http://t.example.com/p?a1=1&a2=2&a3=3&a4=4&a5=5&a6=6" +
+            "&a7=7&a8=8&a9=9&a10=10&a11=11&a12=12&a13="),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 6 === 3, concat(
+          lit("http://t.example.com/" + "x" * 520 + "?id="),
+          col("doc_id").cast("string")))
+        .otherwise(concat(lit("http://t.example.com/p/"),
+          col("doc_id").cast("string"), lit("?a=1")))
+      Urls.trapSignals(
+          Tables.documents(s, dir).select(col("doc_id"), u.as("url")),
+          col("url"))
+        .select(col("doc_id"), col("path_depth"), col("n_dup_segments"),
+          col("n_params"), col("url_len"), col("trap"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4277,6 +4440,20 @@ object ExtQueries {
         .select(col("doc_id"), col("lang_attr"), col("title"),
           col("description"), col("og_title"), col("canonical"),
           col("noindex"), col("nofollow"))
+        .orderBy(col("doc_id"))),
+
+    // META-REFRESH redirects — the third redirect channel next to HTTP
+    // 3xx Location and rel=canonical: legacy/parked pages redirect via
+    // <meta http-equiv=refresh content="N; url=…">. Classes all live by
+    // arithmetic: quoted absolute target with tracking params
+    // (canonicalization live), single-quoted uppercase URL= with a
+    // RELATIVE target (base-href interplay live on the mod-3 base
+    // class), comma-separated bare url, reload-only content (drops),
+    // no tag (drops), a refreshx decoy, and a second refresh tag where
+    // the first must win
+    "q_meta_refresh" -> ((s, dir) =>
+      PageMeta.metaRefresh(refreshPages(Tables.documents(s, dir)),
+          col("url"), col("html"), Seq("doc_id"))
         .orderBy(col("doc_id"))),
 
     // rel=canonical clustering — the crawl-side dedup signal: pages
@@ -4578,6 +4755,31 @@ object ExtQueries {
             .as("doc_id"),
           col("url"), col("verdict"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REVALIDATION FOLD — the step after the recrawl decision: splice
+    // the conditional-GET responses into the standing corpus. A 304
+    // carries no payload so the prior copy must be carried forward;
+    // 200 replaces (added without a prior), 404/410 retires, 5xx and
+    // untouched URLs keep the old copy, and an orphan 304 (no stored
+    // copy — RFC 9110 §15.4.5) surfaces as refetch. All seven verdict
+    // classes live from the two subsets' shared arithmetic; one
+    // full-outer URL join, verdict + body in projection
+    "q_revalidate_fold" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val url = concat(lit("http://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val prior = docs.where(col("doc_id") % 5 =!= 4)
+        .select(url.as("url"), col("text").as("body"))
+      val status = element_at(
+        array(lit(200), lit(304), lit(404), lit(200), lit(304), lit(503),
+          lit(410)),
+        (col("doc_id") % 7).cast("int") + 1)
+      val fresh = docs.where(col("doc_id") % 3 =!= 2)
+        .select(url.as("url"), status.as("status"),
+          when(status === 200, concat(col("text"), lit(" v2")))
+            .as("body"))
+      Recrawl.foldRevalidated(prior, fresh).orderBy(col("url"))
     }),
 
     // sitemap DISCOVERY off robots.txt (group-independent Sitemap:
@@ -7390,6 +7592,35 @@ object ExtQueries {
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM c GROUP BY canonical_url ORDER BY doc_id""".stripMargin,
 
+    // trap signals restated per mod class (depth/dup/params as stated
+    // constants, url_len off the reconstructed URL, verdict = the
+    // first four classes)
+    "q_url_traps" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'http://t.example.com/cal/2026/01/2026/01/2026/01/d'
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'http://t.example.com/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10'
+        |      || '/s11/s12/s13/s14/s15/s16/s17/d' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'http://t.example.com/p?a1=1&a2=2&a3=3&a4=4&a5=5'
+        |      || '&a6=6&a7=7&a8=8&a9=9&a10=10&a11=11&a12=12&a13='
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'http://t.example.com/' || repeat('x', 520)
+        |      || '?id=' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://t.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || '?a=1' END AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 18
+        |    WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END AS INT) AS path_depth,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN 4 ELSE 0 END AS INT)
+        |    AS n_dup_segments,
+        |  CAST(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 0
+        |    WHEN 2 THEN 13 ELSE 1 END AS INT) AS n_params,
+        |  CAST(len(url) AS INT) AS url_len,
+        |  doc_id % 6 < 4 AS trap
+        |FROM u ORDER BY doc_id""".stripMargin,
+
     // registrable domain per mod class, straight from the generator
     // arithmetic (the engine runs candidate explode + suffix join +
     // longest-match arg-max + fallback; the oracle needs none of it)
@@ -7528,6 +7759,27 @@ object ExtQueries {
         |  doc_id % 6 IN (0, 2) AS noindex,
         |  doc_id % 6 IN (1, 2) AS nofollow
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // meta-refresh redirects restated per mod class: the quoted
+    // absolute target with its tracking param stripped and the rest
+    // kept, the relative target resolved through the page URL or the
+    // mod-3 base-href, the bare comma-form absolute path on the page
+    // host; reload-only and tag-less classes absent
+    "q_meta_refresh" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN doc_id % 30 WHEN 1 THEN doc_id % 7
+        |    ELSE 5 END AS INT) AS delay_s,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'http://go.example.com/t/' ||
+        |      CAST(doc_id % 40 AS VARCHAR) || '?b=2'
+        |    WHEN 1 THEN 'http://' || source || '.example.com/' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'b/r/' ELSE 'r/' END ||
+        |      CAST(doc_id % 20 AS VARCHAR)
+        |    ELSE 'http://' || source || '.example.com/abs/' ||
+        |      CAST(doc_id % 7 AS VARCHAR)
+        |    END AS target
+        |FROM documents WHERE doc_id % 5 < 3 ORDER BY doc_id""".stripMargin,
 
     // per-page canonical target from the same arithmetic (self-cluster
     // when undeclared), grouped: size + lexicographically-first member
@@ -7801,6 +8053,37 @@ object ExtQueries {
         |       WHEN doc_id % 2 = 0 THEN 'revalidate'
         |       ELSE 'fetch' END AS verdict
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the revalidation fold restated as the same FULL OUTER join over
+    // the two arithmetic subsets: body spliced from prior (304/5xx/
+    // untouched), fresh (200), or nulled (404/410, orphan 304); all
+    // seven verdict classes stated
+    "q_revalidate_fold" ->
+      """WITH p AS (SELECT 'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url, text AS pb
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |f AS (SELECT 'http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 200 WHEN 1 THEN 304 WHEN 2 THEN 404
+        |    WHEN 3 THEN 200 WHEN 4 THEN 304 WHEN 5 THEN 503
+        |    ELSE 410 END AS INT) AS status,
+        |  CASE WHEN doc_id % 7 IN (0, 3) THEN text || ' v2' END AS fb
+        |  FROM documents WHERE doc_id % 3 <> 2)
+        |SELECT COALESCE(p.url, f.url) AS url,
+        |  CASE WHEN f.status = 200 THEN f.fb
+        |       WHEN f.status IN (404, 410)
+        |         OR (f.status = 304 AND p.pb IS NULL) THEN NULL
+        |       ELSE p.pb END AS body,
+        |  CASE WHEN f.status IS NULL THEN 'kept'
+        |       WHEN f.status = 200 THEN
+        |         CASE WHEN p.pb IS NULL THEN 'added' ELSE 'updated' END
+        |       WHEN f.status = 304 THEN
+        |         CASE WHEN p.pb IS NULL THEN 'refetch' ELSE 'unchanged' END
+        |       WHEN f.status IN (404, 410) THEN 'retired'
+        |       ELSE 'kept' END AS verdict
+        |FROM p FULL OUTER JOIN f ON p.url = f.url
+        |ORDER BY url""".stripMargin,
 
     // the Sitemap: lines planted in the robots fixture, verbatim (the
     // face parses them back out of the raw files)
@@ -9263,6 +9546,20 @@ object ExtQueries {
          |    WHEN 2 THEN text || '${t(2)}'
          |    WHEN 3 THEN '$metaPrefix' || text || '${t(3)}'
          |    ELSE text || '${t(4)}' END) AS body_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // expected charset label per BOM class + decoded-text md5 from the
+    // documents table and the shared tails — the BOM never appears in
+    // the text, and the lying-header classes only pass if the BOM won
+    "q_warc_bom" -> {
+      val t = bomTails
+      s"""SELECT doc_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
+         |    WHEN 2 THEN 'UTF-16BE' ELSE 'UTF-8' END AS charset,
+         |  md5(text || CASE doc_id % 4
+         |    WHEN 0 THEN '${t(0)}' WHEN 1 THEN '${t(1)}'
+         |    WHEN 2 THEN '${t(2)}' ELSE '${t(3)}' END) AS body_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

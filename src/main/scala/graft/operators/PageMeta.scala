@@ -211,6 +211,65 @@ object PageMeta {
       .where(col("target").isNotNull)
   }
 
+  /** The page's `<meta http-equiv="refresh">` redirect declaration —
+    * the THIRD redirect channel a real crawl folds into its alias map
+    * next to HTTP 3xx `Location` ([[Links.redirectEdges]]) and
+    * `rel=canonical` ([[pageMeta]]): legacy sites and parked domains
+    * redirect with it, and major crawlers treat a refresh-with-URL as a
+    * redirect. One row per page that declares a refresh WITH a `url=`
+    * clause (a bare `content="30"` is a reload, not a redirect — it
+    * drops): `(<idCols…>, delay_s, target)` with `delay_s` the declared
+    * integer delay and `target` resolved against the page's effective
+    * base (`<base href>` honored) and canonicalized, joinable straight
+    * against the redirect map. Content syntax per the WHATWG shared
+    * declarative-refresh parser: integer delay, `;`/`,` separator,
+    * case-free `url=`, the target optionally quoted either style.
+    * Non-http(s) targets drop like every resolver here. First refresh
+    * tag wins; the only document-width regexes are the head-prefix
+    * extraction and the base-href pull ([[pageMeta]]'s discipline). */
+  def metaRefresh(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      idCols: Seq[String]): DataFrame = {
+    val s0 = pages.select(idCols.map(col) :+ urlCol.as("__u") :+
+      htmlCol.as("__html") :+
+      regexp_extract(htmlCol, headPattern, 1).as("__hx"): _*)
+    val s1 = s0.select(idCols.map(col) :+ col("__u") :+
+      when(col("__hx") === "" || col("__hx").isNull, col("__html"))
+        .otherwise(col("__hx")).as("__head"): _*)
+    val s2 = s1.select(idCols.map(col) ++ Seq(
+      col("__u"),
+      tagByAttr(col("__head"), "meta", "http-equiv", "refresh")
+        .as("__mref"),
+      Links.baseHref(col("__head")).as("__bh")): _*)
+    val content = attrOf(col("__mref"), "content")
+    // the url= clause, quoted either style or bare (up to the next
+    // whitespace/quote/`;`); null when absent — which is the reload
+    // form, not a redirect
+    val s3 = s2.select(idCols.map(col) ++ Seq(
+      col("__u"), col("__bh"),
+      nullif(regexp_extract(content, "^\\s*([0-9]+)", 1), lit(""))
+        .cast("int").as("delay_s"),
+      coalesce(
+        nullif(regexp_extract(content,
+          "(?is)[;,]\\s*url\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+        nullif(regexp_extract(content,
+          "(?is)[;,]\\s*url\\s*=\\s*'([^']*)'", 1), lit("")),
+        nullif(regexp_extract(content,
+          "(?is)[;,]\\s*url\\s*=\\s*([^\\s\"';]+)", 1), lit("")))
+        .as("__href")): _*)
+    // staged one hop per projection like [[pageMeta]]'s canonical —
+    // base, resolved, canonical — so no inner regex re-runs
+    val s4 = s3
+      .where(col("delay_s").isNotNull && col("__href").isNotNull)
+      .select(idCols.map(col) ++ Seq(col("delay_s"),
+        Links.effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
+        col("__href")): _*)
+    val s5 = s4.select(idCols.map(col) ++ Seq(col("delay_s"),
+      Urls.resolveUrl(col("__base"), col("__href")).as("__abs")): _*)
+    s5.where(col("__abs").rlike("(?i)^https?://"))
+      .select(idCols.map(col) ++ Seq(col("delay_s"),
+        Urls.canonicalUrl(col("__abs")).as("target")): _*)
+  }
+
   /** rel=canonical clustering — the crawl-side dedup signal that runs
     * BEFORE content dedup: every page maps to its declared canonical
     * target (its own canonical URL when it declares none, RFC 6596's

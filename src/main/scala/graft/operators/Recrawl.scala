@@ -116,6 +116,46 @@ object Recrawl {
           .otherwise(lit("fetch")))
       .drop("__row", "__have", "__copy", "__lm")
 
+  /** Fold a revalidation crawl's RESPONSES into the standing corpus —
+    * the step after [[decide]]/[[decideWithCadence]] schedule the
+    * conditional GETs: a `304 Not Modified` carries NO payload (RFC 9110
+    * §15.4.5), so the new corpus snapshot must splice the prior copy in;
+    * a `200` replaces it; a `404`/`410` retires it; a `5xx` keeps the
+    * old copy (transient server failure is not content change); URLs
+    * the crawl never touched carry forward. Per URL (one full-outer
+    * equi-join, verdict + body in projection — at 100 TB both sides are
+    * corpus-scale and this is the only exchange):
+    *  - no fresh row → `kept`, prior body;
+    *  - `200` → `added` (no prior) / `updated`, fresh body;
+    *  - `304` with a prior copy → `unchanged`, prior body; WITHOUT one
+    *    → `refetch`, null body (RFC 9110 §15.4.5: a cache holding no
+    *    stored response for a 304 must retry without validators — a
+    *    real crawl anomaly, surfaced instead of dropped);
+    *  - `404`/`410` → `retired`, null body;
+    *  - anything else (5xx, stray 3xx) → `kept`, prior body.
+    * `prior` carries `url`, `body`; `fresh` carries `url`, `status`,
+    * `body` (null on non-200s by construction — non-200s never carry a
+    * usable payload here). Output: `(url, body, verdict)`. */
+  def foldRevalidated(prior: DataFrame, fresh: DataFrame): DataFrame =
+    prior.select(col("url"), col("body").as("__pb"))
+      .join(
+        fresh.select(col("url"), col("status"), col("body").as("__fb")),
+        Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("status") === 200, col("__fb"))
+          .when(col("status").isin(404, 410) ||
+            (col("status") === 304 && col("__pb").isNull),
+            lit(null).cast("string"))
+          .otherwise(col("__pb")).as("body"),
+        when(col("status").isNull, lit("kept"))
+          .when(col("status") === 200,
+            when(col("__pb").isNull, lit("added")).otherwise(lit("updated")))
+          .when(col("status") === 304,
+            when(col("__pb").isNull, lit("refetch"))
+              .otherwise(lit("unchanged")))
+          .when(col("status").isin(404, 410), lit("retired"))
+          .otherwise(lit("kept")).as("verdict"))
+
   def decide(entries: DataFrame, ledger: DataFrame): DataFrame =
     entries
       .select(col("loc").as("url"), col("lastmod"))

@@ -310,6 +310,49 @@ object Urls {
           .as("reg_domain"))
   }
 
+  /** Crawler-trap signals per URL — the frontier pre-filter every
+    * production crawler runs before spending a fetch: infinite URL
+    * spaces (calendar pages, session-id echoes, faceted-search
+    * explosions, self-referencing relative links) show up as repeated
+    * path segments, pathological depth, parameter bloat, or sheer URL
+    * length long before content proves the trap. Appends to each row:
+    *  - `path_depth`: non-empty `/`-separated path segments;
+    *  - `n_dup_segments`: segments minus DISTINCT segments — the
+    *    repeated-segment evidence (`/a/b/a/b/a/b` → 4);
+    *  - `n_params`: non-empty `&`-separated query parameters;
+    *  - `url_len`: total URL characters;
+    *  - `trap`: any threshold exceeded (defaults follow common crawler
+    *    practice: depth > 16, any repeat ≥ `maxDupSegments`, params >
+    *    12, length > 512).
+    * Pure narrow per-row expressions (one regex pull each for path and
+    * query, array HOFs after) — no shuffle, no UDF; at 100 TB this is
+    * a free rider on the frontier's existing projection. Heuristics,
+    * not proofs: a caller tunes thresholds per crawl policy. */
+  def trapSignals(urls: DataFrame, urlCol: Column,
+      maxDepth: Int = 16, maxDupSegments: Int = 3, maxParams: Int = 12,
+      maxLen: Int = 512): DataFrame = {
+    require(maxDepth >= 1 && maxDupSegments >= 1 && maxParams >= 1 &&
+      maxLen >= 1, "trap thresholds must be >= 1")
+    val segs = filter(
+      split(regexp_extract(urlCol,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/"),
+      x => x =!= "")
+    val params = filter(
+      split(regexp_extract(urlCol, "\\?([^#]*)", 1), "&"),
+      x => x =!= "")
+    urls
+      .withColumn("path_depth", size(segs))
+      .withColumn("n_dup_segments",
+        size(segs) - size(array_distinct(segs)))
+      .withColumn("n_params", size(params))
+      .withColumn("url_len", length(urlCol))
+      .withColumn("trap",
+        col("path_depth") > maxDepth ||
+          col("n_dup_segments") >= maxDupSegments ||
+          col("n_params") > maxParams ||
+          col("url_len") > maxLen)
+  }
+
   def registrableDomains(docs: DataFrame, idCol: String, urlCol: Column,
       suffixes: DataFrame, maxSuffixLabels: Int = 4): DataFrame = {
     require(maxSuffixLabels >= 1, s"maxSuffixLabels=$maxSuffixLabels")

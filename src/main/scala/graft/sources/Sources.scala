@@ -261,13 +261,21 @@ object Sources {
   }
 
   /** Full WARC `response` records, TEXT surface — [[warcResponsesBinary]]
-    * plus charset-aware payload decode: the charset is resolved from the
-    * Content-Type `charset=` parameter, else sniffed from an HTML
-    * `<meta charset=…>` / `<meta http-equiv … content="…charset=…">` in
-    * the first KiB of the payload (decoded as ISO-8859-1 for the sniff —
-    * total, ASCII-transparent), else UTF-8 (the modern-web default).
-    * The decode is STRICT per charset (a lying header → NULL body, never
-    * U+FFFD mojibake silently entering the corpus).
+    * plus charset-aware payload decode: a Unicode byte-order mark
+    * (UTF-8 / UTF-16LE / UTF-16BE signature bytes) outranks everything
+    * — the WHATWG encoding-sniffing precedence, because the payload's
+    * own bytes beat any declaration and real servers routinely serve
+    * BOM'd UTF-8 under a latin-1 Content-Type; else the charset is
+    * resolved from the Content-Type `charset=` parameter, else sniffed
+    * from an HTML `<meta charset=…>` /
+    * `<meta http-equiv … content="…charset=…">` in the first KiB of the
+    * payload (decoded as ISO-8859-1 for the sniff — total,
+    * ASCII-transparent), else UTF-8 (the modern-web default). The
+    * decode is STRICT per charset (a lying header → NULL body, never
+    * U+FFFD mojibake silently entering the corpus); BOM bytes are the
+    * signature, not content, so they are stripped before the decode
+    * (Java's named UTF-16BE/LE decoders would otherwise render them as
+    * a ZWNBSP and UTF-8 would keep a leading U+FEFF).
     *
     * Output: the binary surface's columns plus `charset`, with `body`
     * re-typed STRING (decoded text). */
@@ -279,6 +287,13 @@ object Sources {
     val csToken = "([A-Za-z0-9][A-Za-z0-9._:-]*)"
     warcResponsesBinary(spark, path, maxDecodedBytes)
       .withColumnRenamed("body", "__bin")
+      .withColumn("__bom",
+        when(col("__bin").substr(lit(1), lit(3)) ===
+          lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)), lit("UTF-8"))
+          .when(col("__bin").substr(lit(1), lit(2)) ===
+            lit(Array(0xFE, 0xFF).map(_.toByte)), lit("UTF-16BE"))
+          .when(col("__bin").substr(lit(1), lit(2)) ===
+            lit(Array(0xFF, 0xFE).map(_.toByte)), lit("UTF-16LE")))
       .withColumn("__cs_hdr",
         nullif(regexp_extract(col("content_type"),
           s"""(?i)charset\\s*=\\s*["']?$csToken""", 1), lit("")))
@@ -289,9 +304,14 @@ object Sources {
           s"""(?i)<meta[^>]{0,200}?charset\\s*=\\s*["']?$csToken""", 1),
           lit("")))
       .withColumn("charset",
-        coalesce(col("__cs_hdr"), col("__cs_meta"), lit("UTF-8")))
-      .withColumn("body", charsetDecode(col("__bin"), col("charset")))
-      .drop("__bin", "__cs_hdr", "__sniff", "__cs_meta")
+        coalesce(col("__bom"), col("__cs_hdr"), col("__cs_meta"), lit("UTF-8")))
+      .withColumn("body", charsetDecode(
+        when(col("__bom").isNull, col("__bin"))
+          .otherwise(col("__bin").substr(
+            when(col("__bom") === "UTF-8", lit(4)).otherwise(lit(3)),
+            length(col("__bin")))),
+        col("charset")))
+      .drop("__bin", "__bom", "__cs_hdr", "__sniff", "__cs_meta")
   }
 
   /** CSV with an explicit schema and header control. */

@@ -130,6 +130,58 @@ class PageMetaSpec extends SparkSuite {
       ("http://b.com/solo", 1L, "http://b.com/solo")))
   }
 
+  private def refresh(html: String, url: String = "http://s.com/d/p.html") =
+    PageMeta.metaRefresh(
+      Seq((1L, url, html)).toDF("id", "url", "html"),
+      $"url", $"html", Seq("id"))
+      .select($"delay_s", $"target").as[(Int, String)].collect().toSeq
+
+  test("metaRefresh: quote styles, case, separators, first tag wins") {
+    assert(refresh("<html><head>" +
+      """<meta http-equiv="refresh" content="0; url=http://t.com/a">""" +
+      """<meta http-equiv="refresh" content="9; url=http://t.com/b">""" +
+      "</head><body></body></html>") == Seq(0 -> "http://t.com/a"))
+    // uppercase attr/value, single quotes, comma separator, bare target
+    assert(refresh("<html><head>" +
+      "<meta HTTP-EQUIV='Refresh' content='30 , URL=/x/y'>" +
+      "</head><body></body></html>") ==
+      Seq(30 -> "http://s.com/x/y"))
+    // quoted url value inside the content string
+    assert(refresh("<html><head>" +
+      """<meta http-equiv="refresh" content="5; url='/q?b=1&utm_id=z'">""" +
+      "</head><body></body></html>") ==
+      Seq(5 -> "http://s.com/q?b=1"))
+  }
+
+  test("metaRefresh: reload-only, decoys, non-http targets all drop") {
+    // no url= clause → a reload, not a redirect
+    assert(refresh("<html><head>" +
+      """<meta http-equiv="refresh" content="30">""" +
+      "</head><body></body></html>").isEmpty)
+    // decoy http-equiv value; url= text in the body; refresh tag AFTER
+    // </head> — none may match
+    assert(refresh("<html><head>" +
+      """<meta http-equiv="refreshx" content="0; url=http://evil.com/">""" +
+      "</head><body><p>content=\"0; url=http://nope.com/\"</p>" +
+      """<meta http-equiv="refresh" content="0; url=http://late.com/">""" +
+      "</body></html>").isEmpty)
+    // non-http(s) resolved target drops like every resolver here
+    assert(refresh("<html><head>" +
+      """<meta http-equiv="refresh" content="0; url=mailto:x@y.com">""" +
+      "</head><body></body></html>").isEmpty)
+  }
+
+  test("metaRefresh: relative targets resolve via <base href>") {
+    assert(refresh("<html><head><base href=\"/b/c/\">" +
+      """<meta http-equiv="refresh" content="2; url=../r/7">""" +
+      "</head><body></body></html>") ==
+      Seq(2 -> "http://s.com/b/r/7"))
+    // head-less page: whole-document fallback still finds the tag
+    assert(refresh("<html>" +
+      """<meta http-equiv="refresh" content="1; url=q">""" +
+      "<p>x</p></html>") == Seq(1 -> "http://s.com/d/q"))
+  }
+
   test("indexAdmission: noindex pages drop before the collapse") {
     val pages = Seq(
       (1L, "http://a.com/p1",

@@ -107,4 +107,35 @@ class RecrawlSpec extends SparkSuite {
     assert(got(Seq(("http://s.com/d", None, Some("yearly")))) ==
       Map("http://s.com/d" -> "revalidate"))
   }
+
+  test("foldRevalidated: every verdict class splices the right body") {
+    val prior = Seq(
+      ("http://s.com/upd", "old-upd"),
+      ("http://s.com/same", "old-same"),
+      ("http://s.com/gone", "old-gone"),
+      ("http://s.com/flaky", "old-flaky"),
+      ("http://s.com/idle", "old-idle")).toDF("url", "body")
+    val fresh = Seq(
+      ("http://s.com/upd", 200, Some("new-upd")),
+      ("http://s.com/new", 200, Some("new-new")),
+      ("http://s.com/same", 304, None: Option[String]),
+      ("http://s.com/orphan", 304, None: Option[String]),
+      ("http://s.com/gone", 404, None: Option[String]),
+      ("http://s.com/flaky", 503, None: Option[String]))
+      .toDF("url", "status", "body")
+    val got = Recrawl.foldRevalidated(prior, fresh)
+      .as[(String, Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "http://s.com/upd" -> ((Some("new-upd"), "updated")),
+      "http://s.com/new" -> ((Some("new-new"), "added")),
+      "http://s.com/same" -> ((Some("old-same"), "unchanged")),
+      // an orphan 304 has no copy to serve: surfaced for refetch
+      "http://s.com/orphan" -> ((None, "refetch")),
+      "http://s.com/gone" -> ((None, "retired")),
+      // 5xx on revalidation keeps the old copy (transient, not change)
+      "http://s.com/flaky" -> ((Some("old-flaky"), "kept")),
+      // untouched URLs carry forward
+      "http://s.com/idle" -> ((Some("old-idle"), "kept"))))
+  }
 }

@@ -207,4 +207,42 @@ class UrlsSpec extends SparkSuite {
     assert(keys == Seq("com,example)/", "com,example,a)/",
       "com,example,b)/", "com,examplez)/"))
   }
+
+  test("trapSignals: each threshold fires alone; clean URLs pass") {
+    val urls = Seq(
+      // 1: calendar trap — /a/b repeated 3×: 6 segs, 4 dups
+      (1L, "http://s.com/a/b/a/b/a/b"),
+      // 2: depth 17 > 16, all distinct
+      (2L, "http://s.com/" + (1 to 17).map("d" + _).mkString("/")),
+      // 3: 13 params > 12
+      (3L, "http://s.com/p?" + (1 to 13).map(i => s"k$i=$i").mkString("&")),
+      // 4: 600-char URL
+      (4L, "http://s.com/" + "y" * 600),
+      // 5: clean page — depth 2, 1 param, no dups
+      (5L, "http://s.com/a/b?x=1"),
+      // 6: bare host — empty path splits to zero segments
+      (6L, "http://s.com")).toDF("id", "url")
+    val got = Urls.trapSignals(urls, col("url"))
+      .select($"id", $"path_depth", $"n_dup_segments", $"n_params",
+        $"trap")
+      .as[(Long, Int, Int, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 6, 4, 0, true),
+      (2L, 17, 0, 0, true),
+      (3L, 1, 0, 13, true),
+      (4L, 1, 0, 0, true),
+      (5L, 2, 0, 1, false),
+      (6L, 0, 0, 0, false)))
+  }
+
+  test("trapSignals: thresholds are dials") {
+    val urls = Seq((1L, "http://s.com/a/a?x=1&y=2")).toDF("id", "url")
+    def trap(maxDup: Int, maxParams: Int): Boolean =
+      Urls.trapSignals(urls, col("url"), maxDupSegments = maxDup,
+        maxParams = maxParams)
+        .select($"trap").as[Boolean].collect()(0)
+    assert(trap(1, 12)) // one repeated segment already trips at dial 1
+    assert(!trap(2, 12)) // default-ish dials keep it
+    assert(trap(9, 1)) // params > 1 trips
+  }
 }

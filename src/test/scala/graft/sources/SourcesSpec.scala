@@ -468,6 +468,38 @@ class SourcesSpec extends SparkSuite {
       ("http://c/p/5", "utf-8", None)))
   }
 
+  test("warcResponses: a BOM outranks any declared charset and never surfaces") {
+    val dir = Files.createTempDirectory("src-warc-bom")
+    val out = new java.io.ByteArrayOutputStream()
+    val u8bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    // UTF-8 BOM under a LYING latin-1 header: header decode would
+    // succeed (latin-1 is total) with ï»¿-prefixed mojibake
+    warcRec(out, "http://b/p/1",
+      Seq("Content-Type: text/plain; charset=ISO-8859-1"),
+      u8bom ++ "café ✓".getBytes("UTF-8"))
+    // UTF-16LE BOM, nothing declared: the UTF-8 default would hit the
+    // 0xFF signature byte and NULL the body
+    warcRec(out, "http://b/p/2", Seq("Content-Type: text/plain"),
+      Array(0xFF, 0xFE).map(_.toByte) ++ "seize ★".getBytes("UTF-16LE"))
+    // UTF-16BE BOM under a lying utf-8 claim
+    warcRec(out, "http://b/p/3",
+      Seq("Content-Type: text/plain; charset=utf-8"),
+      Array(0xFE, 0xFF).map(_.toByte) ++ "über π".getBytes("UTF-16BE"))
+    // no BOM: the declared-charset path is untouched
+    warcRec(out, "http://b/p/4",
+      Seq("Content-Type: text/plain; charset=ISO-8859-1"),
+      "café ±".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(dir.resolve("b.warc"), out.toByteArray)
+    val got = Sources.warcResponses(spark, dir.toString)
+      .select("uri", "charset", "body")
+      .as[(String, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("http://b/p/1", "UTF-8", Some("café ✓")),
+      ("http://b/p/2", "UTF-16LE", Some("seize ★")),
+      ("http://b/p/3", "UTF-16BE", Some("über π")),
+      ("http://b/p/4", "ISO-8859-1", Some("café ±"))))
+  }
+
   test("fuzz: corrupted ENCODED WARC dumps (chunked+gzip+zstd) never throw") {
     val dir = Files.createTempDirectory("src-warc-enc-fuzz")
     val base = {
