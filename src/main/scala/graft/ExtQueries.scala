@@ -4221,6 +4221,29 @@ object ExtQueries {
           Urls.canonicalUrl(col("url")).as("canonical_url"))
         .orderBy(col("doc_id"))),
 
+    // PERCENT-ENCODING normalization inside canonicalUrl (RFC 3986
+    // §6.2.2.2): unreserved escapes decode (%7E→~, %61→a, %41→A),
+    // reserved escapes uppercase but stay (%2f→%2F, %3d→%3D), a
+    // %2E-spelled dot-segment resolves like a literal one (the
+    // traversal/trap spelling), malformed % passes byte-for-byte, and
+    // an escape-free control class is untouched
+    "q_url_percent" -> ((s, dir) => {
+      val u = when(col("doc_id") % 4 === 0, concat(
+          lit("http://t.example.com/%7Euser/p%61th%2Fx/"),
+          col("doc_id").cast("string"), lit("?q=%41%42")))
+        .when(col("doc_id") % 4 === 1, concat(
+          lit("http://t.example.com/a%2fb/"),
+          col("doc_id").cast("string"), lit("?x=%3d1")))
+        .when(col("doc_id") % 4 === 2, concat(
+          lit("http://t.example.com/a/%2e%2E/b%zz/"),
+          col("doc_id").cast("string")))
+        .otherwise(concat(lit("http://t.example.com/p/"),
+          col("doc_id").cast("string"), lit("?a=1")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Urls.canonicalUrl(u).as("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL-LEVEL DEDUP on the canonical key — the other half of crawl
     // dedup, composed with Dedup.exact exactly like content dedup: ~97
     // pages each spelled through canonicalization noise only, so
@@ -7578,6 +7601,22 @@ object ExtQueries {
         |    WHEN 0 THEN '?a=1&b=2' WHEN 2 THEN '?a=2&z=9' ELSE '' END
         |  AS canonical_url
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // the normalized spelling per percent class, stated outright:
+    // unreserved escapes decoded, reserved ones uppercase-hex'd, the
+    // %2E dot-segment popped, malformed % untouched, control unchanged
+    "q_url_percent" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'http://t.example.com/~user/path%2Fx/' ||
+        |      CAST(doc_id AS VARCHAR) || '?q=AB'
+        |    WHEN 1 THEN 'http://t.example.com/a%2Fb/' ||
+        |      CAST(doc_id AS VARCHAR) || '?x=%3D1'
+        |    WHEN 2 THEN 'http://t.example.com/b%zz/' ||
+        |      CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://t.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || '?a=1' END AS canonical_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // URL-dedup survivors re-derived from the construction: canonical
     // spelling is a pure function of page = doc_id % 97, so survivors

@@ -81,15 +81,23 @@ object Urls {
     *  - query: tracking params stripped (`utm_*` prefix +
     *    [[defaultTrackingParams]]), remaining params BYTE-SORTED for a
     *    stable spelling, `?` dropped when nothing survives;
-    *  - fragment always dropped (never sent to the server).
+    *  - fragment always dropped (never sent to the server);
+    *  - percent-encoding normalized FIRST
+    *    ([[graft.functions.UrlFunctions.percentNormalize]], RFC 3986
+    *    §6.2.2.2): unreserved escapes decode (`%41` → `A`, `%7E` → `~`),
+    *    reserved escapes keep uppercase hex (`%2f` → `%2F`), malformed
+    *    `%` stays byte-for-byte. Running it first means a `%2E` spelled
+    *    dot-segment (`/a/%2E%2E/b` — a classic traversal/trap spelling)
+    *    resolves like a literal one, per the RFC's ordering of the two
+    *    normalizations.
     *
-    * Pure built-in expressions + array HOFs over anchored regexes —
-    * no UDF, null URL → null. A URL with no host canonicalizes around
-    * an empty authority (its own stratum downstream, like
-    * [[canonicalHost]]). */
+    * Pure built-in expressions + array HOFs over anchored regexes (plus
+    * the one codegen'd percent kernel) — no UDF, null URL → null. A URL
+    * with no host canonicalizes around an empty authority (its own
+    * stratum downstream, like [[canonicalHost]]). */
   def canonicalUrl(url: Column,
       dropParams: Seq[String] = defaultTrackingParams): Column = {
-    val u = trim(url)
+    val u = graft.functions.UrlFunctions.percentNormalize(trim(url))
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme0 = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val scheme = when(scheme0 === "", lit("http")).otherwise(scheme0)
@@ -118,7 +126,7 @@ object Urls {
     })
     val query = when(size(kept) > 0,
       concat(lit("?"), array_join(array_sort(kept), "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), canonicalHost(url),
+    concat(scheme, lit("://"), canonicalHost(u),
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path, query)
   }
 

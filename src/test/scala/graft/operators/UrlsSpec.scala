@@ -208,6 +208,40 @@ class UrlsSpec extends SparkSuite {
       "com,example,b)/", "com,examplez)/"))
   }
 
+  test("percentNormalize: RFC 3986 §6.2.2.2 golden vectors") {
+    import graft.functions.UrlFunctions.percentNormalize
+    val got = Seq(
+      "http://e.com/%7Euser/%61",  // unreserved escapes decode
+      "http://e.com/a%2fb?x=%3d1", // reserved escapes: uppercase, kept
+      "http://e.com/p%zz/%4",      // malformed %: byte-for-byte
+      "http://e.com/plain",        // no-escape fast path
+      "%41%2F%ZZ%")                // mixed at string edges
+      .toDF("u").select(percentNormalize($"u")).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "http://e.com/~user/a",
+      "http://e.com/a%2Fb?x=%3D1",
+      "http://e.com/p%zz/%4",
+      "http://e.com/plain",
+      "A%2F%ZZ%"))
+  }
+
+  test("canonicalUrl: percent normalization composes with dot-segments") {
+    val got = Seq(
+      // %2E-spelled traversal pops like a literal ..
+      "http://e.com/a/%2E%2e/b",
+      // unreserved decode in path + query; reserved kept; tracking strip
+      "HTTP://E.com/%7Ex/p%61?q=%41&utm_source=z",
+      // escaped spellings collapse onto the plain spelling's canonical
+      "http://e.com/%70/1")
+      .toDF("u").select(Urls.canonicalUrl($"u")).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "http://e.com/b",
+      "http://e.com/~x/pa?q=A",
+      "http://e.com/p/1"))
+  }
+
   test("trapSignals: each threshold fires alone; clean URLs pass") {
     val urls = Seq(
       // 1: calendar trap — /a/b repeated 3×: 6 segs, 4 dups
