@@ -5599,6 +5599,17 @@ object ExtQueries {
       TextPrep.renderPacks(Tables.documents(s, dir), col("lang"), budget = 1000)
         .orderBy(col("group"), col("pack_id"))),
 
+    // FILL-IN-THE-MIDDLE transform (the Bavarian et al. 2022 infilling
+    // recipe): a deterministic md5-drawn half of the corpus rewritten
+    // PSM (prefix‖suffix‖middle behind sentinel tokens) at md5-drawn
+    // character cut points, the rest verbatim — selection, both cuts,
+    // and the rendered sequence all re-derived by the oracle from the
+    // identical portable hex arithmetic
+    "q_fim_transform" -> ((s, dir) =>
+      TextPrep.fimTransform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fim"), md5(col("seq")).as("seq_md5"))
+        .orderBy(col("doc_id"))),
+
     // paragraph-level corpus dedup: fixtures carry no paragraph breaks, so
     // the query constructs a paragraph'd corpus from 3-token slices (the
     // small fixture vocabulary makes slices repeat across docs — real
@@ -9040,6 +9051,35 @@ object ExtQueries {
          |  md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_md5
          |FROM b GROUP BY "group", pack_id
          |ORDER BY "group", pack_id""".stripMargin,
+
+    // the FIM selection draw, both cut points, and the PSM render all
+    // recomputed from the same md5-prefix integers (the
+    // q_negative_sample hex-cast pattern); non-selected and short docs
+    // hash as their verbatim text
+    "q_fim_transform" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS L,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+        |      1, 8)) AS BIGINT) AS hf,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':a'),
+        |      1, 8)) AS BIGINT) AS ha,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':b'),
+        |      1, 8)) AS BIGINT) AS hb
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, L, hb,
+        |    (hf % 100 < 50 AND L >= 2) AS fim, ha % (L + 1) AS a
+        |  FROM d),
+        |e AS (SELECT doc_id, text, L, fim, a, a + hb % (L - a + 1) AS b
+        |  FROM c)
+        |SELECT doc_id, fim,
+        |  md5(CASE WHEN fim THEN
+        |      '<|fim_pre|>' || substring(text, 1, CAST(a AS INT)) ||
+        |      '<|fim_suf|>' ||
+        |        substring(text, CAST(b + 1 AS INT), CAST(L - b AS INT)) ||
+        |      '<|fim_mid|>' ||
+        |        substring(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+        |    ELSE text END) AS seq_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // first-occurrence survivor via a window rn=1 — a deliberately
     // DIFFERENT formulation than the Spark side's arg-min + equi-join

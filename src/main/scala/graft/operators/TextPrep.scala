@@ -235,6 +235,45 @@ object TextPrep {
     * caveat of [[Dedup.minhashPairsFromShingles]]; pass `stagingDir` at
     * cluster scale for a durable parquet staging table that pins
     * nothing (caller deletes the dir once the result is consumed). */
+  /** Fill-in-the-middle (FIM) transformation — the code/infilling
+    * training-prep step (Bavarian et al. 2022, "Efficient Training of
+    * Language Models to Fill in the Middle"; the OpenAI/StarCoder
+    * recipe): a deterministic `ratePct`% of documents are rewritten as
+    * `PRE ‖ prefix ‖ SUF ‖ suffix ‖ MID ‖ middle` (PSM order — the
+    * model learns to emit the middle given both sides), the rest pass
+    * through verbatim. Determinism is the [[Sampling]] stance: both the
+    * selection draw and the two character-level cut points `0 ≤ a ≤ b ≤
+    * len` come from engine-portable md5-prefix integers keyed on the doc
+    * id (`id:fim`, `id:a`, `id:b`), so any engine re-derives exactly
+    * which docs transformed and where they were cut — corpus growth
+    * never reshuffles the assignment. Docs shorter than 2 chars pass
+    * through (no meaningful cut exists).
+    *
+    * One narrow projection — no shuffle, no UDF; sentinel tokens are
+    * caller-supplied (a deployment passes its tokenizer's reserved FIM
+    * tokens). Output: `(<input cols…>, fim, seq)` with `fim` the
+    * transform flag and `seq` the training sequence. */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ratePct: Int = 50,
+      preTok: String = "<|fim_pre|>", sufTok: String = "<|fim_suf|>",
+      midTok: String = "<|fim_mid|>"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct=$ratePct")
+    def draw(tag: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$tag"))),
+        1, 8), 16, 10).cast("long")
+    val len = length(col(textCol)).cast("long")
+    val sel = (draw("fim") % 100 < ratePct) && len >= 2
+    val a = draw("a") % (len + 1)
+    val b = a + draw("b") % (len - a + 1)
+    docs
+      .withColumn("fim", sel)
+      .withColumn("seq", when(col("fim"), concat(
+        lit(preTok), col(textCol).substr(lit(1), a),
+        lit(sufTok), col(textCol).substr(b + 1, len - b),
+        lit(midTok), col(textCol).substr(a + 1, b - a)))
+        .otherwise(col(textCol)))
+  }
+
   def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       stagingDir: Option[String] = None): DataFrame = {

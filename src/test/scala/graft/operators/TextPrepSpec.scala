@@ -363,4 +363,43 @@ class TextPrepSpec extends SparkSuite {
       "staged and persisted paths must agree")
     graft.operators.Staging.drop(spark, dir)
   }
+
+  test("fimTransform: PSM render reassembles to the original; draws are deterministic") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i body " + ("w" * (i % 37).toInt)))
+      .toDF("doc_id", "text")
+    val got = TextPrep.fimTransform(docs, ratePct = 50,
+      preTok = "<P>", sufTok = "<S>", midTok = "<M>")
+      .select($"doc_id", $"text", $"fim", $"seq")
+      .as[(Long, String, Boolean, String)].collect()
+    assert(got.count(_._3) > 40 && got.count(!_._3) > 40) // both classes live
+    got.foreach { case (_, text, fim, seq) =>
+      if (!fim) assert(seq == text)
+      else {
+        // <P>prefix<S>suffix<M>middle — reassembly recovers the doc
+        val m = "(?s)^<P>(.*)<S>(.*)<M>(.*)$".r
+        seq match {
+          case m(pre, suf, mid) => assert(pre + mid + suf == text)
+          case _ => fail(s"unparseable FIM render: $seq")
+        }
+      }
+    }
+    // identical input → identical draws (pure hash arithmetic, no RNG)
+    val again = TextPrep.fimTransform(docs, ratePct = 50,
+      preTok = "<P>", sufTok = "<S>", midTok = "<M>")
+      .select($"doc_id", $"seq").as[(Long, String)].collect().toMap
+    assert(got.forall(r => again(r._1) == r._4))
+  }
+
+  test("fimTransform: rate dials and the short-doc passthrough") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    val all = TextPrep.fimTransform(docs, ratePct = 100)
+      .select($"doc_id", $"fim").as[(Long, Boolean)].collect().toMap
+    assert(!all(1L) && !all(2L)) // < 2 chars: no meaningful cut
+    assert(all(3L))
+    val none = TextPrep.fimTransform(docs, ratePct = 0)
+      .select($"fim").as[Boolean].collect()
+    assert(none.forall(!_))
+  }
 }
