@@ -4867,6 +4867,24 @@ object ExtQueries {
       Dedup.snapshotDiff(oldSnap, newSnap).orderBy(col("doc_id"))
     }),
 
+    // MIRROR-HOST detection — the host-level exact-dedup view: hosts
+    // h{id%6} serve contents c{id%40}, and because gcd(40,6)=2 each
+    // content lands on the 3 same-parity hosts — so the two parity
+    // triangles are mutual mirrors (~65% overlap) and cross-parity
+    // pairs share nothing; one planted corpus-wide boilerplate content
+    // must be df-capped OUT before pair mining (it would certify all 15
+    // pairs). The oracle re-runs the whole derivation relationally on
+    // the same construction (distinct → df-cap → self-join → ppm)
+    "q_mirror_hosts" -> ((s, dir) =>
+      Dedup.mirrorHosts(
+        Tables.documents(s, dir).select(
+          concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
+          when(col("doc_id") % 11 === 0, lit("cookie banner boilerplate"))
+            .otherwise(concat(lit("c"), (col("doc_id") % 40).cast("string")))
+            .as("content")),
+        col("host"), col("content"), dfCap = 5)
+        .orderBy(col("host_a"), col("host_b"))),
+
     // span-level duplicated-substring coverage (Lee et al. 2021): token
     // positions covered by a corpus-repeated 3-gram, interval-union per doc
     "q_dup_spans" -> ((s, dir) =>
@@ -9162,6 +9180,33 @@ object ExtQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 10 < 7 AND c.text = g.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // the whole mirror derivation re-run relationally on the same
+    // construction: distinct (host, content), df-cap the boilerplate
+    // out, self-join on content, integer-ppm overlap vs the smaller
+    // host's inventory ('//' floor == Spark div: operands non-negative)
+    "q_mirror_hosts" ->
+      """WITH hc AS (SELECT DISTINCT
+        |    'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'cookie banner boilerplate'
+        |         ELSE 'c' || CAST(doc_id % 40 AS VARCHAR) END AS c
+        |  FROM documents),
+        |rare AS (SELECT host, c FROM hc
+        |  WHERE c IN (SELECT c FROM hc GROUP BY c HAVING count(*) <= 5)),
+        |tot AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+        |  FROM rare GROUP BY host),
+        |sh AS (SELECT a.host AS host_a, b.host AS host_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM rare a JOIN rare b ON a.c = b.c AND a.host < b.host
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT sh.host_a, sh.host_b, sh.n_shared, ta.n AS n_a,
+        |  tb.n AS n_b,
+        |  CAST(sh.n_shared * 1000000 // least(ta.n, tb.n) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM sh JOIN tot ta ON ta.host = sh.host_a
+        |        JOIN tot tb ON tb.host = sh.host_b
+        |WHERE sh.n_shared * 1000000 // least(ta.n, tb.n) >= 500000
+        |ORDER BY host_a, host_b""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH $langidPredCtes

@@ -139,6 +139,61 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     delta.join(roster.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** MIRROR-HOST detection — the host-level view of exact dedup: pairs
+    * of hosts serving largely the same content (mirrors, scraper sites,
+    * multi-domain deployments of one CMS). Crawl pipelines run this
+    * BEFORE per-document dedup so a whole mirrored host can be dropped
+    * or down-prioritized in the frontier instead of paying per-page
+    * fetches + per-page dedup.
+    *
+    * Derivation: each doc reduces to a distinct `(host, xxhash64(text))`
+    * pair at the scan (text never shuffles — the [[snapshotDiff]]
+    * collision trade); content present on more than `dfCap` hosts is
+    * dropped FIRST (corpus-ubiquitous boilerplate certifies nothing
+    * about any particular pair and grows the self-join quadratically in
+    * its df — the [[dedupNgram]] dfCap rule at host granularity); the
+    * surviving narrow relation self-joins on the 8-byte hash
+    * (`host_a < host_b` — each pair meets once), and a pair is reported
+    * when it shares ≥ `minShared` contents covering ≥ `minOverlapPpm`
+    * parts-per-million of the SMALLER host's (post-cap) inventory —
+    * integer arithmetic, engine-portable, no float drift.
+    *
+    * Scale: the exchanges carry (8-byte hash, host) and (host-pair,
+    * count) rows only; per-content fan-out is ≤ dfCap², and host-pair
+    * cardinality is bounded by observed co-occurrence, never
+    * #hosts². Output: `(host_a, host_b, n_shared, n_a, n_b,
+    * overlap_ppm)`. */
+  def mirrorHosts(docs: DataFrame, hostCol: Column, textCol: Column,
+      minShared: Int = 2, minOverlapPpm: Long = 500000L,
+      dfCap: Int = 64): DataFrame = {
+    require(minShared >= 1 && minOverlapPpm >= 0 && dfCap >= 2,
+      s"minShared=$minShared minOverlapPpm=$minOverlapPpm dfCap=$dfCap")
+    val hc = docs.select(hostCol.as("host"), xxhash64(textCol).as("__h"))
+      .distinct()
+    val rare = hc.join(
+      hc.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= dfCap)
+        .select(col("__h")),
+      Seq("__h"))
+    val tot = rare.groupBy(col("host")).agg(count(lit(1)).as("__n"))
+    val shared = rare.select(col("__h"), col("host").as("host_a"))
+      .join(rare.select(col("__h"), col("host").as("host_b")), Seq("__h"))
+      .where(col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(tot.select(col("host").as("host_a"), col("__n").as("n_a")),
+        Seq("host_a"))
+      .join(tot.select(col("host").as("host_b"), col("__n").as("n_b")),
+        Seq("host_b"))
+      .withColumn("overlap_ppm",
+        expr("n_shared * 1000000L div least(n_a, n_b)"))
+      .where(col("overlap_ppm") >= minOverlapPpm)
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("overlap_ppm"))
+  }
+
   /** End-to-end corpus dedup: drop exact duplicates (min-id survivor per
     * text) then near-duplicates found by MinHash+LSH, keeping each pair's
     * lower id. Pair-wise survivor selection is a single-pass approximation

@@ -544,4 +544,31 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"), s"got $got")
   }
+
+  test("mirrorHosts: mirrors found, boilerplate capped, thresholds bind") {
+    // m1/m2 mirror 3 of each other's 4 contents; solo shares only the
+    // corpus-wide boilerplate line, which every host carries and the
+    // dfCap must remove before pair mining (else all pairs inflate)
+    val docs = (
+      Seq("a", "b", "c", "d").map(("m1", _)) ++
+        Seq("a", "b", "c", "e").map(("m2", _)) ++
+        Seq("x", "y", "z", "w").map(("solo", _)) ++
+        Seq("m1", "m2", "solo").map((_, "boiler")) ++
+        Seq(("m1", "a")) // duplicate rows collapse before counting
+      ).toDF("host", "content")
+    val got = Dedup.mirrorHosts(docs, col("host"), col("content"),
+      dfCap = 2)
+      .select($"host_a", $"host_b", $"n_shared", $"n_a", $"n_b",
+        $"overlap_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("m1", "m2", 3L, 4L, 4L, 750000L)), s"got $got")
+    // raising minShared above the overlap empties the result
+    assert(Dedup.mirrorHosts(docs, col("host"), col("content"),
+      minShared = 4, dfCap = 2).isEmpty)
+    // without the cap the boilerplate line certifies solo's pairs too
+    val uncapped = Dedup.mirrorHosts(docs, col("host"), col("content"),
+      minShared = 1, minOverlapPpm = 0L, dfCap = 64)
+      .select($"host_a", $"host_b").as[(String, String)].collect().toSet
+    assert(uncapped == Set(("m1", "m2"), ("m1", "solo"), ("m2", "solo")))
+  }
 }
