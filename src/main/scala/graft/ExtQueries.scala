@@ -5300,6 +5300,30 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BINARY-QUANTIZED ANN (sign bits + Hamming shortlist + exact
+    // rerank — the 32×-compressed scan path): NO trained state, so the
+    // oracle re-derives the whole read path from raw vectors alone —
+    // packed-word Hamming is recomputed as the per-position
+    // sign-mismatch COUNT (a deliberately different, unpacked
+    // formulation: agreement proves the bit packing), shortlist ties to
+    // the lower id, exact-cosine rerank on the k·rerank survivors
+    "q_sim_bq" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.bqTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        rerank = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the packed sign words themselves (32-bit little-endian words as
+    // BIGINTs): the storage artifact a binary-embedding store writes
+    "q_embed_binary" -> ((s, dir) =>
+      EmbeddingPrep.binaryQuantize(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          concat_ws("|", transform(col("bvec"), w => w.cast("string")))
+            .as("bvec"))
+        .orderBy(col("vec_id"))),
+
     // hyperplane-LSH ANN, VALUE-gated: the deterministic plane matrix is
     // staged, and the oracle recomputes every bucket signature (sign of
     // v·plane_p packed little-endian), the single-probe bucket join, and
@@ -9873,6 +9897,53 @@ object ExtQueries {
         |SELECT query_id, rank, vec_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the packed sign words recomputed with plain integer shifts (bit j
+    // of word w set iff element 32w+j+1 > 0, little-endian)
+    "q_embed_binary" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33), j ->
+        |      CASE WHEN v[CAST(j AS INT)] > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT))
+        |           ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(1, 33), j ->
+        |      CASE WHEN v[CAST(32 + j AS INT)] > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT))
+        |           ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM v)
+        |SELECT vec_id, CAST(w0 AS VARCHAR) || '|' || CAST(w1 AS VARCHAR)
+        |  AS bvec
+        |FROM w ORDER BY vec_id""".stripMargin,
+
+    // the BQ read path from raw vectors alone: Hamming recomputed
+    // UNPACKED as the per-position sign-mismatch count (agreement with
+    // the engine's bit_count-of-XOR proves the packing), shortlist 20
+    // per query with (ham, vec_id) ties, exact rounded-cosine rerank
+    "q_sim_bq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.v AS qv, c.v AS cv,
+        |    CAST(len(list_filter(range(1, 65), j ->
+        |      (q.v[CAST(j AS INT)] > 0) <> (c.v[CAST(j AS INT)] > 0)))
+        |      AS BIGINT) AS ham
+        |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |short AS (SELECT query_id, vec_id, qv, cv FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY ham, vec_id) AS rn
+        |  FROM ham) t WHERE rn <= 20),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, cv) /
+        |          (sqrt(list_dot_product(qv, qv)) *
+        |           sqrt(list_dot_product(cv, cv))), 6) AS cos
+        |  FROM short)
+        |SELECT query_id, rank, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )

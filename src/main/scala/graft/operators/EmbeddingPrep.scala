@@ -68,6 +68,37 @@ object EmbeddingPrep {
       .drop("__v", "__norm")
   }
 
+  /** Binary (1-bit) quantization: the sign structure of the vector
+    * packed into 32-bit little-endian words — bit `j` of word `w` is set
+    * iff element `32w + j` (0-based) is > 0. The 32× storage drop of the
+    * binary-embedding retrieval recipe (sign bits + Hamming distance
+    * approximate cosine for normalized vectors; exact rerank recovers
+    * the rest — [[Similarity.bqTopK]]). 32 bits per word, not 64: every
+    * packed value stays well inside a non-negative BIGINT, so external
+    * engines recompute the words with plain integer arithmetic (no sign
+    * bit, no HUGEINT detour). Pure array-HOF fold over a materialized
+    * vector column, codegen-friendly, no shuffle. Output column: `bvec`
+    * (ARRAY<BIGINT>, length ⌈d/32⌉). */
+  def binaryQuantize(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    embs.withColumn("__v", v)
+      .withColumn("bvec",
+        when(size(col("__v")) === 0, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((size(col("__v")) - 1) / 32.0d).cast("int")),
+            w => aggregate(
+              sequence(lit(31), lit(0), lit(-1)), lit(0L),
+              (acc, j) => {
+                val idx = (w * 32 + j + 1).cast("int")
+                acc * lit(2L) +
+                  when(idx <= size(col("__v")) &&
+                    element_at(col("__v"), idx) > 0.0d, lit(1L))
+                    .otherwise(lit(0L))
+              }))))
+      .drop("__v")
+  }
+
   /** Inverse of [[quantizeInt8]] (lossy): ARRAY<DOUBLE> `dvec`. */
   def dequantizeInt8(df: DataFrame, qvecCol: String = "qvec",
       scaleCol: String = "scale"): DataFrame =

@@ -162,6 +162,53 @@ object Similarity {
     bits
   }
 
+  /** Binary-quantized top-k: the sign-bit retrieval recipe (binary
+    * embeddings + Hamming shortlist + exact rerank — the 32×-compressed
+    * scan path modern embedding stores ship as "binary rescoring").
+    * Corpus and queries reduce to packed sign words
+    * ([[EmbeddingPrep.binaryQuantize]]); the scan scores Hamming
+    * distance over ⌈d/32⌉ BIGINTs per pair (bit_count of XOR — for
+    * normalized vectors Hamming is a monotone proxy of angular
+    * distance); the best `k·rerank` candidates per query (ties to the
+    * lower id) are exact-cosine reranked and the top `k` emitted.
+    *
+    * Scale: the scan side carries only (id, codes) — 8–16 bytes/vector
+    * at real widths vs 3–6 KB of floats; raw vectors are joined back
+    * for the k·rerank shortlist ONLY. Queries broadcast (the
+    * [[bruteForceTopK]] contract: query sets are small); for
+    * corpus-×-corpus workloads compose with the IVF cell join
+    * ([[knnGraph]]'s plan) — the code scan drops in wherever full
+    * vectors were being scanned. Fully deterministic: no trained state
+    * at all (the quantizer IS the sign function), so an external engine
+    * re-derives codes, shortlist, and rerank from raw vectors alone.
+    * Output: `(query_id, vec_id, cos, rank)`. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= 1, s"k=$k rerank=$rerank")
+    val c = EmbeddingPrep.binaryQuantize(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      "v")
+    val q = EmbeddingPrep.binaryQuantize(
+      queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), "qv")
+      .withColumnRenamed("bvec", "qbvec")
+    val scored = c.select(col("vec_id"), col("bvec"))
+      .join(broadcast(q.select(col("query_id"), col("qbvec"))),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (lit(0L) - aggregate(
+          zip_with(col("bvec"), col("qbvec"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x)).as("negham"))
+    val short = shortlistPerQuery(scored, "negham", k * rerank)
+    val refined = short
+      .join(c.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    topKPerQuery(refined, "cos", k)
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query rescans only its
     * `nprobe` nearest cells.

@@ -82,4 +82,22 @@ class EmbeddingPrepSpec extends SparkSuite {
       assert(cos(v, d) > 0.999, "int8 quantization must preserve direction")
     }
   }
+
+  test("binaryQuantize: little-endian 32-bit packing golden vectors") {
+    val docs = Seq(
+      // bit 0 (first element) and bit 2 set; zeros and negatives clear
+      (1L, Seq(1.0f, -2.0f, 0.5f, 0.0f)),
+      // 33 elements: element 33 (index 32) spills into word 1, bit 0
+      (2L, Seq.fill(32)(-1.0f) ++ Seq(3.0f)),
+      // all 32 bits of word 0 set → 2^32 − 1 (needs the full BIGINT)
+      (3L, Seq.fill(32)(1.0f)),
+      (4L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingPrep.binaryQuantize(docs)
+      .select($"vec_id", $"bvec").as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(5L))
+    assert(got(2L) == Seq(0L, 1L))
+    assert(got(3L) == Seq(4294967295L))
+    assert(got(4L) == Seq.empty[Long])
+  }
 }

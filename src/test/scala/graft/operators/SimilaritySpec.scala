@@ -385,4 +385,28 @@ class SimilaritySpec extends SparkSuite {
       "staged and persisted paths must agree")
     Staging.drop(spark, dir)
   }
+
+  test("bqTopK: exhaustive rerank equals brute force; small rerank keeps recall") {
+    val embs = graft.Tables.embeddings(spark, sf0001)
+    val queries = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    // rerank large enough that the Hamming shortlist covers the corpus:
+    // the exact-cosine rerank then IS brute force (same ties, same k)
+    val exhaustive = Similarity.bqTopK(embs, queries, k = 5, rerank = 128)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive == exact)
+    // the compressed path: a 40-candidate shortlist out of ~500 must
+    // keep a real recall floor (measured dial on this geometry:
+    // rerank 2/4/8/16 → 0.325/0.425/0.625/0.975 — sign bits are a
+    // coarse 64-bit sketch, the rerank dial buys the recall back)
+    def recallAt(rerank: Int): Double = {
+      val approx = Similarity.bqTopK(embs, queries, k = 5, rerank = rerank)
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val r8 = recallAt(8)
+    assert(r8 >= 0.5, s"BQ recall@5 (rerank=8) fell to $r8")
+    assert(recallAt(16) > recallAt(4), "the rerank dial must buy recall")
+  }
 }
