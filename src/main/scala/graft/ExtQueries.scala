@@ -1351,8 +1351,58 @@ object ExtQueries {
         mSrc.addData(mRows.filter(_._1 % 3 == b).toSeq: _*)
         mq.processAllAvailable()
       } finally mq.stop()
+      // the mirror-content ledger over the SAME 3-batch split (host and
+      // content both derive from doc_id — the q_mirror_hosts planting):
+      // q_mirror_ingest_replay reads the batch partitions back through
+      // the cross-batch distinct + pair-mining fold — distinct-of-union
+      // is associative across any split, so the batch face's oracle
+      // gates it verbatim
+      val hSrc =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val hq = graft.streaming.IngestStreams.mirrorIngest(
+        mirrorDocsOf(hSrc.toDF().toDF("doc_id")),
+        col("host"), col("content"),
+        s"$root/mirror_index", s"$root/mirror_ckpt")
+      try (0 until 3).foreach { b =>
+        hSrc.addData(rows.map(_._1).filter(_ % 3 == b).toSeq: _*)
+        hq.processAllAvailable()
+      } finally hq.stop()
       root
     })
+
+  /** One oracle derivation for the batch mirror face AND its streamed
+    * ledger twin (distinct-of-union associativity makes them equal). */
+  private val mirrorHostsOracleSql: String =
+    """WITH hc AS (SELECT DISTINCT
+      |    'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'cookie banner boilerplate'
+      |         ELSE 'c' || CAST(doc_id % 40 AS VARCHAR) END AS c
+      |  FROM documents),
+      |rare AS (SELECT host, c FROM hc
+      |  WHERE c IN (SELECT c FROM hc GROUP BY c HAVING count(*) <= 5)),
+      |tot AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+      |  FROM rare GROUP BY host),
+      |sh AS (SELECT a.host AS host_a, b.host AS host_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM rare a JOIN rare b ON a.c = b.c AND a.host < b.host
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT sh.host_a, sh.host_b, sh.n_shared, ta.n AS n_a,
+      |  tb.n AS n_b,
+      |  CAST(sh.n_shared * 1000000 // least(ta.n, tb.n) AS BIGINT)
+      |    AS overlap_ppm
+      |FROM sh JOIN tot ta ON ta.host = sh.host_a
+      |        JOIN tot tb ON tb.host = sh.host_b
+      |WHERE sh.n_shared * 1000000 // least(ta.n, tb.n) >= 500000
+      |ORDER BY host_a, host_b""".stripMargin
+
+  /** The q_mirror_hosts planting (host/content from doc_id arithmetic),
+    * shared between the batch face and the streamed-ledger replay. */
+  private def mirrorDocsOf(df: DataFrame): DataFrame =
+    df.select(
+      concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
+      when(col("doc_id") % 11 === 0, lit("cookie banner boilerplate"))
+        .otherwise(concat(lit("c"), (col("doc_id") % 40).cast("string")))
+        .as("content"))
 
   /** Epoch microseconds of a collected fixture timestamp (getTime carries
     * ms; getNanos the sub-second part — sub-ms micros are added back). */
@@ -4877,12 +4927,19 @@ object ExtQueries {
     // the same construction (distinct → df-cap → self-join → ppm)
     "q_mirror_hosts" -> ((s, dir) =>
       Dedup.mirrorHosts(
-        Tables.documents(s, dir).select(
-          concat(lit("h"), (col("doc_id") % 6).cast("string")).as("host"),
-          when(col("doc_id") % 11 === 0, lit("cookie banner boilerplate"))
-            .otherwise(concat(lit("c"), (col("doc_id") % 40).cast("string")))
-            .as("content")),
+        mirrorDocsOf(Tables.documents(s, dir)),
         col("host"), col("content"), dfCap = 5)
+        .orderBy(col("host_a"), col("host_b"))),
+
+    // the streamed MIRROR LEDGER twin: the narrow (host, content-hash)
+    // pair relation accretes batch-keyed across a real 3-batch
+    // checkpointed ingest; the standing report is the read-time
+    // cross-batch distinct + the same df-cap/self-join/ppm fold —
+    // distinct-of-union is associative across any split, so the batch
+    // face's oracle gates the replay verbatim
+    "q_mirror_ingest_replay" -> ((s, dir) =>
+      graft.streaming.IngestStreams.readMirrorHosts(s,
+        s"${ingestReplayFixture(s, dir)}/mirror_index", dfCap = 5)
         .orderBy(col("host_a"), col("host_b"))),
 
     // span-level duplicated-substring coverage (Lee et al. 2021): token
@@ -9209,28 +9266,12 @@ object ExtQueries {
     // construction: distinct (host, content), df-cap the boilerplate
     // out, self-join on content, integer-ppm overlap vs the smaller
     // host's inventory ('//' floor == Spark div: operands non-negative)
-    "q_mirror_hosts" ->
-      """WITH hc AS (SELECT DISTINCT
-        |    'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
-        |    CASE WHEN doc_id % 11 = 0 THEN 'cookie banner boilerplate'
-        |         ELSE 'c' || CAST(doc_id % 40 AS VARCHAR) END AS c
-        |  FROM documents),
-        |rare AS (SELECT host, c FROM hc
-        |  WHERE c IN (SELECT c FROM hc GROUP BY c HAVING count(*) <= 5)),
-        |tot AS (SELECT host, CAST(count(*) AS BIGINT) AS n
-        |  FROM rare GROUP BY host),
-        |sh AS (SELECT a.host AS host_a, b.host AS host_b,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM rare a JOIN rare b ON a.c = b.c AND a.host < b.host
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT sh.host_a, sh.host_b, sh.n_shared, ta.n AS n_a,
-        |  tb.n AS n_b,
-        |  CAST(sh.n_shared * 1000000 // least(ta.n, tb.n) AS BIGINT)
-        |    AS overlap_ppm
-        |FROM sh JOIN tot ta ON ta.host = sh.host_a
-        |        JOIN tot tb ON tb.host = sh.host_b
-        |WHERE sh.n_shared * 1000000 // least(ta.n, tb.n) >= 500000
-        |ORDER BY host_a, host_b""".stripMargin,
+    "q_mirror_hosts" -> mirrorHostsOracleSql,
+
+    // the streamed ledger must land on the batch derivation verbatim
+    // (cross-batch distinct + the read-time fold is the only new
+    // machinery)
+    "q_mirror_ingest_replay" -> mirrorHostsOracleSql,
 
     "q_text_langid" ->
       s"""WITH $langidPredCtes

@@ -165,11 +165,23 @@ object Dedup {
     * overlap_ppm)`. */
   def mirrorHosts(docs: DataFrame, hostCol: Column, textCol: Column,
       minShared: Int = 2, minOverlapPpm: Long = 500000L,
+      dfCap: Int = 64): DataFrame =
+    mirrorHostsFromPairs(
+      docs.select(hostCol.as("host"), xxhash64(textCol).as("__h")).distinct(),
+      minShared, minOverlapPpm, dfCap)
+
+  /** [[mirrorHosts]] over an already-distinct `(host, __h)` content
+    * ledger — the standing-artifact form: a streamed crawl persists the
+    * narrow pair relation as it accretes
+    * ([[graft.streaming.IngestStreams.mirrorIngest]]) and runs the
+    * pair-mining fold at read time. Distinct-of-union is associative
+    * across any batch split, so the ledger path equals the one-shot
+    * batch operator over the concatenated corpus. */
+  def mirrorHostsFromPairs(hc: DataFrame,
+      minShared: Int = 2, minOverlapPpm: Long = 500000L,
       dfCap: Int = 64): DataFrame = {
     require(minShared >= 1 && minOverlapPpm >= 0 && dfCap >= 2,
       s"minShared=$minShared minOverlapPpm=$minOverlapPpm dfCap=$dfCap")
-    val hc = docs.select(hostCol.as("host"), xxhash64(textCol).as("__h"))
-      .distinct()
     val rare = hc.join(
       hc.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .where(col("__df") <= dfCap)

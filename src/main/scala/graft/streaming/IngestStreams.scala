@@ -564,6 +564,55 @@ object IngestStreams {
           min(col("min_url")).as("min_url"))
   }
 
+  /** Streaming maintenance of the standing MIRROR-CONTENT ledger — the
+    * narrow `(host, content-hash)` pair relation
+    * [[graft.operators.Dedup.mirrorHosts]] mines, kept fresh as pages
+    * arrive: per micro-batch one hash projection + batch-local DISTINCT
+    * landed as its own batch-keyed partition (exactly-once by
+    * deterministic dynamic-partition overwrite). Distinct-of-union is
+    * associative across ANY batch split, so the read-time fold
+    * ([[readMirrorHosts]] — cross-batch distinct, then the df-cap +
+    * self-join + ppm pair mining) equals the one-shot batch operator
+    * over the concatenated corpus. Text never leaves the batch scan. */
+  def mirrorIngest(docs: DataFrame, hostCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        overwriteBatch(
+          batch.select(hostCol.as("host"), xxhash64(textCol).as("__h"))
+            .distinct(),
+          batchKey(checkpointDir, bid), indexDir)
+        ()
+      }
+      .start()
+
+  /** The standing mirror report of a [[mirrorIngest]] index: cross-batch
+    * distinct of the accumulated pair partitions, then
+    * [[graft.operators.Dedup.mirrorHostsFromPairs]] (gated end-to-end
+    * through the 3-batch replay as `q_mirror_ingest_replay`, on the
+    * q_mirror_hosts oracle verbatim). Absent/empty directory → empty
+    * report. */
+  def readMirrorHosts(spark: SparkSession, indexDir: String,
+      minShared: Int = 2, minOverlapPpm: Long = 500000L,
+      dfCap: Int = 64): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val empty = !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (empty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("host_a", StringType),
+          StructField("host_b", StringType),
+          StructField("n_shared", LongType),
+          StructField("n_a", LongType), StructField("n_b", LongType),
+          StructField("overlap_ppm", LongType))))
+    else
+      graft.operators.Dedup.mirrorHostsFromPairs(
+        spark.read.parquet(indexDir).select(col("host"), col("__h"))
+          .distinct(),
+        minShared, minOverlapPpm, dfCap)
+  }
+
   /** Streaming maintenance of the standing per-pattern hit ledger —
     * [[graft.operators.Keywords.matchCounts]] kept fresh by the ingest
     * stream (the statistic a blocklist/spam dial is tuned against).

@@ -193,6 +193,54 @@ class IngestStreamsSpec extends SparkSuite {
       Seq(("a.com", 3L, 4L), ("b.org", 2L, 5L)))
   }
 
+  test("mirrorIngest: streamed pair ledger equals batch mirrorHosts; cross-batch dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("miringest").toString
+    val (indexDir, ckpt) = (s"$dir/mir_idx", s"$dir/ckpt")
+
+    assert(IngestStreams.readMirrorHosts(spark, indexDir).count() == 0L)
+
+    // m1/m2 share a,b,c; the SAME (host, content) pair recurs across
+    // batches (a recrawl) and must collapse in the cross-batch distinct
+    val b1 = Seq(("m1", "a"), ("m1", "b"), ("m2", "a"), ("solo", "x"))
+    val b2 = Seq(("m1", "c"), ("m1", "d"), ("m2", "b"), ("m2", "c"),
+      ("m2", "e"), ("solo", "y"), ("solo", "z"), ("solo", "w"),
+      ("m2", "a")) // recrawled pair from b1
+    val src = MemoryStream[(String, String)]
+    val q = IngestStreams.mirrorIngest(
+      src.toDF().toDF("host", "content"), $"host", $"content",
+      indexDir, ckpt)
+    src.addData(b1: _*)
+    q.processAllAvailable()
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"host_a", $"host_b")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val expected = rows(graft.operators.Dedup.mirrorHosts(
+      (b1 ++ b2).toDF("host", "content"), $"host", $"content"))
+    assert(rows(IngestStreams.readMirrorHosts(spark, indexDir)) == expected)
+    // both inventories count DISTINCT contents — the recrawled (m2, a)
+    // row did not inflate m2's inventory (4, not 5)
+    assert(expected == Seq(("m1", "m2", 3L, 4L, 4L, 750000L)))
+
+    // a NEW stream over the same ledger keeps accreting
+    val src2 = MemoryStream[(String, String)]
+    val q2 = IngestStreams.mirrorIngest(
+      src2.toDF().toDF("host", "content"), $"host", $"content",
+      indexDir, s"$dir/ckpt2")
+    src2.addData(("solo", "a"), ("solo", "b"), ("solo", "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = rows(IngestStreams.readMirrorHosts(spark, indexDir))
+    // solo now shares a,b,c with both mirrors (3 of min(4,7)=4 each)
+    assert(after == Seq(("m1", "m2", 3L, 4L, 4L, 750000L),
+      ("m1", "solo", 3L, 4L, 7L, 750000L),
+      ("m2", "solo", 3L, 4L, 7L, 750000L)))
+  }
+
   test("metaIngest: streamed cluster ledger equals batch canonicalClusters; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("metaingest").toString
