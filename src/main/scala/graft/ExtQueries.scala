@@ -4665,6 +4665,32 @@ object ExtQueries {
         .orderBy(col("host"), col("rank"))
     }),
 
+    // TRAP-GATED frontier: every page links one clean target plus two
+    // CONSTANT trap targets (a calendar-loop path and an 18-deep path)
+    // — per host the traps accrete ~4× any clean target's in-link count
+    // and would take rank slots 1–2 without the gate, so the gate is
+    // provably load-bearing: the oracle derives the frontier from the
+    // CLEAN links alone (LinksSpec pins the ungated contrast)
+    "q_frontier_traps" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables.documents(s, dir).select(
+        concat(lit("http://t"), (col("doc_id") % 4).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<html><body><a href=\"/k/"),
+          (col("doc_id") % 20).cast("string"), lit("\">k</a>"),
+          lit("<a href=\"/cal/2026/01/2026/01/2026/01/x\">c</a>"),
+          lit("<a href=\"/s1/s2/s3/s4/s5/s6/s7/s8/s9/s10/s11/s12/s13" +
+            "/s14/s15/s16/s17/d\">d</a></body></html>")).as("html"))
+      val seen = Seq.empty[String].toDF("url")
+      val policy = Robots.agentPolicy(
+        Seq(("none.example.com", "")).toDF("host", "robots_txt"),
+        col("host"), col("robots_txt"), "graftbot")
+      Links.frontierWithPolicy(pages, col("url"), col("html"), seen,
+        policy, perHostK = 3, dropTraps = true)
+        .orderBy(col("host"), col("rank"))
+    }),
+
     // the STREAMED link-graph twin: the same planted pages arrive over
     // a 3-batch checkpointed MemoryStream ingest, each batch landing
     // its partial edge counts as a batch-keyed partition; the standing
@@ -8013,6 +8039,26 @@ object ExtQueries {
       """
         |SELECT host, url, n_refs, rank FROM ranked WHERE rank <= 2
         |ORDER BY host, rank""".stripMargin),
+
+    // the trap-gated frontier: the oracle derives the frontier from the
+    // CLEAN /k/ links alone — the two constant trap targets (which
+    // would otherwise take ranks 1–2 on every host) exist only if the
+    // gate failed
+    "q_frontier_traps" ->
+      """WITH cand AS (
+        |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || '.example.com'
+        |      AS host,
+        |    'http://t' || CAST(doc_id % 4 AS VARCHAR) ||
+        |      '.example.com/k/' || CAST(doc_id % 20 AS VARCHAR) AS url
+        |  FROM documents),
+        |agg AS (SELECT host, url, CAST(count(*) AS BIGINT) AS n_refs
+        |        FROM cand GROUP BY host, url),
+        |r AS (SELECT host, url, n_refs,
+        |        CAST(row_number() OVER (PARTITION BY host
+        |          ORDER BY n_refs DESC, url) AS INT) AS rank
+        |      FROM agg)
+        |SELECT host, url, n_refs, rank FROM r WHERE rank <= 3
+        |ORDER BY host, rank""".stripMargin,
 
     // the whole frontier re-derived from the planting arithmetic:
     // candidate targets + in-link counts from the href CASEs, seen =

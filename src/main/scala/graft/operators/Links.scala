@@ -360,13 +360,18 @@ object Links {
     * fetcher would actually request, while dedup/priority key on the
     * canonical form. The verdict lands IN-ROW ([[Robots.gate]]), so the
     * candidate aggregate appears in the plan exactly once — no
-    * re-join of the `unseen` subplan against itself. */
+    * re-join of the `unseen` subplan against itself. `dropTraps` adds
+    * the [[Urls.trapSignals]] pre-filter on the candidates: a crawler
+    * trap accretes huge in-link counts exactly because every page links
+    * into it, so without the gate the trap takes the host's rank
+    * slots. */
   def frontierWithPolicy(pages: DataFrame, urlCol: Column, htmlCol: Column,
       seen: DataFrame, policy: DataFrame, perHostK: Int = 2,
-      honorNofollow: Boolean = false): DataFrame = {
+      honorNofollow: Boolean = false,
+      dropTraps: Boolean = false): DataFrame = {
     require(perHostK >= 1, s"perHostK must be >= 1, got $perHostK")
-    val gated =
-      gatedCandidates(pages, urlCol, htmlCol, seen, policy, honorNofollow)
+    val gated = gatedCandidates(pages, urlCol, htmlCol, seen, policy,
+      honorNofollow, dropTraps)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("n_refs").desc, col("target"))
@@ -408,7 +413,8 @@ object Links {
     * spelling. Output keeps every policy passthrough column. */
   private def gatedCandidates(pages: DataFrame, urlCol: Column,
       htmlCol: Column, seen: DataFrame, policy: DataFrame,
-      honorNofollow: Boolean = false): DataFrame = {
+      honorNofollow: Boolean = false,
+      dropTraps: Boolean = false): DataFrame = {
     // honorNofollow switches extraction to the polite tag-level path
     // (page meta-nofollow + per-anchor rel gate) — a production crawler
     // must not DISCOVER through links the page told it not to follow
@@ -423,10 +429,20 @@ object Links {
         .select(col("__base"), explode(col("__refs")).as("__ref"))
         .select(Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
         .where(col("__abs").rlike("(?i)^https?://"))
-    val cands = resolved
+    val cands0 = resolved
       .select(Urls.canonicalUrl(col("__abs")).as("target"), col("__abs"))
       .groupBy(col("target"))
       .agg(count(lit(1)).as("n_refs"), min(col("__abs")).as("__fetch"))
+    // dropTraps: the crawler-trap pre-filter ([[Urls.trapSignals]]) on
+    // the CANONICAL candidate — a calendar/faceted trap accretes huge
+    // in-link counts precisely because every page links into it, so an
+    // un-gated frontier would hand its rank slots to the trap; the gate
+    // runs AFTER the candidate aggregate (fewest rows) as a narrow
+    // projection rider, default thresholds
+    val cands =
+      if (!dropTraps) cands0
+      else Urls.trapSignals(cands0, col("target")).where(!col("trap"))
+        .drop("path_depth", "n_dup_segments", "n_params", "url_len", "trap")
     val unseen = cands.join(
       seen.select(col("url").as("target")).distinct(),
       Seq("target"), "left_anti")

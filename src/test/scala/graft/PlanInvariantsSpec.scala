@@ -624,4 +624,59 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(docExchanges.size <= 1,
       s"URL side must shuffle at most once (the host join), got ${docExchanges.size}:\n${p.toString.take(2000)}")
   }
+
+  test("r20 additions: narrow ops plan no exchange; heavy ops keep narrow keys") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val withUrl = docs.withColumn("url",
+      concat(lit("http://h.com/p/"), col("doc_id").cast("string")))
+    // per-row riders: no exchange anywhere
+    Seq(
+      "trapSignals" -> graft.operators.Urls.trapSignals(withUrl, col("url")),
+      "fimTransform" -> graft.operators.TextPrep.fimTransform(docs),
+      "metaRefresh" -> graft.operators.PageMeta.metaRefresh(
+        withUrl.withColumn("html", lit(
+          """<html><head><meta http-equiv="refresh" content="0; url=/x">""" +
+            "</head><body></body></html>")),
+        col("url"), col("html"), Seq("doc_id")),
+      "binaryQuantize" -> graft.operators.EmbeddingPrep.binaryQuantize(
+        Tables.embeddings(spark, sf0001))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must stay a narrow per-row transform:\n${p.take(2000)}")
+    }
+    // revalidation fold: the ONE full-outer URL equi-join, verdict in
+    // projection — no second join, no re-aggregation
+    val fold = graft.operators.Recrawl.foldRevalidated(
+      withUrl.select(col("url"), col("text").as("body")),
+      withUrl.select(col("url"), lit(200).as("status"),
+        col("text").as("body")))
+      .queryExecution.executedPlan.toString
+    assert(fold.contains("FullOuter"),
+      s"foldRevalidated must be one full-outer join:\n${fold.take(2000)}")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(fold).size == 1,
+      s"exactly one join in the fold plan:\n${fold.take(2000)}")
+    // mirror mining: every exchange keys on the 8-byte hash or host —
+    // the content column itself is never a shuffle key
+    val mir = graft.operators.Dedup.mirrorHosts(
+      docs.select(col("source").as("host"), col("text").as("content")),
+      col("host"), col("content"))
+      .queryExecution.executedPlan.toString
+    assert(mir.contains("xxhash64"),
+      s"mirrorHosts must hash content at the scan:\n${mir.take(2000)}")
+    assert(!mir.contains("hashpartitioning(content"),
+      s"content must never be a shuffle key:\n${mir.take(2000)}")
+    // BQ search: per-query k via the TopK aggregate (no window sort),
+    // query codes broadcast against the corpus code scan
+    val embs = Tables.embeddings(spark, sf0001)
+    val bq = graft.operators.Similarity
+      .bqTopK(embs, embs.filter(col("vec_id") < 4), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!bq.contains("Window"),
+      s"bqTopK must use the k-bounded aggregate, not a window:\n${bq.take(2000)}")
+    assert(bq.contains("BroadcastExchange"),
+      s"the query side must broadcast:\n${bq.take(2000)}")
+  }
 }

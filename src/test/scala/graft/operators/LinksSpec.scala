@@ -178,6 +178,28 @@ class LinksSpec extends SparkSuite {
     assert(urls(true) == Seq("http://t.org/a"))
   }
 
+  test("frontier dropTraps: the trap would take rank 1; the gate removes it") {
+    val trap = "http://t.org/cal/2026/01/2026/01/2026/01/x"
+    val pages = (
+      // the trap target out-links every clean target 3:1 — exactly how
+      // real calendar/faceted traps accrete in-link count
+      (1L to 3L).map(i => (i, "http://src.com/p",
+        s"""<a href="$trap">t</a>""")) ++
+        Seq((4L, "http://src.com/p", """<a href="http://t.org/a">x</a>""")))
+      .toDF("doc_id", "url", "html")
+    val seen = Seq.empty[String].toDF("url")
+    val policy = Robots.agentPolicy(
+      Seq.empty[(String, String)].toDF("host", "robots_txt"),
+      $"host", $"robots_txt", "bot")
+    def got(drop: Boolean): Seq[(String, Int)] =
+      Links.frontierWithPolicy(pages, $"url", $"html", seen, policy,
+        perHostK = 2, dropTraps = drop)
+        .orderBy($"rank").select($"url", $"rank")
+        .as[(String, Int)].collect().toSeq
+    assert(got(false) == Seq((trap, 1), ("http://t.org/a", 2)))
+    assert(got(true) == Seq(("http://t.org/a", 1)))
+  }
+
   test("base href: relative refs resolve against <base>, not the page URL") {
     val pages = Seq(
       // absolute base on another host
