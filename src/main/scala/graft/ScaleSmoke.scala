@@ -235,7 +235,22 @@ object ScaleSmoke {
     // never crosses the exchange, so the step stays linear
     "canonical_cluster" -> ((s: SparkSession, dir: String) =>
       graft.operators.PageMeta.canonicalClusters(metaPages(docs(s, dir)),
-        col("url"), col("html"))))
+        col("url"), col("html"))),
+    // r20 cont. 2: the one new exchange-bearing operator of the batch —
+    // mirror pair mining. Contents come in id-consecutive triples
+    // (df ≤ 3 each, content count linear in corpus) over 36 hosts, plus
+    // a corpus-wide boilerplate line the dfCap must drop at EVERY SF:
+    // pair fanout is bounded per content, shuffles carry (8-byte hash,
+    // host) rows, so the step must track content volume linearly; a
+    // lost cap or a content-keyed shuffle bends it super-linear
+    "mirror_hosts" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Dedup.mirrorHosts(
+        docs(s, dir).select(
+          concat(lit("h"), (col("doc_id") % 36).cast("string")).as("host"),
+          when(col("doc_id") % 11 === 0, lit("boilerplate"))
+            .otherwise(concat(lit("c"),
+              expr("doc_id div 3").cast("string"))).as("content")),
+        col("host"), col("content"), dfCap = 12)))
 
   /** Directive-laden page construction (the q_html_meta planting's
     * shape, constants only where the smoke doesn't need variance). */
