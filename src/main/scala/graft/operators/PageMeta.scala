@@ -226,7 +226,17 @@ object PageMeta {
     * case-free `url=`, the target optionally quoted either style.
     * Non-http(s) targets drop like every resolver here. First refresh
     * tag wins; the only document-width regexes are the head-prefix
-    * extraction and the base-href pull ([[pageMeta]]'s discipline). */
+    * extraction and the base-href pull ([[pageMeta]]'s discipline).
+    *
+    * Plan shape: unlike the [[Links]] extractors this is a pure
+    * projection chain — no `explode`, so no `Generate` node blocks
+    * predicate pushdown — and its row-drops sit above a deep alias
+    * chain. A [[Staging.planBarrier]] therefore separates extraction
+    * from filtered resolution: without it, pushing the two filters down
+    * substitutes the resolve/canonicalize alias trees multiplicatively
+    * into the predicates (measured 183k expression nodes / 33 MB of
+    * generated Java — past janino's 64 KB method limit and into
+    * interpreted fallback). */
   def metaRefresh(pages: DataFrame, urlCol: Column, htmlCol: Column,
       idCols: Seq[String]): DataFrame = {
     val s0 = pages.select(idCols.map(col) :+ urlCol.as("__u") :+
@@ -240,31 +250,36 @@ object PageMeta {
       tagByAttr(col("__head"), "meta", "http-equiv", "refresh")
         .as("__mref"),
       Links.baseHref(col("__head")).as("__bh")): _*)
-    val content = attrOf(col("__mref"), "content")
+    // content staged in its own projection: it feeds FOUR pulls below
+    // (delay + the three url= forms), and inlining its three-regex
+    // coalesce into each would 4x the extraction tree
+    val s2b = s2.select(idCols.map(col) ++ Seq(
+      col("__u"), col("__bh"),
+      attrOf(col("__mref"), "content").as("__content")): _*)
     // the url= clause, quoted either style or bare (up to the next
     // whitespace/quote/`;`); null when absent — which is the reload
     // form, not a redirect
-    val s3 = s2.select(idCols.map(col) ++ Seq(
-      col("__u"), col("__bh"),
-      nullif(regexp_extract(content, "^\\s*([0-9]+)", 1), lit(""))
+    val s3 = s2b.select(idCols.map(col) ++ Seq(
+      nullif(regexp_extract(col("__content"), "^\\s*([0-9]+)", 1), lit(""))
         .cast("int").as("delay_s"),
       coalesce(
-        nullif(regexp_extract(content,
+        nullif(regexp_extract(col("__content"),
           "(?is)[;,]\\s*url\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
-        nullif(regexp_extract(content,
+        nullif(regexp_extract(col("__content"),
           "(?is)[;,]\\s*url\\s*=\\s*'([^']*)'", 1), lit("")),
-        nullif(regexp_extract(content,
+        nullif(regexp_extract(col("__content"),
           "(?is)[;,]\\s*url\\s*=\\s*([^\\s\"';]+)", 1), lit("")))
-        .as("__href")): _*)
+        .as("__href"),
+      Links.effectiveBaseOf(col("__u"), col("__bh")).as("__base")): _*)
+    // pushdown stop: the notNull/rlike drops below stay ABOVE the
+    // extraction chain (see the Scaladoc)
+    val gate = Staging.planBarrier(s3)
     // staged one hop per projection like [[pageMeta]]'s canonical —
-    // base, resolved, canonical — so no inner regex re-runs
-    val s4 = s3
+    // resolved, then canonical — so no inner regex re-runs
+    val s5 = gate
       .where(col("delay_s").isNotNull && col("__href").isNotNull)
       .select(idCols.map(col) ++ Seq(col("delay_s"),
-        Links.effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
-        col("__href")): _*)
-    val s5 = s4.select(idCols.map(col) ++ Seq(col("delay_s"),
-      Urls.resolveUrl(col("__base"), col("__href")).as("__abs")): _*)
+        Urls.resolveUrl(col("__base"), col("__href")).as("__abs")): _*)
     s5.where(col("__abs").rlike("(?i)^https?://"))
       .select(idCols.map(col) ++ Seq(col("delay_s"),
         Urls.canonicalUrl(col("__abs")).as("target")): _*)

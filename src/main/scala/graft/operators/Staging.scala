@@ -49,6 +49,38 @@ object Staging {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** A zero-materialization PLAN barrier: stops predicate pushdown and
+    * projection collapse at this point without staging anything —
+    * implemented as a no-op `observe` (a `CollectMetrics` node, public
+    * Dataset API). Catalyst must not move predicates across a metrics
+    * collection point (the metric would change), so filters above stop
+    * HERE instead of substituting alias definitions all the way to the
+    * scan.
+    *
+    * Why this exists: pushing a filter through a projection SUBSTITUTES
+    * each referenced alias's defining expression into the predicate,
+    * with no cost guard. A predicate over a column derived through a
+    * chain of multi-reference aliases (e.g. RFC 3986 resolution, whose
+    * CaseWhen references its base ~6x, over an effective-base that
+    * references the page URL ~5x, over regex pulls...) therefore grows
+    * MULTIPLICATIVELY as it descends — measured 183,459 expression
+    * nodes / 33 MB of generated Java on [[PageMeta.metaRefresh]]'s
+    * pre-fix plan, past janino's 64 KB method limit and into silent
+    * whole-row interpreted fallback (a 20x slowdown there). Operators
+    * whose extraction feeds an `explode` get this stop for free (a
+    * `Generate` also blocks pushdown — [[Links.outlinks]]' shape); pure
+    * projection chains place one barrier between extraction and
+    * filtered resolution instead.
+    *
+    * Cost: one `count(1)` accumulator update per row, no extra pass, no
+    * exchange, no materialization; rows/schema pass through unchanged.
+    * Metric names are uniqued per call so one plan may compose several
+    * barriered operators. */
+  def planBarrier(df: DataFrame): DataFrame =
+    df.observe(s"__graft_barrier_${counter.incrementAndGet()}",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+
   /** Like [[stage]] with a directory, but also returns the staged path —
     * for iterative callers ([[Graph.connectedComponents]]) that retire
     * earlier rounds' staging tables with [[drop]] as they go. */

@@ -625,6 +625,33 @@ class PlanInvariantsSpec extends SparkSuite {
       s"URL side must shuffle at most once (the host join), got ${docExchanges.size}:\n${p.toString.take(2000)}")
   }
 
+  test("metaRefresh: plan barrier stops pushdown (no expression explosion)") {
+    import org.apache.spark.sql.functions._
+    // html DERIVED from columns (the catalog fixture's shape): with the
+    // barrier absent, pushing the notNull/rlike drops down substitutes
+    // the resolve/canonicalize alias chains multiplicatively into the
+    // predicates — measured 183,459 expression nodes in ONE Filter and
+    // 33 MB of generated Java, past janino's 64 KB method limit and
+    // into interpreted fallback (43 s at sf0.1 vs 0.7 s fixed)
+    val pages = Tables.documents(spark, sf0001)
+      .withColumn("url", concat(lit("http://h.com/p/"),
+        col("doc_id").cast("string")))
+      .withColumn("html", concat(lit("<html><head>"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<meta http-equiv=\"refresh\" content=\"1; url=/t/"),
+          col("doc_id").cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("</head><body></body></html>")))
+    val df = graft.operators.PageMeta.metaRefresh(
+      pages, col("url"), col("html"), Seq("doc_id"))
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.toString.contains("CollectMetrics"),
+      s"the plan barrier must survive optimization:\n${opt.toString.take(2000)}")
+    val worst = opt.collect { case n =>
+      n.expressions.map(e => e.collect { case x => x }.size).sum }.max
+    assert(worst < 5000,
+      s"no node may carry an exploded expression tree, worst=$worst")
+  }
+
   test("r20 additions: narrow ops plan no exchange; heavy ops keep narrow keys") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
