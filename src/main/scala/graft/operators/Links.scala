@@ -163,7 +163,18 @@ object Links {
     * [[Graph.pageRank]]/[[Graph.kCorePeel]] — hosts are the node ids. */
   def hostGraph(pages: DataFrame, urlCol: Column, htmlCol: Column,
       includeSelf: Boolean = false): DataFrame = {
-    val pairs = pages
+    // plan barriers between extraction | resolution | host fold: fused
+    // into one whole-stage span, the chain (src-host fold + base/href
+    // regexes + explode + RFC 3986 resolve + rlike gate + dst-host fold
+    // + partial agg) inlines into a single generated consume method —
+    // measured 60.8 KB bytecode, 93% of janino's 64 KB limit and one
+    // growth step from the [[PageMeta.metaRefresh]] blowup (caught
+    // sub-critical by the CodegenDump sweep). The barrier after the
+    // explode keeps extraction in its own span; the one after the
+    // resolve stops the rlike gate from substituting the resolve tree
+    // into its predicate AND keeps the resolve span free of the
+    // host-fold/agg code. One count(1) tick per link row each.
+    val extracted = Staging.planBarrier(pages
       .select(Urls.canonicalHost(urlCol).as("src_host"),
         urlCol.as("__u"), baseHref(htmlCol).as("__bh"),
         extractLinks(htmlCol).as("__refs"))
@@ -171,9 +182,11 @@ object Links {
         effectiveBaseOf(col("__u"), col("__bh")).as("__base"),
         col("__refs"))
       .select(col("src_host"), col("__base"),
-        explode(col("__refs")).as("__ref"))
+        explode(col("__refs")).as("__ref")))
+    val resolved = Staging.planBarrier(extracted
       .select(col("src_host"),
-        Urls.resolveUrl(col("__base"), col("__ref")).as("__abs"))
+        Urls.resolveUrl(col("__base"), col("__ref")).as("__abs")))
+    val pairs = resolved
       .where(col("__abs").rlike("(?i)^https?://"))
       .select(col("src_host"), Urls.canonicalHost(col("__abs")).as("dst_host"))
       .where(col("dst_host").isNotNull && col("dst_host") =!= "")
@@ -263,16 +276,33 @@ object Links {
     * content dedup ever runs. Pure projection + filter — no shuffle;
     * chain resolution (a→b→c) is the caller's fixed-point join over
     * this relation, exactly like [[Graph.connectedComponents]] over
-    * any edge list. */
+    * any edge list.
+    *
+    * The stages are SPLIT across [[Staging.planBarrier]]s: fused into
+    * one whole-stage span over a WARC demux source, the demux chain +
+    * resolve + canonicalizations all inline into a SINGLE generated
+    * consume method (whole-stage codegen merges a narrow-projection
+    * chain's consume functions when the per-operator split conditions
+    * fail) — measured 57 KB bytecode, 87% of janino's 64 KB limit and
+    * one growth step from the [[PageMeta.metaRefresh]] blowup. A
+    * barrier BELOW the 3xx gate keeps the source demux in its own
+    * span AND keeps the gate's predicate referencing demux output
+    * attributes instead of substituting (and so re-deriving) the whole
+    * decode chain inside the fused method; a second barrier between
+    * the two canonicalizations splits the rest. Each span compiles
+    * with wide headroom. */
   def redirectEdges(responses: DataFrame): DataFrame =
-    responses
-      .where(col("http_status").isin(301, 302, 303, 307, 308) &&
-        col("location").isNotNull)
-      .select(
-        Urls.canonicalUrl(col("uri")).as("src"),
-        Urls.canonicalUrl(Urls.resolveUrl(col("uri"), col("location")))
-          .as("dst"),
-        col("http_status").as("status"))
+    Staging.planBarrier(
+      Staging.planBarrier(responses)
+        .where(col("http_status").isin(301, 302, 303, 307, 308) &&
+          col("location").isNotNull)
+        .select(col("uri"), col("http_status").as("status"),
+          Urls.resolveUrl(col("uri"), col("location")).as("__abs"))
+        .select(Urls.canonicalUrl(col("uri")).as("src"),
+          col("__abs"), col("status")))
+      .select(col("src"),
+        Urls.canonicalUrl(col("__abs")).as("dst"),
+        col("status"))
 
   /** Multi-hop redirect collapse: the FINAL target of every redirect
     * source under the [[redirectEdges]] map, by POINTER DOUBLING — each

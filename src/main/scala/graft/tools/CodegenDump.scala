@@ -61,9 +61,20 @@ object CodegenDump {
             case scala.util.Success((_, m)) => m.maxMethodCodeSize > 32000
             case _ => true
           }
-          if (!sweep || near || code.length > 1000000)
+          if (!sweep || near || code.length > 1000000) {
             println(f"  $name span $i%2d src=${code.length}%8d chars  " +
               s"$status  ${w.child.nodeName}")
+            // big spans: show the fused subtree so the heavy operator
+            // chain is identifiable without a separate explain run
+            if (code.length > 300000) {
+              println(w.child.treeString.linesIterator
+                .map("      " + _.take(150)).take(20).mkString("\n"))
+              val f = s"/tmp/span_${name}_$i.java"
+              java.nio.file.Files.write(java.nio.file.Paths.get(f),
+                code.getBytes("UTF-8"))
+              println(s"      [source dumped to $f]")
+            }
+          }
         case _ =>
       }
     }
