@@ -468,10 +468,17 @@ object Links {
     // in-link counts precisely because every page links into it, so an
     // un-gated frontier would hand its rank slots to the trap; the gate
     // runs AFTER the candidate aggregate (fewest rows) as a narrow
-    // projection rider, default thresholds
+    // projection rider, default thresholds. The [[Staging.planBarrier]]
+    // enforces that placement: the trap predicate is a function of the
+    // grouping column alone, so Catalyst otherwise pushes it BELOW the
+    // aggregate and substitutes the trap + canonicalization trees into
+    // one per-LINK-row mega-predicate (measured: a 195 KB condition
+    // with 92 RLIKEs, and a 2x face slowdown — candidates are the
+    // dedup'd minority, links the corpus-scale majority)
     val cands =
       if (!dropTraps) cands0
-      else Urls.trapSignals(cands0, col("target")).where(!col("trap"))
+      else Urls.trapSignals(Staging.planBarrier(cands0), col("target"))
+        .where(!col("trap"))
         .drop("path_depth", "n_dup_segments", "n_params", "url_len", "trap")
     val unseen = cands.join(
       seen.select(col("url").as("target")).distinct(),
