@@ -206,9 +206,17 @@ object PageMeta {
         attrOf(col("__tag"), "href").as("__href"): _*)
       .select(idCols.map(col) :+ col("hreflang") :+
         Urls.resolveUrl(col("__base"), col("__href")).as("__resolved"): _*)
+      // null-target drop, gated on the RESOLVED attribute behind a plan
+      // barrier: canonicalUrl null-propagates (null in ↔ null out), so
+      // this is exactly `target IS NOT NULL` — but stated on `target`,
+      // Catalyst substitutes the canonicalize∘resolve∘attr chain into
+      // the predicate multiplicatively on its way down (measured: a
+      // 123 KB Filter condition carrying 1,410 regexp_extracts,
+      // re-evaluated per tag row)
+      .transform(Staging.planBarrier)
+      .where(col("__resolved").isNotNull)
       .select(idCols.map(col) :+ col("hreflang") :+
         Urls.canonicalUrl(col("__resolved")).as("target"): _*)
-      .where(col("target").isNotNull)
   }
 
   /** The page's `<meta http-equiv="refresh">` redirect declaration —

@@ -38,6 +38,14 @@ object CodegenDump {
         if (exprSize > (if (sweep) 20000 else 500))
           println(f"  $name opt ${n.nodeName}%-20s exprTreeNodes=$exprSize%8d")
       }
+      // substitution explosions render as kilometer-long plan lines well
+      // before they hit the 20k-node print bar (q_frontier_traps' pushed
+      // trap gate was a 195 KB Filter condition at ~4k nodes) — flag any
+      // optimized-plan line over 30 KB
+      val longest = df.queryExecution.optimizedPlan.toString
+        .linesIterator.map(_.length).max
+      if (longest > 30000)
+        println(s"  $name opt LONG-LINE ${longest} chars")
       val plan = df.queryExecution.executedPlan
       var i = 0
       plan.foreach {
