@@ -394,6 +394,39 @@ object ExtQueries {
           "</body></html>")))
   }
 
+  /** Planted pages for q_html_markdown — every [[TextPrep.MarkdownRules]]
+    * branch live off doc_id mod classes: heading level cycles 1–6, the
+    * paragraph carries an entity + bold + em, mod-2 adds a two-item list
+    * (unclosed `<li>` — the legal HTML form), mod-3 a link whose anchor
+    * text nests a `<strong>` (must render INSIDE the `[...]`), mod-4 a
+    * fenced-inline code block; head/script/comment chrome on every page
+    * must vanish. The oracle rebuilds the same html and applies the
+    * SAME pattern/template chain (rendered for RE2 groups) — the
+    * engine-portability the rule list was designed around. */
+  private def markdownPages(df: DataFrame): DataFrame = {
+    val lvl = (col("doc_id") % 6 + 1).cast("string")
+    df.withColumn("html", concat(
+      lit("<html><head><title>T</title><script>var x=1;</script>" +
+        "</head><body>"),
+      lit("<h"), lvl, lit(">Title "), (col("doc_id") % 10).cast("string"),
+      lit("</h"), lvl, lit(">"),
+      lit("<p>Intro &amp; <b>bold "), (col("doc_id") % 3).cast("string"),
+      lit("</b> and <em>em "), (col("doc_id") % 4).cast("string"),
+      lit("</em> text.</p>"),
+      when(col("doc_id") % 2 === 0, concat(lit("<ul><li>alpha "),
+        (col("doc_id") % 5).cast("string"), lit("<li>beta</ul>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit("<p>See <a href=\"/r/"),
+        (col("doc_id") % 7).cast("string"), lit("\">link <strong>"),
+        (col("doc_id") % 7).cast("string"), lit("</strong></a> now.</p>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit("<pre><code>x = "),
+        (col("doc_id") % 9).cast("string"), lit("</code></pre>")))
+        .otherwise(lit("")),
+      lit("<div>tail&nbsp;"), (col("doc_id") % 11).cast("string"),
+      lit("<br>end</div><!-- c --></body></html>")))
+  }
+
   /** Planted pages for q_nofollow_links: four anchors in document order
     * — an href-less `<a name=…>` decoy (link_no 0, silently dropped), a
     * plain followable link (1, kept), an explicit rel=nofollow in both
@@ -4126,6 +4159,18 @@ object ExtQueries {
     // oracle reconstructs exactly the surviving content and runs the
     // shared strip/decode/collapse chain, so both the structural drop
     // and the density arithmetic sit under the hash
+    // HTML → MARKDOWN — the structure-PRESERVING corpus render (the
+    // markdownify / "LLM-ready text" class): heading levels, list
+    // items, links (nested emphasis renders inside the link text),
+    // bold/em, inline code, paragraph boundaries all survive as
+    // markdown while head/script/comment chrome dies; newlines are
+    // semantic (horizontal-only collapse). The oracle applies the SAME
+    // pattern/template chain, rendered for RE2's \n group syntax
+    "q_html_markdown" -> ((s, dir) =>
+      TextPrep.htmlToMarkdown(markdownPages(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("markdown"))
+        .orderBy(col("doc_id"))),
+
     "q_main_content" -> ((s, dir) =>
       TextPrep.mainContent(
         Tables.documents(s, dir).withColumn("html", concat(
@@ -4161,6 +4206,23 @@ object ExtQueries {
               .as("doc_id"),
             col("body").as("text")))
         .select(col("doc_id"), col("text_plain"))
+        .orderBy(col("doc_id"))),
+
+    // MARKDOWN PRODUCTION end to end — the demux and the structure-
+    // preserving render in ONE plan over the same WARC dump the WET
+    // face reads: head/script/style/comment chrome dies, the one-level
+    // entity decode and the bold render land in markdown, paragraph
+    // boundaries become blank lines (where q_warc_to_wet flattens to
+    // one line)
+    "q_warc_to_markdown" -> ((s, dir) =>
+      TextPrep.htmlToMarkdown(
+        graft.sources.Sources.warcResponses(s,
+          s"${warcHtmlFixture(s, dir)}/corpus.warc")
+          .select(
+            regexp_extract(col("uri"), "/p/(\\d+)", 1).cast("long")
+              .as("doc_id"),
+            col("body").as("html")))
+        .select(col("doc_id"), col("markdown"))
         .orderBy(col("doc_id"))),
 
     // MAIN-CONTENT PRODUCTION end to end — the step that beats the WET
@@ -6686,6 +6748,61 @@ object ExtQueries {
     * the low-density tail with its inline link text — run through the
     * shared strip/decode/collapse chain so whitespace/entity handling
     * agrees with the engine's. */
+  /** [[TextPrep.htmlToMarkdown]]'s chain rendered as DuckDB SQL over
+    * `input` — patterns verbatim, replacement templates rendered for
+    * RE2 group syntax (`\n`; real newline characters in the SQL
+    * literals — RE2's rewrite parser rejects backslash escapes other
+    * than group digits). Shared by the dedicated face and the WARC
+    * composition; a rule drift on either side breaks both hashes. */
+  private def markdownChainSql(input: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val blocks = (TextPrep.HtmlStripPatterns.dropRight(1) :+
+      TextPrep.MarkdownHeadPattern)
+      .foldLeft(input) { (acc, pat) =>
+        s"regexp_replace($acc, '${esc(pat)}', ' ', 'g')"
+      }
+    val structured = TextPrep.MarkdownRules.foldLeft(blocks) {
+      case (acc, (pat, tpl)) =>
+        val rep = TextPrep.renderMarkdownTemplate(tpl, javaGroups = false)
+        s"regexp_replace($acc, '${esc(pat)}', '${esc(rep)}', 'g')"
+    }
+    val stripped = s"regexp_replace($structured, '<[^>]+>', ' ', 'g')"
+    val decoded = TextPrep.HtmlEntities.foldLeft(stripped) {
+      case (acc, (e, r)) => s"replace($acc, '${esc(e)}', '${esc(r)}')"
+    }
+    val hCollapsed = s"regexp_replace($decoded, '[ \\t]+', ' ', 'g')"
+    val tight = s"regexp_replace($hCollapsed, ' ?\\n ?', '\n', 'g')"
+    val clamped = s"regexp_replace($tight, '\\n{3,}', '\n\n', 'g')"
+    s"regexp_replace($clamped, '^\\s+|\\s+$$', '', 'g')"
+  }
+
+  /** q_html_markdown's oracle: the SAME html reconstruction and the
+    * SAME chain as the engine ([[markdownChainSql]]). */
+  private lazy val htmlMarkdownOracleSql: String = {
+    val htmlSql =
+      """'<html><head><title>T</title><script>var x=1;</script>' ||
+        |'</head><body>' ||
+        |'<h' || CAST(doc_id % 6 + 1 AS VARCHAR) || '>Title ' ||
+        |CAST(doc_id % 10 AS VARCHAR) ||
+        |'</h' || CAST(doc_id % 6 + 1 AS VARCHAR) || '>' ||
+        |'<p>Intro &amp; <b>bold ' || CAST(doc_id % 3 AS VARCHAR) ||
+        |'</b> and <em>em ' || CAST(doc_id % 4 AS VARCHAR) ||
+        |'</em> text.</p>' ||
+        |CASE WHEN doc_id % 2 = 0 THEN '<ul><li>alpha ' ||
+        |  CAST(doc_id % 5 AS VARCHAR) || '<li>beta</ul>' ELSE '' END ||
+        |CASE WHEN doc_id % 3 = 0 THEN '<p>See <a href="/r/' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '">link <strong>' ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '</strong></a> now.</p>'
+        |  ELSE '' END ||
+        |CASE WHEN doc_id % 4 = 0 THEN '<pre><code>x = ' ||
+        |  CAST(doc_id % 9 AS VARCHAR) || '</code></pre>' ELSE '' END ||
+        |'<div>tail&nbsp;' || CAST(doc_id % 11 AS VARCHAR) ||
+        |'<br>end</div><!-- c --></body></html>'""".stripMargin
+    s"""SELECT doc_id, ${markdownChainSql("html")} AS markdown
+       |FROM (SELECT doc_id, $htmlSql AS html FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val mainContentOracleSql: String =
     s"""SELECT doc_id, $htmlCleanSql AS main_text
        |FROM (SELECT doc_id,
@@ -9133,6 +9250,10 @@ object ExtQueries {
     // title/header/nav/link-farm/aside/footer all provably absent; the
     // shared strip/decode/collapse chain runs over the reconstruction
     // so whitespace and entity handling agree with the engine's
+    // the shared markdown rule chain over the same reconstructed html —
+    // templates rendered for RE2 groups, patterns byte-identical
+    "q_html_markdown" -> htmlMarkdownOracleSql,
+
     "q_main_content" -> mainContentOracleSql,
 
     // the WARC-composed production lands on the SAME surviving-content
@@ -9146,6 +9267,16 @@ object ExtQueries {
          |FROM (SELECT doc_id,
          |    '${htmlWrapPrefix.replace("'", "''")}' || text ||
          |    '${htmlWrapSuffix.replace("'", "''")}' AS text
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the markdown chain over the SAME reconstructed WARC payloads the
+    // WET oracle reads (demux legs proven under q_warc_scan)
+    "q_warc_to_markdown" ->
+      s"""SELECT doc_id, ${markdownChainSql("html")} AS markdown
+         |FROM (SELECT doc_id,
+         |    '${htmlWrapPrefix.replace("'", "''")}' || text ||
+         |    '${htmlWrapSuffix.replace("'", "''")}' AS html
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
 

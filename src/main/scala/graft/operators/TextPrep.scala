@@ -449,6 +449,96 @@ object TextPrep {
     docs.withColumn("text_plain", trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
+  /** Markdown-structure rules, in application order; each is an
+    * engine-portable pattern (Java regex ∩ RE2 — no lookaround, no
+    * pattern backrefs) paired with a replacement TEMPLATE in which
+    * `«n»` marks capture group n. The template is rendered per engine
+    * ([[renderMarkdownTemplate]]: `$n` for Spark/Java, `\n` for the
+    * oracle's RE2) because the two dialects disagree on group-reference
+    * syntax; newlines in templates are REAL newline characters, never
+    * `\`+`n` sequences — RE2's rewrite parser rejects any backslash
+    * escape other than a group digit.
+    *
+    * Order is load-bearing: headings before the generic block-boundary
+    * rule (their own boundary newlines must win), links before
+    * emphasis (emphasis inside anchor text then renders INSIDE the
+    * link's `[...]`), all content rules before the generic tag strip. */
+  val MarkdownRules: Seq[(String, String)] =
+    (1 to 6).map(n =>
+      s"(?is)<h$n[^>]*>(.*?)</h$n>" -> s"\n\n${"#" * n} «1»\n\n") ++ Seq(
+      "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>" ->
+        "[«2»](«1»)",
+      "(?is)<(?:b|strong)\\b[^>]*>(.*?)</(?:b|strong)>" -> "**«1»**",
+      "(?is)<(?:i|em)\\b[^>]*>(.*?)</(?:i|em)>" -> "*«1»*",
+      "(?is)<code\\b[^>]*>(.*?)</code>" -> "`«1»`",
+      "(?i)<li[^>]*>" -> "\n- ",
+      "(?i)<br\\s*/?\\s*>" -> "\n",
+      "(?i)</(?:p|div|ul|ol|table|blockquote|section|article|pre)>" ->
+        "\n\n")
+
+  /** The `<head>` block, dropped whole by [[htmlToMarkdown]] (after the
+    * script/style strips, so an unclosed script inside head cannot hide
+    * the closing tag). */
+  val MarkdownHeadPattern: String = "(?is)<head[^>]*>.*?</head>"
+
+  /** Render a [[MarkdownRules]] replacement template for one engine:
+    * `javaGroups=true` → `$n` (Spark's Java `Matcher` rewrite), else
+    * `\n` (DuckDB's RE2 rewrite). */
+  def renderMarkdownTemplate(tpl: String, javaGroups: Boolean): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < tpl.length) {
+      if (tpl.charAt(i) == '«' && i + 2 < tpl.length &&
+          tpl.charAt(i + 2) == '»') {
+        out.append(if (javaGroups) "$" else "\\").append(tpl.charAt(i + 1))
+        i += 3
+      } else { out.append(tpl.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** HTML → Markdown — the structure-PRESERVING corpus render (the
+    * markdownify/"LLM-ready text" class): where [[stripHtml]] flattens a
+    * page to one line of plain text, this keeps the document structure a
+    * language model actually trains on — heading levels (`#`…`######`),
+    * list items (`- `), hyperlinks (`[text](url)`), emphasis
+    * (`**`/`*`), inline code (`` ` ``), and paragraph/line boundaries —
+    * and drops everything else (scripts, styles, comments, the
+    * remaining tags), then decodes entities and normalizes whitespace
+    * HORIZONTALLY only (markdown's newlines are semantic: runs of
+    * spaces collapse, blank-line runs clamp to one blank line, newlines
+    * survive).
+    *
+    * Markdown metacharacters already present in the TEXT are left
+    * unescaped (a corpus render, not a round-trippable converter) —
+    * documented non-goal, like [[stripHtml]]'s entity subset. Only
+    * double-quoted `href`s render as links (the dominant spelling;
+    * unquoted/single-quoted anchors fall back to their inner text via
+    * the generic strip, and [[Links.extractLinks]] remains the link
+    * EXTRACTION surface). Null HTML → null. One narrow codegen'd
+    * regexp_replace chain — per-row work inside the scan stage, no
+    * shuffle, no UDF; every pattern/template is shared with the DuckDB
+    * oracle by construction ([[renderMarkdownTemplate]]). Output
+    * column: `markdown`. */
+  def htmlToMarkdown(docs: DataFrame, textCol: String = "html"): DataFrame = {
+    // script/style/comments like stripHtml, PLUS the whole <head> —
+    // title/meta text is not body text in a structure-preserving render
+    val blocks = (HtmlStripPatterns.dropRight(1) :+ MarkdownHeadPattern)
+      .foldLeft(col(textCol)) { (c, pat) => regexp_replace(c, pat, " ") }
+    val structured = MarkdownRules.foldLeft(blocks) { case (c, (pat, tpl)) =>
+      regexp_replace(c, pat, renderMarkdownTemplate(tpl, javaGroups = true))
+    }
+    val stripped = regexp_replace(structured, "<[^>]+>", " ")
+    val decoded = HtmlEntities.foldLeft(stripped) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    val hCollapsed = regexp_replace(decoded, "[ \\t]+", " ")
+    val tight = regexp_replace(hCollapsed, " ?\\n ?", "\n")
+    val clamped = regexp_replace(tight, "\\n{3,}", "\n\n")
+    docs.withColumn("markdown",
+      regexp_replace(clamped, "^\\s+|\\s+$", ""))
+  }
+
   /** PII patterns, in redaction order. Kept engine-portable (work unchanged
     * in Java regex and RE2): email, IPv4, US-style dashed/spaced phone. */
   /** The windows-1252 printable extras beyond Latin-1: glyphs (what a

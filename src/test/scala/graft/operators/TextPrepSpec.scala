@@ -402,4 +402,52 @@ class TextPrepSpec extends SparkSuite {
       .select($"fim").as[Boolean].collect()
     assert(none.forall(!_))
   }
+
+  test("htmlToMarkdown: full-feature golden — structure survives, chrome dies") {
+    import spark.implicits._
+    val html = "<html><head><script>var x=1;</script><style>.a{}</style>" +
+      "<title>T</title></head><body><h1>Top</h1><h2>Sub &amp; more</h2>" +
+      "<p>Intro <b>bold</b> and <em>it</em>.</p><ul><li>alpha<li>beta</ul>" +
+      "<p>See <a href=\"/r/1\">link <strong>one</strong></a> now.</p>" +
+      "<pre><code>x = 1</code></pre><div>tail&nbsp;line<br>end</div>" +
+      "<!-- c --></body></html>"
+    val out = TextPrep.htmlToMarkdown(Seq((1L, html)).toDF("doc_id", "html"))
+      .select($"markdown").as[String].head()
+    val expected =
+      "# Top\n\n## Sub & more\n\nIntro **bold** and *it*.\n\n" +
+        "- alpha\n- beta\n\nSee [link **one**](/r/1) now.\n\n" +
+        "`x = 1`\n\ntail line\nend"
+    assert(out == expected, s"got:\n$out")
+  }
+
+  test("htmlToMarkdown: heading levels 1-6, null html, markdown newline semantics") {
+    import spark.implicits._
+    val docs = (1 to 6).map(n =>
+      (n.toLong, s"<h$n>t$n</h$n><p>p</p>")).toDF("doc_id", "html")
+    val out = TextPrep.htmlToMarkdown(docs)
+      .select($"doc_id", $"markdown").as[(Long, String)].collect().toMap
+    (1 to 6).foreach(n => assert(out(n.toLong) == s"${"#" * n} t$n\n\np"))
+    val nul = TextPrep.htmlToMarkdown(
+      Seq((1L, null: String)).toDF("doc_id", "html"))
+      .select($"markdown").as[String].head()
+    assert(nul == null)
+    // newlines are semantic: blank-line runs clamp to ONE blank line,
+    // horizontal runs collapse, edges strip fully (incl. newlines)
+    val ws = TextPrep.htmlToMarkdown(Seq((1L,
+      "<div></div><div></div><p>a\t \tb</p><br><br><br>")).toDF("doc_id", "html"))
+      .select($"markdown").as[String].head()
+    assert(ws == "a b")
+  }
+
+  test("htmlToMarkdown: rule templates render per engine dialect") {
+    assert(TextPrep.renderMarkdownTemplate("[«2»](«1»)", javaGroups = true)
+      == "[$2]($1)")
+    assert(TextPrep.renderMarkdownTemplate("[«2»](«1»)", javaGroups = false)
+      == "[\\2](\\1)")
+    // RE2's rewrite parser rejects any backslash escape other than a
+    // group digit — templates must carry REAL newlines, never \+n
+    TextPrep.MarkdownRules.foreach { case (_, tpl) =>
+      assert(!tpl.contains("\\n"), s"template must use real newlines: $tpl")
+    }
+  }
 }
